@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** SURVEY §2.4 — aggregation operators over the driver testdata.
+  *
+  * All grouped aggregates here are single-shuffle hash aggregates with
+  * map-side partial aggregation (Spark plans partial+final automatically);
+  * at 100 TB the partial combine is what keeps the shuffle narrow.
+  */
+object Aggregations {
+
+  /** A1 (warm-up per driver contract): grouped sum. */
+  val q1Agg = Q("q1_agg",
+    "SELECT l_returnflag, sum(l_quantity) AS sum_qty FROM lineitem GROUP BY 1") {
+    (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(sum($"l_quantity").as("sum_qty"))
+  }
+
+  /** A1: CM2-style item→order rollup with per-reference rounding
+    * (`silver_to_gold.py:504-509`).
+    */
+  val a1Rollup = Q("a1_order_rollup",
+    """SELECT l_orderkey AS order_no,
+      |       round(sum(l_quantity), 0) AS qty,
+      |       CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |                     * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS net_revenue,
+      |       count(*) AS n_items
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(
+          round(sum($"l_quantity"), 0).as("qty"),
+          Exact.cents(sum(Exact.dec2($"l_extendedprice") * Exact.dec4(lit(1.0) - $"l_discount"))).as("net_revenue"),
+          count(lit(1)).as("n_items"))
+        .withColumnRenamed("l_orderkey", "order_no")
+  }
+
+  /** A3: max-watermark checkpoint aggregate
+    * (`bronze_to_silver_all_sources.py:93`).
+    */
+  /** Micros on both sides: DuckDB timestamps are µs (the parquet ns source
+    * is truncated on read), Spark reads the raw ns long — `div 1000` aligns.
+    */
+  val a3Max = Q("a3_max_watermark",
+    "SELECT epoch_us(max(ts)) AS high_watermark, epoch_us(min(ts)) AS low_watermark FROM events") {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .agg(expr("max(ts) div 1000").as("high_watermark"),
+             expr("min(ts) div 1000").as("low_watermark"))
+  }
+
+  /** A4/A6: count actions (guards, per-table stats,
+    * `fashion_api_server.py:103`).
+    */
+  val a6Counts = Q("a6_table_stats",
+    """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events GROUP BY event_type""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct($"user_id").as("n_users"),
+          sum(Exact.dec2($"value")).cast("double").as("total_value"),
+          (sum(Exact.dec2($"value")).cast("double") / count(lit(1))).as("avg_value"))
+  }
+
+  val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts)
+}
