@@ -13,7 +13,11 @@ object SparkEntry {
 
   /** All driver-gated queries, in registration order. */
   def registry: Seq[Q] =
+    ScansProjections.queries ++
+    Joins.queries ++
     Aggregations.queries ++
+    Windows.queries ++
+    Scalars.queries ++
     CommerceKpi.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

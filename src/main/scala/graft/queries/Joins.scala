@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** SURVEY §2.3 — the reference's single join shape (left-outer freight
+  * enrichment with null-fill, `silver_to_gold.py:512-533`), its fanout
+  * hazard fix (J1b), the implied dimensional star join, and the semi/anti
+  * completions a user of the library expects.
+  *
+  * Scale notes: small sides are explicitly `broadcast()`; the star join
+  * broadcasts every dimension so the fact table is scanned exactly once
+  * with zero shuffle on the probe side. The fanout-dedupe pre-aggregates
+  * the many-side BEFORE the join (one shuffle on the dedupe key instead
+  * of an exploded join output).
+  */
+object Joins {
+
+  /** J1 + J1a: left-outer equi-join of the order mart against a freight
+    * table, unmatched rows filled with defaults (`coalesce(cost, 15.0)`,
+    * `'not shipped yet'` — `silver_to_gold.py:530,533`). Freight analog:
+    * supplier keyed by s_suppkey covers only part of `o_orderkey % 150`,
+    * so ~1/3 of orders are unmatched and exercise the fill.
+    */
+  val j1LeftFill = Q("j1_left_join_fill",
+    """SELECT o.o_orderkey AS order_no,
+      |       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS order_amount,
+      |       coalesce(CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE), 15.0) AS freight_cost,
+      |       CASE WHEN s.s_suppkey IS NULL THEN 'not shipped yet' ELSE 'shipped' END AS freight_status
+      |FROM orders o LEFT JOIN supplier s ON o.o_orderkey % 150 = s.s_suppkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val freight = Tables.supplier(s, dir)
+      o.join(broadcast(freight), pmod(o("o_orderkey"), lit(150)) === freight("s_suppkey"), "left")
+        .select(
+          $"o_orderkey".as("order_no"),
+          dec2($"o_totalprice").cast("double").as("order_amount"),
+          coalesce(dec2($"s_acctbal").cast("double"), lit(15.0)).as("freight_cost"),
+          when($"s_suppkey".isNull, "not shipped yet").otherwise("shipped").as("freight_status"))
+  }
+
+  /** J1b: fanout-safe enrichment — the reference's freight table can hold
+    * >1 row per order_ref (`api_data_generator.py:154`) and its left join
+    * silently duplicates order rows. The fix: dedupe the many-side to one
+    * row per key (sum costs, first status by event order) BEFORE joining.
+    * Analog: events is the many-side (many events per user), customer the
+    * one-side.
+    */
+  val j1bDedupeFanout = Q("j1b_dedupe_fanout",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |         count(*) AS n_events,
+      |         arg_min(event_type, event_id) AS first_event_type
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT c.c_custkey, c.c_name,
+      |       coalesce(e.total_value, 0.0) AS total_value,
+      |       coalesce(e.n_events, 0) AS n_events,
+      |       coalesce(e.first_event_type, 'none') AS first_event_type
+      |FROM customer c LEFT JOIN per_user e ON c.c_custkey = e.user_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val perUser = Tables.events(s, dir)
+        .groupBy($"user_id")
+        .agg(
+          sum(dec2($"value")).cast("double").as("total_value"),
+          count(lit(1)).as("n_events"),
+          min_by($"event_type", $"event_id").as("first_event_type"))
+      Tables.customer(s, dir)
+        .join(perUser, $"c_custkey" === $"user_id", "left")
+        .select(
+          $"c_custkey", $"c_name",
+          coalesce($"total_value", lit(0.0)).as("total_value"),
+          coalesce($"n_events", lit(0L)).as("n_events"),
+          coalesce($"first_event_type", lit("none")).as("first_event_type"))
+  }
+
+  /** Dimensional star join (`silver_to_gold.py:720-727` — implied by the
+    * BI layer): fact × all dimensions, every dimension broadcast. Revenue
+    * by region × mktsegment.
+    */
+  val starJoin = Q("j2_star_join",
+    """SELECT r.r_name AS region, c.c_mktsegment AS segment,
+      |       CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+      |       count(DISTINCT o.o_orderkey) AS n_orders
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name, c.c_mktsegment""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy($"r_name".as("region"), $"c_mktsegment".as("segment"))
+        .agg(
+          sum(dec2($"l_extendedprice")).cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .cast("double").as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+  }
+
+  /** Left-semi join — EXISTS (customers that ordered this millennium). */
+  val semiJoin = Q("j3_semi_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val recent = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      Tables.customer(s, dir)
+        .join(recent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+  }
+
+  /** Left-anti join — NOT EXISTS (customers with no tracked events). */
+  val antiJoin = Q("j4_anti_join",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(Tables.events(s, dir), $"c_custkey" === $"user_id", "left_anti")
+        .select($"c_custkey", $"c_name")
+  }
+
+  val queries: Seq[Q] = Seq(j1LeftFill, j1bDedupeFanout, starJoin, semiJoin, antiJoin)
+}

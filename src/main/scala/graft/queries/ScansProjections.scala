@@ -1,0 +1,195 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import scala.util.Try
+
+/** SURVEY §2.1 scans/sources + §2.2 projections/filters/predicates,
+  * re-expressed over the driver testdata.
+  *
+  * Scale notes: every query here is a single parquet scan with the
+  * filter/projection pushed into the scan (no shuffle at all except where
+  * noted) — `.explain("formatted")` shows `PushedFilters` and a pruned
+  * `ReadSchema`. At 100 TB these run at storage bandwidth.
+  */
+object ScansProjections {
+
+  /** S1: schema-on-read JSON scan semantics. The reference infers bronze
+    * JSON per cycle (`bronze_to_silver_all_sources.py:26`); here the JSON
+    * payload column (`events.props`) is parsed with an explicit schema —
+    * the scan itself stays single-pass (inference at 100 TB is a full
+    * extra read of the data).
+    */
+  val s1Json = Q("s1_json_schema_on_read",
+    """SELECT event_id, event_type,
+      |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id", $"event_type",
+          get_json_object($"props", "$.k").cast(LongType).as("prop_k"))
+        .filter($"prop_k" > 90)
+  }
+
+  /** S2-ish: projection + predicate pushdown scan — the 2-column read of a
+    * wide table (ReadSchema must show only 3 columns).
+    */
+  val s2Pushdown = Q("s2_scan_pushdown",
+    """SELECT l_orderkey, l_extendedprice FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_returnflag = 'R'""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+          && $"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice")
+  }
+
+  /** S3: empty-DF fallback with a DDL schema keeps the pipeline total when
+    * a source is absent (`silver_to_gold.py:671,678,685,692`). The missing
+    * path resolves to an empty frame with the declared schema and the
+    * union degenerates to the real side.
+    */
+  val s3Fallback = Q("s3_empty_fallback",
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus") {
+    (s, dir) =>
+      import s.implicits._
+      val schema = StructType.fromDDL(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, " +
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string")
+      val maybeMissing = Try(
+        s.read.schema(schema).parquet(s"$dir/orders_does_not_exist.parquet")
+          .filter(lit(false))) // constant-folds to LocalRelation if present
+        .getOrElse(s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      Tables.orders(s, dir).unionByName(maybeMissing)
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+  }
+
+  /** S4: literal/local DataFrame (`silver_to_gold.py:710-715`). */
+  val s4Literal = Q("s4_literal_df",
+    """SELECT * FROM (VALUES (1, 'wholesale', 'B2B showroom channel'),
+      |  (2, 'shopify', 'DTC web channel'),
+      |  (3, 'livestreaming', 'Live commerce channel')) AS t(channel_id, channel_name, channel_desc)""".stripMargin) {
+    (s, _) =>
+      CommerceKpi.dimChannels(s).select("channel_id", "channel_name", "channel_desc")
+  }
+
+  /** P1: nested-field flatten — rebuild the bronze envelope shape
+    * (`kafka_fashion_consumer.py:60-69`) as a struct, then unnest with
+    * `select($"payload.*")` exactly like the reference's
+    * `.select("raw_api_data.*", "kafka_metadata.bronze_timestamp")`
+    * (`bronze_to_silver_all_sources.py:27`).
+    */
+  val p1Flatten = Q("p1_nested_flatten",
+    """SELECT event_id, event_type, value, 'events' AS topic
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select(
+          struct($"event_id", $"event_type", $"value").as("raw_api_data"),
+          struct(lit("events").as("topic"), $"ts".as("bronze_ts")).as("kafka_metadata"))
+        .select($"raw_api_data.*", $"kafka_metadata.topic")
+        .filter($"event_type" === "purchase")
+  }
+
+  /** P2: incremental high-watermark predicate
+    * (`bronze_to_silver_all_sources.py:28`). The checkpoint literal is a
+    * timestamp; only rows after it flow. Pushed to the parquet scan.
+    */
+  val p2Incremental = Q("p2_incremental_filter",
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      // checkpoint in epoch-ns (events.ts is read as ns long)
+      val ckptNs = java.time.LocalDateTime.parse("2024-01-25T00:00:00")
+        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+      Tables.events(s, dir)
+        .filter($"ts" > lit(ckptNs))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+  }
+
+  /** P3/P4/P5/F5/F6: cleanse projection — null-safe typed normalization
+    * with unit conversion, mirroring the per-source cleansers
+    * (`bronze_to_silver_all_sources.py:39-79`): stringify→cast round-trip
+    * (string prices, `api_data_generator.py:65`), cents→dollars ÷100
+    * (`:61`), coalesce defaults, column drop.
+    */
+  val p3Cleanse = Q("p3_cleanse_projection",
+    """SELECT CAST(l_orderkey AS VARCHAR) AS order_id,
+      |       coalesce(CAST(CAST(l_extendedprice AS VARCHAR) AS DOUBLE), 0.0) AS price,
+      |       coalesce(CAST(l_quantity AS INTEGER), 0) AS quantity,
+      |       CAST(CAST(l_extendedprice * 100 AS DECIMAL(18,0)) AS DOUBLE) / 100 AS price_from_cents,
+      |       coalesce(nullif(l_returnflag, 'N'), 'unknown') AS return_status
+      |FROM lineitem WHERE l_linenumber = 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_linenumber" === 1)
+        .select(
+          $"l_orderkey".cast(StringType).as("order_id"),
+          coalesce($"l_extendedprice".cast(StringType).cast(DoubleType), lit(0.0)).as("price"),
+          coalesce($"l_quantity".cast(IntegerType), lit(0)).as("quantity"),
+          (($"l_extendedprice" * 100).cast(DecimalType(18, 0)).cast(DoubleType) / 100).as("price_from_cents"),
+          coalesce(nullif($"l_returnflag", lit("N")), lit("unknown")).as("return_status"),
+          $"l_shipdate")
+        .drop("l_shipdate") // P5: explicit drop before the sink
+  }
+
+  /** P6: wide CM1-style enrichment projection (`silver_to_gold.py:271-344`)
+    * — renames, constants, derived arithmetic, conditional buckets; the
+    * item-level margin mart over lineitem × part.
+    *
+    * Scale: part is the smaller side but not tiny at 100 TB → plain
+    * equi-join (shuffle hash/SMJ chosen by AQE); the projection itself is
+    * narrow (no shuffle added).
+    */
+  val p6Cm1 = Q("cm1_item_mart",
+    """SELECT CAST(l.l_orderkey AS VARCHAR) AS order_no,
+      |       l.l_linenumber AS line_no,
+      |       p.p_brand AS style_no,
+      |       p.p_name AS product_name,
+      |       'SGD' AS currency,
+      |       CAST(l.l_quantity AS INTEGER) AS qty,
+      |       CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS gross_amount,
+      |       CAST(CAST(round(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(l.l_discount AS DECIMAL(18,4)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS discount_amount,
+      |       CAST(CAST(round(CAST(p.p_retailprice AS DECIMAL(12,2)) * CAST(0.4 AS DECIMAL(8,4)) * CAST(l.l_quantity AS DECIMAL(4,0)), 2) AS DECIMAL(18,2)) AS DOUBLE) AS cogs,
+      |       CASE WHEN p.p_size < 10 THEN 'petite' WHEN p.p_size < 30 THEN 'regular' ELSE 'oversize' END AS size_class
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .select(
+          $"l_orderkey".cast(StringType).as("order_no"),
+          $"l_linenumber".as("line_no"),
+          $"p_brand".as("style_no"),
+          $"p_name".as("product_name"),
+          lit("SGD").as("currency"),                     // A2: constant through projection
+          $"l_quantity".cast(IntegerType).as("qty"),
+          Exact.dec2($"l_extendedprice").cast(DoubleType).as("gross_amount"),
+          Exact.cents(Exact.dec2($"l_extendedprice") * Exact.dec4($"l_discount")).as("discount_amount"),
+          // narrower decimals keep the product width ≤38 in both engines
+          Exact.cents($"p_retailprice".cast(DecimalType(12, 2))
+            * lit(0.4).cast(DecimalType(8, 4))
+            * $"l_quantity".cast(DecimalType(4, 0))).as("cogs"),
+          when($"p_size" < 10, "petite")
+            .when($"p_size" < 30, "regular")
+            .otherwise("oversize").as("size_class"))
+  }
+
+  /** P8: limit(0) schema probe (`silver_to_gold.py:59`). */
+  val p8Limit0 = Q("p8_limit0_probe",
+    "SELECT o_orderkey, o_orderstatus FROM orders LIMIT 0") {
+    (s, dir) =>
+      Tables.orders(s, dir).select("o_orderkey", "o_orderstatus").limit(0)
+  }
+
+  val queries: Seq[Q] = Seq(
+    s1Json, s2Pushdown, s3Fallback, s4Literal,
+    p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Exact._
+
+/** SURVEY §2.5 — the reference itself uses no window functions; a complete
+  * engine needs ranking, running totals, lag/lead, and global top-k, so
+  * they are first-class here.
+  *
+  * Scale notes: every window partitions by a high-cardinality key
+  * (user_id / custkey) — one hash shuffle on the partition key, then
+  * in-partition sort; no global sort anywhere except the top-k, which
+  * Spark plans as TakeOrderedAndProject (per-partition heap + driver
+  * merge, never a full sort at 100 TB).
+  */
+object Windows {
+
+  /** row_number top-N per group (ordering made total with the unique
+    * event_id tiebreak).
+    */
+  val topkPerGroup = Q("w1_topk_per_group",
+    """SELECT user_id, event_id, event_type, rn FROM (
+      |  SELECT user_id, event_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+      |  FROM events) WHERE rn <= 3""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id")
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"event_id", $"event_type", $"rn")
+  }
+
+  /** Running total per customer over order history (rows frame). */
+  val runningSum = Q("w2_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          sum(dec2($"o_totalprice")).over(w).cast("double").as("running_spend"))
+  }
+
+  /** lag: days since the customer's previous order. */
+  val lagDays = Q("w3_lag_days_between",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(date_diff('day',
+      |              CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+      |              CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_prev
+      |FROM orders""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          datediff(to_date($"o_orderdate"), to_date(lag($"o_orderdate", 1).over(w)))
+            .cast("int").as("days_since_prev"))
+  }
+
+  /** Global top-k: orderBy + limit → TakeOrderedAndProject (O(n) scan with
+    * a k-heap per partition, no global sort).
+    */
+  val topkGlobal = Q("o1_topk_global",
+    """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", dec2($"o_totalprice").cast("double").as("total"))
+  }
+
+  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal)
+}

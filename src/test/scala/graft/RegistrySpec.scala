@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query runs at sf0.001, is deterministic, and respects
+  * the registry contract (unique names, oracle keys ⊆ query keys).
+  */
+class RegistrySpec extends AnyFunSuite with SparkTestKit {
+
+  test("registry names are unique") {
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, s"duplicate names in $names")
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.registry) {
+    test(s"${q.name} runs and is deterministic at sf0.001") {
+      val df1 = q.run(spark, sfDir)
+      val n1 = df1.count()
+      val n2 = q.run(spark, sfDir).count()
+      assert(n1 == n2, s"${q.name} row count not stable: $n1 vs $n2")
+      assert(df1.schema.nonEmpty)
+    }
+  }
+
+  test("KPI revenue reconciles with the CM2 mart (U1/A5 invariant)") {
+    import spark.implicits._
+    val kpi = queries.CommerceKpi.execDailyKpi(spark, sfDir)
+      .agg(sum($"total_revenue")).first.getDouble(0)
+    val cm2 = queries.CommerceKpi.cm2(spark, sfDir)
+      .agg(sum($"net_revenue")).first.getDouble(0)
+    assert(math.abs(kpi - cm2) < 1e-4, s"kpi=$kpi cm2=$cm2")
+  }
+
+  test("CM2 margin waterfall: cm2_amount = net_revenue − commission − trx − freight") {
+    import spark.implicits._
+    val bad = queries.CommerceKpi.cm2(spark, sfDir)
+      .filter(abs($"cm2_amount" -
+        ($"net_revenue" - $"commission" - $"trx_fees" - $"freight_cost")) > lit(1e-9))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("order rollup conserves quantity (A1 invariant)") {
+    import spark.implicits._
+    val total = Tables.lineitem(spark, sfDir).agg(sum($"l_quantity")).first.getDouble(0)
+    val rolled = queries.Aggregations.a1Rollup.run(spark, sfDir)
+      .agg(sum($"qty")).first.getDouble(0)
+    assert(math.abs(total - rolled) < 1e-6)
+  }
+}
