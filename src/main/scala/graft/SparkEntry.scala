@@ -18,7 +18,15 @@ object SparkEntry {
     Aggregations.queries ++
     Windows.queries ++
     Scalars.queries ++
-    CommerceKpi.queries
+    CommerceKpi.queries ++
+    Seq(
+      // full commerce domain pipeline (generated bronze → silver → gold →
+      // exec_daily_kpi); inputs are generated, not testdata, so there is
+      // no DuckDB oracle — driver records the rows-only check
+      Q.noOracle("domain_exec_daily_kpi") { (s, _) =>
+        domain.Pipeline.runInMemory(s,
+          domain.GenSpec(), domain.DomainConfig(dedupeFreight = true))._3
+      })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,131 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end batch pipeline: bronze (envelope JSON or in-memory) →
+  * silver (typed parquet) → gold (marts + dims + fact) → KPI view.
+  *
+  * Replaces the reference's external-system topology (Kafka→MinIO→
+  * Postgres→ClickHouse across four processes, SURVEY §0) with a single
+  * Catalyst-planned dataflow over a parquet warehouse:
+  *
+  *  - gold tables are written `partitionBy("month_key")`, mirroring the
+  *    MergeTree monthly partitioning intent (`silver_to_gold.py:144-146`)
+  *    — partition pruning replaces ClickHouse part pruning;
+  *  - the per-mart `df.count()` write-guards of the reference
+  *    (`silver_to_gold.py:251,263` — three evaluations per mart) are
+  *    dropped: writing an empty frame is a no-op, and nothing here is
+  *    evaluated more than once;
+  *  - the gold checkpoint that the reference saves but never reads
+  *    (§2.8, unbounded duplication under `append`) is replaced by
+  *    idempotent `overwrite` per run.
+  */
+object Pipeline {
+
+  final case class Silver(
+      joor: DataFrame, shopify: DataFrame, tiktok: DataFrame,
+      freight: DataFrame, gsheets: DataFrame)
+
+  final case class Gold(
+      joorCm1: DataFrame, shopifyCm1: DataFrame, tiktokCm1: DataFrame,
+      joorCm2: DataFrame, shopifyCm2: DataFrame, tiktokCm2: DataFrame,
+      factFreight: DataFrame, dimDate: DataFrame, dimChannels: DataFrame)
+
+  /** Bronze→Silver for in-memory bronze frames (batch; see
+    * `graft.streaming` for the continuous variant).
+    */
+  def toSilver(
+      joorBronze: DataFrame, shopifyBronze: DataFrame, tiktokBronze: DataFrame,
+      freightBronze: DataFrame, gsheetsBronze: DataFrame,
+      checkpoint: String = "1900-01-01"): Silver =
+    Silver(
+      Cleanse.toSilver(Cleanse.joor(Cleanse.flatten(joorBronze, checkpoint))),
+      Cleanse.toSilver(Cleanse.shopify(Cleanse.flatten(shopifyBronze, checkpoint))),
+      Cleanse.toSilver(Cleanse.tiktok(Cleanse.flatten(tiktokBronze, checkpoint))),
+      Cleanse.toSilver(Cleanse.freight(Cleanse.flatten(freightBronze, checkpoint))),
+      Cleanse.toSilver(Cleanse.gsheets(Cleanse.flatten(gsheetsBronze, checkpoint))))
+
+  /** Silver→Gold: the six margin marts + fact + dims. */
+  def toGold(spark: SparkSession, silver: Silver, cfg: DomainConfig): Gold = {
+    val joorCm1 = Cm1.joor(silver.joor, cfg)
+    val shopifyCm1 = Cm1.shopify(silver.shopify, cfg)
+    val tiktokCm1 = Cm1.tiktok(silver.tiktok, cfg)
+    Gold(
+      joorCm1, shopifyCm1, tiktokCm1,
+      Cm2.joor(joorCm1, silver.freight, cfg),
+      Cm2.shopify(shopifyCm1, cfg),
+      Cm2.tiktok(tiktokCm1, silver.freight, cfg),
+      Dims.factFreight(silver.freight, cfg),
+      Dims.dimDate(spark, cfg),
+      Dims.dimChannels(spark))
+  }
+
+  /** The flagship analytical query over a Gold set. */
+  def kpi(gold: Gold): DataFrame =
+    Kpi.execDailyKpi(Kpi.unionCm2(gold.joorCm2, gold.shopifyCm2, gold.tiktokCm2))
+
+  /** Full in-memory run from generated raw data (used by tests and the
+    * driver's domain smoke query).
+    */
+  def runInMemory(spark: SparkSession, spec: GenSpec, cfg: DomainConfig): (Silver, Gold, DataFrame) = {
+    val silver = toSilver(
+      DataGen.bronzeJoor(spark, spec, cfg),
+      DataGen.bronzeShopify(spark, spec, cfg),
+      DataGen.bronzeTiktok(spark, spec, cfg),
+      DataGen.bronzeFreight(spark, spec, cfg),
+      DataGen.bronzeGsheets(spark, spec, cfg))
+    val gold = toGold(spark, silver, cfg)
+    (silver, gold, kpi(gold))
+  }
+
+  /** Persist a Gold set as a partitioned parquet warehouse and register
+    * Spark SQL views (the ClickHouse/BI surface, SURVEY §3.3).
+    */
+  def writeWarehouse(gold: Gold, dir: String): Unit = {
+    def monthly(df: DataFrame): DataFrame =
+      df.withColumn("month_key", substring(col("date_key"), 1, 6))
+    Seq(
+      "wholesale_cm1" -> monthly(gold.joorCm1),
+      "wholesale_cm2" -> monthly(gold.joorCm2),
+      "shopify_cm1" -> monthly(gold.shopifyCm1),
+      "shopify_cm2" -> monthly(gold.shopifyCm2),
+      "livestreaming_cm1" -> monthly(gold.tiktokCm1),
+      "livestreaming_cm2" -> monthly(gold.tiktokCm2),
+      "fact_freight" -> monthly(gold.factFreight)
+    ).foreach { case (name, df) =>
+      df.write.mode("overwrite").partitionBy("month_key").parquet(s"$dir/$name")
+    }
+    gold.dimDate.write.mode("overwrite").parquet(s"$dir/dim_date")
+    gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")
+  }
+
+  /** Register the warehouse as temp views + the `exec_daily_kpi` SQL view
+    * (`scripts/sql/.sql:3-26` re-expressed as Spark SQL).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("wholesale_cm1", "wholesale_cm2", "shopify_cm1", "shopify_cm2",
+      "livestreaming_cm1", "livestreaming_cm2", "fact_freight",
+      "dim_date", "dim_channels").foreach { t =>
+      spark.read.parquet(s"$dir/$t").createOrReplaceTempView(t)
+    }
+    spark.sql("""
+      CREATE OR REPLACE TEMP VIEW exec_daily_kpi AS
+      SELECT date_key, channel_id, country, region,
+             to_date(date_key, 'yyyyMMdd') AS date,
+             round(SUM(net_revenue), 2) AS total_revenue,
+             round(SUM(cm2_amount), 2) AS net_margin,
+             COUNT(DISTINCT order_no) AS total_orders,
+             round(SUM(net_revenue) / COUNT(DISTINCT order_no), 2) AS avg_order_value,
+             round((SUM(cm2_amount) / SUM(net_revenue)) * 100, 2) AS margin_percentage
+      FROM (
+        SELECT date_key, order_no, net_revenue, cm2_amount, channel_id, country, region FROM wholesale_cm2
+        UNION ALL
+        SELECT date_key, order_no, net_revenue, cm2_amount, channel_id, country, region FROM shopify_cm2
+        UNION ALL
+        SELECT date_key, order_no, net_revenue, cm2_amount, channel_id, country, region FROM livestreaming_cm2
+      )
+      GROUP BY date_key, channel_id, country, region
+      ORDER BY date_key DESC""")
+  }
+}
