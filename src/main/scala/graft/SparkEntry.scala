@@ -19,6 +19,9 @@ object SparkEntry {
     Windows.queries ++
     Scalars.queries ++
     CommerceKpi.queries ++
+    TextAnalysis.queries ++
+    Dedup.queries ++
+    Similarity.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi); inputs are generated, not testdata, so there is
@@ -26,6 +29,12 @@ object SparkEntry {
       Q.noOracle("domain_exec_daily_kpi") { (s, _) =>
         domain.Pipeline.runInMemory(s,
           domain.GenSpec(), domain.DomainConfig(dedupeFreight = true))._3
+      },
+      // multimodal featurization plumbing (decode is stubbed — no codecs
+      // in-container); mapPartitions batching, binary columns, per-kind
+      // partitioning are real. No SQL oracle (binary + custom decode).
+      Q.noOracle("m1_multimodal_featurize") { (s, dir) =>
+        graft.operators.Multimodal.featurizeQuery(s, dir)
       })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

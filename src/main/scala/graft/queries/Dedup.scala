@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators over `documents` (BASELINE.json north star):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash — each oracle-checked
+  * against the identical algorithm in DuckDB SQL.
+  *
+  * Portability note: every hash is `md5` (identical hex in both engines)
+  * and minhashes are STRING minima of md5 values — a random permutation
+  * proxy that needs no engine-specific 64-bit hash. Cross-engine float
+  * hazards are avoided by keeping similarity arithmetic in exact integer
+  * counts until a final double division (IEEE-identical).
+  *
+  * Scale notes (100 TB): the shapes here are the standard distributed
+  * ones —
+  *  - exact dedup: one hash-aggregate shuffle on the content hash;
+  *  - Jaccard: explode to (shingle, doc) postings, drop super-common
+  *    shingles (frequency cap — the classic stopword-shingle suppression
+  *    that bounds the quadratic candidate join), self-join postings,
+  *    count intersections; all joins are on the shingle/pair keys, no
+  *    cross join anywhere;
+  *  - MinHash+LSH: fixed-width signature per doc (one aggregate), then a
+  *    candidate join per band bucket — the join key is the band hash, so
+  *    candidate generation is linear in bucket sizes, never all-pairs;
+  *  - SimHash: 16-bit fingerprint per doc, pairs joined on equal
+  *    fingerprint prefix buckets would be the at-scale path; at test SF
+  *    the verify step compares hamming distance within candidate buckets.
+  */
+object Dedup {
+
+  /** D1: exact dedup on the normalized content hash — canonical doc = min
+    * doc_id per group (the survivor list a pretraining pipeline keeps).
+    */
+  val exact = Q("d1_exact_dedup",
+    """SELECT md5(lower(text)) AS content_hash,
+      |       min(doc_id) AS canonical_doc, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5(lower($"text")).as("content_hash"))
+        .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Distinct word-3-gram shingles per doc, as `(doc_id, shingle)`
+    * postings.
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("shingle"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, shingle
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |     unnest([array_to_string(w[i:i+2], ' ')
+      |             for i in generate_series(1, greatest(len(w) - 2, 0))]) AS t(shingle)""".stripMargin
+
+  /** D2: n-gram Jaccard near-dup pairs. Candidate pairs share ≥1
+    * non-ubiquitous shingle (docs-per-shingle cap 15); Jaccard =
+    * |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets, τ = 0.35.
+    */
+  val jaccard = Q("d2_ngram_jaccard",
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 15),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+       |       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.inter,
+       |       CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard
+       |FROM pairs p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.35""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val sh = shingles(s, dir).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 15).select($"shingle")
+      val a = sh.join(rare, "shingle").select($"shingle", $"doc_id".as("doc_a"))
+      val b = sh.select($"shingle".as("shingle_b"), $"doc_id".as("doc_b"))
+      val pairs = a.join(b, $"shingle" === $"shingle_b" && $"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      val jac = $"inter".cast("double") / ($"sza" + $"szb" - $"inter")
+      pairs
+        .join(sizes.toDF("doc_a", "sza"), "doc_a")
+        .join(sizes.toDF("doc_b", "szb"), "doc_b")
+        .select($"doc_a", $"doc_b", $"inter", jac.as("jaccard"))
+        .filter($"jaccard" >= 0.35)
+  }
+
+  val numHashes = 12
+  val bandSize = 4 // 3 bands of 4 → catches pairs with jaccard ≳ 0.5
+
+  /** D3: MinHash + LSH banding. Signature component i = min md5 of
+    * `"i|shingle"` (string min ≈ random permutation); band key = md5 of 4
+    * consecutive components; candidates share a band; verified by the
+    * signature-agreement estimate ≥ 0.5.
+    */
+  val minhashLsh = Q("d3_minhash_lsh", {
+    val comps = (0 until numHashes)
+      .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+    val bands = (0 until numHashes / bandSize).map { b =>
+      val cols = (b * bandSize until (b + 1) * bandSize).map(i => s"mh$i").mkString(" || '|' || ")
+      s"md5($cols) AS band$b"
+    }.mkString(", ")
+    val bandRows = (0 until numHashes / bandSize)
+      .map(i => s"SELECT doc_id, $i AS band_idx, band$i AS band_key FROM sigs")
+      .mkString(" UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH sh AS ($shinglesSql),
+       |sig0 AS (SELECT doc_id, $comps FROM sh GROUP BY doc_id),
+       |sigs AS (SELECT *, $bands FROM sig0),
+       |bandrows AS ($bandRows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bandrows x JOIN bandrows y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
+       |FROM cand c JOIN sigs a ON c.doc_a = a.doc_id
+       |            JOIN sigs b ON c.doc_b = b.doc_id
+       |WHERE CAST($agree AS DOUBLE) / $numHashes >= 0.5""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val comps = (0 until numHashes).map(i =>
+        min(md5(concat(lit(s"$i|"), $"shingle"))).as(s"mh$i"))
+      val sigs = sh.groupBy($"doc_id").agg(comps.head, comps.tail: _*)
+        .select(col("*") +: (0 until numHashes / bandSize).map { b =>
+          md5(concat_ws("|",
+            (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh$i")): _*)).as(s"band$b")
+        }: _*)
+        .cache()
+      val bandRows = (0 until numHashes / bandSize).map { i =>
+        sigs.select($"doc_id", lit(i).as("band_idx"), col(s"band$i").as("band_key"))
+      }.reduce(_ unionByName _)
+      val cand = bandRows.toDF("doc_a", "band_idx", "band_key")
+        .join(bandRows.toDF("doc_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      val agree = (0 until numHashes)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigs.as("a"), $"doc_a" === $"a.doc_id")
+        .join(sigs.as("b"), $"doc_b" === $"b.doc_id")
+        .select($"doc_a", $"doc_b",
+          (agree.cast("double") / numHashes).as("est_jaccard"))
+        .filter($"est_jaccard" >= 0.5)
+  }
+
+  /** D4: 16-bit SimHash from per-word md5 bits: fingerprint bit j is the
+    * sign of Σ±1 votes over the doc's words; near-dup pairs have hamming
+    * distance ≤ 3. (64-bit at scale; 16 keeps the oracle SQL tractable.)
+    */
+  val simhash = Q("d4_simhash", {
+    // hex digit d of md5(word) → 4 bits; value via strpos table lookup
+    def digit(d: Int) = s"(strpos('0123456789abcdef', substr(md5(w), ${d + 1}, 1)) - 1)"
+    val bits = (0 until 16).map { j =>
+      val v = digit(j / 4); val b = 3 - (j % 4)
+      s"CASE WHEN ($v >> $b) & 1 = 1 THEN 1 ELSE -1 END AS v$j"
+    }.mkString(", ")
+    val fp = (0 until 16)
+      .map(j => s"(CASE WHEN sum(v$j) > 0 THEN 1 ELSE 0 END << $j)").mkString(" + ")
+    s"""WITH wordbits AS (
+       |  SELECT doc_id, $bits
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |fp AS (SELECT doc_id, $fp AS fingerprint FROM wordbits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val wordRows = Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .select(col("doc_id") +: (0 until 16).map { j =>
+          val v = conv(substring(md5($"w"), j / 4 + 1, 1), 16, 10).cast("int")
+          when(shiftright(v, 3 - (j % 4)).bitwiseAND(1) === 1, 1).otherwise(-1).as(s"v$j")
+        }: _*)
+      val fp = wordRows.groupBy($"doc_id")
+        .agg((0 until 16).map(j => sum(col(s"v$j")).as(s"s$j")).head,
+             (0 until 16).map(j => sum(col(s"v$j")).as(s"s$j")).tail: _*)
+        .select($"doc_id",
+          (0 until 16).map(j =>
+            shiftleft(when(col(s"s$j") > 0, 1).otherwise(0), j))
+            .reduce(_ + _).as("fingerprint"))
+      val a = fp.toDF("doc_a", "fp_a")
+      val b = fp.toDF("doc_b", "fp_b")
+      a.join(b, $"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b",
+          bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
+        .filter($"hamming" <= 1)
+  }
+
+  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash)
+}

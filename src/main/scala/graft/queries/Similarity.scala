@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors):
+  * brute-force cosine top-k as the exactness baseline, and a sign-bucket
+  * LSH variant as the scale path (BASELINE.json north star).
+  *
+  * Cross-engine float discipline: dot products fold left-to-right in
+  * DOUBLE on both sides (Spark `aggregate` over `zip_with`; DuckDB
+  * `list_reduce` over `list_transform`) — identical IEEE operation order →
+  * bit-identical similarities, so rankings agree exactly. DuckDB's
+  * `list_dot_product` is float32 and is NOT used.
+  *
+  * Scale notes (100 TB of vectors): brute force is O(Q·N) — correct
+  * baseline, never the production path. The sign-bucket variant is the
+  * real shape: a 16-way (here) / 2^b-way partition by hyperplane-sign
+  * signature turns top-k into a per-bucket join — each probe touches
+  * 1/2^b of the corpus. The same plan generalizes to IVF (replace sign
+  * buckets with k-means cell ids). Candidate recall is traded for the
+  * bucket fan-in; multi-probe = union over neighboring signatures.
+  */
+object Similarity {
+
+  /** Left-fold double dot product — IEEE-identical in both engines. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private val dotSql =
+    "list_reduce(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** E1: brute-force cosine top-3 neighbors for the first 8 vectors
+    * (query set) against the full corpus.
+    */
+  val cosineTopK = Q("e1_cosine_topk", {
+    val d = dotSql.format("q.embedding", "c.embedding")
+    val nq = dotSql.format("q.embedding", "q.embedding")
+    val nc = dotSql.format("c.embedding", "c.embedding")
+    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, embedding, label FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |         $d / (sqrt($nq) * sqrt($nc)) AS cosine
+       |  FROM q, c WHERE q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank <= 3""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+      val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+        $"label".as("neighbor_label"))
+      val sims = q.join(broadcast(c), $"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id", $"neighbor_label",
+          (dot($"q_emb", $"c_emb") / (norm($"q_emb") * norm($"c_emb"))).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      sims.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+  }
+
+  /** E2: sign-bucket ANN — bucket = 4-bit signature of the signs of dims
+    * 0..3 (fixed axis-aligned "hyperplanes"; deterministic and
+    * engine-portable), then exact top-1 within the probe's bucket.
+    */
+  val annSignBucket = Q("e2_ann_signbucket", {
+    def sig(t: String) = (0 until 4)
+      .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
+      .mkString(" + ")
+    val d = dotSql.format("q.embedding", "c.embedding")
+    val nq = dotSql.format("q.embedding", "q.embedding")
+    val nc = dotSql.format("c.embedding", "c.embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, ${sig("embeddings")} AS bucket
+       |           FROM embeddings WHERE vec_id < 32),
+       |c AS (SELECT vec_id, embedding, label, ${sig("embeddings")} AS bucket FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |         $d / (sqrt($nq) * sqrt($nc)) AS cosine
+       |  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank = 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      def sig(emb: Column): Column = (0 until 4)
+        .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
+        .reduce(_ + _)
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"))
+      val q = e.filter($"vec_id" < 32)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+      val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+        $"label".as("neighbor_label"), $"bucket")
+      val sims = q.join(c, Seq("bucket"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id", $"neighbor_label",
+          (dot($"q_emb", $"c_emb") / (norm($"q_emb") * norm($"c_emb"))).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
+        .drop("rank")
+  }
+
+  /** E3: embedding-cosine near-duplicate pairs (labels agree ⇒ likely
+    * near-dups in this synthetic corpus): all pairs with cosine ≥ 0.40 (p99.9 of the synthetic corpus),
+    * candidate-bounded by the same sign buckets.
+    */
+  val cosineNearDup = Q("e3_embedding_neardup", {
+    def sig(t: String) = (0 until 4)
+      .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
+      .mkString(" + ")
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val na = dotSql.format("a.embedding", "a.embedding")
+    val nb = dotSql.format("b.embedding", "b.embedding")
+    s"""WITH v AS (SELECT vec_id, embedding, label, ${sig("embeddings")} AS bucket FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       a.label AS label_a, b.label AS label_b,
+       |       $d / (sqrt($na) * sqrt($nb)) AS cosine
+       |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE $d / (sqrt($na) * sqrt($nb)) >= 0.40""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      def sig(emb: Column): Column = (0 until 4)
+        .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
+        .reduce(_ + _)
+      val v = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"))
+      val a = v.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("e_a"), $"label".as("label_a"))
+      val b = v.select($"bucket".as("bucket_b"), $"vec_id".as("vec_b"), $"embedding".as("e_b"), $"label".as("label_b"))
+      a.join(b, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
+        .select($"vec_a", $"vec_b", $"label_a", $"label_b",
+          (dot($"e_a", $"e_b") / (norm($"e_a") * norm($"e_b"))).as("cosine"))
+        .filter($"cosine" >= 0.40)
+  }
+
+  val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup)
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting (BASELINE.json north star).
+  *
+  * All are narrow per-row projections over split/regexp/higher-order
+  * array functions — zero shuffle, whole-stage codegen'd, and at 100 TB
+  * they run at scan speed. No UDFs anywhere: `split`/`filter`/`size`/
+  * `regexp_count`/`md5` compose the same semantics the classic Python
+  * text-pipeline UDFs would, at codegen speed.
+  */
+object TextAnalysis {
+
+  private def words: Column = split(col("text"), " ")
+
+  /** Whitespace tokens + a BPE-ish regex token count (letters runs,
+    * single digits, punctuation marks each count as one token — the
+    * pre-tokenizer shape GPT-style BPE vocabularies assume).
+    */
+  val tokenCount = Q("t1_token_count",
+    """SELECT doc_id,
+      |       len(string_split(text, ' ')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+      |       CAST(length(text) AS BIGINT) AS n_chars_measured
+      |FROM documents""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        size(words).cast("long").as("ws_tokens"),
+        regexp_count($"text", lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]")).cast("long").as("bpe_ish_tokens"),
+        length($"text").cast("long").as("n_chars_measured"))
+  }
+
+  private val stopwords = Seq("a", "the", "of", "to", "and", "in")
+
+  /** Quality scoring: length, mean token length, stopword ratio,
+    * distinct-token ratio (repetitiveness) — the standard cheap filters a
+    * pretraining pipeline applies before expensive dedup.
+    */
+  val qualityScore = Q("t2_quality_score",
+    s"""SELECT doc_id,
+       |       len(string_split(text, ' ')) AS n_tokens,
+       |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_token_len,
+       |       CAST(len([w for w in string_split(text, ' ') if w IN ('a','the','of','to','and','in')]) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS stopword_ratio,
+       |       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |         / len(string_split(text, ' ')) AS distinct_ratio
+       |FROM documents""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val n = size(words).cast("double")
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        size(words).as("n_tokens"),
+        (length(regexp_replace($"text", " ", "")).cast("double") / n).as("mean_token_len"),
+        (size(filter(words, w => w.isin(stopwords: _*))).cast("double") / n).as("stopword_ratio"),
+        (size(array_distinct(words)).cast("double") / n).as("distinct_ratio"))
+  }
+
+  /** n-gram-heuristic language ID: score each candidate language by its
+    * marker-token hit rate, pick the argmax (deterministic tiebreak by
+    * score then language code). The marker lists are tiny lexicons — the
+    * classic fastText-free fallback.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "fast", "slow"),
+    "de" -> Seq("der", "die", "und", "schnell"),
+    "es" -> Seq("el", "la", "de", "rapido"),
+    "fr" -> Seq("le", "la", "et", "vite"),
+    "zh" -> Seq("的", "表", "快"))
+
+  val langId = Q("t3_lang_id", {
+    val scores = langMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len([w for w in string_split(text, ' ') if w IN ($list)]) AS DOUBLE) / len(string_split(text, ' '))"
+    }
+    val structs = langMarkers.zip(scores).map { case ((lang, _), sc) =>
+      s"{'score': $sc, 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""SELECT doc_id, lang AS labeled_lang,
+       |       list_max([$structs]).lang AS predicted_lang,
+       |       list_max([$structs]).score AS lang_score
+       |FROM documents""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val n = size(words).cast("double")
+      val scored = langMarkers.map { case (lang, ms) =>
+        struct(
+          (size(filter(words, w => w.isin(ms: _*))).cast("double") / n).as("score"),
+          lit(lang).as("lang"))
+      }
+      // array_max over (score, lang) structs = argmax with lexicographic
+      // tiebreak on the language code — same rule DuckDB's list_max applies
+      Tables.documents(s, dir).select(
+        $"doc_id", $"lang".as("labeled_lang"),
+        array_max(array(scored: _*)).getField("lang").as("predicted_lang"),
+        array_max(array(scored: _*)).getField("score").as("lang_score"))
+  }
+
+  /** Document fingerprinting: content hash of the normalized text plus an
+    * order-insensitive bag-of-words hash (catches shuffled near-copies) —
+    * the keys an exact-dedup pass groups on.
+    */
+  val fingerprint = Q("t4_fingerprint",
+    """SELECT doc_id,
+      |       md5(lower(text)) AS content_hash,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS bag_hash
+      |FROM documents""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir).select(
+        $"doc_id",
+        md5(lower($"text")).as("content_hash"),
+        md5(array_join(array_sort(array_distinct(split(lower($"text"), " "))), " ")).as("bag_hash"))
+  }
+
+  val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint)
+}

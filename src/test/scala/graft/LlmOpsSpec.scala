@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{Dedup, Similarity, TextAnalysis}
+import graft.operators.Multimodal
+
+/** Semantic checks for the training-data operators (dedup, similarity,
+  * text analysis, multimodal plumbing) beyond the DuckDB oracle parity
+  * the driver checks.
+  */
+class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  test("exact dedup: groups partition the corpus, canonical is a member") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val grouped = Dedup.exact.run(spark, sfDir)
+    assert(grouped.agg(sum($"n_copies")).first.getLong(0) == docs)
+    assert(grouped.filter($"n_copies" < 1).count() == 0)
+  }
+
+  test("jaccard pairs are symmetric-free, bounded, above threshold") {
+    val pairs = Dedup.jaccard.run(spark, sfDir).collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.35 && j <= 1.0)
+    }
+  }
+
+  test("minhash estimate approximates true jaccard on LSH candidates") {
+    val est = Dedup.minhashLsh.run(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"est_jaccard")
+    val truth = Dedup.jaccard.run(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    // every minhash-confirmed pair that the exact pass also scored should
+    // agree within the 12-hash resolution (±2.5/12)
+    val joined = est.join(truth, Seq("doc_a", "doc_b")).collect()
+    joined.foreach { r =>
+      assert(math.abs(r.getAs[Double]("est_jaccard") - r.getAs[Double]("jaccard")) <= 2.5 / 12,
+        s"pair ${r.getLong(0)}-${r.getLong(1)}")
+    }
+  }
+
+  test("simhash near-dup pairs hamming ≤ 1 and fingerprints deterministic") {
+    val p1 = Dedup.simhash.run(spark, sfDir)
+    assert(p1.filter($"hamming" > 1).count() == 0)
+    assert(p1.collect().toSet == Dedup.simhash.run(spark, sfDir).collect().toSet)
+  }
+
+  test("cosine top-k: k per query, ranks contiguous, cosine within [-1,1]") {
+    val topk = Similarity.cosineTopK.run(spark, sfDir).collect()
+    val byQuery = topk.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == Seq(1, 2, 3))
+      rs.foreach(r => assert(math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-12))
+    }
+  }
+
+  test("sign-bucket ANN returns the exact best neighbor WITHIN the bucket") {
+    // independent recomputation: brute-force all pairs driver-side, group
+    // by sign bucket, argmax — must equal the distributed bucket-join plan
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding", $"label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def bucket(e: Array[Float]) =
+      (0 until 4).map(i => (if (e(i) >= 0) 1 else 0) << i).sum
+    def cosine(a: Array[Float], b: Array[Float]) = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.filter(_._1 < 32).flatMap { case (q, qe) =>
+      val cands = vecs.filter(v => v._1 != q && bucket(v._2) == bucket(qe))
+      if (cands.isEmpty) None
+      else Some(q -> cands.map(v => (cosine(qe, v._2), -v._1))
+        .max._2 * -1) // max cosine, tiebreak min neighbor_id
+    }.toMap
+    val ann = Similarity.annSignBucket.run(spark, sfDir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ann == expected)
+  }
+
+  test("token counts consistent with document length") {
+    val bad = TextAnalysis.tokenCount.run(spark, sfDir)
+      .filter($"ws_tokens" <= 0 || $"bpe_ish_tokens" < $"ws_tokens" - 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("lang-id picks the max-scoring language deterministically") {
+    val out = TextAnalysis.langId.run(spark, sfDir)
+    assert(out.filter($"predicted_lang".isNull).count() == 0)
+    assert(out.select("predicted_lang").distinct.count() >= 1)
+  }
+
+  test("multimodal featurize: schema, batch plumbing, determinism") {
+    val feats = Multimodal.featurize(spark, Multimodal.mediaTable(spark, sfDir))
+    val rows = feats.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { f =>
+      assert(f.feature.length == 8)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+      assert(f.content_sha.length == 64)
+      assert(f.kind != "video" || f.frames_sampled == 16)
+      assert(f.kind == "video" || f.frames_sampled == 1)
+      assert(f.n_bytes == 64 * 8) // sha2 hex ×8
+    }
+    // deterministic across runs
+    assert(rows.map(_.content_sha).sorted.toSeq ==
+      Multimodal.featurize(spark, Multimodal.mediaTable(spark, sfDir))
+        .collect().map(_.content_sha).sorted.toSeq)
+  }
+}
