@@ -50,18 +50,20 @@ object Dedup {
     */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // distinct WITHIN the doc via array_distinct before exploding — the
+    // (doc_id, shingle) set is identical to a post-explode distinct but
+    // needs no shuffle (narrow, codegen'd)
     Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
-        "transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))")).as("shingle"))
-      .distinct()
+        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))")).as("shingle"))
   }
 
   private val shinglesSql =
-    """SELECT DISTINCT doc_id, shingle
+    """SELECT doc_id, shingle
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |     unnest([array_to_string(w[i:i+2], ' ')
-      |             for i in generate_series(1, greatest(len(w) - 2, 0))]) AS t(shingle)""".stripMargin
+      |     unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+      |             for i in generate_series(1, greatest(len(w) - 2, 0))])) AS t(shingle)""".stripMargin
 
   /** D2: n-gram Jaccard near-dup pairs. Candidate pairs share ≥1
     * non-ubiquitous shingle (docs-per-shingle cap 15); Jaccard =

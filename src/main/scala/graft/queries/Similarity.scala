@@ -40,13 +40,12 @@ object Similarity {
     */
   val cosineTopK = Q("e1_cosine_topk", {
     val d = dotSql.format("q.embedding", "c.embedding")
-    val nq = dotSql.format("q.embedding", "q.embedding")
-    val nc = dotSql.format("c.embedding", "c.embedding")
-    s"""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-       |c AS (SELECT vec_id, embedding, label FROM embeddings),
+    val nq = dotSql.format("embedding", "embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, sqrt($nq) AS nrm FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, embedding, label, sqrt($nq) AS nrm FROM embeddings),
        |sims AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
-       |         $d / (sqrt($nq) * sqrt($nc)) AS cosine
+       |         $d / (q.nrm * c.nrm) AS cosine
        |  FROM q, c WHERE q.vec_id <> c.vec_id)
        |SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -54,14 +53,17 @@ object Similarity {
   }) {
     (s, dir) =>
       import s.implicits._
+      // norms once per row BEFORE the pair join — at scale this is the
+      // difference between O(N) and O(Q·N) norm folds
       val e = Tables.embeddings(s, dir)
       val q = e.filter($"vec_id" < 8)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+          norm($"embedding").as("q_nrm"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
-        $"label".as("neighbor_label"))
+        $"label".as("neighbor_label"), norm($"embedding").as("c_nrm"))
       val sims = q.join(broadcast(c), $"query_id" =!= $"neighbor_id")
         .select($"query_id", $"neighbor_id", $"neighbor_label",
-          (dot($"q_emb", $"c_emb") / (norm($"q_emb") * norm($"c_emb"))).as("cosine"))
+          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
       sims.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
@@ -76,14 +78,13 @@ object Similarity {
       .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
       .mkString(" + ")
     val d = dotSql.format("q.embedding", "c.embedding")
-    val nq = dotSql.format("q.embedding", "q.embedding")
-    val nc = dotSql.format("c.embedding", "c.embedding")
-    s"""WITH q AS (SELECT vec_id, embedding, ${sig("embeddings")} AS bucket
+    val nq = dotSql.format("embedding", "embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, sqrt($nq) AS nrm, ${sig("embeddings")} AS bucket
        |           FROM embeddings WHERE vec_id < 32),
-       |c AS (SELECT vec_id, embedding, label, ${sig("embeddings")} AS bucket FROM embeddings),
+       |c AS (SELECT vec_id, embedding, label, sqrt($nq) AS nrm, ${sig("embeddings")} AS bucket FROM embeddings),
        |sims AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
-       |         $d / (sqrt($nq) * sqrt($nc)) AS cosine
+       |         $d / (q.nrm * c.nrm) AS cosine
        |  FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id)
        |SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -95,15 +96,17 @@ object Similarity {
         .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
         .reduce(_ + _)
       val e = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"))
+        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
+          norm($"embedding").as("nrm"))
       val q = e.filter($"vec_id" < 32)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket")
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
+          $"nrm".as("q_nrm"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
-        $"label".as("neighbor_label"), $"bucket")
+        $"label".as("neighbor_label"), $"bucket", $"nrm".as("c_nrm"))
       val sims = q.join(c, Seq("bucket"))
         .filter($"query_id" =!= $"neighbor_id")
         .select($"query_id", $"neighbor_id", $"neighbor_label",
-          (dot($"q_emb", $"c_emb") / (norm($"q_emb") * norm($"c_emb"))).as("cosine"))
+          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
       sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
@@ -119,14 +122,13 @@ object Similarity {
       .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
       .mkString(" + ")
     val d = dotSql.format("a.embedding", "b.embedding")
-    val na = dotSql.format("a.embedding", "a.embedding")
-    val nb = dotSql.format("b.embedding", "b.embedding")
-    s"""WITH v AS (SELECT vec_id, embedding, label, ${sig("embeddings")} AS bucket FROM embeddings)
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH v AS (SELECT vec_id, embedding, label, sqrt($nv) AS nrm, ${sig("embeddings")} AS bucket FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       a.label AS label_a, b.label AS label_b,
-       |       $d / (sqrt($na) * sqrt($nb)) AS cosine
+       |       $d / (a.nrm * b.nrm) AS cosine
        |FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |WHERE $d / (sqrt($na) * sqrt($nb)) >= 0.40""".stripMargin
+       |WHERE $d / (a.nrm * b.nrm) >= 0.40""".stripMargin
   }) {
     (s, dir) =>
       import s.implicits._
@@ -134,12 +136,15 @@ object Similarity {
         .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
         .reduce(_ + _)
       val v = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"))
-      val a = v.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("e_a"), $"label".as("label_a"))
-      val b = v.select($"bucket".as("bucket_b"), $"vec_id".as("vec_b"), $"embedding".as("e_b"), $"label".as("label_b"))
+        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
+          norm($"embedding").as("nrm"))
+      val a = v.select($"bucket", $"vec_id".as("vec_a"), $"embedding".as("e_a"),
+        $"label".as("label_a"), $"nrm".as("nrm_a"))
+      val b = v.select($"bucket".as("bucket_b"), $"vec_id".as("vec_b"),
+        $"embedding".as("e_b"), $"label".as("label_b"), $"nrm".as("nrm_b"))
       a.join(b, $"bucket" === $"bucket_b" && $"vec_a" < $"vec_b")
         .select($"vec_a", $"vec_b", $"label_a", $"label_b",
-          (dot($"e_a", $"e_b") / (norm($"e_a") * norm($"e_b"))).as("cosine"))
+          (dot($"e_a", $"e_b") / ($"nrm_a" * $"nrm_b")).as("cosine"))
         .filter($"cosine" >= 0.40)
   }
 

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries._
+
+/** Physical-plan regression tests: the properties that matter at 100 TB
+  * (filter/column pushdown into the parquet scan, broadcast dimension
+  * joins, whole-stage codegen, heap-based global top-k) are asserted on
+  * the optimized plans, so a refactor that silently loses one fails CI.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestKit {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** simple-mode plan: one line per operator (codegen stages marked `*(n)`) —
+    * used for counting operators without the formatted details section
+    * duplicating names.
+    */
+  private def simplePlanOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  test("s2: predicate AND projection pushed into the parquet scan") {
+    val p = planOf(ScansProjections.s2Pushdown.run(spark, sfDir))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    // ReadSchema pruned to the 3 referenced columns, not all 11
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("star join: every dimension joins as broadcast, fact scanned once") {
+    val p = simplePlanOf(Joins.starJoin.run(spark, sfDir))
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 2, s"expected >=2 broadcast joins, plan:\n$p")
+    // the fact table feeds the join tree exactly once
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1, p)
+  }
+
+  test("cm2 mart: lineitem rollup aggregates BEFORE the orders join") {
+    val p = planOf(CommerceKpi.cm2(spark, sfDir))
+    // partial aggregation on the fact side must appear below the join in
+    // the operator list: the HashAggregate on l_orderkey precedes any join
+    // of the geo side
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("narrow projections stay inside whole-stage codegen") {
+    for (q <- Seq(ScansProjections.p3Cleanse, Scalars.f1Classifier,
+        TextAnalysis.tokenCount)) {
+      val p = simplePlanOf(q.run(spark, sfDir))
+      // `*(n)` prefixes mark whole-stage-codegen'd operators
+      assert(p.contains("*("), s"${q.name} lost codegen:\n$p")
+      assert(!p.contains("Exchange"), s"${q.name} has an unexpected shuffle:\n$p")
+    }
+  }
+
+  test("global top-k plans TakeOrderedAndProject (no full sort)") {
+    val p = planOf(Windows.topkGlobal.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("incremental filter pushes the watermark predicate to the scan") {
+    val p = planOf(ScansProjections.p2Incremental.run(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(ts"), p)
+  }
+
+  test("exact dedup is a single-shuffle hash aggregate") {
+    val p = simplePlanOf(Dedup.exact.run(spark, sfDir))
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}
