@@ -24,11 +24,14 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Left-fold double dot product — IEEE-identical in both engines. */
+  /** Left-fold double dot product — IEEE-identical in both engines.
+    * Backed by the native codegen Expression [[graft.functions.FloatVecDot]]
+    * (same accumulation order as the `aggregate`/`zip_with` fold, so the
+    * DuckDB oracle values are unchanged); every query registers it on its
+    * session first.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", a, b)
 
   private val dotSql =
     "list_reduce(list_transform(list_zip(%s, %s), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
@@ -53,6 +56,7 @@ object Similarity {
   }) {
     (s, dir) =>
       import s.implicits._
+      graft.functions.FloatVecDot.register(s)
       // norms once per row BEFORE the pair join — at scale this is the
       // difference between O(N) and O(Q·N) norm folds
       val e = Tables.embeddings(s, dir)
@@ -92,6 +96,7 @@ object Similarity {
   }) {
     (s, dir) =>
       import s.implicits._
+      graft.functions.FloatVecDot.register(s)
       def sig(emb: Column): Column = (0 until 4)
         .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
         .reduce(_ + _)
@@ -132,6 +137,7 @@ object Similarity {
   }) {
     (s, dir) =>
       import s.implicits._
+      graft.functions.FloatVecDot.register(s)
       def sig(emb: Column): Column = (0 until 4)
         .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
         .reduce(_ + _)

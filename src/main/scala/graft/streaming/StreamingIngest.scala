@@ -116,4 +116,73 @@ object StreamingIngest {
         to_timestamp(col("bronze_timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("order_id")
+
+  /** S9: bronze object-store sink — the consumer's one-JSON-object-per-
+    * message, `topic/yyyy/MM/dd` date-partitioned layout
+    * (`kafka_fashion_consumer.py:53-76`) as a streaming file sink:
+    * `partitionBy(topic, ingest_date)` replaces the hand-built key path,
+    * and the checkpoint makes it exactly-once instead of at-least-once.
+    */
+  def bronzeSink(envelope: DataFrame, outDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    envelope
+      .withColumn("topic", col("kafka_metadata.topic"))
+      .withColumn("ingest_date",
+        substring(col("kafka_metadata.bronze_timestamp"), 1, 10))
+      .writeStream
+      .format("json")
+      .partitionBy("topic", "ingest_date")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
+  /** S8: Kafka sink plan — `to_json(struct(*))` as the message value
+    * (`kafka_fashion_producer.py:46-49` re-expressed). Connector-dependent
+    * like [[kafkaBronzePlan]]; the value-encoding projection is the tested
+    * part and is shared with any sink.
+    */
+  def toKafkaValue(df: DataFrame): DataFrame =
+    df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+
+  def kafkaSinkPlan(df: DataFrame, bootstrap: String, topic: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    toKafkaValue(df)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+
+  /** S10: the producer's CDC-ish poll (`SELECT ... WHERE created_at >
+    * NOW() - 1 minute` every 60 s, `kafka_fashion_producer.py:24-35`) —
+    * whose clock-window semantics drop rows when a cycle runs late and
+    * duplicate them on skew — re-expressed as a `rate` source feeding the
+    * generator's row synthesis: offset-tracked, gap-free, exactly-once.
+    * Each rate tick becomes one joor envelope row.
+    */
+  def cdcPollSource(spark: SparkSession, rowsPerSecond: Int = 10, seed: Long = 42L): DataFrame = {
+    val base = spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load() // (timestamp, value) — value is the gap-free offset
+    base.select(
+      struct(
+        md5(concat_ws(":", lit(seed), col("value"), lit("oid"))).as("order_id"),
+        concat(lit("Buyer "), pmod(col("value"), lit(97))).as("buyer"),
+        (pmod(col("value"), lit(91)) + 10).cast("int").as("quantity"),
+        format_string("%.2f", pmod(col("value"), lit(175)) + lit(25.0)).as("price"),
+        lit("USD").as("currency"),
+        lit("stripe").as("payment"),
+        lit("US").as("country"),
+        concat(lit("JOR-"), pmod(col("value"), lit(9000)) + 1000).as("sku"),
+        lit("Generated").as("product"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").as("date")).as("raw_api_data"),
+      struct(
+        lit(graft.domain.Schemas.topics("joor_orders")).as("topic"),
+        pmod(col("value"), lit(3)).cast("int").as("partition"),
+        col("value").as("offset"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").as("stream_timestamp"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("bronze_timestamp")).as("kafka_metadata"))
+  }
 }
