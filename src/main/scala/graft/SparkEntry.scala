@@ -35,6 +35,17 @@ object SparkEntry {
       // partitioning are real. No SQL oracle (binary + custom decode).
       Q.noOracle("m1_multimodal_featurize") { (s, dir) =>
         graft.operators.Multimodal.featurizeQuery(s, dir)
+      },
+      // IVF ANN (seeded k-means cells + nprobe search) — k-means is not
+      // SQL-expressible → rows-only check; exactness gate lives in
+      // IvfSpec (nprobe=k ≡ brute force)
+      Q.noOracle("e4_ivf_ann") { (s, dir) =>
+        graft.operators.IvfIndex.ivfQuery(s, dir)
+      },
+      // connected-components dup clustering over LSH pairs (iterative
+      // Hash-Min) — rows-only check; union-find gate in DupClustersSpec
+      Q.noOracle("d5_dup_clusters") { (s, dir) =>
+        graft.operators.DupClusters.dupClustersQuery(s, dir)
       })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
