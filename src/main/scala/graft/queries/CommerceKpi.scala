@@ -139,7 +139,11 @@ object CommerceKpi {
     */
   def execDailyKpi(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val mart = cm2(spark, dir)
+    // materialize the mart once before the 3-way split — the reference's
+    // CM2 tables are STORED (ClickHouse) before the view unions them, and
+    // without this Catalyst triples the whole mart subtree (measured: 3
+    // lineitem scans, 21 exchanges → 1 scan of the cached mart)
+    val mart = cm2(spark, dir).persist()
     val cols = Seq("date_key", "channel_name", "country", "region",
       "order_no", "net_revenue", "cm2_amount").map(col)
     // U1: union by name, robust to column order (scripts/sql/.sql:18-22)

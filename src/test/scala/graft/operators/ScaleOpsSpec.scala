@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestKit, Tables}
+
+/** Gates for the scale utilities: salted join result-equivalence and the
+  * shuffle-free bucketed join.
+  */
+class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  test("salted join ≡ plain join on a skewed dataset (inner and left)") {
+    // 90% of probe rows share one key — the shape salting exists for
+    val probe = spark.range(2000)
+      .select((when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L))).as("k"),
+        $"id".as("payload"))
+    val build = spark.range(50).select($"id".as("k"), ($"id" * 100).as("info"))
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = probe.join(build, Seq("k"), jt)
+        .select($"k", $"payload", $"info").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sorted.toSeq
+      val salted = SkewJoin.saltedJoin(probe, build, "k", salt = 8, joinType = jt)
+        .select($"k", $"payload", $"info").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .sorted.toSeq
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
+  test("salted join spreads the hot key across salt partitions") {
+    val probe = spark.range(1000).select(lit(1L).as("k"), $"id".as("payload"))
+    val build = Seq((1L, "x")).toDF("k", "info")
+    val salted = probe.withColumn("_salt", floor(rand(42L) * 8).cast("int"))
+    // all 8 salt values actually used → the hot key occupies 8 reducers
+    assert(salted.select("_salt").distinct.count() == 8)
+    assert(SkewJoin.saltedJoin(probe, build, "k", 8).count() == 1000)
+  }
+
+  test("bucketed join plans with zero Exchange") {
+    val li = Tables.lineitem(spark, sfDir).select($"l_orderkey".as("k"), $"l_extendedprice")
+    val o = Tables.orders(spark, sfDir).select($"o_orderkey".as("k"), $"o_totalprice")
+    Bucketing.writeBucketed(li, "b_lineitem", "k", buckets = 8)
+    Bucketing.writeBucketed(o, "b_orders", "k", buckets = 8)
+
+    // at this size the planner rightly prefers broadcast (and disables
+    // bucketing); force the shuffle-join regime — the one bucketing
+    // exists for — to observe the zero-Exchange sort-merge join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.bucketedJoin(spark, "b_lineitem", "b_orders", "k")
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and it is the same result as the unbucketed join
+      assert(joined.count() == li.join(o, Seq("k")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
