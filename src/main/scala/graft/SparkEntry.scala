@@ -17,6 +17,7 @@ object SparkEntry {
     Joins.queries ++
     Aggregations.queries ++
     Windows.queries ++
+    AdvancedOps.queries ++
     Scalars.queries ++
     CommerceKpi.queries ++
     TextAnalysis.queries ++

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Operators beyond the reference's surface that any analytics engine at
+  * this tier is expected to provide: sessionization, hierarchical
+  * aggregates (ROLLUP), pivot, and as-of joins. Each is expressed as
+  * composition of built-ins (SURVEY §4: no custom physical operators
+  * needed) and oracle-checked.
+  */
+object AdvancedOps {
+
+  /** W4: gap-based sessionization of the event stream — the classic
+    * lag → new-session flag → running-sum session id, then per-session
+    * stats. 30-minute inactivity gap. All per-user windows: one shuffle
+    * on user_id.
+    */
+  val sessionize = Q("w4_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       count(*) AS n_events,
+      |       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, session_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = 30L * 60 * 1000000 // 30 min in µs
+      // events.ts is epoch-ns long; µs on both sides (oracle epoch_us)
+      val tsUs = expr("ts div 1000")
+      val flagged = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", $"value", tsUs.as("ts_us"))
+        .withColumn("new_session",
+          when(lag($"ts_us", 1).over(byUser).isNull
+            || $"ts_us" - lag($"ts_us", 1).over(byUser) > gapUs, 1).otherwise(0))
+      flagged
+        .withColumn("session_id",
+          sum($"new_session").over(
+            Window.partitionBy($"user_id").orderBy($"ts")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max($"ts_us") - min($"ts_us")).as("duration_us"),
+          sum(Exact.dec2($"value")).cast("double").as("session_value"))
+  }
+
+  /** A8: hierarchical aggregate — ROLLUP over region ⊃ nation with an
+    * exact grand total; `grouping()` flags distinguish subtotal rows.
+    */
+  val rollupAgg = Q("a8_rollup",
+    """SELECT coalesce(r.r_name, '(all)') AS region,
+      |       coalesce(n.n_name, '(all)') AS nation,
+      |       CAST(grouping(r.r_name) AS INT) AS is_region_total,
+      |       CAST(grouping(n.n_name) AS INT) AS is_nation_total,
+      |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance,
+      |       count(*) AS n_customers
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY ROLLUP(r.r_name, n.n_name)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup($"r_name", $"n_name")
+        .agg(
+          grouping($"r_name").cast("int").as("is_region_total"),
+          grouping($"n_name").cast("int").as("is_nation_total"),
+          sum(Exact.dec2($"c_acctbal")).cast("double").as("total_balance"),
+          count(lit(1)).as("n_customers"))
+        .select(
+          coalesce($"r_name", lit("(all)")).as("region"),
+          coalesce($"n_name", lit("(all)")).as("nation"),
+          $"is_region_total", $"is_nation_total",
+          $"total_balance", $"n_customers")
+  }
+
+  /** P9: pivot — revenue by order-year × market segment. The Spark side
+    * uses the native `pivot`; the oracle spells out the equivalent
+    * conditional aggregation (engine-portable and column-name-stable).
+    */
+  val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  val pivotRevenue = Q("p9_pivot", {
+    val cols = segments.map(seg =>
+      s"CAST(sum(CASE WHEN c.c_mktsegment = '$seg' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $seg")
+      .mkString(",\n      |       ")
+    s"""SELECT CAST(year(o.o_orderdate) AS INT) AS order_year,
+      |       $cols
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(year($"o_orderdate").as("order_year"))
+        .pivot($"c_mktsegment", segments)
+        .agg(sum(Exact.dec2($"o_totalprice")).cast("double"))
+  }
+
+  /** J5: as-of join — for each event, the customer's most recent order at
+    * event time (backward as-of on the time axis, keyed by customer).
+    * Spark lacks a native as-of join; the standard composition: union the
+    * two streams tagged, sort per key by time, propagate the last seen
+    * order with `last(ignoreNulls)` over the merged timeline, keep event
+    * rows. One shuffle on the key — same cost shape as a window. The
+    * DuckDB oracle uses its native ASOF JOIN (match on o_orderdate ≤
+    * event_time).
+    */
+  val asofJoin = Q("j5_asof_join",
+    """SELECT e.event_id, e.user_id, o.o_orderkey AS last_order_key
+      |FROM (SELECT event_id, user_id, ts::TIMESTAMP AS event_time FROM events) e
+      |ASOF LEFT JOIN (SELECT max(o_orderkey) AS o_orderkey, o_custkey, o_orderdate
+      |                FROM orders GROUP BY o_custkey, o_orderdate) o
+      |  ON e.user_id = o.o_custkey AND e.event_time >= o.o_orderdate""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      // µs timeline on both sides (events.ts is ns; orders timestamps are µs)
+      val events = Tables.events(s, dir)
+        .select($"user_id".as("k"), expr("ts div 1000").as("t_us"),
+          $"event_id", lit(null).cast("long").as("o_orderkey"), lit(1).as("is_event"))
+      // ties on (customer, time) are resolved to the max order key BEFORE
+      // the as-of (ASOF's pick among equal timestamps is engine-defined)
+      val orders = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"))
+        .select($"o_custkey".as("k"), unix_micros($"o_orderdate").as("t_us"),
+          lit(null).cast("long").as("event_id"), $"o_orderkey", lit(0).as("is_event"))
+      // merged timeline; at equal t_us the order sorts first (is_event 0<1)
+      // so an event at exactly the order time sees it — DuckDB ASOF >= ditto.
+      // Tiebreak on o_orderkey DESC so simultaneous orders resolve to the
+      // LATEST key, matching ASOF's greatest-qualifying-row semantics.
+      val w = Window.partitionBy($"k")
+        .orderBy($"t_us", $"is_event", desc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.unionByName(events)
+        .withColumn("last_order_key", last($"o_orderkey", ignoreNulls = true).over(w))
+        .filter($"is_event" === 1)
+        .select($"event_id", $"k".as("user_id"), $"last_order_key")
+  }
+
+  val queries: Seq[Q] = Seq(sessionize, rollupAgg, pivotRevenue, asofJoin)
+}
