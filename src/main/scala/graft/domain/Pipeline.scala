@@ -100,6 +100,39 @@ object Pipeline {
     gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")
   }
 
+  /** Incremental gold refresh — the correct version of the reference's
+    * broken cycle (it saves a gold checkpoint it never reads and blindly
+    * appends, duplicating every mart each 300 s run — SURVEY §2.8).
+    *
+    * Dynamic partition overwrite: each run rewrites ONLY the `month_key`
+    * partitions present in this batch (the processing month, under the
+    * reference's date-stamping), leaving historical months untouched.
+    * Repeated runs over the same month are idempotent; new months append
+    * as new partitions. At 100 TB this touches one month of files per
+    * cycle instead of the whole mart.
+    */
+  def writeWarehouseIncremental(gold: Gold, dir: String): Unit = {
+    def monthly(df: DataFrame): DataFrame =
+      df.withColumn("month_key", substring(col("date_key"), 1, 6))
+    Seq(
+      "wholesale_cm1" -> monthly(gold.joorCm1),
+      "wholesale_cm2" -> monthly(gold.joorCm2),
+      "shopify_cm1" -> monthly(gold.shopifyCm1),
+      "shopify_cm2" -> monthly(gold.shopifyCm2),
+      "livestreaming_cm1" -> monthly(gold.tiktokCm1),
+      "livestreaming_cm2" -> monthly(gold.tiktokCm2),
+      "fact_freight" -> monthly(gold.factFreight)
+    ).foreach { case (name, df) =>
+      df.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("month_key")
+        .parquet(s"$dir/$name")
+    }
+    gold.dimDate.write.mode("overwrite").parquet(s"$dir/dim_date")
+    gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")
+  }
+
   /** Register the warehouse as temp views + the `exec_daily_kpi` SQL view
     * (`scripts/sql/.sql:3-26` re-expressed as Spark SQL).
     */
