@@ -121,5 +121,47 @@ object TextAnalysis {
         md5(array_join(array_sort(array_distinct(split(lower($"text"), " "))), " ")).as("bag_hash"))
   }
 
-  val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint)
+  /** Corpus n-gram frequency table (top-25 bigrams) — the building block
+    * for contamination checks and n-gram LM scoring over a training
+    * corpus. One explode + one hash aggregate + top-k.
+    */
+  val ngramStats = Q("t5_ngram_stats",
+    """SELECT bigram, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+      |FROM (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+      |                         for i in generate_series(1, greatest(len(w) - 1, 0))]) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+      |GROUP BY bigram
+      |ORDER BY freq DESC, bigram LIMIT 25""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      graft.Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, greatest(size(w) - 1, 0)), i -> concat_ws(' ', w[i-1], w[i]))")).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("freq"), countDistinct($"doc_id").as("doc_freq"))
+        .orderBy(desc("freq"), $"bigram")
+        .limit(25)
+  }
+
+  /** Sketch pack — the approximate aggregates the exact KPIs switch to at
+    * 100 TB (HLL distinct, t-digest-ish percentiles). Sketch encodings
+    * are engine-specific → no DuckDB oracle; the accuracy bound vs the
+    * exact aggregates is asserted in LlmOpsSpec.
+    */
+  val sketchStats = Q.noOracle("a7_sketch_stats") {
+    (s, dir) =>
+      import s.implicits._
+      graft.Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+          countDistinct($"l_orderkey").as("exact_orders"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99_price"))
+  }
+
+  val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
+    ngramStats, sketchStats)
 }

@@ -100,6 +100,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(out.select("predicted_lang").distinct.count() >= 1)
   }
 
+  test("sketch aggregates stay within their error bounds vs exact") {
+    val rows = TextAnalysis.sketchStats.run(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_orders").toDouble
+      val exact = r.getAs[Long]("exact_orders").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"HLL error ${math.abs(approx - exact) / exact} for ${r.getString(0)}")
+      assert(r.getAs[Double]("p50_price") < r.getAs[Double]("p99_price"))
+    }
+  }
+
+  test("ngram stats: top bigrams ordered, doc_freq ≤ freq") {
+    val rows = TextAnalysis.ngramStats.run(spark, sfDir).collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getAs[Long]("freq")).toSeq == rows.map(_.getAs[Long]("freq")).sortBy(-_).toSeq)
+    rows.foreach(r => assert(r.getAs[Long]("doc_freq") <= r.getAs[Long]("freq")))
+  }
+
   test("multimodal featurize: schema, batch plumbing, determinism") {
     val feats = Multimodal.featurize(spark, Multimodal.mediaTable(spark, sfDir))
     val rows = feats.collect()
