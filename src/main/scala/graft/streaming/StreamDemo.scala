@@ -41,6 +41,25 @@ object StreamDemo {
     DataGen.bronzeJoor(spark, GenSpec(joor = 60, seed = 7L), cfg).write.mode("append").json(bronzeDir)
     println(s"[demo] after batch 2: silver rows = ${drain()}")
     println(s"[demo] replay with no new files: silver rows = ${drain()} (exactly-once)")
+
+    // custom keyed state: lifetime buyer profiles over the same bronze
+    val profileDir = Files.createTempDirectory("demo-profiles").toString
+    val pq = StreamingIngest.buyerProfiles(
+      StreamingIngest.cleanseStream(
+        StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[BuyerProfile], _: Long) =>
+        batch.write.mode("append").parquet(profileDir): Unit
+      }
+      .option("checkpointLocation", Files.createTempDirectory("demo-pckpt").toString)
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    pq.awaitTermination()
+    val profiles = spark.read.parquet(profileDir)
+    println(s"[demo] buyer profiles: ${profiles.count()} rows over " +
+      s"${profiles.select("buyer").distinct.count()} buyers, " +
+      s"orders tracked = ${profiles.agg(org.apache.spark.sql.functions.sum("n_orders")).first.getLong(0)}")
     spark.stop()
   }
 }

@@ -24,6 +24,13 @@ import graft.domain.{Cleanse, Schemas}
   * shuffles until the windowed aggregate, which is watermark-bounded
   * state in the state store.
   */
+/** Lifetime buyer profile carried in the state store (see
+  * [[StreamingIngest.buyerProfiles]]).
+  */
+final case class BuyerProfile(
+    buyer: String, n_orders: Long, revenue: Double,
+    first_seen: String, last_seen: String)
+
 object StreamingIngest {
 
   /** S7-shaped source: streaming scan of envelope JSON under
@@ -116,6 +123,38 @@ object StreamingIngest {
         to_timestamp(col("bronze_timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("order_id")
+
+  /** Custom keyed state (the brief's `mapGroupsWithState` surface): a
+    * running per-buyer lifetime-value profile maintained across
+    * micro-batches — count, revenue sum, and first/last seen — state the
+    * built-in windowed aggregates can't express (no window: lifetime).
+    *
+    * `GroupStateTimeout.NoTimeout` because the profile is permanent; a
+    * real deployment with churned buyers would set a processing-time
+    * timeout to bound the state store.
+    */
+  def buyerProfiles(cleansed: DataFrame): org.apache.spark.sql.Dataset[BuyerProfile] = {
+    import cleansed.sparkSession.implicits._
+    cleansed
+      .selectExpr("buyer", "price", "quantity", "bronze_timestamp")
+      .as[(String, Double, Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[BuyerProfile, BuyerProfile](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (buyer, rows, state) =>
+          val prev = state.getOption.getOrElse(BuyerProfile(buyer, 0L, 0.0, null, null))
+          val batch = rows.toSeq
+          val next = BuyerProfile(
+            buyer,
+            prev.n_orders + batch.size,
+            prev.revenue + batch.map(r => r._2 * r._3).sum,
+            Option(prev.first_seen).getOrElse(batch.map(_._4).min),
+            (Option(prev.last_seen).toSeq ++ batch.map(_._4)).max)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 
   /** S9: bronze object-store sink — the consumer's one-JSON-object-per-
     * message, `topic/yyyy/MM/dd` date-partitioned layout

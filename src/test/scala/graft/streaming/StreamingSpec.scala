@@ -106,6 +106,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     assert(got.select("order_id").distinct.count() == 25)
   }
 
+  test("flatMapGroupsWithState: buyer profiles accumulate across micro-batches") {
+    val bronzeDir = tmp("bronze4")
+    val outDir = tmp("profiles")
+    val ckpt = tmp("ckpt4")
+
+    def drain(): Unit = {
+      // update-mode state output → file sink via foreachBatch (the
+      // standard pattern: file sinks are append-only)
+      val q = StreamingIngest.buyerProfiles(
+        StreamingIngest.cleanseStream(
+          StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[BuyerProfile], _: Long) =>
+          batch.write.mode("append").parquet(outDir): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 40))
+    drain()
+    writeBronzeBatch(bronzeDir, GenSpec(joor = 40, seed = 99))
+    drain()
+
+    // the LAST emitted profile per buyer covers both batches
+    val latest = spark.read.parquet(outDir)
+      .groupBy($"buyer").agg(max($"n_orders").as("n_orders"))
+    val total = latest.agg(org.apache.spark.sql.functions.sum($"n_orders")).first.getLong(0)
+    assert(total == 80, s"state lost across batches: $total")
+
+    // and matches a batch recomputation over all bronze
+    val batchCounts = Cleanse.joor(Cleanse.flatten(
+      spark.read.schema(Schemas.bronzeEnvelope(Schemas.joorRaw)).json(bronzeDir)))
+      .groupBy($"buyer").count()
+    val mismatch = latest.join(batchCounts, Seq("buyer"))
+      .filter($"n_orders" =!= $"count").count()
+    assert(mismatch == 0)
+  }
+
   test("kafka plan construction (connector-dependent)") {
     // this container ships no spark-sql-kafka jar; with the connector the
     // plan must build with the envelope schema, without it the failure is
