@@ -105,14 +105,18 @@ object Dedup {
   val numHashes = 12
   val bandSize = 4 // 3 bands of 4 → catches pairs with jaccard ≳ 0.5
 
-  /** D3: MinHash + LSH banding. Signature component i = min md5 of
-    * `"i|shingle"` (string min ≈ random permutation); band key = md5 of 4
+  /** D3: MinHash + LSH banding. The 12 signature components are
+    * non-overlapping 5-hex-char windows over TWO md5 digests per shingle
+    * (md5(s) ‖ md5('x|'+s) = 64 hex chars → 12×5) — 6× less hashing than
+    * one digest per component, same random-permutation behavior (distinct
+    * windows of a mixing hash are independent); component i = the string
+    * MIN of window i over the doc's shingles. Band key = md5 of 4
     * consecutive components; candidates share a band; verified by the
     * signature-agreement estimate ≥ 0.5.
     */
   val minhashLsh = Q("d3_minhash_lsh", {
     val comps = (0 until numHashes)
-      .map(i => s"min(md5('$i|' || shingle)) AS mh$i").mkString(", ")
+      .map(i => s"min(substr(h2, ${i * 5 + 1}, 5)) AS mh$i").mkString(", ")
     val bands = (0 until numHashes / bandSize).map { b =>
       val cols = (b * bandSize until (b + 1) * bandSize).map(i => s"mh$i").mkString(" || '|' || ")
       s"md5($cols) AS band$b"
@@ -123,7 +127,8 @@ object Dedup {
     val agree = (0 until numHashes)
       .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
     s"""WITH sh AS ($shinglesSql),
-       |sig0 AS (SELECT doc_id, $comps FROM sh GROUP BY doc_id),
+       |hashed AS (SELECT doc_id, md5(shingle) || md5('x|' || shingle) AS h2 FROM sh),
+       |sig0 AS (SELECT doc_id, $comps FROM hashed GROUP BY doc_id),
        |sigs AS (SELECT *, $bands FROM sig0),
        |bandrows AS ($bandRows),
        |cand AS (
@@ -140,8 +145,10 @@ object Dedup {
     (s, dir) =>
       import s.implicits._
       val sh = shingles(s, dir)
+        .select($"doc_id",
+          concat(md5($"shingle"), md5(concat(lit("x|"), $"shingle"))).as("h2"))
       val comps = (0 until numHashes).map(i =>
-        min(md5(concat(lit(s"$i|"), $"shingle"))).as(s"mh$i"))
+        min(substring($"h2", i * 5 + 1, 5)).as(s"mh$i"))
       val sigs = sh.groupBy($"doc_id").agg(comps.head, comps.tail: _*)
         .select(col("*") +: (0 until numHashes / bandSize).map { b =>
           md5(concat_ws("|",

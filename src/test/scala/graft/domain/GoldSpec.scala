@@ -134,6 +134,17 @@ class GoldSpec extends AnyFunSuite with SparkTestKit {
       .exists(_.getName.startsWith("month_key=")))
   }
 
+  test("faithfulRand mode draws real rand() but stays in the country domain") {
+    val cm1 = Cm1.joor(joorSilver, cfg.copy(faithfulRand = true))
+    val countries = cm1.select("country").collect().map(_.getString(0)).toSet
+    val domain = (Geography.joorPatterns.map(_._2) ++
+      Geography.joorResidual.map(_._2) :+ Geography.joorResidualDefault).toSet
+    assert(countries.subsetOf(domain), s"out-of-domain countries: ${countries -- domain}")
+    // pattern-matched buyers stay deterministic even in faithful mode
+    assert(cm1.filter($"order_no" === "JO-1").select("country").distinct
+      .collect().map(_.getString(0)).toSeq == Seq("United Kingdom"))
+  }
+
   test("dim_date is a real calendar (not the reference's stale stub)") {
     val d = Dims.dimDate(spark, cfg, daysBack = 30, daysFwd = 5)
     assert(d.count() == 36)
