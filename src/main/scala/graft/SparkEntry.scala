@@ -47,6 +47,17 @@ object SparkEntry {
       // Hash-Min) — rows-only check; union-find gate in DupClustersSpec
       Q.noOracle("d5_dup_clusters") { (s, dir) =>
         graft.operators.DupClusters.dupClustersQuery(s, dir)
+      },
+      // deterministic per-group bottom-k sampling via the custom
+      // TypedImperativeAggregate (JVM hash → no SQL oracle; determinism
+      // across partitionings gated in BottomKSampleSpec)
+      Q.noOracle("t6_group_sample") { (s, dir) =>
+        import org.apache.spark.sql.functions._
+        graft.functions.BottomKSample.register(s)
+        graft.Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(call_function("bottom_k_sample",
+            col("doc_id").cast("string"), lit(5), lit(42)).as("sample_ids"))
       })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

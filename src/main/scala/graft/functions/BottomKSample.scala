@@ -1,0 +1,130 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic fixed-size group sampling: keep the k values whose
+  * seeded hash is smallest ("bottom-k sketch").
+  *
+  * Why a custom `TypedImperativeAggregate` (the aggregate-expression
+  * layer of SURVEY §2.9): Spark has no per-group fixed-k sample —
+  * `TABLESAMPLE` is per-fraction and not per-group, and a reservoir
+  * sample is merge-order-dependent (partial aggregation order would
+  * change the result between runs). Bottom-k is the mergeable,
+  * deterministic alternative: min-k by hash is commutative and
+  * associative, so ANY partial/merge order yields the same sample — the
+  * property a training-data pipeline needs for reproducible subset
+  * selection at 100 TB (and it doubles as a KMV distinct-count sketch).
+  *
+  * Buffer: a bounded max-heap of (hash, value); serialized compactly for
+  * shuffle. Output: the sampled values ordered by hash (stable).
+  */
+case class BottomKSample(
+    child: Expression,
+    k: Int,
+    seed: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, String)]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType)
+
+  private def hashOf(s: String): Long = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed)
+    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed * 31 + 17)
+    (h1.toLong << 32) ^ (h2.toLong & 0xffffffffL)
+  }
+
+  // max-heap on hash: head is the current worst member, evicted first
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, String)] =
+    mutable.PriorityQueue.empty[(Long, String)](Ordering.by(_._1))
+
+  override def update(
+      buf: mutable.PriorityQueue[(Long, String)],
+      input: InternalRow): mutable.PriorityQueue[(Long, String)] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      val h = hashOf(s)
+      if (buf.size < k) buf.enqueue((h, s))
+      else if (h < buf.head._1) { buf.dequeue(); buf.enqueue((h, s)) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Long, String)],
+      other: mutable.PriorityQueue[(Long, String)]): mutable.PriorityQueue[(Long, String)] = {
+    other.foreach { case (h, s) =>
+      if (buf.size < k) buf.enqueue((h, s))
+      else if (h < buf.head._1) { buf.dequeue(); buf.enqueue((h, s)) }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, String)]): Any =
+    new GenericArrayData(
+      buf.toSeq.sortBy(_._1).map(p => UTF8String.fromString(p._2)).toArray[Any])
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (h, s) =>
+      out.writeLong(h)
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, String)] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    (0 until n).foreach { _ =>
+      val h = in.readLong()
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      buf.enqueue((h, new String(b, java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKSample =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BottomKSample =
+    copy(child = newChildren.head)
+}
+
+object BottomKSample {
+  /** Register `bottom_k_sample(value, k, seed)` for SQL + call_function. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_sample",
+      exprs => {
+        require(exprs.length == 3, "bottom_k_sample(value, k, seed)")
+        BottomKSample(exprs(0),
+          exprs(1).eval().asInstanceOf[Int],
+          exprs(2).eval().asInstanceOf[Int]).toAggregateExpression()
+      },
+      "built-in")
+}

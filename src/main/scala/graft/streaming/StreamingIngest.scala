@@ -156,6 +156,43 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream join: the freight-enrichment join (J1) with BOTH sides
+    * streaming — orders and freight events arrive independently and match
+    * within a bounded time window. State on both sides is bounded by the
+    * watermarks plus the join's time-range condition (without the range
+    * condition Spark would have to keep every order forever).
+    *
+    * Inner join semantics: an order row is emitted when its freight
+    * arrives within [order_time, order_time + matchWindow]; unmatched
+    * orders simply never emit (the batch pipeline's left-join default
+    * fill covers those — this operator is the streaming fast path for
+    * matched pairs).
+    */
+  def ordersWithFreightStream(
+      orders: DataFrame, freight: DataFrame,
+      lateness: String = "10 minutes",
+      matchWindow: String = "30 minutes"): DataFrame = {
+    val o = orders
+      .withColumn("order_time",
+        to_timestamp(col("bronze_timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .withWatermark("order_time", lateness)
+      .select(col("order_id"), col("buyer"), col("price"), col("quantity"),
+        col("order_time"))
+    val f = freight
+      .withColumn("freight_time",
+        to_timestamp(col("bronze_timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .withWatermark("freight_time", lateness)
+      .select(col("order_reference"), col("cost"), col("tracking_number"),
+        col("freight_time"))
+    o.join(f,
+      col("order_id") === col("order_reference") &&
+        col("freight_time") >= col("order_time") &&
+        col("freight_time") <= col("order_time") + expr(s"INTERVAL $matchWindow"),
+      "inner")
+      .select(col("order_id"), col("buyer"), col("price"), col("quantity"),
+        col("cost").as("freight_cost"), col("tracking_number"))
+  }
+
   /** S9: bronze object-store sink — the consumer's one-JSON-object-per-
     * message, `topic/yyyy/MM/dd` date-partitioned layout
     * (`kafka_fashion_consumer.py:53-76`) as a streaming file sink:

@@ -49,6 +49,45 @@ class SinksSpec extends AnyFunSuite with SparkTestKit {
     assert(parsed.getString(0) == "o1" && parsed.getDouble(2) == 19.9)
   }
 
+  test("stream-stream join: orders meet freight within the match window") {
+    val joorDir = tmp("ss-joor")
+    val freightDir = tmp("ss-freight")
+    val outDir = tmp("ss-out")
+    // linked freight: order_refs point at real joor order ids (same seed
+    // derivation); bronze timestamps all within the match window
+    val spec = GenSpec(joor = 40, freight = 60, linkedFreight = true)
+    DataGen.bronzeJoor(spark, spec, cfg).write.mode("append").json(joorDir)
+    DataGen.bronzeFreight(spark, spec, cfg).write.mode("append").json(freightDir)
+
+    val orders = StreamingIngest.cleanseStream(
+      StreamingIngest.readBronzeStream(spark, joorDir, Schemas.joorRaw), "joor_orders")
+    val freight = StreamingIngest.cleanseStream(
+      StreamingIngest.readBronzeStream(spark, freightDir, Schemas.freightRaw), "freight_data")
+
+    val q = StreamingIngest.ordersWithFreightStream(orders, freight)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", tmp("ss-ckpt"))
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.read.parquet(outDir)
+    // batch reference: same join over the cleansed batch frames
+    // same equi + time-range predicate as the streaming join (freight at
+    // or after the order, within the window)
+    val bo = graft.domain.Cleanse.joor(graft.domain.Cleanse.flatten(
+      spark.read.schema(Schemas.bronzeEnvelope(Schemas.joorRaw)).json(joorDir)))
+      .withColumn("ot", to_timestamp($"bronze_timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    val bf = graft.domain.Cleanse.freight(graft.domain.Cleanse.flatten(
+      spark.read.schema(Schemas.bronzeEnvelope(Schemas.freightRaw)).json(freightDir)))
+      .withColumn("ft", to_timestamp($"bronze_timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    val expected = bo.join(bf,
+      bo("order_id") === bf("order_reference") &&
+        bf("ft") >= bo("ot") &&
+        bf("ft") <= bo("ot") + expr("INTERVAL 30 minutes")).count()
+    assert(got.count() == expected, s"stream-stream ${got.count()} vs batch $expected")
+    assert(expected > 0, "fixture produced no matches — test is vacuous")
+  }
+
   test("S10 cdc-ish poll source: rate ticks become gap-free joor envelopes") {
     val src = StreamingIngest.cdcPollSource(spark, rowsPerSecond = 50)
     assert(src.isStreaming)
