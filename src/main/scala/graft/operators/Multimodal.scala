@@ -1,5 +1,6 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -9,94 +10,173 @@ import graft.Tables
   * decode / feature-extract / resize / frame-sample operators a training
   * pipeline runs over them.
   *
-  * The decode step is a clearly-marked STUB (no media codecs in this
-  * container): `decodeStub` produces a deterministic fake feature vector
-  * from the bytes. Everything Spark-side is real and tested — the schema,
-  * the per-kind repartitioning (codec/batch affinity), the
-  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`:
-  * partition-at-a-time iterators, batched to bound peak memory), and the
-  * typed row contracts.
+  * The payloads are format-VALID: BMP (BITMAPFILEHEADER+INFOHEADER),
+  * WAV (RIFF/fmt/data), and an MP4-style ftyp/mdat box layout, generated
+  * deterministically from the document corpus — and the decode step
+  * genuinely parses those headers (dimensions, sample rate, duration,
+  * brand) with pure-JVM byte parsing. Only the ML feature extraction is
+  * a clearly-marked STUB (no vision/audio model in this container); it
+  * derives a deterministic 8-dim pseudo-embedding from the payload.
   *
-  * Scale notes (100 TB of media): bytes stay opaque through the plan —
-  * no shuffle ever carries decoded frames; featurization is a narrow
-  * partition-local map; `repartition(kind)` groups rows so a partition
-  * loads one codec; parquet binary chunks + `spark.sql.files.
-  * maxPartitionBytes` bound task input size.
+  * Spark-side design (the part that matters at 100 TB):
+  *  - bytes stay opaque through the plan; no shuffle carries decoded data;
+  *  - `repartition(kind)` groups one codec per partition;
+  *  - decode is `mapPartitions` batched at [[batchSize]] rows — the Scala
+  *    analog of `mapInPandas`, bounding peak decode memory;
+  *  - typed row contracts ([[MediaRow]] → [[MediaFeatures]]) pin schemas.
   */
 object Multimodal {
 
-  /** Typed row contracts (the `mapInPandas` schema equivalent). */
   final case class MediaRow(
-      media_id: Long, kind: String, bytes: Array[Byte],
-      width: Int, height: Int, sample_rate: Int, n_frames: Int, fmt: String)
+      media_id: Long, kind: String, bytes: Array[Byte], fmt: String)
 
   final case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Int, content_sha: String,
-      feature: Array[Float], frames_sampled: Int)
+      media_id: Long, kind: String, fmt: String, n_bytes: Int,
+      decoded_w: Int, decoded_h: Int,
+      sample_rate: Int, duration_ms: Int,
+      frames_sampled: Int, feature: Array[Float])
 
   val batchSize = 64 // rows decoded per in-memory batch (mapInPandas batch shape)
 
-  /** Synthesize a media table over the documents corpus: deterministic
-    * fake bytes (sha2-derived, repeated to a plausible size) + typed
-    * metadata. Stands in for a real `(path, bytes)` ingest such as
-    * `spark.read.format("binaryFile")`.
-    */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir).select(
-      $"doc_id".as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        pmod($"doc_id", lit(3)).cast("int") + 1).as("kind"),
-      // opaque payload: hex of sha2 repeated — deterministic, binary-typed
-      repeat(sha2($"text", 256), 8).cast("binary").as("bytes"),
-      (pmod($"doc_id", lit(4)).cast("int") * 112 + 224).as("width"),
-      (pmod($"doc_id", lit(3)).cast("int") * 112 + 224).as("height"),
-      when(pmod($"doc_id", lit(3)) === 1, 16000).otherwise(0).as("sample_rate"),
-      when(pmod($"doc_id", lit(3)) === 2, 300).otherwise(1).as("n_frames"),
-      element_at(array(lit("jpeg"), lit("wav"), lit("mp4")),
-        pmod($"doc_id", lit(3)).cast("int") + 1).as("fmt"))
+  // ── deterministic format-valid payload synthesis ────────────────────
+
+  private def byteStream(seed: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    var i = 0
+    var block = seed
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    while (i < n) {
+      block = md.digest(block)
+      val take = math.min(block.length, n - i)
+      System.arraycopy(block, 0, out, i, take)
+      i += take
+    }
+    out
   }
 
-  /** STUB ??? — the real implementation decodes `bytes` with an image/
-    * audio/video codec and runs a feature extractor; neither library
-    * exists in this container. The stub derives a deterministic
-    * 8-dim pseudo-feature from the payload bytes so the plumbing
-    * (schema, batching, partitioning) is fully exercisable.
+  /** 24-bit BMP with real headers; w,h ≤ 32 keeps payloads small. */
+  private[operators] def synthBmp(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val pixels = rowSize * h
+    val size = 54 + pixels
+    val b = ByteBuffer.allocate(size).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(pixels).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    b.put(byteStream(seed, pixels))
+    b.array()
+  }
+
+  /** 16-bit mono PCM WAV with real RIFF headers. */
+  private[operators] def synthWav(seed: Array[Byte], sampleRate: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * 2
+    val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes).putInt(dataLen)
+    b.put(byteStream(seed, dataLen))
+    b.array()
+  }
+
+  /** MP4-style box layout: ftyp(isom) + mdat; nFrames encoded in mdat len.
+    * ftyp box = size(4) + type(4) + major_brand(4) + minor_version(4) +
+    * one compatible brand(4) = 20 bytes.
     */
-  private def decodeStub(row: MediaRow): MediaFeatures = {
-    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(row.bytes)
-    val feature = Array.tabulate(8) { i =>
+  private[operators] def synthMp4(seed: Array[Byte], nFrames: Int): Array[Byte] = {
+    val mdatLen = nFrames * 32
+    val b = ByteBuffer.allocate(20 + 8 + mdatLen).order(ByteOrder.BIG_ENDIAN)
+    b.putInt(20).put("ftyp".getBytes).put("isom".getBytes).putInt(512).put("iso2".getBytes)
+    b.putInt(8 + mdatLen).put("mdat".getBytes)
+    b.put(byteStream(seed, mdatLen))
+    b.array()
+  }
+
+  /** Synthesize the media table over the documents corpus: format-valid
+    * payloads + kind/fmt metadata. Stands in for a real
+    * `spark.read.format("binaryFile")` ingest.
+    */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val seed = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (id % 3) match {
+          case 0 => MediaRow(id, "image",
+            synthBmp(seed, (id % 4).toInt * 8 + 8, (id % 3).toInt * 8 + 8), "bmp")
+          case 1 => MediaRow(id, "audio",
+            synthWav(seed, 16000, 100 + (id % 400).toInt), "wav")
+          case _ => MediaRow(id, "video",
+            synthMp4(seed, 30 + (id % 270).toInt), "mp4")
+        }
+      })
+  }
+
+  // ── real header decode + stubbed feature extraction ────────────────
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+  private def be32(b: Array[Byte], off: Int): Int =
+    ByteBuffer.wrap(b, off, 4).order(ByteOrder.BIG_ENDIAN).getInt
+
+  /** Decode one row: REAL header parse per format; STUB ??? for the
+    * feature vector (a real deployment runs the vision/audio model here —
+    * the deterministic sha-derived 8-dim stands in so the plumbing is
+    * fully exercisable).
+    */
+  private def decode(row: MediaRow): MediaFeatures = {
+    val b = row.bytes
+    val (w, h, rate, durMs, frames) = row.fmt match {
+      case "bmp" =>
+        require(b(0) == 'B' && b(1) == 'M', s"not a BMP: media ${row.media_id}")
+        (le32(b, 18), le32(b, 22), 0, 0, 1)
+      case "wav" =>
+        require(new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE",
+          s"not a WAV: media ${row.media_id}")
+        val sr = le32(b, 24)
+        val dataLen = le32(b, 40)
+        (0, 0, sr, (dataLen / 2) * 1000 / sr, 1)
+      case "mp4" =>
+        require(new String(b, 4, 4) == "ftyp", s"not an MP4: media ${row.media_id}")
+        // walk the box chain: next box starts where ftyp's declared size ends
+        val ftypSize = be32(b, 0)
+        require(new String(b, ftypSize + 4, 4) == "mdat",
+          s"no mdat after ftyp: media ${row.media_id}")
+        val mdatLen = be32(b, ftypSize) - 8
+        val nFrames = mdatLen / 32
+        (0, 0, 0, nFrames * 33, math.min(nFrames, 16)) // uniform frame-sample
+      case other => throw new IllegalArgumentException(s"unknown fmt $other")
+    }
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(b)
+    val feature = Array.tabulate(8) { i => // STUB: model inference goes here
       ((sha(i * 2) & 0xff) * 256 + (sha(i * 2 + 1) & 0xff)) / 65535.0f
     }
-    val frames = row.kind match {
-      case "video" => math.min(row.n_frames, 16) // uniform frame-sample stub
-      case _ => 1
-    }
-    MediaFeatures(row.media_id, row.kind, row.bytes.length,
-      sha.map("%02x".format(_)).mkString, feature, frames)
+    MediaFeatures(row.media_id, row.kind, row.fmt, b.length,
+      w, h, rate, durMs, frames, feature)
   }
 
   /** Featurize: repartition by kind (one codec per partition), then a
-    * partition-local batched decode — the Scala analog of `mapInPandas`
-    * with `batchSize`-row batches.
+    * partition-local batched decode.
     */
-  def featurize(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def featurize(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.repartition(col("kind")).as[MediaRow]
+    media.repartition(col("kind"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           // real impl: one codec context per batch, vectorized decode
-          batch.iterator.map(decodeStub)
+          batch.iterator.map(decode)
         }
       }
   }
 
-  /** Driver-facing rows-only query: featurize the synthesized media table
-    * and project the comparable metadata (bytes/features stay engine-side).
-    */
+  /** Driver-facing rows-only query (bytes/features stay engine-side). */
   def featurizeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     featurize(spark, mediaTable(spark, dir))
-      .select($"media_id", $"kind", $"n_bytes", $"content_sha", $"frames_sampled")
+      .select($"media_id", $"kind", $"fmt", $"n_bytes",
+        $"decoded_w", $"decoded_h", $"sample_rate", $"duration_ms", $"frames_sampled")
   }
 }

@@ -118,21 +118,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
     rows.foreach(r => assert(r.getAs[Long]("doc_freq") <= r.getAs[Long]("freq")))
   }
 
-  test("multimodal featurize: schema, batch plumbing, determinism") {
+  test("multimodal featurize: real header decode, batch plumbing, determinism") {
     val feats = Multimodal.featurize(spark, Multimodal.mediaTable(spark, sfDir))
     val rows = feats.collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
     rows.foreach { f =>
       assert(f.feature.length == 8)
       assert(f.feature.forall(v => v >= 0f && v <= 1f))
-      assert(f.content_sha.length == 64)
-      assert(f.kind != "video" || f.frames_sampled == 16)
-      assert(f.kind == "video" || f.frames_sampled == 1)
-      assert(f.n_bytes == 64 * 8) // sha2 hex ×8
+      f.fmt match {
+        case "bmp" =>
+          // decoded dims come from the REAL BMP header, in the synth range
+          assert(f.decoded_w >= 8 && f.decoded_w <= 32 && f.decoded_w % 8 == 0)
+          assert(f.decoded_h >= 8 && f.decoded_h <= 24 && f.decoded_h % 8 == 0)
+        case "wav" =>
+          assert(f.sample_rate == 16000)
+          // 100..499 samples at 16kHz → 6..31 ms
+          assert(f.duration_ms >= 6 && f.duration_ms <= 31)
+        case "mp4" =>
+          assert(f.frames_sampled == 16 || f.duration_ms / 33 < 16)
+          assert(f.duration_ms > 0)
+      }
     }
     // deterministic across runs
-    assert(rows.map(_.content_sha).sorted.toSeq ==
+    assert(rows.map(r => (r.media_id, r.feature.toSeq)).sortBy(_._1).toSeq ==
       Multimodal.featurize(spark, Multimodal.mediaTable(spark, sfDir))
-        .collect().map(_.content_sha).sorted.toSeq)
+        .collect().map(r => (r.media_id, r.feature.toSeq)).sortBy(_._1).toSeq)
   }
 }
