@@ -100,6 +100,20 @@ object Pipeline {
     gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")
   }
 
+  /** Bucketed silver layout: lineage-heavy marts join orders↔freight by
+    * order key repeatedly — writing silver bucketed on the join key pays
+    * ONE shuffle at ingest and makes every downstream mart build
+    * shuffle-free on that key (see `operators/Bucketing`; the plan proof
+    * lives in ScaleOpsSpec). Managed tables `silver_joor_orders_bucketed`
+    * / `silver_freight_data_bucketed` under the session warehouse.
+    */
+  def writeSilverBucketed(silver: Silver, buckets: Int = 16): Unit = {
+    graft.operators.Bucketing.writeBucketed(
+      silver.joor, "silver_joor_orders_bucketed", "order_id", buckets)
+    graft.operators.Bucketing.writeBucketed(
+      silver.freight, "silver_freight_data_bucketed", "order_reference", buckets)
+  }
+
   /** Incremental gold refresh — the correct version of the reference's
     * broken cycle (it saves a gold checkpoint it never reads and blindly
     * appends, duplicating every mart each 300 s run — SURVEY §2.8).

@@ -41,6 +41,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(SkewJoin.saltedJoin(probe, build, "k", 8).count() == 1000)
   }
 
+  test("bucketed silver layout: orders↔freight mart join is shuffle-free") {
+    import graft.domain._
+    val silver = Pipeline.toSilver(
+      DataGen.bronzeJoor(spark, GenSpec(joor = 50), DomainConfig()),
+      DataGen.bronzeShopify(spark, GenSpec(), DomainConfig()),
+      DataGen.bronzeTiktok(spark, GenSpec(), DomainConfig()),
+      DataGen.bronzeFreight(spark, GenSpec(freight = 60), DomainConfig()),
+      DataGen.bronzeGsheets(spark, GenSpec(), DomainConfig()))
+    Pipeline.writeSilverBucketed(silver, buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("silver_joor_orders_bucketed")
+        .join(spark.table("silver_freight_data_bucketed"),
+          $"order_id" === $"order_reference")
+      val plan = joined.queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!plan.contains("Exchange"), s"bucketed silver join shuffles:\n$plan")
+      assert(joined.count() ==
+        silver.joor.join(silver.freight, $"order_id" === $"order_reference").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed join plans with zero Exchange") {
     val li = Tables.lineitem(spark, sfDir).select($"l_orderkey".as("k"), $"l_extendedprice")
     val o = Tables.orders(spark, sfDir).select($"o_orderkey".as("k"), $"o_totalprice")
