@@ -218,5 +218,40 @@ object Dedup {
         .filter($"hamming" <= 1)
   }
 
-  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash)
+  /** D6: benchmark decontamination — flag training docs sharing any
+    * 8-gram with the held-out eval split (source = 'src0' stands in for
+    * the benchmark set). The standard n-gram-overlap decontamination
+    * pass: explode eval 8-grams (small side), hash-join against train
+    * 8-grams, aggregate per train doc. Train-side postings never
+    * self-join — cost is linear in train n-grams.
+    */
+  private def ngrams8(who: String) =
+    s"""SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+       |        for i in generate_series(1, greatest(len(w) - 7, 0))])) AS g
+       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |      WHERE source $who 'src0')""".stripMargin
+
+  val contamination = Q("d6_contamination",
+    s"""WITH eval_g AS (SELECT DISTINCT g FROM (${ngrams8("=")})),
+       |train_g AS (${ngrams8("<>")})
+       |SELECT t.doc_id AS train_doc,
+       |       count(*) AS n_shared_ngrams
+       |FROM train_g t JOIN eval_g e ON t.g = e.g
+       |GROUP BY t.doc_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      def grams(df: DataFrame) = df
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          "array_distinct(transform(sequence(1, greatest(size(w) - 7, 0)), " +
+            "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6])))")).as("g"))
+      val docs = Tables.documents(s, dir)
+      val evalG = grams(docs.filter($"source" === "src0")).select($"g").distinct()
+      val trainG = grams(docs.filter($"source" =!= "src0"))
+      trainG.join(broadcast(evalG), "g")
+        .groupBy($"doc_id".as("train_doc"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash, contamination)
 }
