@@ -253,5 +253,36 @@ object Dedup {
         .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
-  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash, contamination)
+  /** D7: blocked fuzzy matching (entity resolution): customer-name pairs
+    * within edit distance 1 — the typo'd-identifier shape. The standard
+    * blocking→verify ER pattern with a deliberate prefix block (name
+    * minus its final character): candidate pairs only form inside a
+    * block, so block size — not corpus size — bounds the quadratic
+    * verify (≤ alphabet-size per block at ANY scale factor). Levenshtein
+    * is exact integer arithmetic → cross-engine-safe.
+    */
+  val fuzzyMatch = Q("d7_fuzzy_match",
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |         substr(c_name, 1, length(c_name) - 1) AS blk
+      |  FROM customer)
+      |SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+      |FROM c a JOIN c b
+      |  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .select($"c_custkey", $"c_name",
+          expr("substr(c_name, 1, length(c_name) - 1)").as("blk"))
+      val a = c.select($"blk", $"c_custkey".as("cust_a"), $"c_name".as("name_a"))
+      val b = c.select($"blk".as("blk_b"), $"c_custkey".as("cust_b"), $"c_name".as("name_b"))
+      a.join(b, $"blk" === $"blk_b" && $"cust_a" < $"cust_b")
+        .select($"cust_a", $"cust_b",
+          levenshtein($"name_a", $"name_b").as("edit_dist"))
+        .filter($"edit_dist" <= 1)
+  }
+
+  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash, contamination, fuzzyMatch)
 }
