@@ -70,6 +70,15 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(ts"), p)
   }
 
+  test("correlated scalar subqueries decorrelate into joins") {
+    val p = simplePlanOf(Subqueries.corrSubquery.run(spark, sfDir))
+    // after decorrelation the per-row subqueries become aggregate+join —
+    // no scalar-subquery node survives into the physical plan
+    assert(!p.contains("Subquery"), p)
+    assert(p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("exact dedup is a single-shuffle hash aggregate") {
     val p = simplePlanOf(Dedup.exact.run(spark, sfDir))
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
