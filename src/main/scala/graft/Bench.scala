@@ -19,17 +19,22 @@ object Bench {
     // min of two runs per query: the second run amortizes per-query JIT /
     // cache materialization noise, keeping totals comparable across rounds
     val results = SparkEntry.registry.map { q =>
+      // a throwing query reports -1, NOT its time-to-exception — a broken
+      // query must be visible in the JSON, not blended into the total
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { q.run(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      q.name -> math.min(once(), once())
+      val a = once()
+      q.name -> (if (a < 0) -1.0 else { val b = once(); if (b < 0) -1.0 else math.min(a, b) })
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,21 +44,22 @@ object SparkEntry {
       Q.noOracle("e4_ivf_ann") { (s, dir) =>
         graft.operators.IvfIndex.ivfQuery(s, dir)
       },
-      // connected-components dup clustering over LSH pairs (iterative
-      // Hash-Min) — rows-only check; union-find gate in DupClustersSpec
-      Q.noOracle("d5_dup_clusters") { (s, dir) =>
-        graft.operators.DupClusters.dupClustersQuery(s, dir)
-      },
+      // connected-components dup clustering over the shared LSH pairs —
+      // hash-exact vs a DuckDB recursive-CTE transitive closure; the
+      // union-find/BSP equivalence gate lives in DupClustersSpec
+      graft.operators.DupClusters.dupClustersQ,
       // deterministic per-group bottom-k sampling via the custom
       // TypedImperativeAggregate (JVM hash → no SQL oracle; determinism
-      // across partitionings gated in BottomKSampleSpec)
+      // across partitionings gated in BottomKSampleSpec). The driver-facing
+      // column is the comma-joined sample list — a scalar the rows-only
+      // compare can sort (an array column crashes its pandas sort).
       Q.noOracle("t6_group_sample") { (s, dir) =>
         import org.apache.spark.sql.functions._
         graft.functions.BottomKSample.register(s)
         graft.Tables.documents(s, dir)
           .groupBy(col("source"))
-          .agg(call_function("bottom_k_sample",
-            col("doc_id").cast("string"), lit(5), lit(42)).as("sample_ids"))
+          .agg(concat_ws(",", call_function("bottom_k_sample",
+            col("doc_id").cast("string"), lit(5), lit(42))).as("sample_ids"))
       })
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -43,9 +43,15 @@ object DupClusters {
   private def driverUnionFind(spark: SparkSession, edges: DataFrame): DataFrame = {
     import spark.implicits._
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // iterative find (walk to root, then compress): recursion here would
+    // stack-overflow on adversarially ordered edge lists whose parent
+    // chains grow with component size
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
       .foreach { case (a, b) =>
@@ -82,20 +88,50 @@ object DupClusters {
       iter += 1
     }
     edges.unpersist()
+    // silent non-convergence would hand the caller SPLIT components with
+    // wrong cluster ids — fail loudly instead (near-dup graphs are shallow;
+    // hitting this means maxIter is misconfigured for the graph's diameter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"bspHashMin did not converge after $maxIter rounds; raise maxIter " +
+          "(components deeper than the round budget would get split labels)")
     labels
   }
 
   /** Driver-facing query: cluster the MinHash+LSH near-dup pairs; docs in
-    * no pair are singletons (cluster_id = own id). Iterative — not
-    * SQL-expressible in one statement → rows-only check.
+    * no pair are singletons (cluster_id = own id). Reuses the session-memoized
+    * pair list ([[Dedup.minhashPairs]]) so the signature/banding work isn't
+    * recomputed when `d3_minhash_lsh` already ran.
     */
   def dupClustersQuery(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.minhashLsh.run(spark, dir).select(col("doc_a"), col("doc_b"))
+    val pairs = Dedup.minhashPairs(spark, dir).select(col("doc_a"), col("doc_b"))
     val clustered = clusters(spark, pairs)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(broadcast(clustered), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("boolean"))
+  }
+
+  /** The driver-gated Q, upgraded from rows-only to hash-exact: connected
+    * components IS SQL-expressible in DuckDB via a recursive CTE —
+    * transitive closure over the symmetric edge list (set-semantics UNION
+    * terminates it), then min reachable id per doc = cluster id.
+    */
+  val dupClustersQ: graft.queries.Q = graft.queries.Q("d5_dup_clusters",
+    s"""WITH RECURSIVE ${Dedup.minhashCtes},
+       |pairs AS (${Dedup.minhashSelect}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
+       |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+       |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id""".stripMargin) {
+    (s, dir) => dupClustersQuery(s, dir)
   }
 }

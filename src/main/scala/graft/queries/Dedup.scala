@@ -25,9 +25,9 @@ import graft.Tables
   *  - MinHash+LSH: fixed-width signature per doc (one aggregate), then a
   *    candidate join per band bucket — the join key is the band hash, so
   *    candidate generation is linear in bucket sizes, never all-pairs;
-  *  - SimHash: 16-bit fingerprint per doc, pairs joined on equal
-  *    fingerprint prefix buckets would be the at-scale path; at test SF
-  *    the verify step compares hamming distance within candidate buckets.
+  *  - SimHash: 16-bit fingerprint per doc; candidate pairs join on equal
+  *    8-bit fingerprint bands (pigeonhole: hamming ≤ 1 ⇒ one band equal),
+  *    hamming-verified within buckets — never all-pairs.
   */
 object Dedup {
 
@@ -52,11 +52,14 @@ object Dedup {
     import s.implicits._
     // distinct WITHIN the doc via array_distinct before exploding — the
     // (doc_id, shingle) set is identical to a post-explode distinct but
-    // needs no shuffle (narrow, codegen'd)
+    // needs no shuffle (narrow, codegen'd).
+    // size(w) guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (not
+    // empty like generate_series), which would emit spurious partial
+    // shingles for docs under 3 words — short docs must emit none.
     Tables.documents(s, dir)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
-        "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), i -> concat_ws(' ', w[i-1], w[i], w[i+1])))")).as("shingle"))
+        "CASE WHEN size(w) >= 3 THEN array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))) ELSE cast(array() AS array<string>) END")).as("shingle"))
   }
 
   private val shinglesSql =
@@ -114,7 +117,11 @@ object Dedup {
     * consecutive components; candidates share a band; verified by the
     * signature-agreement estimate ≥ 0.5.
     */
-  val minhashLsh = Q("d3_minhash_lsh", {
+  /** d3's oracle SQL, split into (CTE list, final SELECT) so
+    * `d5_dup_clusters` can reuse the pair derivation inside its own
+    * recursive-CTE connected-components query.
+    */
+  private[graft] val minhashCtes: String = {
     val comps = (0 until numHashes)
       .map(i => s"min(substr(h2, ${i * 5 + 1}, 5)) AS mh$i").mkString(", ")
     val bands = (0 until numHashes / bandSize).map { b =>
@@ -124,9 +131,7 @@ object Dedup {
     val bandRows = (0 until numHashes / bandSize)
       .map(i => s"SELECT doc_id, $i AS band_idx, band$i AS band_key FROM sigs")
       .mkString(" UNION ALL ")
-    val agree = (0 until numHashes)
-      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
-    s"""WITH sh AS ($shinglesSql),
+    s"""sh AS ($shinglesSql),
        |hashed AS (SELECT doc_id, md5(shingle) || md5('x|' || shingle) AS h2 FROM sh),
        |sig0 AS (SELECT doc_id, $comps FROM hashed GROUP BY doc_id),
        |sigs AS (SELECT *, $bands FROM sig0),
@@ -135,14 +140,26 @@ object Dedup {
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bandrows x JOIN bandrows y
        |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |   AND x.doc_id < y.doc_id)
-       |SELECT c.doc_a, c.doc_b,
+       |   AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  private[graft] val minhashSelect: String = {
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""SELECT c.doc_a, c.doc_b,
        |       CAST($agree AS DOUBLE) / $numHashes AS est_jaccard
        |FROM cand c JOIN sigs a ON c.doc_a = a.doc_id
        |            JOIN sigs b ON c.doc_b = b.doc_id
        |WHERE CAST($agree AS DOUBLE) / $numHashes >= 0.5""".stripMargin
-  }) {
-    (s, dir) =>
+  }
+
+  /** The verified MinHash+LSH near-dup pair list, memoized per
+    * (session, dir): `d3_minhash_lsh` returns it and `d5_dup_clusters`
+    * clusters it — the expensive signature/banding work runs once per
+    * session, not once per consumer.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "d3_pairs") {
       import s.implicits._
       val sh = shingles(s, dir)
         .select($"doc_id",
@@ -171,6 +188,10 @@ object Dedup {
         .select($"doc_a", $"doc_b",
           (agree.cast("double") / numHashes).as("est_jaccard"))
         .filter($"est_jaccard" >= 0.5)
+    }
+
+  val minhashLsh = Q("d3_minhash_lsh", s"WITH $minhashCtes\n$minhashSelect") {
+    (s, dir) => minhashPairs(s, dir)
   }
 
   /** D4: 16-bit SimHash from per-word md5 bits: fingerprint bit j is the
@@ -210,9 +231,27 @@ object Dedup {
           (0 until 16).map(j =>
             shiftleft(when(col(s"s$j") > 0, 1).otherwise(0), j))
             .reduce(_ + _).as("fingerprint"))
-      val a = fp.toDF("doc_a", "fp_a")
-      val b = fp.toDF("doc_b", "fp_b")
-      a.join(b, $"doc_a" < $"doc_b")
+      // Pigeonhole blocking: split the 16-bit fingerprint into two 8-bit
+      // bands — any pair at hamming ≤ 1 differs in at most one band, so it
+      // agrees EXACTLY on the other ⇒ every qualifying pair meets in an
+      // equal-band bucket. Candidate generation is a hash equi-join on
+      // (band_idx, band_key) — linear in bucket sizes, never all-pairs —
+      // and the hamming verify runs only inside buckets. The DuckDB oracle
+      // keeps the all-pairs formulation (exact by construction); blocking
+      // changes the plan, not the result set.
+      val banded = fp
+        .select($"doc_id", $"fingerprint",
+          posexplode(array(
+            $"fingerprint".bitwiseAND(lit(255)),
+            shiftright($"fingerprint", 8).bitwiseAND(lit(255)))))
+        .toDF("doc_id", "fingerprint", "band_idx", "band_key")
+      val cand = banded.toDF("doc_a", "fp_a", "band_idx", "band_key")
+        .join(banded.toDF("doc_b", "fp_b", "band_idx", "band_key"),
+          Seq("band_idx", "band_key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b", $"fp_a", $"fp_b")
+        .distinct()
+      cand
         .select($"doc_a", $"doc_b",
           bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
         .filter($"hamming" <= 1)
@@ -240,11 +279,14 @@ object Dedup {
        |GROUP BY t.doc_id""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // size(w) guard: see shingles() — Spark sequence(1, 0) is [1, 0],
+      // so docs under 8 words must be short-circuited to emit no 8-grams
       def grams(df: DataFrame) = df
         .select($"doc_id", split($"text", " ").as("w"))
         .select($"doc_id", explode(expr(
-          "array_distinct(transform(sequence(1, greatest(size(w) - 7, 0)), " +
-            "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6])))")).as("g"))
+          "CASE WHEN size(w) >= 8 THEN array_distinct(transform(sequence(1, size(w) - 7), " +
+            "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))) " +
+            "ELSE cast(array() AS array<string>) END")).as("g"))
       val docs = Tables.documents(s, dir)
       val evalG = grams(docs.filter($"source" === "src0")).select($"g").distinct()
       val trainG = grams(docs.filter($"source" =!= "src0"))

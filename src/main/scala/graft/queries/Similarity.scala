@@ -65,7 +65,10 @@ object Similarity {
           norm($"embedding").as("q_nrm"))
       val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
         $"label".as("neighbor_label"), norm($"embedding").as("c_nrm"))
-      val sims = q.join(broadcast(c), $"query_id" =!= $"neighbor_id")
+      // broadcast the tiny QUERY side and stream the corpus — at 100 TB the
+      // corpus side must never be broadcast (driver OOM); 8 probe rows are
+      // free to replicate to every corpus partition
+      val sims = c.join(broadcast(q), $"query_id" =!= $"neighbor_id")
         .select($"query_id", $"neighbor_id", $"neighbor_label",
           (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
       val w = org.apache.spark.sql.expressions.Window

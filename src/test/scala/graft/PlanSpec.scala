@@ -84,4 +84,25 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.linesIterator.count(_.contains("Exchange")) == 1, p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("d4 simhash: banded equi-join candidates, no cartesian pair step") {
+    val p = simplePlanOf(Dedup.simhash.run(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs join crept back in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"all-pairs join crept back in:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$p")
+  }
+
+  test("e1 cosine top-k: broadcasts the probe side, never the corpus") {
+    val p = simplePlanOf(Similarity.cosineTopK.run(spark, sfDir))
+    // the only broadcast subtree must be the vec_id<8 probe set; the
+    // corpus (unfiltered scan) must be the streamed side — broadcasting
+    // the corpus is a driver OOM at scale
+    val idx = p.indexOf("BroadcastExchange")
+    assert(idx >= 0, p)
+    assert(p.substring(idx).contains("< 8"),
+      s"broadcast subtree is not the probe filter:\n$p")
+    assert(!p.substring(0, idx).contains("< 8"),
+      s"probe filter found on the streamed side:\n$p")
+  }
 }

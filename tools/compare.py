@@ -22,7 +22,15 @@ def norm(rows):
     out = []
     for r in rows:
         out.append(tuple(str(v) if not isinstance(v, float) else v for v in r))
-    return sorted(out, key=lambda t: tuple(repr(x) for x in t))
+
+    # sort key: strings as-is, floats QUANTIZED — sorting on raw float repr
+    # can order two within-tolerance result sets differently (low-order bit
+    # noise), mispairing rows and reporting a spurious FAIL
+    def key(t):
+        return tuple(("f", repr(round(x, 6))) if isinstance(x, float) else ("s", x)
+                     for x in t)
+
+    return sorted(out, key=key)
 
 
 def close(a, b):
