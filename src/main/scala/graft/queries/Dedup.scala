@@ -194,6 +194,53 @@ object Dedup {
     (s, dir) => minhashPairs(s, dir)
   }
 
+  /** Production MinHash+LSH — the engine-default fast path: signature
+    * component i = min over shingles of the 64-bit integer
+    * `xxhash64(i, shingle)` (one seeded hash per component, no hex
+    * strings), band key = `xxhash64` of the band's 4 components. Identical
+    * plan shape to [[minhashPairs]] (per-doc aggregate → band-bucket
+    * equi-join → signature verify) at a fraction of the CPU: integer
+    * min/compare/hash instead of md5 hex substrings and string minima.
+    *
+    * The md5 variant exists ONLY because cross-engine verification needs a
+    * hash both Spark and DuckDB compute bit-identically; DuckDB has no
+    * xxhash64, so this variant is gated by pair-set agreement with the md5
+    * variant (DedupFastSpec) + a rows-only driver row, not a SQL oracle.
+    */
+  def minhashPairsFast(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "d3_pairs_fast") {
+      import s.implicits._
+      val sh = shingles(s, dir)
+      val comps = (0 until numHashes).map(i =>
+        min(xxhash64(lit(i), $"shingle")).as(s"mh$i"))
+      val sigs = sh.groupBy($"doc_id").agg(comps.head, comps.tail: _*)
+        .select(col("*") +: (0 until numHashes / bandSize).map { b =>
+          xxhash64(lit(b) +:
+            (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh$i")): _*).as(s"band$b")
+        }: _*)
+        .cache()
+      val bandRows = (0 until numHashes / bandSize).map { i =>
+        sigs.select($"doc_id", lit(i).as("band_idx"), col(s"band$i").as("band_key"))
+      }.reduce(_ unionByName _)
+      val cand = bandRows.toDF("doc_a", "band_idx", "band_key")
+        .join(bandRows.toDF("doc_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      val agree = (0 until numHashes)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand
+        .join(sigs.as("a"), $"doc_a" === $"a.doc_id")
+        .join(sigs.as("b"), $"doc_b" === $"b.doc_id")
+        .select($"doc_a", $"doc_b",
+          (agree.cast("double") / numHashes).as("est_jaccard"))
+        .filter($"est_jaccard" >= 0.5)
+    }
+
+  val minhashLshFast = Q.noOracle("d3f_minhash_fast") {
+    (s, dir) => minhashPairsFast(s, dir)
+  }
+
   /** D4: 16-bit SimHash from per-word md5 bits: fingerprint bit j is the
     * sign of Σ±1 votes over the doc's words; near-dup pairs have hamming
     * distance ≤ 3. (64-bit at scale; 16 keeps the oracle SQL tractable.)
@@ -326,5 +373,6 @@ object Dedup {
         .filter($"edit_dist" <= 1)
   }
 
-  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, simhash, contamination, fuzzyMatch)
+  val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
+    contamination, fuzzyMatch)
 }

@@ -52,12 +52,24 @@ object StreamingIngest {
     */
   def kafkaBronzePlan(spark: SparkSession, bootstrap: String, topic: String,
       payload: StructType): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
+    decodeKafkaEnvelope(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load(),
+      payload)
+
+  /** The broker-independent half of the Kafka source: decode Kafka's wire
+    * columns (binary key/value + topic/partition/offset/timestamp) into the
+    * bronze envelope via `from_json` against the pinned payload schema.
+    * Batch/stream agnostic — unit-tested against hand-built wire rows
+    * (StreamingSpec) since no connector jar/broker exists in-container;
+    * with a broker, [[kafkaBronzePlan]] is exactly this over the live source.
+    */
+  def decodeKafkaEnvelope(kafkaWire: DataFrame, payload: StructType): DataFrame =
+    kafkaWire
       .select(from_json(col("value").cast("string"),
         Schemas.bronzeEnvelope(payload)).as("envelope"))
       .select(col("envelope.raw_api_data").as("raw_api_data"),

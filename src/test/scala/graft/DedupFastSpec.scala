@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Dedup
+
+/** Gate for the production (xxhash64-integer) MinHash variant: same
+  * near-dup pair set as the md5 oracle variant up to threshold noise.
+  * Different hash families randomize the signature differently, so pairs
+  * sitting exactly at est_jaccard == 0.5 may flip in or out — the gate is
+  * high set-agreement, not equality.
+  */
+class DedupFastSpec extends AnyFunSuite with SparkTestKit {
+
+  test("fast minhash agrees with the md5 oracle variant on the corpus") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Pairs = pairs(Dedup.minhashPairs(spark, sfDir))
+    val fastPairs = pairs(Dedup.minhashPairsFast(spark, sfDir))
+    assert(md5Pairs.size >= 20, s"md5 variant found too few pairs: ${md5Pairs.size}")
+    assert(fastPairs.size >= 20, s"fast variant found too few pairs: ${fastPairs.size}")
+    val overlap = (md5Pairs & fastPairs).size.toDouble / (md5Pairs | fastPairs).size
+    assert(overlap >= 0.85, f"pair-set agreement $overlap%.2f below 0.85: " +
+      s"onlyMd5=${md5Pairs -- fastPairs} onlyFast=${fastPairs -- md5Pairs}")
+  }
+
+  test("fast minhash stays a banded equi-join (no cartesian)") {
+    val p = Dedup.minhashLshFast.run(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+}

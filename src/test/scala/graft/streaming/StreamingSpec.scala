@@ -146,6 +146,46 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     assert(mismatch == 0)
   }
 
+  test("kafka wire decode: binary value rows → bronze envelope → silver") {
+    // no broker in-container, so exercise the decode half on hand-built
+    // rows carrying Kafka's exact wire schema: binary key/value plus
+    // topic/partition/offset/timestamp/timestampType
+    val envelopeJson = (oid: String, price: String, offset: Long) =>
+      s"""{"raw_api_data":{"order_id":"$oid","buyer":"Acme","quantity":3,
+         |"price":"$price","currency":"USD","payment":"stripe","country":"US",
+         |"sku":"JOR-1001","product":"Coat","date":"2025-05-01T10:00:00"},
+         |"kafka_metadata":{"topic":"raw_joor_orders","partition":0,
+         |"offset":$offset,"stream_timestamp":"2025-05-01T10:00:01",
+         |"bronze_timestamp":"2025-05-01T10:00:01.123456"}}""".stripMargin.replace("\n", "")
+    val wire = Seq(
+      ("k1".getBytes, envelopeJson("J-1", "100.50", 0L).getBytes, "raw_joor_orders", 0, 0L,
+        java.sql.Timestamp.valueOf("2025-05-01 10:00:01"), 0),
+      ("k2".getBytes, envelopeJson("J-2", "7.25", 1L).getBytes, "raw_joor_orders", 0, 1L,
+        java.sql.Timestamp.valueOf("2025-05-01 10:00:02"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+    val envelope = StreamingIngest.decodeKafkaEnvelope(wire, Schemas.joorRaw)
+    assert(envelope.schema.fieldNames.toSeq == Seq("raw_api_data", "kafka_metadata"))
+    val metas = envelope.select($"kafka_metadata.offset", $"kafka_metadata.topic")
+      .as[(Long, String)].collect().toSet
+    assert(metas == Set((0L, "raw_joor_orders"), (1L, "raw_joor_orders")))
+
+    // and the decoded envelope flows through the joor cleanse unchanged —
+    // the full Kafka→silver projection, minus only the connector itself
+    val silver = StreamingIngest.cleanseStream(envelope, "joor_orders")
+    val rows = silver.select($"order_id", $"price", $"quantity", $"sku")
+      .as[(String, Double, Int, String)].collect().toSet
+    assert(rows == Set(("J-1", 100.50, 3, "JOR-1001"), ("J-2", 7.25, 3, "JOR-1001")))
+
+    // malformed value bytes must not kill the stream: from_json yields a
+    // null envelope row (to be routed to a dead-letter sink), not a crash
+    val junk = Seq((Array[Byte](1, 2), "not json".getBytes, "raw_joor_orders", 0, 9L,
+      java.sql.Timestamp.valueOf("2025-05-01 10:00:03"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    val decoded = StreamingIngest.decodeKafkaEnvelope(junk, Schemas.joorRaw)
+    assert(decoded.count() == 1 && decoded.filter($"raw_api_data".isNull).count() == 1)
+  }
+
   test("kafka plan construction (connector-dependent)") {
     // this container ships no spark-sql-kafka jar; with the connector the
     // plan must build with the envelope schema, without it the failure is
