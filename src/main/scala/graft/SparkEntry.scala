@@ -22,6 +22,7 @@ object SparkEntry {
     Scalars.queries ++
     CommerceKpi.queries ++
     TextAnalysis.queries ++
+    TrainingPrep.queries ++
     Dedup.queries ++
     Similarity.queries ++
     Seq(

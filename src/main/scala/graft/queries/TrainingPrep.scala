@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-corpus preparation operators beyond filtering/dedup: the
+  * Gopher-style repetition signal, context-window sequence packing,
+  * deterministic stratified sampling, and exact TF-IDF keyword retrieval.
+  *
+  * Cross-engine float discipline (same as Exact.scala): every double is
+  * produced by a FIXED expression tree — single divisions, products, and
+  * literal left-to-right sums — never a SUM aggregate over doubles, so
+  * Spark and DuckDB fold identically and the driver's hash compare is
+  * bit-exact.
+  *
+  * Scale notes (100 TB): all four are one explode + hash-aggregate /
+  * window per partition key (doc_id or source) — no self-joins, no
+  * driver-side state; the TF-IDF document-frequency side is a 1-row
+  * broadcast.
+  */
+object TrainingPrep {
+
+  /** T7: repetition quality (the Gopher "fraction of characters in the
+    * most common n-gram" rule): per doc, the top bigram (ties broken
+    * lexicographically) and the fraction of characters it covers.
+    * High values flag boilerplate/spam docs a pretraining pipeline drops.
+    */
+  val gopherQuality = Q("t7_gopher_quality",
+    """WITH bg AS (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+      |                         for i in generate_series(1, greatest(len(w) - 1, 0))]) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |bgc AS (SELECT doc_id, bigram, count(*) AS freq FROM bg GROUP BY 1, 2),
+      |top AS (SELECT doc_id, bigram, freq,
+      |               row_number() OVER (PARTITION BY doc_id ORDER BY freq DESC, bigram) AS rk
+      |        FROM bgc)
+      |SELECT t.doc_id, t.bigram AS top_bigram, t.freq AS top_bigram_freq,
+      |       CAST(t.freq * length(t.bigram) AS DOUBLE) / d.n_chars AS frac_chars_top_bigram
+      |FROM top t JOIN documents d ON t.doc_id = d.doc_id
+      |WHERE t.rk = 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val bgc = docs
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i])) " +
+            "ELSE cast(array() AS array<string>) END")).as("bigram"))
+        .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("freq"))
+      val w = Window.partitionBy($"doc_id").orderBy($"freq".desc, $"bigram")
+      bgc.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+        .select($"doc_id", $"bigram".as("top_bigram"), $"freq".as("top_bigram_freq"),
+          (($"freq" * length($"bigram")).cast("double") / $"n_chars")
+            .as("frac_chars_top_bigram"))
+  }
+
+  val packBudget = 512
+
+  /** T8: context-window sequence packing — assign each doc its starting
+    * training sequence under a fixed token budget, scanning docs in
+    * (source, doc_id) order: seq_id = floor(preceding-tokens / budget).
+    * The greedy contiguous-packing approximation (docs may straddle a
+    * boundary; the trainer splits those) — what matters at scale is that
+    * the assignment is one running-sum window per source partition, no
+    * shuffle beyond the partition key.
+    */
+  val seqPacking = Q("t8_seq_packing",
+    s"""WITH t AS (SELECT source, doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |           FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum
+       |      FROM t)
+       |SELECT source, doc_id, n_tokens,
+       |       (cum - n_tokens) // $packBudget AS seq_id,
+       |       (cum - n_tokens) % $packBudget AS seq_offset
+       |FROM c""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+        .withColumn("cum", sum($"n_tokens").over(w))
+        .select($"source", $"doc_id", $"n_tokens",
+          expr(s"(cum - n_tokens) div $packBudget").as("seq_id"),
+          (($"cum" - $"n_tokens") % packBudget).as("seq_offset"))
+  }
+
+  /** T9: deterministic stratified sampling — keep 10% of each source
+    * stratum, selected by md5(doc_id) order (a stable pseudo-random
+    * permutation both engines compute identically; no rand()). The shape
+    * a data-mixture pipeline uses to downsample sources to target
+    * proportions, reproducibly.
+    */
+  val stratifiedSample = Q("t9_stratified_sample",
+    """WITH r AS (SELECT source, doc_id,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+      |             count(*) OVER (PARTITION BY source) AS n
+      |           FROM documents)
+      |SELECT source, doc_id, CAST(rn AS BIGINT) AS sample_rank
+      |FROM r WHERE rn <= CAST(ceil(CAST(n AS DOUBLE) * 0.10) AS BIGINT)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy(md5($"doc_id".cast("string")), $"doc_id")
+      val cw = Window.partitionBy($"source")
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter($"rn" <= ceil($"n".cast("double") * lit(0.10)).cast("long"))
+        .select($"source", $"doc_id", $"rn".cast("long").as("sample_rank"))
+  }
+
+  private val terms = Seq("fast", "slow", "spark")
+
+  /** T10: exact TF-IDF keyword retrieval (idf = N/df, no log — keeps the
+    * score a fixed multiply-add chain, IEEE-identical across engines):
+    * top-20 docs for a 3-term query. The document-frequency side is a
+    * single broadcast row; scoring is a narrow projection — at scale this
+    * runs at scan speed, and the top-k is a TakeOrdered, not a full sort.
+    */
+  val tfidfSearch = Q("t10_tfidf_search", {
+    val tfCols = terms.map(t =>
+      s"CAST(len([w for w in string_split(text, ' ') if w = '$t']) AS DOUBLE) AS tf_$t").mkString(", ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
+    val score = terms.map(t => s"tf_$t * (n / df_$t)").mkString(" + ")
+    s"""WITH tf AS (SELECT doc_id, $tfCols FROM documents),
+       |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |df AS (SELECT $dfCols FROM tf)
+       |SELECT doc_id, $score AS score
+       |FROM tf, stats, df
+       |WHERE $score > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val words = split($"text", " ")
+      val tf = docs.select(($"doc_id" +: terms.map(t =>
+        size(filter(words, w => w === t)).cast("double").as(s"tf_$t"))): _*)
+      val df = tf.agg(
+        count(lit(1)).cast("double").as("n"),
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
+      // fixed left-to-right sum — never a double SUM aggregate
+      val score = terms.map(t => col(s"tf_$t") * (col("n") / col(s"df_$t"))).reduce(_ + _)
+      tf.crossJoin(broadcast(df))
+        .select($"doc_id", score.as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+  }
+
+  val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch)
+}

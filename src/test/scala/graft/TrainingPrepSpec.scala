@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.TrainingPrep
+
+/** Invariants + plan shapes for the training-prep operators (value
+  * correctness is oracle-gated by the driver; these pin the semantics and
+  * the at-scale plan properties).
+  */
+class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  test("t8 packing: offsets stay inside the budget and sequences are contiguous") {
+    val rows = TrainingPrep.seqPacking.run(spark, sfDir)
+      .select($"source", $"doc_id", $"n_tokens", $"seq_id", $"seq_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, _, off) => off >= 0 && off < TrainingPrep.packBudget })
+    // per source, seq_id is non-decreasing in doc order and starts at 0
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_._2).map(_._4)
+      assert(ordered.head == 0L)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("t9 stratified sample: exactly ceil(10%) per stratum, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val strata = docs.groupBy($"source").count().as[(String, Long)].collect().toMap
+    val sampled = TrainingPrep.stratifiedSample.run(spark, sfDir)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    strata.foreach { case (src, n) =>
+      assert(sampled(src) == math.ceil(n * 0.10).toLong, s"stratum $src")
+    }
+    // same rows on a re-run: no rand() anywhere
+    val a = TrainingPrep.stratifiedSample.run(spark, sfDir).collect().toSet
+    val b = TrainingPrep.stratifiedSample.run(spark, sfDir).collect().toSet
+    assert(a == b)
+  }
+
+  test("t10 tf-idf: global top-k plans TakeOrderedAndProject, df side broadcast") {
+    val df = TrainingPrep.tfidfSearch.run(spark, sfDir)
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    // scores strictly ordered, no zero-score rows
+    val scores = df.select($"score").as[Double].collect()
+    assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
+  }
+
+  test("t7 gopher: top bigram covers a sane fraction and ties break lexicographically") {
+    val rows = TrainingPrep.gopherQuality.run(spark, sfDir)
+    assert(rows.filter($"frac_chars_top_bigram" <= 0).count() == 0)
+    // one row per doc that has at least 2 words
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.count() == nDocs)
+  }
+}
