@@ -317,27 +317,59 @@ object Dedup {
        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |      WHERE source $who 'src0')""".stripMargin
 
-  val contamination = Q("d6_contamination",
+  private val contaminationSql =
     s"""WITH eval_g AS (SELECT DISTINCT g FROM (${ngrams8("=")})),
        |train_g AS (${ngrams8("<>")})
        |SELECT t.doc_id AS train_doc,
        |       count(*) AS n_shared_ngrams
        |FROM train_g t JOIN eval_g e ON t.g = e.g
-       |GROUP BY t.doc_id""".stripMargin) {
+       |GROUP BY t.doc_id""".stripMargin
+
+  /** (doc_id, 8-gram) postings for one side of the decontamination split.
+    * size(w) guard: see [[shingles]] — Spark sequence(1, 0) is [1, 0],
+    * so docs under 8 words must be short-circuited to emit no 8-grams.
+    */
+  private def grams8(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        "CASE WHEN size(w) >= 8 THEN array_distinct(transform(sequence(1, size(w) - 7), " +
+          "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))) " +
+          "ELSE cast(array() AS array<string>) END")).as("g"))
+  }
+
+  val contamination = Q("d6_contamination", contaminationSql) {
     (s, dir) =>
       import s.implicits._
-      // size(w) guard: see shingles() — Spark sequence(1, 0) is [1, 0],
-      // so docs under 8 words must be short-circuited to emit no 8-grams
-      def grams(df: DataFrame) = df
-        .select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", explode(expr(
-          "CASE WHEN size(w) >= 8 THEN array_distinct(transform(sequence(1, size(w) - 7), " +
-            "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))) " +
-            "ELSE cast(array() AS array<string>) END")).as("g"))
       val docs = Tables.documents(s, dir)
-      val evalG = grams(docs.filter($"source" === "src0")).select($"g").distinct()
-      val trainG = grams(docs.filter($"source" =!= "src0"))
+      val evalG = grams8(docs.filter($"source" === "src0")).select($"g").distinct()
+      val trainG = grams8(docs.filter($"source" =!= "src0"))
       trainG.join(broadcast(evalG), "g")
+        .groupBy($"doc_id".as("train_doc"))
+        .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** D6b: the same decontamination with a broadcast BLOOM pre-filter on
+    * the train postings — the shape that wins at 100 TB: the sketch of the
+    * eval n-grams (KBs) reaches every scan task as a literal, and
+    * `bloom_might_contain` drops ~all clean postings at scan speed BEFORE
+    * the shuffle/join; the exact join then removes false positives, so the
+    * result — and the oracle — are identical to d6. At test SF the bloom
+    * costs more than it saves (tiny corpus); the point is the plan.
+    */
+  val contaminationBloom = Q("d6b_bloom_contamination", contaminationSql) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.BloomFilters.register(s)
+      val docs = Tables.documents(s, dir)
+      val evalG = grams8(docs.filter($"source" === "src0")).select($"g").distinct().cache()
+      val bloom = graft.functions.BloomFilters.bloomLiteral(
+        evalG, $"g", expectedItems = 100000L, fpp = 0.01)
+      val trainG = grams8(docs.filter($"source" =!= "src0"))
+      trainG
+        .filter(call_function("bloom_might_contain", bloom, xxhash64($"g")))
+        .join(broadcast(evalG), "g")
         .groupBy($"doc_id".as("train_doc"))
         .agg(count(lit(1)).as("n_shared_ngrams"))
   }
@@ -374,5 +406,5 @@ object Dedup {
   }
 
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
-    contamination, fuzzyMatch)
+    contamination, contaminationBloom, fuzzyMatch)
 }

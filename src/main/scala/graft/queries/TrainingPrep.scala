@@ -157,5 +157,34 @@ object TrainingPrep {
         .limit(20)
   }
 
-  val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch)
+  /** T11: curriculum binning — decile of the repetitiveness signal
+    * (distinct-token ratio, exact double) within each source stratum via
+    * `ntile`. One shuffle on `source`, then a per-partition sort — the
+    * partitioned form is what survives scale (a GLOBAL ntile would funnel
+    * the corpus through one task; at 100 TB the cut-points would instead
+    * come from `approx_percentile` and binning becomes a narrow
+    * projection — that variant trades oracle-exact boundaries for scan
+    * speed, so the exposed op is the per-stratum exact one).
+    */
+  val qualityDeciles = Q("t11_quality_deciles",
+    """WITH q AS (SELECT source, doc_id,
+      |             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |               / len(string_split(text, ' ')) AS distinct_ratio
+      |           FROM documents)
+      |SELECT source, doc_id, distinct_ratio,
+      |       CAST(ntile(10) OVER (PARTITION BY source
+      |                            ORDER BY distinct_ratio, doc_id) AS BIGINT) AS quality_decile
+      |FROM q""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val words = split($"text", " ")
+      val w = Window.partitionBy($"source").orderBy($"distinct_ratio", $"doc_id")
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id",
+          (size(array_distinct(words)).cast("double") / size(words)).as("distinct_ratio"))
+        .withColumn("quality_decile", ntile(10).over(w).cast("long"))
+  }
+
+  val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
+    qualityDeciles)
 }
