@@ -31,6 +31,39 @@ final case class BuyerProfile(
     buyer: String, n_orders: Long, revenue: Double,
     first_seen: String, last_seen: String)
 
+/** State-v2 processor behind [[StreamingIngest.buyerProfilesV2]]: one named
+  * ValueState per buyer, same fold as the flatMapGroupsWithState variant.
+  */
+class BuyerProfileProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Double, Int, String), BuyerProfile] {
+
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var profile: ValueState[BuyerProfile] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    profile = getHandle.getValueState[BuyerProfile]("profile",
+      org.apache.spark.sql.Encoders.product[BuyerProfile], TTLConfig.NONE)
+
+  override def handleInputRows(buyer: String,
+      rows: Iterator[(String, Double, Int, String)],
+      timerValues: TimerValues): Iterator[BuyerProfile] = {
+    val prev =
+      if (profile.exists()) profile.get()
+      else BuyerProfile(buyer, 0L, 0.0, null, null)
+    val batch = rows.toSeq
+    val next = BuyerProfile(
+      buyer,
+      prev.n_orders + batch.size,
+      prev.revenue + batch.map(r => r._2 * r._3).sum,
+      Option(prev.first_seen).getOrElse(batch.map(_._4).min),
+      (Option(prev.last_seen).toSeq ++ batch.map(_._4)).max)
+    profile.update(next)
+    Iterator.single(next)
+  }
+}
+
 object StreamingIngest {
 
   /** S7-shaped source: streaming scan of envelope JSON under
@@ -166,6 +199,28 @@ object StreamingIngest {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** The same lifetime buyer profile on Spark 4's arbitrary-state v2 API
+    * (`transformWithState`): explicit named [[org.apache.spark.sql.streaming.ValueState]]
+    * in the RocksDB state store instead of the single implicit
+    * `GroupState` blob. v2 is the forward path — typed named state
+    * (value/list/map), TTL, timers — and RocksDB puts the state on disk
+    * with changelog checkpointing, so per-key state is bounded by disk,
+    * not executor heap: the difference between 10⁶ and 10⁹ buyers.
+    *
+    * Requires `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (asserted equivalent to
+    * [[buyerProfiles]] and to a batch recompute in StreamingSpec).
+    */
+  def buyerProfilesV2(cleansed: DataFrame): org.apache.spark.sql.Dataset[BuyerProfile] = {
+    import cleansed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    cleansed
+      .selectExpr("buyer", "price", "quantity", "bronze_timestamp")
+      .as[(String, Double, Int, String)]
+      .groupByKey(_._1)
+      .transformWithState(new BuyerProfileProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream join: the freight-enrichment join (J1) with BOTH sides

@@ -36,6 +36,19 @@ class IvfDupSpec extends AnyFunSuite with SparkTestKit {
     assert(full == expected)
   }
 
+  test("IVF recall@1 at nprobe=k/2 stays useful (the recall/latency trade)") {
+    val vectors = Tables.embeddings(spark, sfDir)
+    val ivf = IvfIndex.build(spark, vectors, k = 8)
+    val probes = vectors.filter($"vec_id" < 64)
+    val exact = IvfIndex.query(spark, ivf, probes, nprobe = 8)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val approx = IvfIndex.query(spark, ivf, probes, nprobe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.6, f"recall@1 with half the cells fell to $recall%.2f")
+  }
+
   test("IVF assignment: every vector lands in its nearest cell, cells partition the corpus") {
     val vectors = Tables.embeddings(spark, sfDir)
     val ivf = IvfIndex.build(spark, vectors, k = 8)

@@ -146,6 +146,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     assert(mismatch == 0)
   }
 
+  test("transformWithState (state v2, RocksDB): profiles match v1 and batch") {
+    val bronzeDir = tmp("bronze5")
+    val outDir = tmp("profilesv2")
+    val ckpt = tmp("ckpt5")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def drain(): Unit = {
+        val q = StreamingIngest.buyerProfilesV2(
+          StreamingIngest.cleanseStream(
+            StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[BuyerProfile], _: Long) =>
+            batch.write.mode("append").parquet(outDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      writeBronzeBatch(bronzeDir, GenSpec(joor = 40))
+      drain()
+      writeBronzeBatch(bronzeDir, GenSpec(joor = 40, seed = 99))
+      drain()
+
+      val latest = spark.read.parquet(outDir)
+        .groupBy($"buyer").agg(max($"n_orders").as("n_orders"))
+      val total = latest.agg(org.apache.spark.sql.functions.sum($"n_orders")).first.getLong(0)
+      assert(total == 80, s"state lost across batches: $total")
+      val batchCounts = Cleanse.joor(Cleanse.flatten(
+        spark.read.schema(Schemas.bronzeEnvelope(Schemas.joorRaw)).json(bronzeDir)))
+        .groupBy($"buyer").count()
+      val mismatch = latest.join(batchCounts, Seq("buyer"))
+        .filter($"n_orders" =!= $"count").count()
+      assert(mismatch == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("session_window aggregation agrees with the w4 window-composition sessionizer") {
+    // the built-in session_window (gap merge) and the lag→flag→running-sum
+    // composition must carve identical sessions: same count per user, same
+    // total, on the real events table
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.eventsWithTime(spark, dir)
+    val builtIn = ev
+      .groupBy($"user_id", session_window($"event_time", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    val composed = graft.queries.AdvancedOps.sessionize.run(spark, dir)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+    val diff = builtIn.as("a").join(composed.as("b"), Seq("user_id"), "full")
+      .filter($"a.n_sessions" =!= $"b.n_sessions" || $"a.n_events" =!= $"b.n_events"
+        || $"a.n_sessions".isNull || $"b.n_sessions".isNull)
+    assert(diff.count() == 0, diff.collect().take(5).mkString("\n"))
+  }
+
   test("kafka wire decode: binary value rows → bronze envelope → silver") {
     // no broker in-container, so exercise the decode half on hand-built
     // rows carrying Kafka's exact wire schema: binary key/value plus
