@@ -158,5 +158,44 @@ object AdvancedOps {
         .select($"event_id", $"k".as("user_id"), $"last_order_key")
   }
 
-  val queries: Seq[Q] = Seq(sessionize, rollupAgg, pivotRevenue, asofJoin)
+  /** J6: pure range (interval) join — NO equi key anywhere: for each
+    * purchase event, count error events from ANY user in the 10 minutes
+    * before it. Naively this is a cartesian with a range predicate
+    * (BroadcastNestedLoopJoin — the classic Spark range-join trap); the
+    * distributed shape is TIME BUCKETING: quantize both sides to
+    * window-sized buckets, a probe's window spans ≤ 2 buckets
+    * (⌈w/bucket⌉+1 in general), equi-join on the bucket id, verify the
+    * exact range in-bucket. Cost is Σ per-bucket products — linear for
+    * time-uniform streams — and the plan is a plain hash join
+    * (PlanSpec-asserted cartesian-free). DuckDB's oracle uses its native
+    * IEJoin range join; results are identical integer counts.
+    */
+  val rangeJoin = Q("j6_range_join",
+    """WITH p AS (SELECT event_id, epoch_us(ts) AS t_us FROM events
+      |           WHERE event_type = 'purchase'),
+      |err AS (SELECT epoch_us(ts) AS e_us FROM events WHERE event_type = 'error'),
+      |cnt AS (SELECT p.event_id, count(*) AS n_errors
+      |        FROM p JOIN err
+      |          ON err.e_us >= p.t_us - 600000000 AND err.e_us < p.t_us
+      |        GROUP BY 1)
+      |SELECT p.event_id, coalesce(c.n_errors, 0) AS n_errors
+      |FROM p LEFT JOIN cnt c ON p.event_id = c.event_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val win = 600000000L // 10 min in µs; bucket size == window size
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"event_type", expr("ts div 1000").as("t_us"))
+      val p = ev.filter($"event_type" === "purchase").select($"event_id", $"t_us")
+      val err = ev.filter($"event_type" === "error")
+        .select($"t_us".as("e_us"), expr(s"t_us div $win").as("bucket"))
+      val pb = p.withColumn("bucket", explode(array_distinct(array(
+        expr(s"(t_us - $win) div $win"), expr(s"t_us div $win")))))
+      val cnt = pb.join(err, "bucket")
+        .filter($"e_us" >= $"t_us" - win && $"e_us" < $"t_us")
+        .groupBy($"event_id").agg(count(lit(1)).as("n_errors"))
+      p.join(cnt, Seq("event_id"), "left")
+        .select($"event_id", coalesce($"n_errors", lit(0L)).as("n_errors"))
+  }
+
+  val queries: Seq[Q] = Seq(sessionize, rollupAgg, pivotRevenue, asofJoin, rangeJoin)
 }

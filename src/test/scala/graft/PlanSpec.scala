@@ -93,6 +93,12 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       || p.contains("ShuffledHashJoin"), s"expected a hash/merge equi-join:\n$p")
   }
 
+  test("j6 range join: time-bucket equi-join, no nested-loop cartesian") {
+    val p = simplePlanOf(AdvancedOps.rangeJoin.run(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a cartesian:\n$p")
+  }
+
   test("e1 cosine top-k: broadcasts the probe side, never the corpus") {
     val p = simplePlanOf(Similarity.cosineTopK.run(spark, sfDir))
     // the only broadcast subtree must be the vec_id<8 probe set; the
