@@ -93,6 +93,35 @@ object AdvancedOps {
           $"total_balance", $"n_customers")
   }
 
+  /** A9: CUBE — all four grouping-set combinations over
+    * (returnflag, linestatus) with grouping flags; completes the
+    * hierarchical-aggregate family next to A8's ROLLUP. Same exact-decimal
+    * discipline for the double sum.
+    */
+  val cubeAgg = Q("a9_cube",
+    """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+      |       coalesce(l_linestatus, '(all)') AS linestatus,
+      |       CAST(grouping(l_returnflag) AS INT) AS is_rf_total,
+      |       CAST(grouping(l_linestatus) AS INT) AS is_ls_total,
+      |       count(*) AS n_items,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(
+          grouping($"l_returnflag").cast("int").as("is_rf_total"),
+          grouping($"l_linestatus").cast("int").as("is_ls_total"),
+          count(lit(1)).as("n_items"),
+          sum(Exact.dec2($"l_quantity")).cast("double").as("total_qty"))
+        .select(
+          coalesce($"l_returnflag", lit("(all)")).as("returnflag"),
+          coalesce($"l_linestatus", lit("(all)")).as("linestatus"),
+          $"is_rf_total", $"is_ls_total", $"n_items", $"total_qty")
+  }
+
   /** P9: pivot — revenue by order-year × market segment. The Spark side
     * uses the native `pivot`; the oracle spells out the equivalent
     * conditional aggregation (engine-portable and column-name-stable).
@@ -197,5 +226,6 @@ object AdvancedOps {
         .select($"event_id", coalesce($"n_errors", lit(0L)).as("n_errors"))
   }
 
-  val queries: Seq[Q] = Seq(sessionize, rollupAgg, pivotRevenue, asofJoin, rangeJoin)
+  val queries: Seq[Q] = Seq(sessionize, rollupAgg, cubeAgg, pivotRevenue, asofJoin,
+    rangeJoin)
 }

@@ -185,6 +185,36 @@ object TrainingPrep {
         .withColumn("quality_decile", ntile(10).over(w).cast("long"))
   }
 
+  val mixBudget = 800L
+
+  /** T12: token-budget mixture sampling — the data-mixture primitive: from
+    * each source, keep documents (in the deterministic md5 shuffle order of
+    * [[stratifiedSample]]) until the source's token budget fills. One
+    * running-sum window per source; integer arithmetic end-to-end. Weighted
+    * mixtures = a per-source budget column instead of the constant.
+    */
+  val tokenBudgetMix = Q("t12_token_budget_mix",
+    s"""WITH r AS (SELECT source, doc_id,
+       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |             md5(CAST(doc_id AS VARCHAR)) AS h
+       |           FROM documents),
+       |c AS (SELECT source, doc_id, n_tokens,
+       |        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+       |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+       |      FROM r)
+       |SELECT source, doc_id, n_tokens, cum_tokens
+       |FROM c WHERE cum_tokens <= $mixBudget""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id", size(split($"text", " ")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= mixBudget)
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
-    qualityDeciles)
+    qualityDeciles, tokenBudgetMix)
 }

@@ -50,6 +50,31 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     assert(scores.forall(_ > 0) && scores.sameElements(scores.sortBy(-_)))
   }
 
+  test("t12 mixture: each stratum fills to — and never over — its token budget") {
+    val rows = TrainingPrep.tokenBudgetMix.run(spark, sfDir)
+      .select($"source", $"cum_tokens").as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 <= TrainingPrep.mixBudget))
+    // maximal: the kept set per source cannot be extended (its cum is the
+    // largest <= budget, so the NEXT doc in hash order must overflow);
+    // proven by recomputing without the filter
+    val all = Tables.documents(spark, sfDir)
+      .select($"source", $"doc_id",
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val kept = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    all.groupBy(_._1).foreach { case (src, docs) =>
+      val ordered = docs.sortBy { case (_, id, _) =>
+        (java.security.MessageDigest.getInstance("MD5").digest(id.toString.getBytes)
+          .map("%02x".format(_)).mkString, id)
+      }
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val expectedMax = cums.takeWhile(_ <= TrainingPrep.mixBudget).lastOption.getOrElse(0L)
+      assert(kept.getOrElse(src, 0L) == expectedMax, s"stratum $src not maximal")
+    }
+  }
+
   test("t7 gopher: top bigram covers a sane fraction and ties break lexicographically") {
     val rows = TrainingPrep.gopherQuality.run(spark, sfDir)
     assert(rows.filter($"frac_chars_top_bigram" <= 0).count() == 0)
