@@ -157,5 +157,58 @@ object Similarity {
         .filter($"cosine" >= 0.40)
   }
 
-  val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup)
+  /** E5: multi-probe sign-bucket ANN — each probe searches its own bucket
+    * PLUS the 4 hamming-1 neighbor buckets (one sign bit flipped), the
+    * standard recall lever when a query sits near a hyperplane: vectors
+    * split across the boundary land one bit away. Spark plans it as an
+    * explode of the 5 probe buckets + the same equi-join as e2 — per-probe
+    * cost is 5/16 of the corpus instead of 1/16, still never all-pairs.
+    * The oracle joins on bit_count(xor(bucket)) <= 1 directly (16 bucket
+    * ids — trivial for DuckDB; the explode form is the distributed shape).
+    */
+  val annMultiProbe = Q("e5_multiprobe_ann", {
+    def sig(t: String) = (0 until 4)
+      .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
+      .mkString(" + ")
+    val d = dotSql.format("q.embedding", "c.embedding")
+    val nq = dotSql.format("embedding", "embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, sqrt($nq) AS nrm, ${sig("embeddings")} AS bucket
+       |           FROM embeddings WHERE vec_id < 32),
+       |c AS (SELECT vec_id, embedding, label, sqrt($nq) AS nrm, ${sig("embeddings")} AS bucket FROM embeddings),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |         $d / (q.nrm * c.nrm) AS cosine
+       |  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank = 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.FloatVecDot.register(s)
+      def sig(emb: Column): Column = (0 until 4)
+        .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
+        .reduce(_ + _)
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
+          norm($"embedding").as("nrm"))
+      val q = e.filter($"vec_id" < 32)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
+          $"nrm".as("q_nrm"))
+        .withColumn("probe_bucket", explode(array(
+          $"bucket" +: (0 until 4).map(b => $"bucket".bitwiseXOR(lit(1 << b))): _*)))
+        .drop("bucket")
+      val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+        $"label".as("neighbor_label"), $"bucket".as("probe_bucket"), $"nrm".as("c_nrm"))
+      val sims = q.join(c, Seq("probe_bucket"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id", $"neighbor_label",
+          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
+        .drop("rank")
+  }
+
+  val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe)
 }

@@ -75,6 +75,39 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("e5 multi-probe dominates e2 single-probe: best neighbor never worse") {
+    val single = graft.queries.Similarity.annSignBucket.run(spark, sfDir)
+      .select($"query_id", $"cosine").as[(Long, Double)].collect().toMap
+    val multi = graft.queries.Similarity.annMultiProbe.run(spark, sfDir)
+      .select($"query_id", $"cosine").as[(Long, Double)].collect().toMap
+    assert(multi.keySet.intersect(single.keySet).nonEmpty)
+    single.foreach { case (q, c) =>
+      assert(multi(q) >= c, s"probe $q: multi ${multi(q)} < single $c")
+    }
+  }
+
+  test("t11 scale path: approx-percentile binning agrees with exact ntile deciles") {
+    // the documented 100 TB swap: cut points from approx_percentile + a
+    // narrow binning projection. Boundary docs may shift one decile; the
+    // bulk must agree.
+    import org.apache.spark.sql.functions._
+    val exact = graft.queries.TrainingPrep.qualityDeciles.run(spark, sfDir)
+    val ratios = exact.select($"source", $"doc_id", $"distinct_ratio")
+    val cuts = ratios.groupBy($"source").agg(
+      percentile_approx($"distinct_ratio",
+        array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("cuts"))
+    val approxBins = ratios.join(cuts, "source")
+      .select($"source", $"doc_id",
+        (aggregate(filter($"cuts", c => c < $"distinct_ratio"),
+          lit(1), (acc, _) => acc + 1)).cast("long").as("approx_decile"))
+    val joined = exact.select($"source", $"doc_id", $"quality_decile")
+      .join(approxBins, Seq("source", "doc_id"))
+    val n = joined.count()
+    val agree = joined.filter(abs($"quality_decile" - $"approx_decile") <= 1).count()
+    assert(agree.toDouble / n >= 0.95,
+      s"approx binning diverged: $agree/$n within one decile")
+  }
+
   test("t7 gopher: top bigram covers a sane fraction and ties break lexicographically") {
     val rows = TrainingPrep.gopherQuality.run(spark, sfDir)
     assert(rows.filter($"frac_chars_top_bigram" <= 0).count() == 0)
