@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(exprs(0), exprs(1))))
+    // optimizer rule: unbounded levenshtein<=k verify predicates → length
+    // pre-filter + banded early-exit levenshtein (graft.plans)
+    ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
   }
 }
 
