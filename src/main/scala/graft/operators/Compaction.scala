@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction for parquet table directories — the maintenance
+  * pass every streaming sink needs: micro-batches append one file per
+  * trigger per partition, and a month of 60 s triggers is ~43k files whose
+  * open/footer costs dominate scans long before data size does.
+  *
+  * Strategy: size the target file count from the directory's actual bytes
+  * (`ceil(bytes / targetFileBytes)`), rewrite with `repartition(n)`, then
+  * atomically swap directories (write to `<dir>.compact.tmp`, rename the
+  * old dir away, rename the new one in, drop the old). Readers see either
+  * the old or the new layout, never a mix. Content is byte-equal rows —
+  * only the file layout changes.
+  *
+  * Scale notes: at 100 TB run this per PARTITION directory (month_key=…)
+  * after the partition goes cold — each compaction is then an independent,
+  * idempotent, partition-sized job. The rewrite is one shuffle-free scan
+  * when coalescing down (repartition used deliberately: it rebalances
+  * skewed micro-batch files instead of concatenating them unevenly).
+  */
+object Compaction {
+
+  final case class Stats(filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parquetFiles = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val bytes = parquetFiles.map(_.getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+
+    val tmp = new Path(dir + ".compact.tmp")
+    val old = new Path(dir + ".compact.old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    spark.read.parquet(dir).repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(path, old))
+      throw new IllegalStateException(s"compaction: could not move $dir aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(old, path) // roll back
+      throw new IllegalStateException(s"compaction: could not swap in $tmp")
+    }
+    fs.delete(old, true)
+
+    val after = fs.listStatus(path).count(_.getPath.getName.endsWith(".parquet"))
+    Stats(parquetFiles.length, after, bytes)
+  }
+}

@@ -248,6 +248,30 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     assert(decoded.count() == 1 && decoded.filter($"raw_api_data".isNull).count() == 1)
   }
 
+  test("dead-letter routing: bad value bytes split off with replay coordinates") {
+    val good =
+      """{"raw_api_data":{"order_id":"J-9","buyer":"B","quantity":1,"price":"5.00",
+        |"currency":"USD","payment":"stripe","country":"US","sku":"JOR-1","product":"P",
+        |"date":"2025-05-01T10:00:00"},"kafka_metadata":{"topic":"raw_joor_orders",
+        |"partition":0,"offset":7,"stream_timestamp":"2025-05-01T10:00:01",
+        |"bronze_timestamp":"2025-05-01T10:00:01.000001"}}""".stripMargin.replace("\n", "")
+    val wire = Seq(
+      ("k".getBytes, good.getBytes, "raw_joor_orders", 0, 7L,
+        java.sql.Timestamp.valueOf("2025-05-01 10:00:01"), 0),
+      ("k".getBytes, "garbage{{{".getBytes, "raw_joor_orders", 1, 42L,
+        java.sql.Timestamp.valueOf("2025-05-01 10:00:02"), 0))
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+
+    val (valid, dead) = StreamingIngest.decodeKafkaEnvelopeWithDlq(wire, Schemas.joorRaw)
+    assert(valid.count() == 1)
+    assert(valid.select($"raw_api_data.order_id").as[String].head() == "J-9")
+    val d = dead.select($"topic", $"partition", $"offset", $"raw_value")
+      .as[(String, Int, Long, Array[Byte])].collect()
+    assert(d.length == 1)
+    assert(d.head._3 == 42L) // replay coordinate preserved
+    assert(new String(d.head._4) == "garbage{{{") // raw bytes preserved
+  }
+
   test("kafka plan construction (connector-dependent)") {
     // this container ships no spark-sql-kafka jar; with the connector the
     // plan must build with the envelope schema, without it the failure is
