@@ -50,11 +50,21 @@ object SparkEntry {
       // union-find/BSP equivalence gate lives in DupClustersSpec
       graft.operators.DupClusters.dupClustersQ,
       // deterministic per-group bottom-k sampling via the custom
-      // TypedImperativeAggregate (JVM hash → no SQL oracle; determinism
-      // across partitionings gated in BottomKSampleSpec). The driver-facing
-      // column is the comma-joined sample list — a scalar the rows-only
-      // compare can sort (an array column crashes its pandas sort).
-      Q.noOracle("t6_group_sample") { (s, dir) =>
+      // TypedImperativeAggregate. The selection key is md5("seed:value"),
+      // so the oracle derives the identical sample with a window over
+      // md5 — the single-pass mergeable aggregate is the Spark-side value;
+      // the SQL proves the selection rule. Output is the comma-joined
+      // sample list (a scalar the driver's compare can sort).
+      Q("t6_group_sample",
+        """WITH r AS (
+          |  SELECT source, CAST(doc_id AS VARCHAR) AS v,
+          |         md5('42:' || CAST(doc_id AS VARCHAR)) AS h,
+          |         row_number() OVER (PARTITION BY source
+          |                            ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)),
+          |                                     CAST(doc_id AS VARCHAR)) AS rn
+          |  FROM documents)
+          |SELECT source, string_agg(v, ',' ORDER BY h, v) AS sample_ids
+          |FROM r WHERE rn <= 5 GROUP BY source""".stripMargin) { (s, dir) =>
         import org.apache.spark.sql.functions._
         graft.functions.BottomKSample.register(s)
         graft.Tables.documents(s, dir)

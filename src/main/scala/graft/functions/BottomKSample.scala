@@ -11,20 +11,26 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Deterministic fixed-size group sampling: keep the k values whose
-  * seeded hash is smallest ("bottom-k sketch").
+  * seeded selection key is smallest ("bottom-k sketch").
   *
   * Why a custom `TypedImperativeAggregate` (the aggregate-expression
   * layer of SURVEY §2.9): Spark has no per-group fixed-k sample —
   * `TABLESAMPLE` is per-fraction and not per-group, and a reservoir
   * sample is merge-order-dependent (partial aggregation order would
   * change the result between runs). Bottom-k is the mergeable,
-  * deterministic alternative: min-k by hash is commutative and
+  * deterministic alternative: min-k by key is commutative and
   * associative, so ANY partial/merge order yields the same sample — the
   * property a training-data pipeline needs for reproducible subset
   * selection at 100 TB (and it doubles as a KMV distinct-count sketch).
   *
-  * Buffer: a bounded max-heap of (hash, value); serialized compactly for
-  * shuffle. Output: the sampled values ordered by hash (stable).
+  * The selection key is the md5 hex of `"<seed>:<value>"` — not a JVM
+  * hash — so the sample is reproducible OUTSIDE the JVM too: any engine
+  * with md5 derives the identical sample (the DuckDB oracle for
+  * `t6_group_sample` does exactly that with `row_number() OVER (ORDER BY
+  * md5(seed || ':' || v))`).
+  *
+  * Buffer: a bounded max-heap of (key, value); serialized compactly for
+  * shuffle. Output: the sampled values ordered by key (stable).
   */
 case class BottomKSample(
     child: Expression,
@@ -32,7 +38,7 @@ case class BottomKSample(
     seed: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, String)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(String, String)]] {
 
   require(k > 0, "k must be positive")
 
@@ -40,50 +46,51 @@ case class BottomKSample(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType)
 
-  private def hashOf(s: String): Long = {
-    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val h1 = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed)
-    val h2 = scala.util.hashing.MurmurHash3.bytesHash(bytes, seed * 31 + 17)
-    (h1.toLong << 32) ^ (h2.toLong & 0xffffffffL)
+  private def keyOf(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$seed:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
-  // max-heap on hash: head is the current worst member, evicted first
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, String)] =
-    mutable.PriorityQueue.empty[(Long, String)](Ordering.by(_._1))
+  // max-heap on (key, value): head is the current worst member, evicted first
+  private val ord: Ordering[(String, String)] = Ordering.Tuple2[String, String]
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(String, String)] =
+    mutable.PriorityQueue.empty[(String, String)](ord)
 
   override def update(
-      buf: mutable.PriorityQueue[(Long, String)],
-      input: InternalRow): mutable.PriorityQueue[(Long, String)] = {
+      buf: mutable.PriorityQueue[(String, String)],
+      input: InternalRow): mutable.PriorityQueue[(String, String)] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
-      val h = hashOf(s)
-      if (buf.size < k) buf.enqueue((h, s))
-      else if (h < buf.head._1) { buf.dequeue(); buf.enqueue((h, s)) }
+      val e = (keyOf(s), s)
+      if (buf.size < k) buf.enqueue(e)
+      else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
     }
     buf
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(Long, String)],
-      other: mutable.PriorityQueue[(Long, String)]): mutable.PriorityQueue[(Long, String)] = {
-    other.foreach { case (h, s) =>
-      if (buf.size < k) buf.enqueue((h, s))
-      else if (h < buf.head._1) { buf.dequeue(); buf.enqueue((h, s)) }
+      buf: mutable.PriorityQueue[(String, String)],
+      other: mutable.PriorityQueue[(String, String)]): mutable.PriorityQueue[(String, String)] = {
+    other.foreach { e =>
+      if (buf.size < k) buf.enqueue(e)
+      else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
     }
     buf
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Long, String)]): Any =
+  override def eval(buf: mutable.PriorityQueue[(String, String)]): Any =
     new GenericArrayData(
-      buf.toSeq.sortBy(_._1).map(p => UTF8String.fromString(p._2)).toArray[Any])
+      buf.toSeq.sorted(ord).map(p => UTF8String.fromString(p._2)).toArray[Any])
 
-  override def serialize(buf: mutable.PriorityQueue[(Long, String)]): Array[Byte] = {
+  override def serialize(buf: mutable.PriorityQueue[(String, String)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (h, s) =>
-      out.writeLong(h)
+      out.writeUTF(h)
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       out.writeInt(b.length)
       out.write(b)
@@ -92,12 +99,12 @@ case class BottomKSample(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, String)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(String, String)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      val h = in.readLong()
+      val h = in.readUTF()
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)
