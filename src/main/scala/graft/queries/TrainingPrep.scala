@@ -48,11 +48,15 @@ object TrainingPrep {
           "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i])) " +
             "ELSE cast(array() AS array<string>) END")).as("bigram"))
         .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("freq"))
-      val w = Window.partitionBy($"doc_id").orderBy($"freq".desc, $"bigram")
-      bgc.withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      // argmax via min(struct(-freq, bigram)) — max freq with lexicographic-
+      // min tiebreak, matching the oracle's window — as one partial-agg
+      // hash aggregate instead of a window's shuffle+sort (at 100 TB the
+      // sort is the cost; the aggregate combines map-side)
+      bgc.groupBy($"doc_id")
+        .agg(min(struct((-$"freq").as("nf"), $"bigram")).as("m"))
         .join(docs.select($"doc_id", $"n_chars"), "doc_id")
-        .select($"doc_id", $"bigram".as("top_bigram"), $"freq".as("top_bigram_freq"),
-          (($"freq" * length($"bigram")).cast("double") / $"n_chars")
+        .select($"doc_id", $"m.bigram".as("top_bigram"), (-$"m.nf").as("top_bigram_freq"),
+          ((-$"m.nf" * length($"m.bigram")).cast("double") / $"n_chars")
             .as("frac_chars_top_bigram"))
   }
 
