@@ -219,6 +219,55 @@ object TrainingPrep {
         .filter($"cum_tokens" <= mixBudget)
   }
 
+  /** T13: PII detect + redact ([[graft.operators.PiiScrub]]) — exercised
+    * on deterministic PII-bearing text synthesized from the customer
+    * table (the corpus itself contains none), so the regex semantics are
+    * oracle-verified cross-engine: counts before scrubbing and the fully
+    * redacted text must match DuckDB's RE2 evaluation of the identical
+    * patterns byte-for-byte.
+    */
+  val piiScrub = Q("t13_pii_scrub", {
+    import graft.operators.PiiScrub
+    def count(re: String) = s"CAST(len(regexp_extract_all(t, '$re')) AS BIGINT)"
+    val scrubbed =
+      s"""regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |  t, '${PiiScrub.emailRe}', '[EMAIL]', 'g'),
+         |     '${PiiScrub.urlRe}', '[URL]', 'g'),
+         |     '${PiiScrub.cardRe}', '[CARD]', 'g'),
+         |     '${PiiScrub.phoneRe}', '[PHONE]', 'g')""".stripMargin
+    s"""WITH src AS (
+       |  SELECT c_custkey,
+       |         'contact ' || replace(c_name, ' ', '.') || '@corp.example call +1415555'
+       |           || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+       |           || ' card 4111 1111 1111 ' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+       |           || ' site https://ex.example/u/' || CAST(c_custkey AS VARCHAR) AS t
+       |  FROM customer)
+       |SELECT c_custkey,
+       |       ${count(PiiScrub.emailRe)} AS n_emails,
+       |       ${count(PiiScrub.urlRe)} AS n_urls,
+       |       ${count(PiiScrub.cardRe)} AS n_cards,
+       |       $scrubbed AS scrubbed
+       |FROM src""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      import graft.operators.PiiScrub
+      val t = concat(
+        lit("contact "), regexp_replace($"c_name", " ", "."),
+        lit("@corp.example call +1415555"),
+        lpad(pmod($"c_custkey", lit(10000)).cast("string"), 4, "0"),
+        lit(" card 4111 1111 1111 "),
+        lpad(pmod($"c_custkey", lit(10000)).cast("string"), 4, "0"),
+        lit(" site https://ex.example/u/"), $"c_custkey".cast("string"))
+      Tables.customer(s, dir)
+        .select($"c_custkey", t.as("t"))
+        .select($"c_custkey",
+          regexp_count($"t", lit(PiiScrub.emailRe)).cast("long").as("n_emails"),
+          regexp_count($"t", lit(PiiScrub.urlRe)).cast("long").as("n_urls"),
+          regexp_count($"t", lit(PiiScrub.cardRe)).cast("long").as("n_cards"),
+          PiiScrub.scrub($"t").as("scrubbed"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
-    qualityDeciles, tokenBudgetMix)
+    qualityDeciles, tokenBudgetMix, piiScrub)
 }
