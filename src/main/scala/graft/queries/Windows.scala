@@ -80,5 +80,32 @@ object Windows {
         .select($"o_orderkey", dec2($"o_totalprice").cast("double").as("total"))
   }
 
-  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal)
+  /** W5: the ranking-function family in one query — rank / dense_rank /
+    * percent_rank / cume_dist / ntile over each customer's order history.
+    * percent_rank = (rank−1)/(n−1) and cume_dist = rank_max/n are single
+    * IEEE divisions of exact integers → bit-identical cross-engine. One
+    * shuffle on the partition key, like every window here.
+    */
+  val rankFamily = Q("w5_rank_family",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(rank() OVER w AS BIGINT) AS rnk,
+      |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |       percent_rank() OVER w AS prnk,
+      |       cume_dist() OVER w AS cdist,
+      |       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal, rankFamily)
 }
