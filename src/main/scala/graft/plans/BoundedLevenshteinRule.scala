@@ -34,15 +34,22 @@ import org.apache.spark.sql.types.IntegerType
   */
 object BoundedLevenshteinRule extends Rule[LogicalPlan] {
 
+  private def bounded(a: Expression, b: Expression, k: Expression): Expression =
+    And(
+      LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k),
+      GreaterThanOrEqual(new Levenshtein(a, b, k), Literal(0)))
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
-        And(
-          LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k),
-          GreaterThanOrEqual(new Levenshtein(a, b, k), Literal(0)))
+        bounded(a, b, k)
       case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
-        And(
-          LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k),
-          GreaterThanOrEqual(new Levenshtein(a, b, k), Literal(0)))
+        bounded(a, b, k)
+      // strict bound: lev < k ≡ lev <= k−1 (k ≥ 1; k ≤ 0 is constant-folded
+      // false upstream since levenshtein is non-negative)
+      case LessThan(Levenshtein(a, b, None), Literal(k: Int, IntegerType)) if k >= 1 =>
+        bounded(a, b, Literal(k - 1))
+      case GreaterThan(Literal(k: Int, IntegerType), Levenshtein(a, b, None)) if k >= 1 =>
+        bounded(a, b, Literal(k - 1))
     }
 }

@@ -16,4 +16,18 @@ object Memo {
 
   def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent((s, dir, key), _ => build.persist())
+
+  /** Unpersist and drop every memo of one session (long-lived sessions
+    * that cycle through many datasets should call this between them).
+    */
+  def clear(s: SparkSession): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq s) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+  }
 }

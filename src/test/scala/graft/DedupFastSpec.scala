@@ -24,6 +24,12 @@ class DedupFastSpec extends AnyFunSuite with SparkTestKit {
       s"onlyMd5=${md5Pairs -- fastPairs} onlyFast=${fastPairs -- md5Pairs}")
   }
 
+  test("Memo.clear unpersists and rebuilding still yields the same pairs") {
+    val before = Dedup.minhashPairs(spark, sfDir).count()
+    graft.queries.Memo.clear(spark)
+    assert(Dedup.minhashPairs(spark, sfDir).count() == before)
+  }
+
   test("fast minhash stays a banded equi-join (no cartesian)") {
     val p = Dedup.minhashLshFast.run(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))

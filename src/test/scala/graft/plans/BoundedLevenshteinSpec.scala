@@ -30,6 +30,15 @@ class BoundedLevenshteinSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("strict bound lev < k rewrites to threshold k-1") {
+    withRule {
+      val opt = graft.Tables.customer(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.expr("levenshtein(c_name, c_mktsegment) < 2"))
+        .queryExecution.optimizedPlan.toString
+      assert(opt.contains("Some(1)) >= 0"), s"strict-bound rewrite missing:\n$opt")
+    }
+  }
+
   test("rewrite preserves the d7 fuzzy-match result exactly (incl. nulls)") {
     val baseline = graft.queries.Dedup.fuzzyMatch.run(spark, sfDir).collect().toSet
     val optimized = withRule {
