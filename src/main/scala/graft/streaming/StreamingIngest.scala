@@ -31,6 +31,37 @@ final case class BuyerProfile(
     buyer: String, n_orders: Long, revenue: Double,
     first_seen: String, last_seen: String)
 
+/** State-v2 MapState processor behind [[StreamingIngest.buyerSkuCounts]]:
+  * one (buyer → sku → count) entry per RocksDB key; only touched entries
+  * are read/written per batch.
+  */
+class BuyerSkuCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, String), (String, String, Long)] {
+
+  import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var counts: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    counts = getHandle.getMapState[String, Long]("sku_counts",
+      org.apache.spark.sql.Encoders.STRING,
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(buyer: String,
+      rows: Iterator[(String, String)],
+      timerValues: TimerValues): Iterator[(String, String, Long)] = {
+    val touched = scala.collection.mutable.LinkedHashMap[String, Long]()
+    rows.foreach { case (_, sku) =>
+      val cur = touched.getOrElse(sku,
+        if (counts.containsKey(sku)) counts.getValue(sku) else 0L)
+      touched(sku) = cur + 1
+    }
+    touched.foreach { case (sku, n) => counts.updateValue(sku, n) }
+    touched.iterator.map { case (sku, n) => (buyer, sku, n) }
+  }
+}
+
 /** State-v2 processor behind [[StreamingIngest.buyerProfilesV2]]: one named
   * ValueState per buyer, same fold as the flatMapGroupsWithState variant.
   */
@@ -243,6 +274,24 @@ object StreamingIngest {
       .as[(String, Double, Int, String)]
       .groupByKey(_._1)
       .transformWithState(new BuyerProfileProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Per-buyer per-SKU lifetime counts on state-v2 `MapState` — the
+    * keyed-sub-map primitive `GroupState` could only fake with a whole
+    * serialized Map value (rewriting the ENTIRE map per batch). MapState
+    * stores each (buyer → sku) entry as its own RocksDB key: a batch
+    * touching 2 of a buyer's 10k SKUs writes 2 entries, not 10k — the
+    * state-write asymptotics that matter when keys are wide at scale.
+    * Emits only the (buyer, sku, n) entries updated in the batch.
+    */
+  def buyerSkuCounts(cleansed: DataFrame): org.apache.spark.sql.Dataset[(String, String, Long)] = {
+    import cleansed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    cleansed
+      .selectExpr("buyer", "sku")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new BuyerSkuCountProcessor, TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream join: the freight-enrichment join (J1) with BOTH sides

@@ -189,6 +189,49 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("transformWithState MapState: per-buyer sku counts match batch recompute") {
+    val bronzeDir = tmp("bronze6")
+    val outDir = tmp("skucounts")
+    val ckpt = tmp("ckpt6")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def drain(): Unit = {
+        val q = StreamingIngest.buyerSkuCounts(
+          StreamingIngest.cleanseStream(
+            StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"))
+          .toDF("buyer", "sku", "n")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      writeBronzeBatch(bronzeDir, GenSpec(joor = 40))
+      drain()
+      writeBronzeBatch(bronzeDir, GenSpec(joor = 40, seed = 99))
+      drain()
+
+      // the LAST emitted count per (buyer, sku) is the lifetime count
+      val latest = spark.read.parquet(outDir)
+        .groupBy($"buyer", $"sku").agg(max($"n").as("n"))
+      val batchCounts = Cleanse.joor(Cleanse.flatten(
+        spark.read.schema(Schemas.bronzeEnvelope(Schemas.joorRaw)).json(bronzeDir)))
+        .groupBy($"buyer", $"sku").count()
+      val mismatch = latest.join(batchCounts, Seq("buyer", "sku"), "full")
+        .filter($"n" =!= $"count" || $"n".isNull || $"count".isNull).count()
+      assert(mismatch == 0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window aggregation agrees with the w4 window-composition sessionizer") {
     // the built-in session_window (gap merge) and the lag→flag→running-sum
     // composition must carve identical sessions: same count per user, same
