@@ -268,6 +268,45 @@ object TrainingPrep {
           PiiScrub.scrub($"t").as("scrubbed"))
   }
 
+  /** T14: n-gram LM scoring, the KenLM-free proxy: score each doc by the
+    * mean CORPUS frequency of its bigram instances — high = built from
+    * common constructions, low = rare/garbled text. The float discipline
+    * makes it oracle-exact: per-doc Σ of INTEGER corpus counts (order-free
+    * exact), then one double division. Plan: bigram postings join the
+    * corpus frequency table on the bigram (one shuffle), per-doc hash
+    * aggregate — the LM-scoring shape at any corpus size (a real LM swaps
+    * the frequency table for a broadcast model shard).
+    */
+  val bigramLmScore = Q("t14_bigram_lm_score",
+    """WITH bg AS (
+      |  SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+      |                         for i in generate_series(1, greatest(len(w) - 1, 0))]) AS bigram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |cf AS (SELECT bigram, count(*) AS cfreq FROM bg GROUP BY 1)
+      |SELECT b.doc_id,
+      |       count(*) AS n_bigrams,
+      |       sum(c.cfreq) AS total_freq,
+      |       CAST(sum(c.cfreq) AS DOUBLE) / count(*) AS mean_bigram_freq
+      |FROM bg b JOIN cf c ON b.bigram = c.bigram
+      |GROUP BY b.doc_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val bg = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", explode(expr(
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i])) " +
+            "ELSE cast(array() AS array<string>) END")).as("bigram"))
+        .cache()
+      val cf = bg.groupBy($"bigram").agg(count(lit(1)).as("cfreq"))
+      bg.join(cf, "bigram")
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          sum($"cfreq").as("total_freq"))
+        .select($"doc_id", $"n_bigrams", $"total_freq",
+          ($"total_freq".cast("double") / $"n_bigrams").as("mean_bigram_freq"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
-    qualityDeciles, tokenBudgetMix, piiScrub)
+    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore)
 }
