@@ -10,10 +10,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Strategy: size the target file count from the directory's actual bytes
   * (`ceil(bytes / targetFileBytes)`), rewrite with `repartition(n)`, then
-  * atomically swap directories (write to `<dir>.compact.tmp`, rename the
-  * old dir away, rename the new one in, drop the old). Readers see either
-  * the old or the new layout, never a mix. Content is byte-equal rows —
-  * only the file layout changes.
+  * swap directories (write to `<dir>.compact.tmp`, rename the old dir
+  * away, rename the new one in, drop the old; failed swap rolls back).
+  * Readers never see a MIXED layout, but the swap is two renames — a
+  * reader in the instant between them sees a missing directory, so run it
+  * in the partition's maintenance window (cold partitions only) or behind
+  * a catalog pointer swap. Content is byte-equal rows — only the file
+  * layout changes.
   *
   * Scale notes: at 100 TB run this per PARTITION directory (month_key=…)
   * after the partition goes cold — each compaction is then an independent,

@@ -210,5 +210,86 @@ object Similarity {
         .drop("rank")
   }
 
-  val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe)
+  // ── E6: random-hyperplane LSH ──────────────────────────────────────
+  // e2/e5's axis-aligned planes partition 64-dim data poorly (measured
+  // recall@1 0.09/0.59 — SCALE.md); the standard fix is RANDOM
+  // hyperplanes. To keep the oracle: plane components are exact binary
+  // fractions k/1024 (k ∈ [-512, 512) from a seeded integer mix), so
+  // both engines hold bit-identical constants — the literal decimal
+  // expansion of k/1024 is exact in binary and in decimal.
+
+  val rpBits = 8
+  val rpDim = 64
+  private val rpSeed = 7
+
+  private def planeComponentK(p: Int, d: Int): Int = {
+    var h = (p * 73856093) ^ (d * 19349663) ^ (rpSeed * 83492791)
+    h ^= (h << 13); h ^= (h >>> 17); h ^= (h << 5)
+    (h & 1023) - 512
+  }
+
+  /** Hyperplane p as exact float components k/1024. */
+  val rpPlanes: IndexedSeq[IndexedSeq[Float]] =
+    (0 until rpBits).map(p => (0 until rpDim).map(d => planeComponentK(p, d) / 1024.0f))
+
+  private def rpPlaneSqlList(p: Int): String =
+    (0 until rpDim).map { d =>
+      java.math.BigDecimal.valueOf(planeComponentK(p, d))
+        .divide(java.math.BigDecimal.valueOf(1024)).toPlainString
+    }.mkString("[", ", ", "]")
+
+  /** E6: multi-probe ANN over 8 seeded random hyperplanes (256 buckets;
+    * probe own + 8 hamming-1 buckets = 9/256 of the corpus — 7× less than
+    * e5 touches — with better recall, because random projections spread
+    * variance across all dimensions instead of reading 4 axis signs).
+    * Same plan as e5: explode probe buckets, equi-join, exact rerank.
+    */
+  val annRandomHyperplane = Q("e6_rp_lsh_ann", {
+    val d = dotSql.format("q.embedding", "c.embedding")
+    val nq = dotSql.format("embedding", "embedding")
+    val sig = (0 until rpBits).map { p =>
+      val pd = dotSql.format("embedding", rpPlaneSqlList(p))
+      s"(CASE WHEN $pd >= 0 THEN 1 ELSE 0 END << $p)"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding, label, sqrt($nq) AS nrm, $sig AS bucket FROM embeddings),
+       |q AS (SELECT vec_id, embedding, nrm, bucket FROM v WHERE vec_id < 32),
+       |c AS (SELECT vec_id, embedding, label, nrm, bucket FROM v),
+       |sims AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |         $d / (q.nrm * c.nrm) AS cosine
+       |  FROM q JOIN c ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank = 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.FloatVecDot.register(s)
+      val sig = (0 until rpBits).map { p =>
+        shiftleft(
+          when(dot($"embedding", typedLit(rpPlanes(p))) >= 0, 1).otherwise(0), p)
+      }.reduce(_ + _)
+      val v = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label", sig.as("bucket"),
+          norm($"embedding").as("nrm"))
+      val q = v.filter($"vec_id" < 32)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
+          $"nrm".as("q_nrm"))
+        .withColumn("probe_bucket", explode(array(
+          $"bucket" +: (0 until rpBits).map(b => $"bucket".bitwiseXOR(lit(1 << b))): _*)))
+        .drop("bucket")
+      val c = v.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+        $"label".as("neighbor_label"), $"bucket".as("probe_bucket"), $"nrm".as("c_nrm"))
+      val sims = q.join(c, Seq("probe_bucket"))
+        .filter($"query_id" =!= $"neighbor_id")
+        .select($"query_id", $"neighbor_id", $"neighbor_label",
+          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
+        .drop("rank")
+  }
+
+  val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
+    annRandomHyperplane)
 }

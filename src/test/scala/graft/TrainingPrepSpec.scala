@@ -75,6 +75,29 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("e6 random-hyperplane LSH: useful recall@1 vs independent brute force") {
+    val all = Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val truth = all.filter(_._1 < 32).map { case (q, qe) =>
+      q -> all.filter(_._1 != q).map(v => (cos(qe, v._2), -v._1)).max._2 * -1
+    }.toMap
+    val got = graft.queries.Similarity.annRandomHyperplane.run(spark, sfDir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    val recall = truth.count { case (q, n) => got.get(q).contains(n) }.toDouble / truth.size
+    // measured 0.31 at sf0.001 while touching 9/256 of the corpus; gate
+    // well below to absorb hash-layout noise, well above chance (9/256)
+    assert(recall >= 0.15, f"rp-lsh recall@1 $recall%.2f")
+  }
+
   test("e5 multi-probe dominates e2 single-probe: best neighbor never worse") {
     val single = graft.queries.Similarity.annSignBucket.run(spark, sfDir)
       .select($"query_id", $"cosine").as[(Long, Double)].collect().toMap
