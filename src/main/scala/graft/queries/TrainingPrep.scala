@@ -307,6 +307,42 @@ object TrainingPrep {
           ($"total_freq".cast("double") / $"n_bigrams").as("mean_bigram_freq"))
   }
 
+  val chunkSize = 64
+  val chunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** T15: document chunking with overlap — split each doc into
+    * `chunkSize`-token windows advancing by `chunkStride` (the
+    * context-window splitter that feeds tokenization; overlap preserves
+    * cross-boundary context). Pure narrow explode — integer arithmetic
+    * and token-slice joins only, zero shuffle, scan-speed at any corpus
+    * size.
+    */
+  val chunking = Q("t15_chunking",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+       |                  len(string_split(text, ' ')) AS n
+       |           FROM documents),
+       |c AS (SELECT doc_id, w, n,
+       |        CASE WHEN n <= $chunkSize THEN 1
+       |             ELSE ((n - $chunkSize + $chunkStride - 1) // $chunkStride) + 1 END AS n_chunks
+       |      FROM t)
+       |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       |       CAST(len(w[i * $chunkStride + 1 : i * $chunkStride + $chunkSize]) AS BIGINT) AS chunk_tokens,
+       |       array_to_string(w[i * $chunkStride + 1 : i * $chunkStride + $chunkSize], ' ') AS chunk_text
+       |FROM c, unnest(generate_series(0, n_chunks - 1)) AS s(i)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("n", size($"w"))
+        .withColumn("n_chunks", expr(
+          s"CASE WHEN n <= $chunkSize THEN 1 " +
+            s"ELSE ((n - $chunkSize + $chunkStride - 1) div $chunkStride) + 1 END"))
+        .select($"doc_id", $"w", explode(expr("sequence(0, n_chunks - 1)")).as("i"))
+        .select($"doc_id", $"i".cast("long").as("chunk_id"),
+          size(expr(s"slice(w, i * $chunkStride + 1, $chunkSize)")).cast("long").as("chunk_tokens"),
+          expr(s"concat_ws(' ', slice(w, i * $chunkStride + 1, $chunkSize))").as("chunk_text"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
-    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore)
+    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking)
 }

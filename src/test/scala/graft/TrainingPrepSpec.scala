@@ -131,6 +131,30 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
       s"approx binning diverged: $agree/$n within one decile")
   }
 
+  test("t15 chunking: contiguous ids, full tiling, correct tail size") {
+    import graft.queries.TrainingPrep.{chunkSize, chunkStride}
+    val chunks = graft.queries.TrainingPrep.chunking.run(spark, sfDir)
+      .select($"doc_id", $"chunk_id", $"chunk_tokens")
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"doc_id", org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split($"text", " ")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(chunks.keySet == tokens.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val n = tokens(doc)
+      val expected = if (n <= chunkSize) 1L
+        else (n - chunkSize + chunkStride - 1) / chunkStride + 1
+      val ids = rows.map(_._2).sorted
+      assert(ids.sameElements(0L until expected), s"doc $doc ids $ids")
+      val last = rows.maxBy(_._2)
+      // the final chunk reaches exactly the end of the doc
+      assert((expected - 1) * chunkStride + last._3 == n, s"doc $doc tail")
+      rows.filter(_._2 < expected - 1).foreach(r =>
+        assert(r._3 == chunkSize, s"doc $doc non-tail chunk short"))
+    }
+  }
+
   test("t7 gopher: top bigram covers a sane fraction and ties break lexicographically") {
     val rows = TrainingPrep.gopherQuality.run(spark, sfDir)
     assert(rows.filter($"frac_chars_top_bigram" <= 0).count() == 0)
