@@ -31,6 +31,36 @@ final case class BuyerProfile(
     buyer: String, n_orders: Long, revenue: Double,
     first_seen: String, last_seen: String)
 
+/** State-v2 ListState processor behind [[StreamingIngest.buyerRecentOrders]]:
+  * append-only writes under the cap; trim rewrites only the N kept entries.
+  * Input rows arrive in micro-batch order; the kept suffix is the LAST n.
+  */
+class RecentOrdersProcessor(n: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, String), (String, Seq[String])] {
+
+  import org.apache.spark.sql.streaming.{ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+
+  @transient private var recent: ListState[String] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    recent = getHandle.getListState[String]("recent_orders",
+      org.apache.spark.sql.Encoders.STRING, TTLConfig.NONE)
+
+  override def handleInputRows(buyer: String,
+      rows: Iterator[(String, String)],
+      timerValues: TimerValues): Iterator[(String, Seq[String])] = {
+    rows.foreach { case (_, oid) => recent.appendValue(oid) }
+    val all = recent.get().toSeq
+    val kept = all.takeRight(n)
+    if (all.size > n) {
+      recent.clear()
+      kept.foreach(recent.appendValue)
+    }
+    Iterator.single((buyer, kept))
+  }
+}
+
 /** State-v2 MapState processor behind [[StreamingIngest.buyerSkuCounts]]:
   * one (buyer → sku → count) entry per RocksDB key; only touched entries
   * are read/written per batch.
@@ -292,6 +322,24 @@ object StreamingIngest {
       .as[(String, String)]
       .groupByKey(_._1)
       .transformWithState(new BuyerSkuCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Last-N order ids per buyer on state-v2 `ListState` — the bounded
+    * recency buffer (fraud heuristics, "recent activity" features).
+    * ListState appends WITHOUT reading the existing list — an O(1) write
+    * per event in the common under-cap case; the trim path (clear +
+    * re-append of N entries) only triggers when the cap is crossed.
+    * Completes the v2 primitive trio next to [[buyerProfilesV2]]
+    * (ValueState) and [[buyerSkuCounts]] (MapState).
+    */
+  def buyerRecentOrders(cleansed: DataFrame, n: Int = 5): org.apache.spark.sql.Dataset[(String, Seq[String])] = {
+    import cleansed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    cleansed
+      .selectExpr("buyer", "order_id")
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new RecentOrdersProcessor(n), TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream join: the freight-enrichment join (J1) with BOTH sides

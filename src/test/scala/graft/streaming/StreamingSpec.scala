@@ -232,6 +232,57 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("transformWithState ListState: last-5 orders per buyer, capped, batch-consistent") {
+    val bronzeDir = tmp("bronze7")
+    val outDir = tmp("recent")
+    val ckpt = tmp("ckpt7")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def drain(): Unit = {
+        val q = StreamingIngest.buyerRecentOrders(
+          StreamingIngest.cleanseStream(
+            StreamingIngest.readBronzeStream(spark, bronzeDir, Schemas.joorRaw), "joor_orders"))
+          .toDF("buyer", "recent")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+            batch.withColumn("batch_id", lit(bid))
+              .write.mode("append").parquet(outDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      writeBronzeBatch(bronzeDir, GenSpec(joor = 300))
+      drain()
+      writeBronzeBatch(bronzeDir, GenSpec(joor = 300, seed = 99))
+      drain()
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"buyer").orderBy($"batch_id".desc)
+      val latest = spark.read.parquet(outDir)
+        .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+        .select($"buyer", $"recent").as[(String, Seq[String])].collect().toMap
+      // cap respected everywhere
+      assert(latest.values.forall(_.size <= 5))
+      assert(latest.values.exists(_.size == 5), "no buyer ever hit the cap — test data too thin")
+      // membership: each kept id really belongs to that buyer's full history
+      val history = Cleanse.joor(Cleanse.flatten(
+        spark.read.schema(Schemas.bronzeEnvelope(Schemas.joorRaw)).json(bronzeDir)))
+        .select($"buyer", $"order_id").as[(String, String)].collect()
+        .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).toSet }
+      latest.foreach { case (b, kept) =>
+        assert(kept.toSet.subsetOf(history(b)), s"buyer $b kept unknown ids")
+      }
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("session_window aggregation agrees with the w4 window-composition sessionizer") {
     // the built-in session_window (gap merge) and the lag→flag→running-sum
     // composition must carve identical sessions: same count per user, same
