@@ -343,6 +343,36 @@ object TrainingPrep {
           expr(s"concat_ws(' ', slice(w, i * $chunkStride + 1, $chunkSize))").as("chunk_text"))
   }
 
+  /** T16: longest repeated-word run per doc (the other Gopher repetition
+    * rule: "aaa aaa aaa …" spam) via the gaps-and-islands idiom —
+    * `pos − row_number() over (doc, word ORDER BY pos)` is constant within
+    * a consecutive run, so runs become groups. Two window passes + one
+    * aggregate, all partitioned by doc — integer-exact.
+    */
+  val maxWordRun = Q("t16_max_word_run",
+    """WITH p AS (
+      |  SELECT doc_id, w, pos
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |               generate_subscripts(string_split(text, ' '), 1) AS pos
+      |        FROM documents)),
+      |isl AS (SELECT doc_id, w,
+      |               pos - row_number() OVER (PARTITION BY doc_id, w ORDER BY pos) AS grp
+      |        FROM p),
+      |runs AS (SELECT doc_id, w, count(*) AS run_len
+      |         FROM isl GROUP BY doc_id, w, grp)
+      |SELECT doc_id, max(run_len) AS max_run
+      |FROM runs GROUP BY doc_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val p = Tables.documents(s, dir)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .select($"doc_id", $"col".as("w"), ($"pos" + 1).as("pos"))
+      val w = Window.partitionBy($"doc_id", $"w").orderBy($"pos")
+      p.withColumn("grp", $"pos" - row_number().over(w))
+        .groupBy($"doc_id", $"w", $"grp").agg(count(lit(1)).as("run_len"))
+        .groupBy($"doc_id").agg(max($"run_len").as("max_run"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
-    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking)
+    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun)
 }

@@ -33,7 +33,10 @@ final case class BuyerProfile(
 
 /** State-v2 ListState processor behind [[StreamingIngest.buyerRecentOrders]]:
   * append-only writes under the cap; trim rewrites only the N kept entries.
-  * Input rows arrive in micro-batch order; the kept suffix is the LAST n.
+  * NOTE: row order within a micro-batch follows the shuffle iterator, which
+  * is not a stable event order — for strict recency semantics sort the
+  * stream by event time upstream (or carry the timestamp and keep max-N by
+  * time); the gates here are the cap and membership, not intra-batch order.
   */
 class RecentOrdersProcessor(n: Int)
     extends org.apache.spark.sql.streaming.StatefulProcessor[
