@@ -18,6 +18,7 @@ object SparkEntry {
     Aggregations.queries ++
     Windows.queries ++
     AdvancedOps.queries ++
+    Funnels.queries ++
     Subqueries.queries ++
     Scalars.queries ++
     CommerceKpi.queries ++

@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Product-analytics completions over the event stream — the workloads a
+  * commerce analytics engine serves daily: ordered conversion funnels and
+  * cohort retention. Both are exact integer/µs arithmetic end-to-end
+  * (oracle hash-exact), and both shuffle only on `user_id` / small group
+  * keys — the per-user state never leaves its partition.
+  */
+object Funnels {
+
+  /** W6: ordered conversion funnel view → click → purchase per user:
+    * each stage's timestamp is the FIRST event of that type strictly
+    * after the previous stage (not the global min — ordering is the
+    * point of a funnel). Three conditional aggregates chained on the
+    * user key; at 100 TB each pass is one partial-aggregating shuffle
+    * on user_id, and the later passes ride the same partitioning.
+    */
+  val funnel = Q("w6_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view_us
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click_us
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view_us, c.t_click_us, p.t_purchase_us
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"user_id", $"event_type", expr("ts div 1000").as("t_us"))
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"t_us").as("t_view_us"))
+      val c = ev.filter($"event_type" === "click")
+        .join(v, "user_id")
+        .filter($"t_us" > $"t_view_us")
+        .groupBy($"user_id").agg(min($"t_us").as("t_click_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(c, "user_id")
+        .filter($"t_us" > $"t_click_us")
+        .groupBy($"user_id").agg(min($"t_us").as("t_purchase_us"))
+      v.join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select($"user_id", $"t_view_us", $"t_click_us", $"t_purchase_us")
+  }
+
+  private val weekUs = 7L * 86400 * 1000000
+
+  /** W7: cohort retention — users grouped by their first-activity epoch
+    * week, counted per week offset since the cohort week. The classic
+    * retention triangle: one min-aggregate for cohorts, one distinct
+    * count per (cohort, offset). All integer µs/week arithmetic.
+    */
+  val retention = Q("w7_retention",
+    s"""WITH w AS (SELECT user_id, epoch_us(ts) // $weekUs AS week FROM events),
+       |cohort AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+       |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+       |       count(DISTINCT w.user_id) AS n_users
+       |FROM w JOIN cohort c ON w.user_id = c.user_id
+       |GROUP BY 1, 2""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Tables.events(s, dir)
+        .select($"user_id", expr(s"(ts div 1000) div $weekUs").as("week"))
+      val cohort = w.groupBy($"user_id").agg(min($"week").as("cohort_week"))
+      w.join(cohort, "user_id")
+        .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
+        .agg(countDistinct($"user_id").as("n_users"))
+  }
+
+  val queries: Seq[Q] = Seq(funnel, retention)
+}
