@@ -78,5 +78,61 @@ object Funnels {
         .agg(countDistinct($"user_id").as("n_users"))
   }
 
-  val queries: Seq[Q] = Seq(funnel, retention)
+  /** W8: top event paths — each user's first 5 events in time order as a
+    * path string, then the global top-10 paths by frequency. The Spark
+    * idiom worth pinning: `collect_list` has NO deterministic order, so
+    * ordered paths come from `sort_array(collect_list(struct(ts, id,
+    * type)))` — the struct sorts by (ts, id) and the transform strips the
+    * keys. One shuffle on user_id + a TakeOrdered top-k.
+    */
+  val topPaths = Q("w8_top_paths",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |paths AS (
+      |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      |  FROM seq WHERE rn <= 5 GROUP BY user_id)
+      |SELECT path, count(*) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_users DESC, path LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .select($"user_id", $"event_type", $"ts", $"event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .groupBy($"user_id")
+        .agg(concat_ws(">", expr(
+          "transform(sort_array(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+          .as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n_users"))
+        .orderBy($"n_users".desc, $"path")
+        .limit(10)
+  }
+
+  /** A10: fixed-width histogram of order totals — bucket =
+    * floor((x − lo) / width) with exact double operands, clamped to
+    * [0, 19]. One hash aggregate; the shape behind every numeric
+    * distribution dashboard.
+    */
+  val histogram = Q("a10_histogram",
+    """SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 19) AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+      |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+      |FROM orders GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(least(greatest(floor(($"o_totalprice" - 0.0) / 25000.0), lit(0)), lit(19))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(Exact.dec2($"o_totalprice")).cast("double").as("lo"),
+          max(Exact.dec2($"o_totalprice")).cast("double").as("hi"))
+  }
+
+  val queries: Seq[Q] = Seq(funnel, retention, topPaths, histogram)
 }
