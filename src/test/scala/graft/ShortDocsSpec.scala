@@ -46,6 +46,31 @@ class ShortDocsSpec extends AnyFunSuite with SparkTestKit {
     assert(Dedup.contamination.run(spark, dir).count() === 0)
   }
 
+  test("t14 lm score: sub-2-word docs are absent (no bigrams to score)") {
+    import spark.implicits._
+    val scored = graft.queries.TrainingPrep.bigramLmScore.run(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!scored.contains(3L)) // "gamma" — 1 word
+    assert(scored.contains(1L) && scored.contains(4L))
+  }
+
+  test("t15 chunking: a 1-word doc yields exactly one 1-token chunk") {
+    import spark.implicits._
+    val chunks = graft.queries.TrainingPrep.chunking.run(spark, dir)
+      .filter($"doc_id" === 3L)
+      .select($"chunk_id", $"chunk_tokens", $"chunk_text")
+      .as[(Long, Long, String)].collect()
+    assert(chunks.toSeq == Seq((0L, 1L, "gamma")))
+  }
+
+  test("t16 max run: docs without consecutive repeats report run 1") {
+    import spark.implicits._
+    val runs = graft.queries.TrainingPrep.maxWordRun.run(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(runs(3L) == 1L) // single word
+    assert(runs(1L) == 1L) // "alpha beta" — distinct words
+  }
+
   test("t5 ngram stats: 1-word docs emit no bigrams") {
     import spark.implicits._
     val bigrams = TextAnalysis.ngramStats.run(spark, dir)
