@@ -130,5 +130,40 @@ object Scalars {
           dayofweek($"date").isin(1, 7).as("is_weekend"))
   }
 
-  val queries: Seq[Q] = Seq(f1Classifier, f4DetRand, f10Dates, dimDate)
+  /** F15: the string-function pack — the cross-engine-safe subset in one
+    * query (trim/pad/case/slice/replace/reverse/split_part/repeat/ascii),
+    * exercised over customer names. Deliberately excludes functions with
+    * divergent edge semantics between engines (initcap word boundaries,
+    * locale-sensitive collation); narrow projection, codegen'd.
+    */
+  val stringPack = Q("f15_string_pack",
+    """SELECT c_custkey,
+      |       upper(c_name) AS up, lower(c_mktsegment) AS lo,
+      |       trim('  ' || c_name || ' ') AS trimmed,
+      |       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+      |       substr(c_name, 1, 8) AS prefix,
+      |       replace(c_name, '#', '-') AS replaced,
+      |       reverse(c_mktsegment) AS rev,
+      |       split_part(c_name, '#', 1) AS first_part,
+      |       repeat('*', CAST(c_custkey % 5 AS INTEGER)) AS stars,
+      |       ascii(c_mktsegment) AS first_ascii,
+      |       CAST(length(c_name) AS BIGINT) AS name_len
+      |FROM customer""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select(
+        $"c_custkey",
+        upper($"c_name").as("up"), lower($"c_mktsegment").as("lo"),
+        trim(concat(lit("  "), $"c_name", lit(" "))).as("trimmed"),
+        lpad($"c_custkey".cast("string"), 12, "0").as("padded"),
+        substring($"c_name", 1, 8).as("prefix"),
+        regexp_replace($"c_name", "#", "-").as("replaced"),
+        reverse($"c_mktsegment").as("rev"),
+        split_part($"c_name", lit("#"), lit(1)).as("first_part"),
+        repeat(lit("*"), pmod($"c_custkey", lit(5)).cast("int")).as("stars"),
+        ascii($"c_mktsegment").as("first_ascii"),
+        length($"c_name").cast("long").as("name_len"))
+  }
+
+  val queries: Seq[Q] = Seq(f1Classifier, f4DetRand, f10Dates, dimDate, stringPack)
 }

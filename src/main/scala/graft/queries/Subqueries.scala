@@ -64,5 +64,21 @@ object Subqueries {
         .except(Tables.events(s, dir).select($"user_id".as("id")))
   }
 
-  val queries: Seq[Q] = Seq(corrSubquery, intersectQ, exceptQ)
+  /** UNION (distinct): the dedup-built-in set union — all ids known to
+    * either side, each once. Completes the set-op family next to the KPI's
+    * UNION ALL (U1), INTERSECT (u2) and EXCEPT (u3): one hash-distinct
+    * over the concatenation.
+    */
+  val unionDistinctQ = Q("u4_union_distinct",
+    """SELECT user_id AS id FROM events
+      |UNION
+      |SELECT o_custkey AS id FROM orders""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir).select($"user_id".as("id"))
+        .union(Tables.orders(s, dir).select($"o_custkey".as("id")))
+        .distinct()
+  }
+
+  val queries: Seq[Q] = Seq(corrSubquery, intersectQ, exceptQ, unionDistinctQ)
 }

@@ -155,6 +155,33 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("w6 funnel: stages strictly ordered, stage counts monotone non-increasing") {
+    val rows = graft.queries.Funnels.funnel.run(spark, sfDir)
+      .select($"t_view_us", $"t_click_us", $"t_purchase_us")
+      .as[(Option[Long], Option[Long], Option[Long])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, c, p) =>
+      assert(v.isDefined) // funnel roots at view
+      c.foreach(t => assert(t > v.get))
+      p.foreach(t => assert(c.isDefined && t > c.get))
+    }
+    val nView = rows.length
+    val nClick = rows.count(_._2.isDefined)
+    val nPurchase = rows.count(_._3.isDefined)
+    assert(nView >= nClick && nClick >= nPurchase)
+  }
+
+  test("w7 retention: every cohort's offset-0 row exists and is its max") {
+    val rows = graft.queries.Funnels.retention.run(spark, sfDir)
+      .select($"cohort_week", $"week_offset", $"n_users")
+      .as[(Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val byOffset = rs.map(r => r._2 -> r._3).toMap
+      assert(byOffset.contains(0L), s"cohort $cohort missing offset 0")
+      assert(byOffset(0L) == byOffset.values.max, s"cohort $cohort retention not peaked at 0")
+    }
+  }
+
   test("t7 gopher: top bigram covers a sane fraction and ties break lexicographically") {
     val rows = TrainingPrep.gopherQuality.run(spark, sfDir)
     assert(rows.filter($"frac_chars_top_bigram" <= 0).count() == 0)
