@@ -46,10 +46,24 @@ case class BottomKSample(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType)
 
+  // per-thread digest + hex table: keyOf runs once per input row, so the
+  // hot path must not pay a provider lookup or per-byte String.format
+  @transient private lazy val digests =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
   private def keyOf(s: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$seed:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    val bytes = digests.get()
+      .digest(s"$seed:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   // max-heap on (key, value): head is the current worst member, evicted first

@@ -32,7 +32,15 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parquetFiles = fs.listStatus(path).filter(_.getPath.getName.endsWith(".parquet"))
+    val entries = fs.listStatus(path)
+    // refuse a partitioned table ROOT: compacting through it would funnel
+    // the whole table into one write AND flatten the key=value directory
+    // layout (losing partition pruning). Callers compact leaf partitions.
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty,
+      s"compaction target $dir contains subdirectories (${subdirs.take(3).mkString(", ")}…) — " +
+        "compact each partition directory individually")
+    val parquetFiles = entries.filter(_.getPath.getName.endsWith(".parquet"))
     val bytes = parquetFiles.map(_.getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
 

@@ -96,18 +96,35 @@ object IvfIndex {
   }
 
   private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Ivf]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Ivf]()
 
-  /** Build-once index per (session, dir): train + assign happen the first
-    * time, then persist — queries against the index never re-train. This is
-    * the real IVF lifecycle (index build is offline; probes are online) and
-    * it takes k-means off the per-query critical path.
+  /** Build-once index per (session, dir, k): train + assign happen the
+    * first time, then persist — queries against the index never re-train.
+    * This is the real IVF lifecycle (index build is offline; probes are
+    * online) and it takes k-means off the per-query critical path. `k` is
+    * part of the key: indexes with different cell counts are different
+    * indexes.
     */
   def indexFor(spark: SparkSession, dir: String, k: Int = 16): Ivf =
-    indexMemo.computeIfAbsent((spark, dir), { _ =>
+    indexMemo.computeIfAbsent((spark, dir, k), { _ =>
       val ivf = build(spark, Tables.embeddings(spark, dir), k)
       Ivf(ivf.centroids.persist(), ivf.assigned.persist())
     })
+
+  /** Unpersist and drop a session's cached indexes (mirror of
+    * [[graft.queries.Memo.clear]]).
+    */
+  def clearIndexes(spark: SparkSession): Unit = {
+    val it = indexMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) {
+        e.getValue.centroids.unpersist()
+        e.getValue.assigned.unpersist()
+        it.remove()
+      }
+    }
+  }
 
   /** Driver-facing query: 16 probes with nprobe=4 against the persisted
     * k=16 index. KMeans is not SQL-expressible → rows-only check.

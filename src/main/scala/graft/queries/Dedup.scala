@@ -48,19 +48,10 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc, as `(doc_id, shingle)`
     * postings.
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // distinct WITHIN the doc via array_distinct before exploding — the
-    // (doc_id, shingle) set is identical to a post-explode distinct but
-    // needs no shuffle (narrow, codegen'd).
-    // size(w) guard: Spark's sequence(1, 0) is the DESCENDING [1, 0] (not
-    // empty like generate_series), which would emit spurious partial
-    // shingles for docs under 3 words — short docs must emit none.
-    Tables.documents(s, dir)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .select($"doc_id", explode(expr(
-        "CASE WHEN size(w) >= 3 THEN array_distinct(transform(sequence(1, size(w) - 2), i -> concat_ws(' ', w[i-1], w[i], w[i+1]))) ELSE cast(array() AS array<string>) END")).as("shingle"))
-  }
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    // distinct WITHIN the doc (set semantics, no shuffle); short-doc guard
+    // lives in Ngrams.postings — the one shared generator
+    Ngrams.postings(Tables.documents(s, dir), n = 3, distinct = true, outCol = "shingle")
 
   private val shinglesSql =
     """SELECT doc_id, shingle
@@ -330,19 +321,11 @@ object Dedup {
        |FROM train_g t JOIN eval_g e ON t.g = e.g
        |GROUP BY t.doc_id""".stripMargin
 
-  /** (doc_id, 8-gram) postings for one side of the decontamination split.
-    * size(w) guard: see [[shingles]] — Spark sequence(1, 0) is [1, 0],
-    * so docs under 8 words must be short-circuited to emit no 8-grams.
+  /** (doc_id, 8-gram) postings for one side of the decontamination split
+    * (short-doc guard in [[Ngrams.postings]]).
     */
-  private def grams8(df: DataFrame): DataFrame = {
-    val s = df.sparkSession
-    import s.implicits._
-    df.select($"doc_id", split($"text", " ").as("w"))
-      .select($"doc_id", explode(expr(
-        "CASE WHEN size(w) >= 8 THEN array_distinct(transform(sequence(1, size(w) - 7), " +
-          "i -> concat_ws(' ', w[i-1], w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6]))) " +
-          "ELSE cast(array() AS array<string>) END")).as("g"))
-  }
+  private def grams8(df: DataFrame): DataFrame =
+    Ngrams.postings(df, n = 8, distinct = true, outCol = "g")
 
   val contamination = Q("d6_contamination", contaminationSql) {
     (s, dir) =>

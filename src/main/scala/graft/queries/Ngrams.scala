@@ -1,0 +1,34 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ONE guarded word-n-gram postings builder every n-gram operator
+  * shares (shingles d2/d3, 8-grams d6, bigrams t5/t7/t14).
+  *
+  * The guard is the load-bearing part: Spark's `sequence(1, 0)` is the
+  * DESCENDING array [1, 0] — not empty like `generate_series` — so an
+  * unguarded generator emits spurious partial n-grams for docs shorter
+  * than n (out-of-range w[i] turn null and concat_ws silently skips
+  * them). Docs under n words must emit NOTHING, matching the DuckDB
+  * oracles. Pinned by ShortDocsSpec; keep every n-gram site on this
+  * helper so the guard can't silently diverge.
+  */
+object Ngrams {
+
+  /** `(doc_id, <outCol>)` postings of word n-grams over `text`.
+    * @param distinct dedupe WITHIN the doc before exploding
+    *                 (array_distinct — set semantics without a shuffle)
+    */
+  def postings(df: DataFrame, n: Int, distinct: Boolean, outCol: String): DataFrame = {
+    require(n >= 1)
+    val s = df.sparkSession
+    import s.implicits._
+    val terms = (0 until n).map(j => s"w[i-1+$j]").mkString(", ")
+    val core = s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $terms))"
+    val arr = if (distinct) s"array_distinct($core)" else core
+    df.select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        s"CASE WHEN size(w) >= $n THEN $arr ELSE cast(array() AS array<string>) END")).as(outCol))
+  }
+}

@@ -157,6 +157,43 @@ object Similarity {
         .filter($"cosine" >= 0.40)
   }
 
+  /** Shared multi-probe top-1 body for e5/e6: bucket every vector by
+    * `sig`, explode each probe's own + `bits` hamming-1 buckets, equi-join
+    * on the bucket, exact cosine rerank, top-1 per probe. One definition
+    * so the probe set / rerank tie-break can't drift between LSH families.
+    */
+  private def multiProbeTop1(s: SparkSession, dir: String,
+      sig: Column => Column, bits: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.FloatVecDot.register(s)
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
+        norm($"embedding").as("nrm"))
+    val q = v.filter($"vec_id" < 32)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
+        $"nrm".as("q_nrm"))
+      .withColumn("probe_bucket", explode(array(
+        $"bucket" +: (0 until bits).map(b => $"bucket".bitwiseXOR(lit(1 << b))): _*)))
+      .drop("bucket")
+    val c = v.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+      $"label".as("neighbor_label"), $"bucket".as("probe_bucket"), $"nrm".as("c_nrm"))
+    val sims = q.join(c, Seq("probe_bucket"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .select($"query_id", $"neighbor_id", $"neighbor_label",
+        (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+    sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
+      .drop("rank")
+  }
+
+  private def axisSig(s: SparkSession)(emb: Column): Column = {
+    import org.apache.spark.sql.functions.{element_at => ea}
+    (0 until 4)
+      .map(i => shiftleft(when(ea(emb, i + 1) >= 0, 1).otherwise(0), i))
+      .reduce(_ + _)
+  }
+
   /** E5: multi-probe sign-bucket ANN — each probe searches its own bucket
     * PLUS the 4 hamming-1 neighbor buckets (one sign bit flipped), the
     * standard recall lever when a query sits near a hyperplane: vectors
@@ -183,31 +220,7 @@ object Similarity {
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
        |  FROM sims) WHERE rank = 1""".stripMargin
   }) {
-    (s, dir) =>
-      import s.implicits._
-      graft.functions.FloatVecDot.register(s)
-      def sig(emb: Column): Column = (0 until 4)
-        .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
-        .reduce(_ + _)
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
-          norm($"embedding").as("nrm"))
-      val q = e.filter($"vec_id" < 32)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
-          $"nrm".as("q_nrm"))
-        .withColumn("probe_bucket", explode(array(
-          $"bucket" +: (0 until 4).map(b => $"bucket".bitwiseXOR(lit(1 << b))): _*)))
-        .drop("bucket")
-      val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
-        $"label".as("neighbor_label"), $"bucket".as("probe_bucket"), $"nrm".as("c_nrm"))
-      val sims = q.join(c, Seq("probe_bucket"))
-        .filter($"query_id" =!= $"neighbor_id")
-        .select($"query_id", $"neighbor_id", $"neighbor_label",
-          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-      sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
-        .drop("rank")
+    (s, dir) => multiProbeTop1(s, dir, axisSig(s), bits = 4)
   }
 
   // ── E6: random-hyperplane LSH ──────────────────────────────────────
@@ -263,31 +276,10 @@ object Similarity {
        |  FROM sims) WHERE rank = 1""".stripMargin
   }) {
     (s, dir) =>
-      import s.implicits._
-      graft.functions.FloatVecDot.register(s)
-      val sig = (0 until rpBits).map { p =>
-        shiftleft(
-          when(dot($"embedding", typedLit(rpPlanes(p))) >= 0, 1).otherwise(0), p)
+      def rpSig(emb: Column): Column = (0 until rpBits).map { p =>
+        shiftleft(when(dot(emb, typedLit(rpPlanes(p))) >= 0, 1).otherwise(0), p)
       }.reduce(_ + _)
-      val v = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding", $"label", sig.as("bucket"),
-          norm($"embedding").as("nrm"))
-      val q = v.filter($"vec_id" < 32)
-        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"), $"bucket",
-          $"nrm".as("q_nrm"))
-        .withColumn("probe_bucket", explode(array(
-          $"bucket" +: (0 until rpBits).map(b => $"bucket".bitwiseXOR(lit(1 << b))): _*)))
-        .drop("bucket")
-      val c = v.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
-        $"label".as("neighbor_label"), $"bucket".as("probe_bucket"), $"nrm".as("c_nrm"))
-      val sims = q.join(c, Seq("probe_bucket"))
-        .filter($"query_id" =!= $"neighbor_id")
-        .select($"query_id", $"neighbor_id", $"neighbor_label",
-          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
-      sims.withColumn("rank", row_number().over(w)).filter($"rank" === 1)
-        .drop("rank")
+      multiProbeTop1(s, dir, rpSig, bits = rpBits)
   }
 
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,

@@ -135,13 +135,8 @@ object TextAnalysis {
       |ORDER BY freq DESC, bigram LIMIT 25""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      graft.Tables.documents(s, dir)
-        .select($"doc_id", split($"text", " ").as("w"))
-        // size(w) guard: Spark sequence(1, 0) is [1, 0] (descending), not
-        // empty — 1-word docs must emit no bigrams (generate_series parity)
-        .select($"doc_id", explode(expr(
-          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i])) " +
-            "ELSE cast(array() AS array<string>) END")).as("bigram"))
+      Ngrams.postings(graft.Tables.documents(s, dir), n = 2, distinct = false,
+        outCol = "bigram")
         .groupBy($"bigram")
         .agg(count(lit(1)).as("freq"), countDistinct($"doc_id").as("doc_freq"))
         .orderBy(desc("freq"), $"bigram")

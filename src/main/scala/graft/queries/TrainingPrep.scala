@@ -42,11 +42,7 @@ object TrainingPrep {
     (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val bgc = docs
-        .select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", explode(expr(
-          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i])) " +
-            "ELSE cast(array() AS array<string>) END")).as("bigram"))
+      val bgc = Ngrams.postings(docs, n = 2, distinct = false, outCol = "bigram")
         .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("freq"))
       // argmax via min(struct(-freq, bigram)) — max freq with lexicographic-
       // min tiebreak, matching the oracle's window — as one partial-agg
@@ -291,11 +287,8 @@ object TrainingPrep {
       |GROUP BY b.doc_id""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      val bg = Tables.documents(s, dir)
-        .select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", explode(expr(
-          "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), i -> concat_ws(' ', w[i-1], w[i])) " +
-            "ELSE cast(array() AS array<string>) END")).as("bigram"))
+      val bg = Ngrams.postings(Tables.documents(s, dir), n = 2, distinct = false,
+        outCol = "bigram")
         .cache()
       val cf = bg.groupBy($"bigram").agg(count(lit(1)).as("cfreq"))
       bg.join(cf, "bigram")

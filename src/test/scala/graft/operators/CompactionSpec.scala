@@ -27,6 +27,16 @@ class CompactionSpec extends AnyFunSuite with SparkTestKit {
     assert(parent == Seq("t"), parent.toString)
   }
 
+  test("refuses a partitioned table root (would flatten the layout)") {
+    val dir = Files.createTempDirectory("graft-compact3").resolve("t").toString
+    (1L to 100L).map(i => (i, i % 3)).toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[IllegalArgumentException](Compaction.compact(spark, dir))
+    assert(e.getMessage.contains("subdirectories"))
+    // table untouched
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("idempotent: compacting a compacted table is a no-op layout-wise") {
     val dir = Files.createTempDirectory("graft-compact2").resolve("t").toString
     (1L to 100L).toDF("id").repartition(10).write.parquet(dir)

@@ -25,9 +25,11 @@ def norm(rows):
 
     # sort key: strings as-is, floats QUANTIZED — sorting on raw float repr
     # can order two within-tolerance result sets differently (low-order bit
-    # noise), mispairing rows and reporting a spurious FAIL
+    # noise), mispairing rows and reporting a spurious FAIL. Quantization is
+    # RELATIVE (6 significant digits, matching close()'s rel_tol) — an
+    # absolute round(x, 6) would still mispair values of magnitude >> 1.
     def key(t):
-        return tuple(("f", repr(round(x, 6))) if isinstance(x, float) else ("s", x)
+        return tuple(("f", "%.6g" % x) if isinstance(x, float) else ("s", x)
                      for x in t)
 
     return sorted(out, key=key)
