@@ -99,6 +99,19 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       s"range join degenerated to a cartesian:\n$p")
   }
 
+  test("multi-probe ANN variants stay bucket equi-joins (no cartesian)") {
+    for (q <- Seq(Similarity.annMultiProbe, Similarity.annRandomHyperplane)) {
+      val p = simplePlanOf(q.run(spark, sfDir))
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"${q.name} degenerated to a cartesian:\n$p")
+    }
+  }
+
+  test("w8 top paths: global top-k plans TakeOrderedAndProject") {
+    val p = planOf(Funnels.topPaths.run(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("e1 cosine top-k: broadcasts the probe side, never the corpus") {
     val p = simplePlanOf(Similarity.cosineTopK.run(spark, sfDir))
     // the only broadcast subtree must be the vec_id<8 probe set; the
