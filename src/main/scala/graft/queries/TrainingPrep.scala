@@ -75,8 +75,8 @@ object TrainingPrep {
        |                            ROWS UNBOUNDED PRECEDING) AS cum
        |      FROM t)
        |SELECT source, doc_id, n_tokens,
-       |       (cum - n_tokens) // $packBudget AS seq_id,
-       |       (cum - n_tokens) % $packBudget AS seq_offset
+       |       CAST((cum - n_tokens) // $packBudget AS BIGINT) AS seq_id,
+       |       CAST((cum - n_tokens) % $packBudget AS BIGINT) AS seq_offset
        |FROM c""".stripMargin) {
     (s, dir) =>
       import s.implicits._
@@ -202,7 +202,7 @@ object TrainingPrep {
        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
        |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
        |      FROM r)
-       |SELECT source, doc_id, n_tokens, cum_tokens
+       |SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
        |FROM c WHERE cum_tokens <= $mixBudget""".stripMargin) {
     (s, dir) =>
       import s.implicits._
@@ -281,7 +281,7 @@ object TrainingPrep {
       |cf AS (SELECT bigram, count(*) AS cfreq FROM bg GROUP BY 1)
       |SELECT b.doc_id,
       |       count(*) AS n_bigrams,
-      |       sum(c.cfreq) AS total_freq,
+      |       CAST(sum(c.cfreq) AS BIGINT) AS total_freq,
       |       CAST(sum(c.cfreq) AS DOUBLE) / count(*) AS mean_bigram_freq
       |FROM bg b JOIN cf c ON b.bigram = c.bigram
       |GROUP BY b.doc_id""".stripMargin) {

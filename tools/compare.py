@@ -35,6 +35,21 @@ def norm(rows):
     return sorted(out, key=key)
 
 
+def kind(t):
+    t = t.upper()
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+             "INT", "INT32", "INT64", "LONG", "SHORT", "BYTE"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t == "HUGEINT":
+        return "hugeint"   # pandas float64 — hash-breaks vs int64
+    if t.startswith("DECIMAL"):
+        return "decimal"   # pandas object(Decimal) — hash-breaks vs float64
+    return "other"
+
+
 def close(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
@@ -70,6 +85,20 @@ def main(sf_dir, out_dir):
             continue
         if ocols != scols:
             print(f"FAIL {name}: columns differ: oracle={ocols} spark={scols}")
+            n_bad += 1
+            continue
+        # Driver hash parity: the driver hashes pandas values, so a DuckDB
+        # HUGEINT/DECIMAL column (pandas float64/object) vs a Spark BIGINT
+        # (int64) hash-mismatches even when every value is equal. DuckDB's
+        # sum(BIGINT) returns HUGEINT — oracle SQL must CAST it back.
+        okinds = dict(zip(o.columns, (kind(str(t)) for t in o.types)))
+        skinds = dict(zip(s.columns, (kind(str(t)) for t in s.types)))
+        kind_bad = [(c, okinds[c], skinds[c]) for c in ocols
+                    if okinds[c] != skinds[c]]
+        if kind_bad:
+            c, ok_, sk_ = kind_bad[0]
+            print(f"FAIL {name}: dtype kind differs (driver hash mismatch): "
+                  f"col {c}: oracle={ok_} spark={sk_}")
             n_bad += 1
             continue
         if len(orows) != len(srows):
