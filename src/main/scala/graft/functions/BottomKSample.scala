@@ -23,14 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * property a training-data pipeline needs for reproducible subset
   * selection at 100 TB (and it doubles as a KMV distinct-count sketch).
   *
-  * The selection key is the md5 hex of `"<seed>:<value>"` — not a JVM
+  * The selection key is the md5 of `"<seed>:<value>"` — not a JVM
   * hash — so the sample is reproducible OUTSIDE the JVM too: any engine
   * with md5 derives the identical sample (the DuckDB oracle for
   * `t6_group_sample` does exactly that with `row_number() OVER (ORDER BY
-  * md5(seed || ':' || v))`).
+  * md5(seed || ':' || v))`). Keys are kept as the RAW 16 digest bytes,
+  * compared unsigned-lexicographically — the identical total order as the
+  * hex string the oracle sorts on, without a hex char array + String per
+  * input row on the aggregate hot path.
   *
   * Buffer: a bounded max-heap of (key, value); serialized compactly for
-  * shuffle. Output: the sampled values ordered by key (stable).
+  * shuffle (16 raw key bytes, not 32 hex chars). Output: the sampled
+  * values ordered by key (stable).
   */
 case class BottomKSample(
     child: Expression,
@@ -38,7 +42,7 @@ case class BottomKSample(
     seed: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(String, String)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Array[Byte], String)]] {
 
   require(k > 0, "k must be positive")
 
@@ -46,35 +50,34 @@ case class BottomKSample(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType)
 
-  // per-thread digest + hex table: keyOf runs once per input row, so the
-  // hot path must not pay a provider lookup or per-byte String.format
+  // per-thread digest: keyOf runs once per input row, so the hot path
+  // must not pay a provider lookup (and no hex encoding at all — the raw
+  // digest IS the key)
   @transient private lazy val digests =
     ThreadLocal.withInitial[java.security.MessageDigest](() =>
       java.security.MessageDigest.getInstance("MD5"))
-  private val hexChars = "0123456789abcdef".toCharArray
 
-  private def keyOf(s: String): String = {
-    val bytes = digests.get()
+  private def keyOf(s: String): Array[Byte] =
+    digests.get()
       .digest(s"$seed:$s".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val out = new Array[Char](bytes.length * 2)
-    var i = 0
-    while (i < bytes.length) {
-      out(i * 2) = hexChars((bytes(i) >> 4) & 0xf)
-      out(i * 2 + 1) = hexChars(bytes(i) & 0xf)
-      i += 1
+
+  // max-heap on (key, value): head is the current worst member, evicted
+  // first. Unsigned byte-lexicographic digest order == the hex-string
+  // order the DuckDB oracle sorts on.
+  private val ord: Ordering[(Array[Byte], String)] =
+    new Ordering[(Array[Byte], String)] {
+      def compare(a: (Array[Byte], String), b: (Array[Byte], String)): Int = {
+        val c = java.util.Arrays.compareUnsigned(a._1, b._1)
+        if (c != 0) c else a._2.compareTo(b._2)
+      }
     }
-    new String(out)
-  }
 
-  // max-heap on (key, value): head is the current worst member, evicted first
-  private val ord: Ordering[(String, String)] = Ordering.Tuple2[String, String]
-
-  override def createAggregationBuffer(): mutable.PriorityQueue[(String, String)] =
-    mutable.PriorityQueue.empty[(String, String)](ord)
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Array[Byte], String)] =
+    mutable.PriorityQueue.empty[(Array[Byte], String)](ord)
 
   override def update(
-      buf: mutable.PriorityQueue[(String, String)],
-      input: InternalRow): mutable.PriorityQueue[(String, String)] = {
+      buf: mutable.PriorityQueue[(Array[Byte], String)],
+      input: InternalRow): mutable.PriorityQueue[(Array[Byte], String)] = {
     val v = child.eval(input)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String].toString
@@ -86,8 +89,8 @@ case class BottomKSample(
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(String, String)],
-      other: mutable.PriorityQueue[(String, String)]): mutable.PriorityQueue[(String, String)] = {
+      buf: mutable.PriorityQueue[(Array[Byte], String)],
+      other: mutable.PriorityQueue[(Array[Byte], String)]): mutable.PriorityQueue[(Array[Byte], String)] = {
     other.foreach { e =>
       if (buf.size < k) buf.enqueue(e)
       else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
@@ -95,16 +98,18 @@ case class BottomKSample(
     buf
   }
 
-  override def eval(buf: mutable.PriorityQueue[(String, String)]): Any =
+  override def eval(buf: mutable.PriorityQueue[(Array[Byte], String)]): Any =
     new GenericArrayData(
       buf.toSeq.sorted(ord).map(p => UTF8String.fromString(p._2)).toArray[Any])
 
-  override def serialize(buf: mutable.PriorityQueue[(String, String)]): Array[Byte] = {
+  private val digestLen = 16 // md5
+
+  override def serialize(buf: mutable.PriorityQueue[(Array[Byte], String)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (h, s) =>
-      out.writeUTF(h)
+      out.write(h) // fixed digestLen bytes
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       out.writeInt(b.length)
       out.write(b)
@@ -113,12 +118,13 @@ case class BottomKSample(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(String, String)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Array[Byte], String)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
     (0 until n).foreach { _ =>
-      val h = in.readUTF()
+      val h = new Array[Byte](digestLen)
+      in.readFully(h)
       val len = in.readInt()
       val b = new Array[Byte](len)
       in.readFully(b)

@@ -18,6 +18,14 @@ import org.apache.spark.sql.SparkSession
   * a catalog pointer swap. Content is byte-equal rows — only the file
   * layout changes.
   *
+  * Crash recovery: a crash between the two renames leaves `<dir>` missing
+  * with the only data copy in `<dir>.compact.old`. `compact` detects that
+  * state at entry and restores the directory before proceeding, so simply
+  * re-running it recovers (manual recovery, should it ever be needed:
+  * rename `<dir>.compact.old` back to `<dir>`, delete `<dir>.compact.tmp`).
+  * A crash after the swap but before cleanup leaves a stale `.compact.old`
+  * next to a live `<dir>`; that copy is dropped at the next run's entry.
+  *
   * Scale notes: at 100 TB run this per PARTITION directory (month_key=…)
   * after the partition goes cold — each compaction is then an independent,
   * idempotent, partition-sized job. The rewrite is one shuffle-free scan
@@ -32,6 +40,15 @@ object Compaction {
       targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery (see scaladoc): a previous run that died between its
+    // two swap renames left the only data copy in .compact.old — restore
+    // it before doing anything else
+    val staleOld = new Path(dir + ".compact.old")
+    if (fs.exists(staleOld) && !fs.exists(path)) {
+      if (!fs.rename(staleOld, path))
+        throw new IllegalStateException(
+          s"compaction: found interrupted swap but could not restore $staleOld to $dir")
+    }
     val entries = fs.listStatus(path)
     // refuse a partitioned table ROOT: compacting through it would funnel
     // the whole table into one write AND flatten the key=value directory

@@ -96,20 +96,23 @@ object IvfIndex {
   }
 
   private val indexMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), Ivf]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Int), Ivf]()
 
-  /** Build-once index per (session, dir, k): train + assign happen the
-    * first time, then persist — queries against the index never re-train.
-    * This is the real IVF lifecycle (index build is offline; probes are
-    * online) and it takes k-means off the per-query critical path. `k` is
-    * part of the key: indexes with different cell counts are different
-    * indexes.
+  /** Build-once index per (session, dir, dir-fingerprint, k): train +
+    * assign happen the first time, then persist — queries against the
+    * index never re-train. This is the real IVF lifecycle (index build is
+    * offline; probes are online) and it takes k-means off the per-query
+    * critical path. `k` is part of the key: indexes with different cell
+    * counts are different indexes. The fingerprint (see
+    * [[graft.queries.Memo.fingerprint]]) retires the index when the data
+    * under `dir` is rewritten mid-session.
     */
   def indexFor(spark: SparkSession, dir: String, k: Int = 16): Ivf =
-    indexMemo.computeIfAbsent((spark, dir, k), { _ =>
-      val ivf = build(spark, Tables.embeddings(spark, dir), k)
-      Ivf(ivf.centroids.persist(), ivf.assigned.persist())
-    })
+    indexMemo.computeIfAbsent(
+      (spark, dir, graft.queries.Memo.fingerprint(spark, dir), k), { _ =>
+        val ivf = build(spark, Tables.embeddings(spark, dir), k)
+        Ivf(ivf.centroids.persist(), ivf.assigned.persist())
+      })
 
   /** Unpersist and drop a session's cached indexes (mirror of
     * [[graft.queries.Memo.clear]]).

@@ -98,8 +98,11 @@ object Funnels {
       |ORDER BY n_users DESC, path LIMIT 10""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // rank on µs-truncated ts (as sessionize does): DuckDB orders on µs
+      // timestamps, so ranking Spark-side on raw ns would tie-break
+      // differently for two events inside the same µs
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .partitionBy($"user_id").orderBy(expr("ts div 1000"), $"event_id")
       Tables.events(s, dir)
         .select($"user_id", $"event_type", $"ts", $"event_id")
         .withColumn("rn", row_number().over(w))

@@ -129,7 +129,11 @@ object TrainingPrep {
       s"CAST(len([w for w in string_split(text, ' ') if w = '$t']) AS DOUBLE) AS tf_$t").mkString(", ")
     val dfCols = terms.map(t =>
       s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t").mkString(", ")
-    val score = terms.map(t => s"tf_$t * (n / df_$t)").mkString(" + ")
+    // df=0 guard: an absent term would otherwise score 0 * (n/0) = NaN,
+    // and NaN ordering/filter semantics differ cross-engine
+    val score = terms.map(t =>
+      s"(CASE WHEN df_$t > 0 THEN tf_$t * (n / df_$t) ELSE CAST(0 AS DOUBLE) END)")
+      .mkString(" + ")
     s"""WITH tf AS (SELECT doc_id, $tfCols FROM documents),
        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
        |df AS (SELECT $dfCols FROM tf)
@@ -148,8 +152,12 @@ object TrainingPrep {
         count(lit(1)).cast("double").as("n"),
         terms.map(t =>
           sum(when(col(s"tf_$t") > 0, 1).otherwise(0)).cast("double").as(s"df_$t")): _*)
-      // fixed left-to-right sum — never a double SUM aggregate
-      val score = terms.map(t => col(s"tf_$t") * (col("n") / col(s"df_$t"))).reduce(_ + _)
+      // fixed left-to-right sum — never a double SUM aggregate; df=0
+      // guarded (mirrors the oracle CASE) so absent terms contribute 0,
+      // not 0 * (n/0) = NaN
+      val score = terms.map(t =>
+        when(col(s"df_$t") > 0, col(s"tf_$t") * (col("n") / col(s"df_$t")))
+          .otherwise(lit(0.0))).reduce(_ + _)
       tf.crossJoin(broadcast(df))
         .select($"doc_id", score.as("score"))
         .filter($"score" > 0)

@@ -30,6 +30,23 @@ class DedupFastSpec extends AnyFunSuite with SparkTestKit {
     assert(Dedup.minhashPairs(spark, sfDir).count() == before)
   }
 
+  test("Memo invalidates when the data under dir is rewritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-memo").toString
+    (1L to 10L).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    var builds = 0
+    def get() = graft.queries.Memo.cached(spark, dir, "memo-inval-test") {
+      builds += 1; spark.read.parquet(s"$dir/t.parquet")
+    }
+    assert(get().count() == 10 && builds == 1)
+    assert(get().count() == 10 && builds == 1) // same fingerprint → memo hit
+    Thread.sleep(1100) // local FS mtime can be second-granular
+    (1L to 25L).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(get().count() == 25, "stale memo served after rewrite")
+    assert(builds == 2)
+    graft.queries.Memo.clear(spark)
+  }
+
   test("fast minhash stays a banded equi-join (no cartesian)") {
     val p = Dedup.minhashLshFast.run(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))

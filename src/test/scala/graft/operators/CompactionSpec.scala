@@ -37,6 +37,23 @@ class CompactionSpec extends AnyFunSuite with SparkTestKit {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("recovers an interrupted swap: dir missing, data stranded in .compact.old") {
+    val dir = Files.createTempDirectory("graft-compact4").resolve("t").toString
+    (1L to 200L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().toSet
+    // simulate a crash between the two swap renames: the table dir was
+    // renamed aside but the compacted tmp never renamed in
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + ".compact.old")))
+    new java.io.File(dir + ".compact.tmp").mkdirs() // half-written debris
+
+    val stats = Compaction.compact(spark, dir)
+    assert(spark.read.parquet(dir).collect().toSet == before)
+    assert(stats.filesBefore == 8, stats.toString)
+    val parent = f.getParentFile.list().toSeq
+    assert(parent == Seq("t"), parent.toString)
+  }
+
   test("idempotent: compacting a compacted table is a no-op layout-wise") {
     val dir = Files.createTempDirectory("graft-compact2").resolve("t").toString
     (1L to 100L).toDF("id").repartition(10).write.parquet(dir)
