@@ -26,6 +26,7 @@ object SparkEntry {
     TrainingPrep.queries ++
     Dedup.queries ++
     Similarity.queries ++
+    Warehouse.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi); inputs are generated, not testdata, so there is

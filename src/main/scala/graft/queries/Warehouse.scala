@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-grade operators rounding out the analytic surface beyond
+  * SURVEY §2 parity: explicit GROUPING SETS, value-RANGE window frames,
+  * exact (discrete) percentiles, deterministic mode, two TPC-H-shaped
+  * flagship join queries, an SCD2 dimension build, and declarative
+  * data-quality expectations.
+  *
+  * Scale notes (100 TB):
+  *  - grouping sets / percentiles / mode are single-shuffle hash or sort
+  *    aggregates with map-side partials; percentile_disc is the EXACT
+  *    variant (sort-based per group) — `a7_sketch_stats` carries the
+  *    approx sketch that replaces it when groups stop fitting a task;
+  *  - the RANGE frame is one shuffle on the partition key, then a
+  *    per-partition ordered scan — no self-join for the trailing window;
+  *  - q3/q5 are the canonical join pyramids: filters reach the scans
+  *    (PushedFilters), small dims broadcast, the fact table shuffles at
+  *    most twice (join key, then group key), AQE free to re-plan;
+  *  - SCD2 is one window pass per business key — the standard
+  *    change-capture shape (at 100 TB it runs incrementally per partition
+  *    of changed keys, same plan);
+  *  - dq1 composes independent scan-aggregates; each check is one pass
+  *    and they share nothing, so the checks parallelize trivially.
+  */
+object Warehouse {
+
+  /** A11: explicit GROUPING SETS — (priority, status), (priority), ()
+    * in ONE pass with grouping flags (completes the family next to A8
+    * ROLLUP / A9 CUBE, which are both sugar over this operator).
+    */
+  val groupingSetsAgg = Q("a11_grouping_sets",
+    """SELECT coalesce(o_orderpriority, '(all)') AS priority,
+      |       coalesce(o_orderstatus, '(all)') AS status,
+      |       CAST(grouping(o_orderpriority) AS INT) AS is_p_total,
+      |       CAST(grouping(o_orderstatus) AS INT) AS is_s_total,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupingSets(
+          Seq(Seq($"o_orderpriority", $"o_orderstatus"), Seq($"o_orderpriority"), Seq()),
+          $"o_orderpriority", $"o_orderstatus")
+        .agg(
+          grouping($"o_orderpriority").cast("int").as("is_p_total"),
+          grouping($"o_orderstatus").cast("int").as("is_s_total"),
+          count(lit(1)).as("n_orders"),
+          sum(Exact.dec2($"o_totalprice")).cast("double").as("total_price"))
+        .select(
+          coalesce($"o_orderpriority", lit("(all)")).as("priority"),
+          coalesce($"o_orderstatus", lit("(all)")).as("status"),
+          $"is_p_total", $"is_s_total", $"n_orders", $"total_price")
+  }
+
+  private val dayUs = 86400000000L
+
+  /** W9: value-RANGE window frame — per order, the customer's trailing
+    * 7-day spend and order count, framed by ORDER-DATE VALUE (peers with
+    * the same day all see the same frame), not by row position. The
+    * trailing-window primitive without a range self-join.
+    */
+  val rangeWindow = Q("w9_range_window",
+    s"""WITH o AS (SELECT o_orderkey, o_custkey,
+       |             epoch_us(o_orderdate) // $dayUs AS order_day,
+       |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+       |           FROM orders)
+       |SELECT o_orderkey, o_custkey, order_day,
+       |       CAST(sum(price) OVER w AS DOUBLE) AS spend_7d,
+       |       count(*) OVER w AS n_orders_7d
+       |FROM o
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+       |             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"order_day")
+        .rangeBetween(-7, 0)
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey",
+          expr(s"unix_micros(o_orderdate) div $dayUs").as("order_day"),
+          Exact.dec2($"o_totalprice").as("price"))
+        .select($"o_orderkey", $"o_custkey", $"order_day",
+          sum($"price").over(w).cast("double").as("spend_7d"),
+          count(lit(1)).over(w).as("n_orders_7d"))
+  }
+
+  /** A12: exact discrete percentiles (ANSI `PERCENTILE_DISC WITHIN
+    * GROUP`) — quartiles of order value per priority. Discrete = an
+    * actual data value, so the result is cross-engine exact with no
+    * interpolation arithmetic. The exact/sort-based half of the
+    * percentile family; `a7_sketch_stats` is the sketch half.
+    */
+  val exactPercentiles = Q("a12_exact_percentiles",
+    """SELECT o_orderpriority AS priority,
+      |       count(*) AS n_orders,
+      |       min(o_totalprice) AS min_price,
+      |       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+      |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+      |       percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+      |       max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority".as("priority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min($"o_totalprice").as("min_price"),
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)").as("p25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+          expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)").as("p75"),
+          max($"o_totalprice").as("max_price"))
+  }
+
+  /** A13: deterministic mode — modal order status per priority via the
+    * argmax idiom (count, then min(struct(-n, value))), NOT the built-in
+    * `mode()`: both engines' mode() breaks frequency ties arbitrarily,
+    * the struct-min pins ties to the lexicographically smallest value in
+    * one hash aggregate (same idiom as t7's top bigram).
+    */
+  val modeStatus = Q("a13_mode_status",
+    """WITH c AS (SELECT o_orderpriority AS priority, o_orderstatus AS status,
+      |                  count(*) AS n
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT priority, status, n,
+      |             row_number() OVER (PARTITION BY priority
+      |                                ORDER BY n DESC, status) AS rk
+      |      FROM c)
+      |SELECT priority, status AS modal_status, n AS n_orders
+      |FROM r WHERE rk = 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority".as("priority"), $"o_orderstatus".as("status"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"priority")
+        .agg(min(struct((-$"n").as("nn"), $"status")).as("m"))
+        .select($"priority", $"m.status".as("modal_status"), (-$"m.nn").as("n_orders"))
+  }
+
+  private val q3Cutoff = "1998-03-15 00:00:00"
+
+  /** Q3: shipping-priority flagship (TPC-H Q3 shape) — top-10 unshipped
+    * orders by revenue for one market segment. The canonical
+    * filter→join→rollup→top-k pyramid: segment/date filters push to all
+    * three scans, revenue rolls up BEFORE ordering, and the top-k is a
+    * TakeOrderedAndProject (never a global sort). Joins stay shuffle
+    * hash/sort-merge on the fact keys — at 100 TB customer is NOT
+    * broadcast-able and does not need to be.
+    */
+  val q3ShippingPriority = Q("q3_shipping_priority",
+    s"""SELECT l.l_orderkey AS order_no,
+       |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+       |                     * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+       |       epoch_us(o.o_orderdate) AS orderdate_us,
+       |       o.o_orderpriority AS priority
+       |FROM customer c
+       |JOIN orders o ON c.c_custkey = o.o_custkey
+       |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |WHERE c.c_mktsegment = 'BUILDING'
+       |  AND o.o_orderdate < TIMESTAMP '$q3Cutoff'
+       |  AND l.l_shipdate > TIMESTAMP '$q3Cutoff'
+       |GROUP BY 1, 3, 4
+       |ORDER BY revenue DESC, order_no LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" < lit(q3Cutoff).cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" > lit(q3Cutoff).cast("timestamp"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      c.join(o, $"c_custkey" === $"o_custkey")
+        .join(l, $"o_orderkey" === $"l_orderkey")
+        .groupBy($"l_orderkey".as("order_no"),
+          unix_micros($"o_orderdate").as("orderdate_us"),
+          $"o_orderpriority".as("priority"))
+        .agg(Exact.cents(sum(Exact.dec2($"l_extendedprice")
+          * Exact.dec4(lit(1.0) - $"l_discount"))).as("revenue"))
+        .select($"order_no", $"revenue", $"orderdate_us", $"priority")
+        .orderBy($"revenue".desc, $"order_no")
+        .limit(10)
+  }
+
+  /** Q5: local-supplier revenue flagship (TPC-H Q5 shape) — revenue per
+    * nation for one region/year where the supplier sits in the
+    * customer's nation. Exercises the star-plus-fact pyramid with a
+    * SECOND equi-condition (c_nationkey = s_nationkey) that prunes the
+    * join output, broadcast dims (nation/region/supplier), and
+    * rollup-after-join. The region filter reaches the nation dim BEFORE
+    * the fact join (semi-join pushdown through the broadcast).
+    */
+  val q5LocalSupplier = Q("q5_local_supplier",
+    """SELECT n.n_name AS nation,
+      |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                     * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+      |       count(*) AS n_items
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val cst = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && $"o_orderdate" < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val l = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      cst.join(o, $"c_custkey" === $"o_custkey")
+        .join(l, $"o_orderkey" === $"l_orderkey")
+        .join(broadcast(sup),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name".as("nation"))
+        .agg(
+          Exact.cents(sum(Exact.dec2($"l_extendedprice")
+            * Exact.dec4(lit(1.0) - $"l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+  }
+
+  /** P10: SCD2 dimension build — version each customer's order priority
+    * by change date: valid_from/valid_to half-open µs intervals, NULL
+    * valid_to + is_current on the newest version. One lead() window per
+    * business key, the standard slowly-changing-dimension shape (runs
+    * incrementally over changed keys at scale, same plan).
+    */
+  val scd2 = Q("p10_scd2_dim",
+    """WITH v AS (
+      |  SELECT o_custkey AS custkey,
+      |         o_orderpriority AS priority,
+      |         epoch_us(o_orderdate) AS valid_from_us,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS version,
+      |         lead(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS valid_to_us
+      |  FROM orders)
+      |SELECT custkey, version, priority, valid_from_us, valid_to_us,
+      |       CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+      |FROM v""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      Tables.orders(s, dir)
+        .select($"o_custkey".as("custkey"), $"o_orderpriority".as("priority"),
+          unix_micros($"o_orderdate").as("valid_from_us"),
+          row_number().over(w).as("version"),
+          lead(unix_micros($"o_orderdate"), 1).over(w).as("valid_to_us"))
+        .select($"custkey", $"version", $"priority", $"valid_from_us", $"valid_to_us",
+          when($"valid_to_us".isNull, 1).otherwise(0).cast("int").as("is_current"))
+  }
+
+  /** DQ1: declarative data-quality expectations — the dbt-test /
+    * Deequ-style contract checks a warehouse runs after every load, as
+    * one result set: violation counts for positivity, referential
+    * integrity (orphan facts), domain membership, and key uniqueness.
+    * Each check is a single independent scan-aggregate.
+    */
+  val dqExpectations = Q("dq1_expectations",
+    """SELECT 'orders_totalprice_positive' AS check_name,
+      |       (SELECT count(*) FROM orders WHERE o_totalprice <= 0) AS n_violations
+      |UNION ALL
+      |SELECT 'lineitem_orderkey_refs_orders',
+      |       (SELECT count(*) FROM lineitem l
+      |        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |UNION ALL
+      |SELECT 'events_type_in_domain',
+      |       (SELECT count(*) FROM events
+      |        WHERE event_type NOT IN ('view', 'click', 'purchase', 'signup', 'error'))
+      |UNION ALL
+      |SELECT 'customer_custkey_unique',
+      |       (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val orders = Tables.orders(s, dir)
+      val check1 = orders.filter($"o_totalprice" <= 0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("orders_totalprice_positive").as("check_name"), $"n_violations")
+      val check2 = Tables.lineitem(s, dir)
+        .join(orders.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("lineitem_orderkey_refs_orders").as("check_name"), $"n_violations")
+      val check3 = Tables.events(s, dir)
+        .filter(!$"event_type".isin("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("events_type_in_domain").as("check_name"), $"n_violations")
+      val check4 = Tables.customer(s, dir)
+        .agg((count(lit(1)) - countDistinct($"c_custkey")).as("n_violations"))
+        .select(lit("customer_custkey_unique").as("check_name"), $"n_violations")
+      check1.unionAll(check2).unionAll(check3).unionAll(check4)
+  }
+
+  val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
+    modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations)
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.Warehouse
+
+/** Invariants + plan shapes for the warehouse pack (a11–a13, w9, q3/q5,
+  * p10 SCD2, dq1). Values are oracle-gated by the driver; these tests pin
+  * the semantic invariants that hold at ANY scale factor and the physical
+  * properties that matter at 100 TB.
+  */
+class WarehouseSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  private def simplePlanOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+
+  test("a11: grouping sets partition correctly (leaf counts sum to totals)") {
+    val rows = Warehouse.groupingSetsAgg.run(spark, sfDir).collect()
+    val leaves = rows.filter(r => r.getAs[Int]("is_s_total") == 0)
+    val pTotals = rows.filter(r =>
+      r.getAs[Int]("is_s_total") == 1 && r.getAs[Int]("is_p_total") == 0)
+    val grand = rows.filter(r => r.getAs[Int]("is_p_total") == 1)
+    assert(grand.length == 1)
+    assert(leaves.map(_.getAs[Long]("n_orders")).sum
+      == grand.head.getAs[Long]("n_orders"))
+    for (t <- pTotals) {
+      val p = t.getAs[String]("priority")
+      assert(leaves.filter(_.getAs[String]("priority") == p)
+        .map(_.getAs[Long]("n_orders")).sum == t.getAs[Long]("n_orders"),
+        s"priority $p leaf counts don't sum to its subtotal")
+    }
+  }
+
+  test("w9: trailing range frame always includes the current order") {
+    val bad = Warehouse.rangeWindow.run(spark, sfDir)
+      .filter($"n_orders_7d" < 1 || $"spend_7d" <= 0)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("a12: quartiles are ordered and are actual data values") {
+    val rows = Warehouse.exactPercentiles.run(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val prices = graft.Tables.orders(spark, sfDir)
+      .select($"o_totalprice").as[Double].collect().toSet
+    for (r <- rows) {
+      val (mn, p25, p50, p75, mx) = (r.getAs[Double]("min_price"),
+        r.getAs[Double]("p25"), r.getAs[Double]("p50"),
+        r.getAs[Double]("p75"), r.getAs[Double]("max_price"))
+      assert(mn <= p25 && p25 <= p50 && p50 <= p75 && p75 <= mx, r.toString)
+      // DISC percentiles return members of the data, not interpolations
+      assert(prices.contains(p25) && prices.contains(p50) && prices.contains(p75))
+    }
+  }
+
+  test("a13: mode matches a direct recount; ties break to smallest status") {
+    val rows = Warehouse.modeStatus.run(spark, sfDir).collect()
+    val counts = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority", $"o_orderstatus").count()
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (r <- rows) {
+      val p = r.getAs[String]("priority")
+      val best = counts.filter(_._1._1 == p).toSeq
+        .sortBy { case ((_, s), n) => (-n, s) }.head
+      assert(r.getAs[String]("modal_status") == best._1._2, s"priority $p")
+      assert(r.getAs[Long]("n_orders") == best._2, s"priority $p")
+    }
+  }
+
+  test("q3: filters push to scans, top-k is TakeOrdered, no cartesian") {
+    val df = Warehouse.q3ShippingPriority.run(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val sp = simplePlanOf(df)
+    assert(!sp.contains("CartesianProduct") && !sp.contains("BroadcastNestedLoopJoin"), sp)
+  }
+
+  test("q5: dims broadcast, fact scanned once, date filter pushed") {
+    val df = Warehouse.q5LocalSupplier.run(spark, sfDir)
+    val sp = simplePlanOf(df)
+    assert(sp.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, sp)
+    assert(sp.linesIterator.count(_.contains("lineitem.parquet")) == 1, sp)
+    val p = planOf(df)
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p)
+  }
+
+  test("p10 SCD2: one current version per key, contiguous half-open intervals") {
+    val v = Warehouse.scd2.run(spark, sfDir).cache()
+    try {
+      val perKeyCurrent = v.groupBy($"custkey")
+        .agg(org.apache.spark.sql.functions.sum($"is_current").as("n_current"))
+        .filter($"n_current" =!= 1).count()
+      assert(perKeyCurrent == 0, "every business key needs exactly one current row")
+      // each non-current version's valid_to equals the next version's valid_from
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"custkey").orderBy($"version")
+      val broken = v
+        .withColumn("next_from", org.apache.spark.sql.functions.lead($"valid_from_us", 1).over(w))
+        .filter($"valid_to_us".isNotNull && $"valid_to_us" =!= $"next_from")
+        .count()
+      assert(broken == 0, "SCD2 intervals must chain contiguously")
+    } finally v.unpersist()
+  }
+
+  test("dq1: the shipped testdata passes every expectation") {
+    val rows = Warehouse.dqExpectations.run(spark, sfDir).collect()
+    assert(rows.length == 4)
+    for (r <- rows)
+      assert(r.getAs[Long]("n_violations") == 0L, r.getAs[String]("check_name"))
+  }
+}
