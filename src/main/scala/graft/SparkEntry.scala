@@ -47,6 +47,13 @@ object SparkEntry {
       Q.noOracle("e4_ivf_ann") { (s, dir) =>
         graft.operators.IvfIndex.ivfQuery(s, dir)
       },
+      // product-quantization ANN (per-subspace k-means codebooks, ADC
+      // lookup-table search over 8-code compressed corpus) — k-means is
+      // not SQL-expressible → rows-only check; determinism/recall/error
+      // gates live in PqSpec
+      Q.noOracle("e7_pq_ann") { (s, dir) =>
+        graft.operators.PqIndex.pqQuery(s, dir)
+      },
       // connected-components dup clustering over the shared LSH pairs —
       // hash-exact vs a DuckDB recursive-CTE transitive closure; the
       // union-find/BSP equivalence gate lives in DupClustersSpec

@@ -309,6 +309,115 @@ object Warehouse {
       check1.unionAll(check2).unionAll(check3).unionAll(check4)
   }
 
+  /** P11: UNPIVOT (melt) — the four lineitem measures as (measure, value)
+    * rows, then per-measure stats in one pass. Wide→long reshaping is a
+    * pure narrow projection (each input row emits m rows map-side, no
+    * shuffle before the aggregate); the oracle expresses the identical
+    * result as a UNION ALL of per-column aggregates.
+    */
+  val unpivotMeasures = Q("p11_unpivot", {
+    def arm(c: String) =
+      s"""SELECT '$c' AS measure, count(*) AS n, min($c) AS min_val, max($c) AS max_val,
+         |       CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS total
+         |FROM lineitem""".stripMargin
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(arm).mkString("\nUNION ALL\n")
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array($"l_orderkey"),
+          Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+          "measure", "value")
+        .groupBy($"measure")
+        .agg(
+          count(lit(1)).as("n"),
+          min($"value").as("min_val"),
+          max($"value").as("max_val"),
+          sum(Exact.dec4($"value")).cast("double").as("total"))
+  }
+
+  /** J7: salted skew join, driver-gated — [[graft.operators.SkewJoin]]
+    * surfaced through the oracle: the salted (key, salt) equi-join meets
+    * every (probe, build) pair exactly once, so the aggregated result is
+    * IDENTICAL to the plain join the oracle runs — that invariance is the
+    * whole correctness argument for salting, and here the driver checks
+    * it cross-engine. The shape that survives a hot key at 100 TB when
+    * the build side is too big to broadcast and AQE's partition splits
+    * can't break a single key.
+    */
+  val saltedSkewJoin = Q("j7_salted_skew_join",
+    """SELECT s.s_nationkey AS nationkey,
+      |       count(*) AS n_items,
+      |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                     * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val probe = Tables.lineitem(s, dir)
+        .select($"l_suppkey".as("suppkey"), $"l_extendedprice", $"l_discount")
+      val build = Tables.supplier(s, dir)
+        .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+      graft.operators.SkewJoin.saltedJoin(probe, build, "suppkey", salt = 8)
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.cents(sum(Exact.dec2($"l_extendedprice")
+            * Exact.dec4(lit(1.0) - $"l_discount"))).as("revenue"))
+  }
+
+  /** P12: MERGE / upsert semantics (and the engine's FULL OUTER JOIN
+    * coverage) — refresh a lagging customer-balance dimension from fact
+    * rollups: matched keys update (balance += revenue), source-only keys
+    * insert, target-only keys carry over. Spark parquet has no row-level
+    * MERGE INTO; the engine expresses it as the canonical full-outer +
+    * coalesce projection — semantically the same statement, and at scale
+    * it becomes one shuffle on the merge key feeding a partition
+    * overwrite. The "lagging" snapshot is custkey % 5 != 0 (deterministic
+    * at every SF), so all three MERGE branches fire.
+    */
+  val mergeUpsert = Q("p12_merge_upsert",
+    """WITH tgt AS (
+      |  SELECT c_custkey AS custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      |  FROM customer WHERE c_custkey % 5 <> 0),
+      |src AS (
+      |  SELECT o_custkey AS custkey,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+      |         count(*) AS n_orders
+      |  FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY 1)
+      |SELECT coalesce(t.custkey, s.custkey) AS custkey,
+      |       CASE WHEN t.custkey IS NULL THEN 'insert'
+      |            WHEN s.custkey IS NULL THEN 'keep'
+      |            ELSE 'update' END AS action,
+      |       CAST(coalesce(t.acctbal, CAST(0 AS DECIMAL(18,2)))
+      |            + coalesce(s.rev, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS balance,
+      |       coalesce(s.n_orders, 0) AS n_orders
+      |FROM tgt t FULL OUTER JOIN src s ON t.custkey = s.custkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val tgt = Tables.customer(s, dir)
+        .filter($"c_custkey" % 5 =!= 0)
+        .select($"c_custkey".as("t_custkey"), Exact.dec2($"c_acctbal").as("acctbal"))
+      val src = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1997-01-01 00:00:00").cast("timestamp"))
+        .groupBy($"o_custkey".as("s_custkey"))
+        .agg(sum(Exact.dec2($"o_totalprice")).as("rev"), count(lit(1)).as("n_orders"))
+      tgt.join(src, $"t_custkey" === $"s_custkey", "full_outer")
+        .select(
+          coalesce($"t_custkey", $"s_custkey").as("custkey"),
+          when($"t_custkey".isNull, "insert")
+            .when($"s_custkey".isNull, "keep")
+            .otherwise("update").as("action"),
+          (coalesce($"acctbal", lit(0).cast("decimal(18,2)"))
+            + coalesce($"rev", lit(0).cast("decimal(18,2)"))).cast("double").as("balance"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
-    modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations)
+    modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
+    unpivotMeasures, saltedSkewJoin, mergeUpsert)
 }
