@@ -21,6 +21,19 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bench JSON line stays inside the driver's log-tail window") {
+    // the driver captures only the tail of the build output; round 2's
+    // full-precision line outgrew it and BENCH_r02 recorded parsed: null.
+    // Reconstruct the line exactly as Bench prints it, worst-case widths.
+    val qs = SparkEntry.registry
+      .map(q => "\"" + q.name + "\":" + "999.999").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"errors":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length < 2700,
+      s"bench JSON line ${line.length} chars — approaching the ~2900-char tail window; " +
+        "shorten names or split the payload before adding more queries")
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs and is deterministic at sf0.001") {
       val df1 = q.run(spark, sfDir)
