@@ -417,7 +417,135 @@ object Warehouse {
           coalesce($"n_orders", lit(0L)).as("n_orders"))
   }
 
+  /** Q18: large-order customers (TPC-H Q18 shape) — GROUP BY + HAVING on
+    * the rollup, then an IN-subquery membership filter on the fact. The
+    * HAVING completes the aggregate surface; the IN decorrelates to a
+    * left-semi hash join on the rollup output (small), never a per-row
+    * subquery execution.
+    */
+  val q18BigOrders = Q("q18_big_orders",
+    """WITH big AS (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(90 AS DECIMAL(18,2)))
+      |SELECT c.c_name AS cust_name, o.o_orderkey AS order_no,
+      |       epoch_us(o.o_orderdate) AS orderdate_us,
+      |       CAST(o.o_totalprice AS DOUBLE) AS totalprice,
+      |       CAST(sq.total_qty AS DOUBLE) AS total_qty
+      |FROM orders o
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey) sq ON sq.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      // the IN + the qty projection are ONE filtered rollup: l_orderkey is
+      // unique in the rollup, so the inner join below is simultaneously
+      // the HAVING membership semi-join and the total_qty lookup — the
+      // fact aggregates once, not twice
+      val big = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(sum(Exact.dec2($"l_quantity")).as("total_qty"))
+        .filter($"total_qty" > lit(90).cast("decimal(18,2)"))
+      Tables.orders(s, dir)
+        .join(big, $"o_orderkey" === $"l_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_name".as("cust_name"), $"o_orderkey".as("order_no"),
+          unix_micros($"o_orderdate").as("orderdate_us"),
+          $"o_totalprice".as("totalprice"),
+          $"total_qty".cast("double").as("total_qty"))
+  }
+
+  /** W10: percent-of-total (ratio_to_report) — each nation's share of
+    * global revenue via an UNBOUNDED whole-table window over the rollup.
+    * The window runs over the AGGREGATED rows (25 nations), not the fact:
+    * rollup first, single-partition window second — the only safe order
+    * at scale (a whole-table window over raw facts would funnel 100 TB
+    * through one task).
+    */
+  val pctOfTotal = Q("w10_pct_of_total",
+    """WITH nr AS (
+      |  SELECT n.n_name AS nation,
+      |         sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS bal
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1)
+      |SELECT nation,
+      |       CAST(bal AS DOUBLE) AS balance,
+      |       CAST(bal AS DOUBLE) / CAST(sum(bal) OVER () AS DOUBLE) AS share
+      |FROM nr""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy()
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"))
+        .agg(sum(Exact.dec2($"c_acctbal")).as("bal"))
+        .select($"nation", $"bal".cast("double").as("balance"),
+          ($"bal".cast("double") / sum($"bal").over(w).cast("double")).as("share"))
+  }
+
+  /** A14: conditional/boolean aggregate pack — count_if, bool_and/bool_or
+    * (ANSI every/any), and a DETERMINISTIC argmax via the max(struct)
+    * idiom (both engines' arg_max/max_by tie-breaks are unspecified; the
+    * struct max totally orders (value, user_id), so ties pin to the
+    * largest user_id).
+    */
+  val aggPack = Q("a14_agg_pack",
+    """SELECT event_type,
+      |       CAST(count(*) FILTER (WHERE value > 100) AS BIGINT) AS n_big,
+      |       bool_and(value >= 0) AS all_nonneg,
+      |       bool_or(value > 900) AS any_huge,
+      |       max(struct_pack(value := value, user_id := user_id)).user_id AS top_user
+      |FROM events GROUP BY event_type""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"event_type")
+        .agg(
+          count_if($"value" > 100).as("n_big"),
+          bool_and($"value" >= 0).as("all_nonneg"),
+          bool_or($"value" > 900).as("any_huge"),
+          max(struct($"value", $"user_id")).getField("user_id").as("top_user"))
+  }
+
+  /** T17: WEIGHTED token-budget mixture — t12 generalized to per-source
+    * sampling weights (the real data-mixture primitive: "2 epochs of
+    * wiki, 0.5 of web"). The weight becomes a per-source budget column;
+    * everything else stays the one-running-sum-per-source plan, so the
+    * weighted form scales exactly like the uniform one.
+    */
+  val weightedMix = Q("t17_weighted_mix",
+    """WITH r AS (SELECT source, doc_id,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             md5(CAST(doc_id AS VARCHAR)) AS h,
+      |             CASE WHEN source IN ('src0', 'src1') THEN 4
+      |                  WHEN source IN ('src2', 'src3') THEN 2
+      |                  ELSE 1 END * 400 AS budget
+      |           FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens, budget,
+      |        sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      |      FROM r)
+      |SELECT source, doc_id, n_tokens, CAST(budget AS BIGINT) AS budget,
+      |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum_tokens <= budget""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source")
+        .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select($"source", $"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tokens"),
+          (when($"source".isin("src0", "src1"), 4)
+            .when($"source".isin("src2", "src3"), 2)
+            .otherwise(1) * 400).cast("long").as("budget"))
+        .withColumn("cum_tokens", sum($"n_tokens").over(w))
+        .filter($"cum_tokens" <= $"budget")
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
-    unpivotMeasures, saltedSkewJoin, mergeUpsert)
+    unpivotMeasures, saltedSkewJoin, mergeUpsert,
+    q18BigOrders, pctOfTotal, aggPack, weightedMix)
 }

@@ -110,6 +110,44 @@ class WarehouseSpec extends AnyFunSuite with SparkTestKit {
     } finally v.unpersist()
   }
 
+  test("q18: every selected order genuinely clears the HAVING threshold") {
+    val viaQuery = Warehouse.q18BigOrders.run(spark, sfDir)
+    assert(viaQuery.filter($"total_qty" <= 90).count() == 0)
+    // membership equals a direct recount over the fact table
+    val direct = graft.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_orderkey")
+      .agg(org.apache.spark.sql.functions.sum($"l_quantity").as("q"))
+      .filter($"q" > 90).count()
+    assert(viaQuery.count() == direct)
+  }
+
+  test("w10: shares are positive and sum to exactly the whole") {
+    val rows = Warehouse.pctOfTotal.run(spark, sfDir).collect()
+    assert(rows.forall(_.getAs[Double]("share") > 0))
+    val total = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(total - 1.0) < 1e-9, s"shares sum to $total")
+  }
+
+  test("a14: argmax tie-break is deterministic (max user among max-value ties)") {
+    val rows = Warehouse.aggPack.run(spark, sfDir).collect()
+    val events = graft.Tables.events(spark, sfDir)
+      .select($"event_type", $"value", $"user_id").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (r <- rows) {
+      val et = r.getAs[String]("event_type")
+      val best = events.filter(_._1 == et).maxBy(e => (e._2, e._3))
+      assert(r.getAs[Long]("top_user") == best._3, s"event_type $et")
+    }
+  }
+
+  test("t17: weighted budgets bind per source and selection is maximal") {
+    val sel = Warehouse.weightedMix.run(spark, sfDir).collect()
+    assert(sel.forall(r => r.getAs[Long]("cum_tokens") <= r.getAs[Long]("budget")))
+    // weighted sources may take more rows than unweighted ones
+    val bySource = sel.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(bySource.getOrElse("src0", 0) >= bySource.getOrElse("src5", 0))
+  }
+
   test("dq1: the shipped testdata passes every expectation") {
     val rows = Warehouse.dqExpectations.run(spark, sfDir).collect()
     assert(rows.length == 4)
