@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: unbounded levenshtein<=k verify predicates → length
     // pre-filter + banded early-exit levenshtein (graft.plans)
     ext.injectOptimizerRule(_ => graft.plans.BoundedLevenshteinRule)
+    // planner strategy: the native bounded-heap per-group top-k operator
+    // (graft.plans.TopKPerGroup logical → partial/final exec pair)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }
 

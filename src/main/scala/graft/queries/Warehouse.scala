@@ -544,8 +544,35 @@ object Warehouse {
         .filter($"cum_tokens" <= $"budget")
   }
 
+  /** W11: per-group top-k through the NATIVE bounded-heap operator
+    * ([[graft.plans.TopKPerGroup]] — custom LogicalPlan + Strategy +
+    * SparkPlan pair) instead of the window idiom: top-3 orders by value
+    * per priority, ties broken by order key (a total order, the same
+    * contract the window form needs). The oracle states the semantics as
+    * the standard `row_number` window — the driver proves the custom
+    * physical operator computes exactly that.
+    */
+  val topKNative = Q("w11_topk_native",
+    """WITH r AS (
+      |  SELECT o_orderpriority AS priority, o_orderkey AS order_no,
+      |         CAST(o_totalprice AS DOUBLE) AS totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |SELECT priority, order_no, totalprice FROM r WHERE rn <= 3""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val base = Tables.orders(s, dir)
+        .select($"o_orderpriority".as("priority"), $"o_orderkey".as("order_no"),
+          $"o_totalprice".as("totalprice"))
+      graft.plans.TopKPerGroup.topK(base,
+        groupCols = Seq("priority"),
+        orderBy = Seq(("totalprice", false), ("order_no", true)),
+        k = 3)
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
-    q18BigOrders, pctOfTotal, aggPack, weightedMix)
+    q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative)
 }
