@@ -128,6 +128,70 @@ class BuyerProfileProcessor
   }
 }
 
+final case class ClosedSession(
+    user: String, n_events: Long, start_ms: Long, end_ms: Long)
+
+/** State-v2 EVENT-TIME TIMER processor behind
+  * [[StreamingIngest.sessionCloses]] — completes the state-v2 surface
+  * next to the ValueState/MapState/ListState trio: sessions close when
+  * the WATERMARK passes (last event + gap), not when the next event for
+  * that user happens to arrive. `GroupState` could only close a session
+  * on timeout-at-next-batch; a registered timer fires exactly once at
+  * its event-time expiry, even for users that never appear again — the
+  * semantics a sessionization sink actually needs.
+  *
+  * Per input batch for a key: fold the events into the running session
+  * (ValueState), slide the single registered timer to (last seen + gap)
+  * (delete + re-register — timers are per-timestamp, not named). When
+  * the watermark crosses the expiry, [[handleExpiredTimer]] emits the
+  * closed session ONCE and clears all state for the key. State and
+  * timers are both RocksDB-backed at scale; memory per live user is one
+  * small struct + one long.
+  */
+class SessionTimeoutProcessor(gapMs: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      String, (String, Long), ClosedSession] {
+
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+
+  @transient private var session: ValueState[ClosedSession] = _
+  @transient private var timerAt: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    session = getHandle.getValueState[ClosedSession]("session",
+      org.apache.spark.sql.Encoders.product[ClosedSession], TTLConfig.NONE)
+    timerAt = getHandle.getValueState[Long]("timer_at",
+      org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(user: String,
+      rows: Iterator[(String, Long)],
+      timerValues: TimerValues): Iterator[ClosedSession] = {
+    val times = rows.map(_._2).toSeq
+    val prev =
+      if (session.exists()) session.get()
+      else ClosedSession(user, 0L, Long.MaxValue, Long.MinValue)
+    val next = ClosedSession(user, prev.n_events + times.size,
+      math.min(prev.start_ms, times.min), math.max(prev.end_ms, times.max))
+    session.update(next)
+    if (timerAt.exists()) getHandle.deleteTimer(timerAt.get())
+    val expiry = next.end_ms + gapMs
+    getHandle.registerTimer(expiry)
+    timerAt.update(expiry)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(user: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[ClosedSession] = {
+    val out =
+      if (session.exists()) Iterator.single(session.get()) else Iterator.empty
+    session.clear()
+    timerAt.clear()
+    out
+  }
+}
+
 object StreamingIngest {
 
   /** S7-shaped source: streaming scan of envelope JSON under
@@ -343,6 +407,24 @@ object StreamingIngest {
       .as[(String, String)]
       .groupByKey(_._1)
       .transformWithState(new RecentOrdersProcessor(n), TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Watermark-driven session closing on event-time TIMERS
+    * ([[SessionTimeoutProcessor]]): input is a stream with a `user` column
+    * and an `event_time` TIMESTAMP column that ALREADY carries a
+    * watermark (`withWatermark` upstream — TimeMode.EventTime requires
+    * it); output is one row per closed session, emitted when the
+    * watermark passes (last event + gap).
+    */
+  def sessionCloses(events: DataFrame, gapMs: Long): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .selectExpr("user", "unix_millis(event_time) AS ms")
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream join: the freight-enrichment join (J1) with BOTH sides

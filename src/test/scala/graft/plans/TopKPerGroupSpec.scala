@@ -73,6 +73,32 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkTestKit {
     assert(df.count() == nGroups * 3)
   }
 
+  test("property: equals the window idiom on random data, any k / skew / partitioning") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 4)           // few groups → heavy per-group volume
+      v <- Gen.chooseNum(-1000, 1000)    // dense value range → many ties
+      id <- Gen.chooseNum(0L, 500L)      // tie-breaker (may itself collide → dedupe below)
+    } yield (s"g$g", v, id)
+    for (seed <- 1 to 5) {
+      val rows = Gen.listOfN(400, rowGen)
+        .apply(Gen.Parameters.default, Seed(seed.toLong)).get
+        .distinct // (group, value, id) must be unique for a total order
+      val k = 1 + seed % 4
+      val df = rows.toDF("grp", "value", "id").repartition(seed + 2)
+      val viaOp = TopKPerGroup.topK(df, Seq("grp"),
+        Seq(("value", false), ("id", true)), k)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"grp").orderBy($"value".desc, $"id")
+      val viaWin = df.withColumn("rn", row_number().over(w)).filter($"rn" <= k)
+        .select($"grp", $"value", $"id")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(viaOp == viaWin, s"seed=$seed k=$k")
+    }
+  }
+
   test("resolver rejects unknown columns with a useful message") {
     val e = intercept[IllegalArgumentException](
       TopKPerGroup.topK(base, Seq("nope"), Seq(("totalprice", false)), 1))

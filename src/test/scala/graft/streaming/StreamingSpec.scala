@@ -232,6 +232,68 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("transformWithState event-time timers: sessions close when the watermark passes, once") {
+    val srcDir = tmp("timer-src")
+    val outDir = tmp("timer-out")
+    val ckpt = tmp("timer-ckpt")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = "user STRING, event_time TIMESTAMP"
+      def writeEvents(rows: (String, String)*): Unit =
+        rows.toSeq.toDF("user", "ts")
+          .selectExpr("user", "CAST(ts AS TIMESTAMP) AS event_time")
+          .write.mode("append").json(srcDir)
+      def drain(): Unit = {
+        val in = spark.readStream.schema(schema).json(srcDir)
+          .withWatermark("event_time", "5 seconds")
+        val q = StreamingIngest.sessionCloses(in, gapMs = 30000L)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[ClosedSession], _: Long) =>
+            batch.toDF().write.mode("append").parquet(outDir): Unit
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      def closed(): Seq[ClosedSession] =
+        try spark.read.parquet(outDir).as[ClosedSession].collect().toSeq
+        catch { case _: Throwable => Seq.empty } // outDir empty until first emit
+
+      // t0 = 10:00:00; gap 30 s; watermark delay 5 s. AvailableNow runs
+      // follow-up micro-batches until quiescent, so the watermark from a
+      // drain's own data already drives that drain's timers.
+      writeEvents(("A", "2026-01-01 10:00:00"), ("A", "2026-01-01 10:00:10"),
+        ("B", "2026-01-01 10:00:05"))
+      drain() // watermark reaches 10:00:05 — below every expiry
+      assert(closed().isEmpty, "closed before the watermark passed any expiry")
+
+      // B stays active → its timer must SLIDE to 10:02:30 (not fire at
+      // 10:00:35); the same drain's watermark (10:01:55) passes A's
+      // expiry 10:00:40 → A closes, B survives
+      writeEvents(("B", "2026-01-01 10:02:00"))
+      drain()
+      val afterSecond = closed()
+      assert(afterSecond.map(_.user) == Seq("A"), s"expected only A closed: $afterSecond")
+      val a = afterSecond.head
+      assert(a.n_events == 2 && a.start_ms < a.end_ms, s"A's session wrong: $a")
+
+      writeEvents(("C", "2026-01-01 10:10:00"))
+      drain() // watermark 10:09:55 > B's slid expiry 10:02:30 → B closes ONCE, C stays open
+      val users = closed().map(_.user).sorted
+      assert(users == Seq("A", "B"), s"expected A and B closed exactly once: $users")
+      val b = closed().find(_.user == "B").get
+      assert(b.n_events == 2, s"B's slid session must span both its events: $b")
+      assert(b.end_ms - b.start_ms == 115000L, s"B spans 10:00:05→10:02:00: $b")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState ListState: last-5 orders per buyer, capped, batch-consistent") {
     val bronzeDir = tmp("bronze7")
     val outDir = tmp("recent")
