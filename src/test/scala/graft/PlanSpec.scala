@@ -112,6 +112,26 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("GLOBAL sweep: no registry query plans a cartesian/nested-loop join (whitelist excepted)") {
+    // the only justified nested-loop joins: deliberate few-row broadcast
+    // sides whose cardinality is a CONSTANT of the algorithm, not of the
+    // data — brute-force probes (e1), t10's 1-row document-frequency
+    // aggregate, PQ's probe table (e7), and IVF's k-centroid table (e4):
+    // corpus × k rows is the assignment step's intended shape
+    val whitelist = Set("e1_cosine_topk", "t10_tfidf_search", "e7_pq_ann", "e4_ivf_ann")
+    val offenders = SparkEntry.registry
+      .filterNot(q => whitelist.contains(q.name))
+      .flatMap { q =>
+        val p = simplePlanOf(q.run(spark, sfDir))
+        if (p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"))
+          Some(q.name)
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"queries planning cartesian/nested-loop joins: ${offenders.mkString(", ")} — " +
+        "either fix the plan or justify a whitelist entry")
+  }
+
   test("e1 cosine top-k: broadcasts the probe side, never the corpus") {
     val p = simplePlanOf(Similarity.cosineTopK.run(spark, sfDir))
     // the only broadcast subtree must be the vec_id<8 probe set; the
