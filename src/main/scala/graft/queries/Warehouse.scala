@@ -571,8 +571,37 @@ object Warehouse {
         k = 3)
   }
 
+  /** Z1: the Morton key behind [[graft.operators.ZOrder]] — 8-bit
+    * quantization of (user_id, value) interleaved into a 16-bit z-value.
+    * Pure fixed-depth integer bit math, so the oracle checks the custom
+    * layout operator's key bit-for-bit (the layout/pruning effect itself
+    * is gated in ZOrderSpec — file stats aren't SQL-observable).
+    */
+  val zorderKey = Q("z1_zorder_key", {
+    val terms = (0 until 8).flatMap { i =>
+      Seq(s"(((zx >> $i) & 1) << ${2 * i})", s"(((zy >> $i) & 1) << ${2 * i + 1})")
+    }
+    s"""WITH q AS (
+       |  SELECT event_id,
+       |         abs(user_id) % 256 AS zx,
+       |         abs(CAST(floor(value) AS BIGINT)) % 256 AS zy
+       |  FROM events)
+       |SELECT event_id, zx, zy,
+       |       CAST(${terms.mkString(" | ")} AS BIGINT) AS z
+       |FROM q""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"event_id",
+          (abs($"user_id") % 256).as("zx"),
+          (abs(floor($"value").cast("long")) % 256).as("zy"))
+        .select($"event_id", $"zx", $"zy",
+          graft.operators.ZOrder.zValue($"zx", $"zy", bits = 8).as("z"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
-    q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative)
+    q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative, zorderKey)
 }
