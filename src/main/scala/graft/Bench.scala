@@ -32,7 +32,10 @@ object Bench {
     // ms precision keeps the JSON line short: the driver captures only the
     // tail of the build output, and full-precision doubles pushed the line
     // past that window in round 2 (BENCH_r02 "parsed": null)
-    def ms(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would print 0,123 and
+    // break the driver's JSON parse
+    def ms(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }

@@ -107,12 +107,24 @@ object IvfIndex {
     * [[graft.queries.Memo.fingerprint]]) retires the index when the data
     * under `dir` is rewritten mid-session.
     */
-  def indexFor(spark: SparkSession, dir: String, k: Int = 16): Ivf =
-    indexMemo.computeIfAbsent(
-      (spark, dir, graft.queries.Memo.fingerprint(spark, dir), k), { _ =>
-        val ivf = build(spark, Tables.embeddings(spark, dir), k)
-        Ivf(ivf.centroids.persist(), ivf.assigned.persist())
-      })
+  def indexFor(spark: SparkSession, dir: String, k: Int = 16): Ivf = {
+    val fp = graft.queries.Memo.fingerprint(spark, dir)
+    // retire (unpersist) superseded fingerprints, don't just orphan them
+    val it = indexMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (es, ed, efp, ek) = e.getKey
+      if ((es eq spark) && ed == dir && ek == k && efp != fp) {
+        e.getValue.centroids.unpersist()
+        e.getValue.assigned.unpersist()
+        it.remove()
+      }
+    }
+    indexMemo.computeIfAbsent((spark, dir, fp, k), { _ =>
+      val ivf = build(spark, Tables.embeddings(spark, dir), k)
+      Ivf(ivf.centroids.persist(), ivf.assigned.persist())
+    })
+  }
 
   /** Unpersist and drop a session's cached indexes (mirror of
     * [[graft.queries.Memo.clear]]).

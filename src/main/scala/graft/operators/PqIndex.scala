@@ -129,12 +129,23 @@ object PqIndex {
   /** Build-once per (session, dir, dir-fingerprint); encoded corpus
     * persisted — same lifecycle contract as [[IvfIndex.indexFor]].
     */
-  def indexFor(spark: SparkSession, dir: String): Pq =
-    indexMemo.computeIfAbsent(
-      (spark, dir, graft.queries.Memo.fingerprint(spark, dir)), { _ =>
-        val pq = build(spark, Tables.embeddings(spark, dir))
-        pq.copy(encoded = pq.encoded.persist())
-      })
+  def indexFor(spark: SparkSession, dir: String): Pq = {
+    val fp = graft.queries.Memo.fingerprint(spark, dir)
+    // retire (unpersist) superseded fingerprints, don't just orphan them
+    val it = indexMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (es, ed, efp) = e.getKey
+      if ((es eq spark) && ed == dir && efp != fp) {
+        e.getValue.encoded.unpersist()
+        it.remove()
+      }
+    }
+    indexMemo.computeIfAbsent((spark, dir, fp), { _ =>
+      val pq = build(spark, Tables.embeddings(spark, dir))
+      pq.copy(encoded = pq.encoded.persist())
+    })
+  }
 
   def clearIndexes(spark: SparkSession): Unit = {
     val it = indexMemo.entrySet().iterator()

@@ -32,12 +32,16 @@ object ZOrder {
     */
   def zValue(x: Column, y: Column, bits: Int = 8): Column = {
     require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    // widen to long BEFORE shifting: with IntegerType inputs and bits=16,
+    // shiftleft(..., 31) would land y's top bit on the int sign bit and
+    // produce negative keys that sort before the whole curve
+    val (xl, yl) = (x.cast("long"), y.cast("long"))
     val terms = (0 until bits).flatMap { i =>
       Seq(
-        shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i),
-        shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
+        shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
-    terms.reduce(_.bitwiseOR(_)).cast("long")
+    terms.reduce(_.bitwiseOR(_))
   }
 
   /** Rewrite `df` into `nFiles` files clustered by the z-curve over

@@ -12,38 +12,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (session, data dir, dir fingerprint, name) so tests with their own
   * sessions or dirs never cross-contaminate, and a dir whose data is
   * REWRITTEN mid-session gets a fresh entry instead of silently serving
-  * the stale plan.
+  * the stale plan. A rewrite also EVICTS (unpersists) the superseded
+  * entry — fingerprint turnover must not pin dead RDD blocks for the
+  * session lifetime.
   *
-  * The fingerprint is the dir's top-level listing (name, mtime, length) —
-  * one driver-side `listStatus` per call, O(tables) not O(files), because
-  * any rewrite replaces or touches a top-level file/subdirectory. In-place
-  * mutation of a nested part file without touching its parent would evade
-  * it; Spark's committers never do that (writes always create/replace
-  * files). Superseded entries stay persisted until [[clear]] — callers
-  * cycling through MANY dir versions in one session should clear between
-  * them.
+  * The fingerprint lists the dir's top-level children and, for child
+  * DIRECTORIES (Spark-written tables), their part files too — part-file
+  * names carry write-UUIDs, so any rewrite changes the signature even on
+  * filesystems with second-granular mtimes (a bare (name, mtime, len)
+  * triple misses a same-second overwrite: a dir's len is 0 and its mtime
+  * may not tick). Cost: one listStatus per table, O(tables + files of
+  * rewritten-table candidates), driver-side.
   */
 object Memo {
   private val cache = new ConcurrentHashMap[(SparkSession, String, String, String), DataFrame]()
 
-  /** Cheap change-detector for a data directory: top-level child
-    * (name, mtime, len) triples, hashed. Missing dir fingerprints as "".
+  /** Change-detector for a data directory: top-level children plus one
+    * level of nested part files, as (name, mtime, len) triples, hashed.
+    * Missing dir fingerprints as "".
     */
   def fingerprint(s: SparkSession, dir: String): String = {
     val path = new Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) ""
     else {
-      val sig = fs.listStatus(path).map(st =>
-        s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
-        .sorted.mkString("|")
+      val parts = fs.listStatus(path).flatMap { st =>
+        val self = s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}"
+        if (!st.isDirectory) Seq(self)
+        else self +: fs.listStatus(st.getPath).map(c =>
+          s"${st.getPath.getName}/${c.getPath.getName}:${c.getModificationTime}:${c.getLen}").toSeq
+      }
+      val sig = parts.sorted.mkString("|")
       java.util.UUID.nameUUIDFromBytes(
         sig.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     }
   }
 
-  def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent((s, dir, fingerprint(s, dir), key), _ => build.persist())
+  def cached(s: SparkSession, dir: String, key: String)(build: => DataFrame): DataFrame = {
+    val fp = fingerprint(s, dir)
+    // evict superseded fingerprints of the same (session, dir, key) so a
+    // rewritten dir releases the stale persisted blocks
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (es, ed, efp, ek) = e.getKey
+      if ((es eq s) && ed == dir && ek == key && efp != fp) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+    cache.computeIfAbsent((s, dir, fp, key), _ => build.persist())
+  }
 
   /** Unpersist and drop every memo of one session (long-lived sessions
     * that cycle through many datasets should call this between them).

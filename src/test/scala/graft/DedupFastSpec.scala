@@ -40,7 +40,8 @@ class DedupFastSpec extends AnyFunSuite with SparkTestKit {
     }
     assert(get().count() == 10 && builds == 1)
     assert(get().count() == 10 && builds == 1) // same fingerprint → memo hit
-    Thread.sleep(1100) // local FS mtime can be second-granular
+    // no sleep: part-file write-UUIDs change the fingerprint even when a
+    // same-second overwrite leaves the table dir's mtime untouched
     (1L to 25L).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
     assert(get().count() == 25, "stale memo served after rewrite")
     assert(builds == 2)

@@ -42,12 +42,14 @@ class PqSpec extends AnyFunSuite with SparkTestKit {
 
   test("trained codebook contracts quantization error vs an untrained one") {
     // untrained = the Lloyd INIT (evenly spaced sample points, 0 iters):
-    // training must strictly reduce summed subspace quantization error
+    // training must strictly reduce summed subspace quantization error.
+    // One collect serves the error evaluation and the init construction.
+    val sample = graft.Tables.embeddings(spark, sfDir)
+      .select($"embedding").orderBy($"vec_id").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     def qErr(codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Double = {
-      val vecs = graft.Tables.embeddings(spark, sfDir)
-        .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
-      val dsub = vecs.head.length / PqIndex.m
-      vecs.map { v =>
+      val dsub = sample.head.length / PqIndex.m
+      sample.map { v =>
         (0 until PqIndex.m).map { j =>
           codebook(j).map { c =>
             (0 until dsub).map { i =>
@@ -57,10 +59,7 @@ class PqSpec extends AnyFunSuite with SparkTestKit {
         }.sum
       }.sum
     }
-    val n = graft.Tables.embeddings(spark, sfDir).count().toInt
-    val sample = graft.Tables.embeddings(spark, sfDir)
-      .select($"embedding").orderBy($"vec_id").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val n = sample.length
     val dsub = sample.head.length / PqIndex.m
     val untrained = IndexedSeq.tabulate(PqIndex.m) { j =>
       IndexedSeq.tabulate(PqIndex.k) { i =>

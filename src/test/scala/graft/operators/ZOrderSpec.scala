@@ -31,6 +31,15 @@ class ZOrderSpec extends AnyFunSuite with SparkTestKit {
     assert(got((170, 85)) == 0x6666L && got((85, 170)) == 0x9999L)
   }
 
+  test("bits=16 with IntegerType columns never goes negative (sign-bit widening)") {
+    val got = Seq((65535, 65535), (0, 65535), (65535, 0), (32768, 32768))
+      .toDF("x", "y")
+      .select(ZOrder.zValue($"x", $"y", bits = 16).as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.forall(_ >= 0L), s"negative Morton keys: ${got.mkString(",")}")
+    assert(got(0) == 0xFFFFFFFFL) // all 32 low bits set
+  }
+
   private def randomPoints(n: Int): Seq[(Long, Int, Int)] = {
     // independent uniform dims — a linear-congruential pair like
     // (a*i %256, b*i %256) degenerates to a 1-D curve (x determines y)
