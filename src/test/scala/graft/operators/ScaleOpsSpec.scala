@@ -41,6 +41,45 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(SkewJoin.saltedJoin(probe, build, "k", 8).count() == 1000)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the no-salt path)") {
+    // AQE's skew handling splits oversized PARTITIONS after the shuffle
+    // materializes — the first line of defense before explicit salting
+    // (SkewJoin remains for single keys too hot for one task even split).
+    // Thresholds are lowered so the test's ~1.4 MB hot partition counts
+    // as skewed; production keeps the defaults (256 MB / 5x median).
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val probe = spark.range(200000)
+        .select((when($"id" % 100 === 0, $"id" % 7).otherwise(lit(42L))).as("k"),
+          concat(lit("payload-"), $"id").as("payload"))
+      val build = spark.range(50)
+        .select($"id".as("k"), concat(lit("info-"), $"id").as("info"))
+      val joined = probe.join(build, "k")
+      // execute joined's OWN QueryExecution (count() would plan a separate
+      // aggregate query and leave this one un-finalized)
+      assert(joined.collect().length == 200000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isSkew=true") || finalPlan.contains("skew="),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed silver layout: orders↔freight mart join is shuffle-free") {
     import graft.domain._
     val silver = Pipeline.toSilver(
