@@ -41,6 +41,11 @@ object SparkEntry {
       Q.noOracle("m1_multimodal_featurize") { (s, dir) =>
         graft.operators.Multimodal.featurizeQuery(s, dir)
       },
+      // preprocess (REAL nearest-neighbor BMP resize + WAV decimation,
+      // pure byte math) → decode; rows-only (binary + custom decode)
+      Q.noOracle("m2_multimodal_preprocess") { (s, dir) =>
+        graft.operators.Multimodal.preprocessQuery(s, dir)
+      },
       // IVF ANN (seeded k-means cells + nprobe search) — k-means is not
       // SQL-expressible → rows-only check; exactness gate lives in
       // IvfSpec (nprobe=k ≡ brute force)

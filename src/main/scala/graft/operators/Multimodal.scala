@@ -55,7 +55,7 @@ object Multimodal {
   }
 
   /** 24-bit BMP with real headers; w,h ≤ 32 keeps payloads small. */
-  private[operators] def synthBmp(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
+  private[graft] def synthBmp(seed: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val rowSize = (w * 3 + 3) / 4 * 4
     val pixels = rowSize * h
     val size = 54 + pixels
@@ -68,7 +68,7 @@ object Multimodal {
   }
 
   /** 16-bit mono PCM WAV with real RIFF headers. */
-  private[operators] def synthWav(seed: Array[Byte], sampleRate: Int, nSamples: Int): Array[Byte] = {
+  private[graft] def synthWav(seed: Array[Byte], sampleRate: Int, nSamples: Int): Array[Byte] = {
     val dataLen = nSamples * 2
     val b = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     b.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
@@ -83,7 +83,7 @@ object Multimodal {
     * ftyp box = size(4) + type(4) + major_brand(4) + minor_version(4) +
     * one compatible brand(4) = 20 bytes.
     */
-  private[operators] def synthMp4(seed: Array[Byte], nFrames: Int): Array[Byte] = {
+  private[graft] def synthMp4(seed: Array[Byte], nFrames: Int): Array[Byte] = {
     val mdatLen = nFrames * 32
     val b = ByteBuffer.allocate(20 + 8 + mdatLen).order(ByteOrder.BIG_ENDIAN)
     b.putInt(20).put("ftyp".getBytes).put("isom".getBytes).putInt(512).put("iso2".getBytes)
@@ -156,6 +156,92 @@ object Multimodal {
     }
     MediaFeatures(row.media_id, row.kind, row.fmt, b.length,
       w, h, rate, durMs, frames, feature)
+  }
+
+  // ── real preprocessing: resize / downsample (pure byte math) ────────
+
+  /** REAL nearest-neighbor resize of a 24-bit BMP — header rewrite +
+    * pixel resampling with correct 4-byte row padding on both sides.
+    * (BMP needs no codec; this op is fully implemented, not stubbed —
+    * a real deployment swaps in the JPEG/PNG codec with the same
+    * signature.)
+    */
+  private[graft] def resizeBmp(b: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    require(b(0) == 'B' && b(1) == 'M', "not a BMP")
+    val w = le32(b, 18); val h = le32(b, 22)
+    val rowSize = (w * 3 + 3) / 4 * 4
+    val rowSize2 = (w2 * 3 + 3) / 4 * 4
+    val pixels2 = rowSize2 * h2
+    val out = ByteBuffer.allocate(54 + pixels2).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + pixels2).putInt(0).putInt(54)
+    out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
+      .putInt(0).putInt(pixels2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val arr = out.array()
+    var y2 = 0
+    while (y2 < h2) {
+      val ys = y2 * h / h2
+      var x2 = 0
+      while (x2 < w2) {
+        val xs = x2 * w / w2
+        System.arraycopy(b, 54 + ys * rowSize + xs * 3,
+          arr, 54 + y2 * rowSize2 + x2 * 3, 3)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    arr
+  }
+
+  /** REAL WAV decimation: keep every k-th sample (k = srcRate/targetRate,
+    * must divide) and rewrite the RIFF/fmt/data headers consistently.
+    */
+  private[graft] def downsampleWav(b: Array[Byte], targetRate: Int): Array[Byte] = {
+    require(new String(b, 0, 4) == "RIFF" && new String(b, 8, 4) == "WAVE", "not a WAV")
+    val srcRate = le32(b, 24)
+    require(srcRate % targetRate == 0, s"rate $srcRate not divisible by $targetRate")
+    val k = srcRate / targetRate
+    val dataLen = le32(b, 40)
+    val nSamples = dataLen / 2
+    val n2 = (nSamples + k - 1) / k
+    val out = ByteBuffer.allocate(44 + n2 * 2).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(36 + n2 * 2).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(targetRate).putInt(targetRate * 2).putShort(2).putShort(16)
+    out.put("data".getBytes).putInt(n2 * 2)
+    var i = 0
+    while (i < nSamples) {
+      out.put(b(44 + i * 2)).put(b(44 + i * 2 + 1))
+      i += k
+    }
+    out.array()
+  }
+
+  /** Preprocess pass (runs BEFORE featurize in a real pipeline): images
+    * resize to `imgSize`², audio decimates to `audioRate`, video passes
+    * through (frame selection happens at decode). Same mapPartitions
+    * batching contract as [[featurize]] — bytes never shuffle decoded.
+    */
+  def preprocess(spark: SparkSession, media: Dataset[MediaRow],
+      imgSize: Int = 8, audioRate: Int = 8000): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.repartition(col("kind"))
+      .mapPartitions(_.map { r =>
+        r.fmt match {
+          case "bmp" => r.copy(bytes = resizeBmp(r.bytes, imgSize, imgSize))
+          case "wav" => r.copy(bytes = downsampleWav(r.bytes, audioRate))
+          case _ => r
+        }
+      })
+  }
+
+  /** Driver-facing rows-only query: preprocess → decode — every image
+    * must surface as imgSize², every audio at audioRate.
+    */
+  def preprocessQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    featurize(spark, preprocess(spark, mediaTable(spark, dir)))
+      .select($"media_id", $"kind", $"fmt", $"n_bytes",
+        $"decoded_w", $"decoded_h", $"sample_rate", $"duration_ms")
   }
 
   /** Featurize: repartition by kind (one codec per partition), then a

@@ -144,4 +144,51 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
       Multimodal.featurize(spark, Multimodal.mediaTable(spark, sfDir))
         .collect().map(r => (r.media_id, r.feature.toSeq)).sortBy(_._1).toSeq)
   }
+
+  test("BMP resize: header rewritten, pixels nearest-neighbor exact, padding correct") {
+    val seed = Array.tabulate(32)(_.toByte)
+    val src = Multimodal.synthBmp(seed, 16, 24)
+    val dst = Multimodal.resizeBmp(src, 8, 8)
+    def le32(b: Array[Byte], o: Int) =
+      java.nio.ByteBuffer.wrap(b, o, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(dst(0) == 'B' && dst(1) == 'M')
+    assert(le32(dst, 18) == 8 && le32(dst, 22) == 8)
+    assert(dst.length == 54 + 24 * 8) // 8px*3B = 24 per row, already 4-aligned
+    // nearest-neighbor: dst pixel (x,y) == src pixel (x*16/8, y*24/8)
+    val srcRow = (16 * 3 + 3) / 4 * 4
+    for (y <- 0 until 8; x <- 0 until 8; c <- 0 until 3) {
+      val got = dst(54 + y * 24 + x * 3 + c)
+      val want = src(54 + (y * 3) * srcRow + (x * 2) * 3 + c)
+      assert(got == want, s"pixel ($x,$y) channel $c")
+    }
+  }
+
+  test("WAV decimation: headers consistent, samples are every k-th of the source") {
+    val seed = Array.tabulate(32)(i => (i * 7).toByte)
+    val src = Multimodal.synthWav(seed, 16000, 400)
+    val dst = Multimodal.downsampleWav(src, 8000)
+    def le32(b: Array[Byte], o: Int) =
+      java.nio.ByteBuffer.wrap(b, o, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(le32(dst, 24) == 8000)      // sample rate
+    assert(le32(dst, 28) == 16000)     // byte rate = rate * 2
+    assert(le32(dst, 40) == 400)       // 200 samples * 2 bytes
+    for (i <- 0 until 200; b <- 0 until 2)
+      assert(dst(44 + i * 2 + b) == src(44 + (i * 2) * 2 + b), s"sample $i byte $b")
+  }
+
+  test("preprocess pipeline: every image lands at 8x8, every audio at 8 kHz") {
+    val out = Multimodal.preprocessQuery(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      r.getAs[String]("fmt") match {
+        case "bmp" =>
+          assert(r.getAs[Int]("decoded_w") == 8 && r.getAs[Int]("decoded_h") == 8)
+        case "wav" =>
+          assert(r.getAs[Int]("sample_rate") == 8000)
+          // decimation halves the sample count at half the rate → duration preserved
+          assert(r.getAs[Int]("duration_ms") >= 6 && r.getAs[Int]("duration_ms") <= 31)
+        case "mp4" => assert(r.getAs[Int]("duration_ms") > 0) // pass-through
+      }
+    }
+  }
 }
