@@ -40,10 +40,18 @@ object BloomFilters {
     * to the configured false-positive rate.
     */
   def bloomLiteral(df: DataFrame, key: Column,
-      expectedItems: Long, fpp: Double = 0.01): Column = {
+      expectedItems: Long, fpp: Double = 0.01): Column =
+    lit(bloomBytes(df, key, expectedItems, fpp))
+
+  /** The serialized sketch itself — callers that construct the same probe
+    * plan repeatedly should memoize these bytes (the build is an EAGER
+    * aggregation over `df`, not a lazy plan node).
+    */
+  def bloomBytes(df: DataFrame, key: Column,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     val bf = df.stat.bloomFilter(xxhash64(key), expectedItems, fpp)
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
-    lit(bos.toByteArray)
+    bos.toByteArray
   }
 }

@@ -48,6 +48,22 @@ class DedupFastSpec extends AnyFunSuite with SparkTestKit {
     graft.queries.Memo.clear(spark)
   }
 
+  test("Memo.cachedValue builds once per fingerprint and invalidates on rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-valmemo").toString
+    (1L to 10L).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    var builds = 0
+    def get() = graft.queries.Memo.cachedValue(spark, dir, "val-memo-test") {
+      builds += 1; spark.read.parquet(s"$dir/t.parquet").count()
+    }
+    assert(get() == 10L && builds == 1)
+    assert(get() == 10L && builds == 1) // same fingerprint → memo hit
+    (1L to 25L).toDF("id").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    assert(get() == 25L, "stale value memo served after rewrite")
+    assert(builds == 2)
+    graft.queries.Memo.clear(spark)
+  }
+
   test("fast minhash stays a banded equi-join (no cartesian)") {
     val p = Dedup.minhashLshFast.run(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
