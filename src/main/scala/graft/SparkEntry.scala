@@ -59,6 +59,11 @@ object SparkEntry {
       Q.noOracle("e7_pq_ann") { (s, dir) =>
         graft.operators.PqIndex.pqQuery(s, dir)
       },
+      // SemDeDup: k-means-clustered embedding near-dup pruning — rows-only
+      // (k-means); the removed-set ≡ brute-force gate lives in SemDedupSpec
+      Q.noOracle("e8_semdedup") { (s, dir) =>
+        graft.operators.SemDedup.semdedupQuery(s, dir)
+      },
       // connected-components dup clustering over the shared LSH pairs —
       // hash-exact vs a DuckDB recursive-CTE transitive closure; the
       // union-find/BSP equivalence gate lives in DupClustersSpec

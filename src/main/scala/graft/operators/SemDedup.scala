@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.FloatVecDot
+
+/** SemDeDup — semantic deduplication of a corpus by embedding clusters
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication", arXiv:2303.09540): k-means-cluster the
+  * embeddings, compare pairs ONLY within a cluster, and drop every vector
+  * that has a sufficiently-similar retained neighbor. The clusters turn an
+  * O(n²) all-pairs problem into Σ O(|cell|²) with |cell| ≈ n/k — the paper
+  * runs this at web scale by growing k with the corpus.
+  *
+  * Dedup rule (deterministic, one distributed pass): a vector is REMOVED
+  * iff some LOWER-id vector in the same cell has cosine ≥ τ with it. The
+  * min-id member of every in-cell similarity clique therefore always
+  * survives; chains (a~b, b~c, a̸~c) may prune slightly more than a
+  * sequential greedy sweep — the standard trade for a join-shaped,
+  * order-independent formulation.
+  *
+  * Scale notes (10⁹+ vectors): reuses the session's IVF index
+  * ([[IvfIndex.indexFor]] — k-means train/assign off the query path); the
+  * pair step is an EQUI-join on `cell_id` (no cartesian — plan-asserted in
+  * SemDedupSpec); per-cell pair volume is bounded by cell size, tuned by
+  * k, never by corpus size; the exact cosine uses the native codegen
+  * `vec_dot`. k here is 16 for the test corpus — at real scale k grows
+  * with n (paper: tens of thousands of clusters) keeping cells constant.
+  */
+object SemDedup {
+
+  /** Per-vector verdict: `(vec_id, cell_id, keep)`, ordered by vec_id. */
+  def run(spark: SparkSession, dir: String, k: Int = 16,
+      tau: Double = 0.40): DataFrame =
+    verdicts(IvfIndex.indexFor(spark, dir, k).assigned, tau)
+
+  /** The dedup pass itself over a `(vec_id, embedding, cell_id)` cluster
+    * assignment — split out from [[run]] so the pair-join shape is
+    * assertable (and the rule unit-testable) without the cached IVF build
+    * plan in the way.
+    */
+  def verdicts(assigned: DataFrame, tau: Double): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    FloatVecDot.register(spark)
+    val v = assigned
+      .select($"cell_id", $"vec_id", $"embedding",
+        sqrt(call_function("vec_dot", $"embedding", $"embedding")).as("nrm"))
+    val a = v.select($"cell_id", $"vec_id".as("vec_a"), $"embedding".as("e_a"),
+      $"nrm".as("n_a"))
+    val b = v.select($"cell_id".as("cell_b"), $"vec_id".as("vec_b"),
+      $"embedding".as("e_b"), $"nrm".as("n_b"))
+    val removed = a.join(b, $"cell_id" === $"cell_b" && $"vec_a" < $"vec_b")
+      .filter(call_function("vec_dot", $"e_a", $"e_b") / ($"n_a" * $"n_b") >= tau)
+      .select($"vec_b".as("vec_id")).distinct()
+      .withColumn("keep", lit(false))
+    v.select($"vec_id", $"cell_id")
+      .join(removed, Seq("vec_id"), "left")
+      .select($"vec_id", $"cell_id", coalesce($"keep", lit(true)).as("keep"))
+      .orderBy($"vec_id")
+  }
+
+  /** Driver-gated entry (`e8_semdedup`): rows-only — k-means is not
+    * SQL-expressible; exactness gates live in SemDedupSpec.
+    */
+  def semdedupQuery(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir)
+}

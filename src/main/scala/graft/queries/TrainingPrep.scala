@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -374,6 +375,74 @@ object TrainingPrep {
         .groupBy($"doc_id").agg(max($"run_len").as("max_run"))
   }
 
+  /** T18: hashed-n-gram importance weighting for targeted data selection —
+    * the DSIR shape (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling", arXiv:2302.03169): score every candidate
+    * (raw) document by how much its hashed-bigram profile looks like the
+    * TARGET distribution (here the `src0` split) relative to the raw pool,
+    * then keep the top of the ranking.
+    *
+    * Bigrams hash into 256 buckets via `substr(md5(gram), 1, 2)` — the
+    * cross-engine-stable stand-in for DSIR's hashed feature space. Rather
+    * than a sum of per-bucket log-probability ratios (a float reduction
+    * whose summation order differs across engines), the score keeps exact
+    * integer evidence — `target_hits` = Σ target-bucket counts over the
+    * doc's bigram occurrences, `raw_hits` = same against the raw pool —
+    * and divides ONCE: `(target_hits+1)/(raw_hits+1)` (add-one smoothing).
+    * One IEEE division of exact integers is bit-identical everywhere, so
+    * the ranking is oracle-exact.
+    *
+    * Scale (100 TB): both count tables are ≤256 rows → broadcast; the
+    * candidate side is touched twice (bucket counts, per-doc sum), each a
+    * single partial-aggregated shuffle, linear in corpus n-grams. Nothing
+    * here is quadratic and no driver-side state exceeds the 256-row maps.
+    */
+  val importanceWeight = Q("t18_importance_weight", {
+    def grams(who: String) =
+      s"""SELECT doc_id, substr(md5(g), 1, 2) AS b
+         |FROM (SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+         |        for i in generate_series(1, greatest(len(w) - 1, 0))]) AS g
+         |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+         |            FROM documents WHERE source $who 'src0'))""".stripMargin
+    s"""WITH tg AS (${grams("=")}),
+       |cg AS (${grams("<>")}),
+       |tc AS (SELECT b, CAST(count(*) AS BIGINT) AS tcnt FROM tg GROUP BY b),
+       |rc AS (SELECT b, CAST(count(*) AS BIGINT) AS rcnt FROM cg GROUP BY b),
+       |per AS (
+       |  SELECT doc_id,
+       |         CAST(sum(coalesce(tcnt, 0)) AS BIGINT) AS target_hits,
+       |         CAST(sum(rcnt) AS BIGINT) AS raw_hits
+       |  FROM cg LEFT JOIN tc USING (b) JOIN rc USING (b)
+       |  GROUP BY doc_id)
+       |SELECT doc_id, target_hits, raw_hits,
+       |       CAST(target_hits + 1 AS DOUBLE) / CAST(raw_hits + 1 AS DOUBLE) AS weight
+       |FROM per
+       |ORDER BY weight DESC, doc_id
+       |LIMIT 100""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    def buckets(side: DataFrame) =
+      Ngrams.postings(side, n = 2, distinct = false, outCol = "g")
+        .select($"doc_id", substring(md5($"g"), 1, 2).as("b"))
+    val tc = buckets(docs.filter($"source" === "src0"))
+      .groupBy($"b").agg(count(lit(1)).as("tcnt"))
+    val cg = buckets(docs.filter($"source" =!= "src0"))
+    val rc = cg.groupBy($"b").agg(count(lit(1)).as("rcnt"))
+    cg.join(broadcast(tc), Seq("b"), "left")
+      .join(broadcast(rc), Seq("b"))
+      .groupBy($"doc_id")
+      .agg(
+        sum(coalesce($"tcnt", lit(0L))).as("target_hits"),
+        sum($"rcnt").as("raw_hits"))
+      .select($"doc_id", $"target_hits", $"raw_hits",
+        (($"target_hits" + lit(1)).cast("double") /
+          ($"raw_hits" + lit(1)).cast("double")).as("weight"))
+      .orderBy(desc("weight"), $"doc_id")
+      .limit(100)
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
-    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun)
+    qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
+    importanceWeight)
 }
