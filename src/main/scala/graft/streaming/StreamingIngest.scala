@@ -532,4 +532,83 @@ object StreamingIngest {
         date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss").as("stream_timestamp"),
         date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("bronze_timestamp")).as("kafka_metadata"))
   }
+
+  /** Streaming MERGE/upsert sink — maintain a keyed parquet snapshot from
+    * a stream of row updates, the streaming counterpart of the batch
+    * full-outer MERGE (`p12_merge_upsert`). Each micro-batch, via
+    * `foreachBatch`:
+    *
+    *  1. collapse the batch to its LATEST row per key (`row_number` over
+    *     `seqCol` desc — intra-batch duplicates resolve here);
+    *  2. MERGE into the snapshot: matched keys take the update's whole
+    *     row, unmatched source keys insert, unmatched target rows carry;
+    *  3. rewrite ONLY the hash buckets the batch touched.
+    *
+    * The snapshot is laid out as `__bucket=<pmod(xxhash64(key), n)>`
+    * partitions so step 3 is a dynamic-partition overwrite of the touched
+    * buckets — at scale a batch of K keys rewrites ≤ min(K, nBuckets)
+    * partitions, not the whole table (the parquet-native stand-in for a
+    * row-level ACID MERGE). The merge itself is partition-pruned on the
+    * same buckets, so per-batch cost is O(touched-bucket bytes), not
+    * O(snapshot).
+    *
+    * Exactly-once: `foreachBatch` replays a batch after a crash, and the
+    * merge is IDEMPOTENT (replacing a row with the same row), so the
+    * snapshot converges — at-least-once execution, exactly-once effect.
+    * The staged write (`.merge.stage`) keeps the overwrite's source out of
+    * its own read path; a crash between stage and overwrite is healed by
+    * the replay.
+    */
+  def upsertSink(updates: DataFrame, keyCol: String, seqCol: String,
+      snapshotDir: String, checkpointDir: String, nBuckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeIntoSnapshot(batch, keyCol, seqCol, snapshotDir, nBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("update")
+
+  /** One micro-batch (or batch backfill) MERGE into the bucketed snapshot
+    * — see [[upsertSink]]. Callable directly for batch upserts too.
+    */
+  def mergeIntoSnapshot(batch: DataFrame, keyCol: String, seqCol: String,
+      snapshotDir: String, nBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    val dataCols = batch.columns
+    val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+    val latest = batch
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn").withColumn("__bucket", bucketOf)
+
+    val path = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(snapshotDir + ".merge.stage")
+    if (!fs.exists(path)) {
+      latest.write.partitionBy("__bucket").mode("overwrite").parquet(snapshotDir)
+      return
+    }
+
+    val touched = latest.select(col("__bucket")).distinct()
+      .collect().map(_.getLong(0)) // ≤ nBuckets rows — driver-safe
+    val cur = spark.read.parquet(snapshotDir)
+      .filter(col("__bucket").isin(touched.toIndexedSeq: _*)) // partition-pruned
+    val merged = cur.alias("t")
+      .join(latest.alias("s"), col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "full_outer")
+      .select(dataCols.map(c =>
+        when(col(s"s.`$keyCol`").isNotNull, col(s"s.`$c`"))
+          .otherwise(col(s"t.`$c`")).as(c)): _*)
+      .withColumn("__bucket", bucketOf)
+
+    fs.delete(stage, true)
+    merged.write.partitionBy("__bucket").mode("overwrite").parquet(stage.toString)
+    spark.read.parquet(stage.toString)
+      .write.partitionBy("__bucket").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(snapshotDir)
+    fs.delete(stage, true)
+  }
 }

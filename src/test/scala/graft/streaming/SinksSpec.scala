@@ -88,6 +88,50 @@ class SinksSpec extends AnyFunSuite with SparkTestKit {
     assert(expected > 0, "fixture produced no matches — test is vacuous")
   }
 
+  test("streaming upsert sink: bucketed snapshot merges inserts/updates across batches") {
+    import org.apache.spark.sql.types.StructType
+    val srcDir = tmp("ups-src")
+    val snap = tmp("ups-root") + "/snapshot"
+    val ckpt = tmp("ups-ckpt")
+    val ddl = "order_id string, status string, seq bigint"
+
+    def runOnce(): Unit = {
+      val q = StreamingIngest.upsertSink(
+        spark.readStream.schema(StructType.fromDDL(ddl)).json(srcDir),
+        "order_id", "seq", snap, ckpt, nBuckets = 4).start()
+      q.awaitTermination()
+    }
+    def snapshot(): Map[String, String] =
+      spark.read.parquet(snap).select("order_id", "status")
+        .as[(String, String)].collect().toMap
+
+    Seq(("o1", "new", 1L), ("o2", "new", 1L))
+      .toDF("order_id", "status", "seq").write.mode("append").json(srcDir)
+    runOnce()
+    assert(snapshot() == Map("o1" -> "new", "o2" -> "new"))
+
+    // update o2 (intra-batch duplicate: highest seq must win), insert o3
+    val batch2 = Seq(("o2", "shipped", 3L), ("o2", "packed", 2L), ("o3", "new", 1L))
+      .toDF("order_id", "status", "seq")
+    batch2.write.mode("append").json(srcDir)
+    runOnce()
+    val s2 = snapshot()
+    assert(s2 == Map("o1" -> "new", "o2" -> "shipped", "o3" -> "new"))
+
+    // exactly-once: a drain with no new data must not change the snapshot
+    runOnce()
+    assert(snapshot() == s2)
+
+    // idempotent merge: replaying the SAME batch directly converges
+    StreamingIngest.mergeIntoSnapshot(batch2, "order_id", "seq", snap, nBuckets = 4)
+    assert(snapshot() == s2)
+
+    // the scale property: snapshot is hash-bucket partitioned
+    val buckets = new java.io.File(snap).listFiles
+      .filter(_.isDirectory).map(_.getName)
+    assert(buckets.nonEmpty && buckets.forall(_.startsWith("__bucket=")), buckets.toSeq)
+  }
+
   test("S10 cdc-ish poll source: rate ticks become gap-free joor envelopes") {
     val src = StreamingIngest.cdcPollSource(spark, rowsPerSecond = 50)
     assert(src.isStreaming)
