@@ -29,14 +29,16 @@ object Bench {
       val a = once()
       q.name -> (if (a < 0) -1.0 else { val b = once(); if (b < 0) -1.0 else math.min(a, b) })
     }
-    // ms precision keeps the JSON line short: the driver captures only the
-    // tail of the build output, and full-precision doubles pushed the line
-    // past that window in round 2 (BENCH_r02 "parsed": null)
+    // bounded precision keeps the JSON line short: the driver captures only
+    // the tail of the build output, and full-precision doubles pushed the
+    // line past that window in round 2 (BENCH_r02 "parsed": null). Total at
+    // ms, per-query at 10 ms — 100 queries × 1 saved char buys headroom.
     // Locale.ROOT: a comma-decimal default locale would print 0,123 and
     // break the driver's JSON parse
-    def ms(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    def fmt(v: Double, p: String): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, p, Double.box(v))
+    def ms(v: Double): String = fmt(v, "%.3f")
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, "%.2f") }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -442,7 +442,53 @@ object TrainingPrep {
       .limit(100)
   }
 
+  /** T19: cross-document duplicated-span fraction — for each doc, the
+    * share of its 8-gram OCCURRENCES that also appear in at least one
+    * OTHER document. The diagnostic behind substring-level dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499, §ExactSubstr): a high fraction means the
+    * doc is mostly boilerplate shared across the corpus even when no
+    * whole-doc near-dup (d2–d4) fires.
+    *
+    * Exactness: both counts are integers; the fraction is one IEEE
+    * division. A gram occurrence counts as duplicated iff the gram's
+    * DISTINCT-doc frequency exceeds 1 — joining the distinct-gram list
+    * back to occurrences is fanout-free (right side is unique by g).
+    * Scale: explode → one hash-agg on the gram (partial-aggregated), one
+    * equi-join on the gram, one per-doc agg — all linear in corpus
+    * n-grams, no self-joins.
+    */
+  val dupSpanFraction = Q("t19_dup_span_fraction", {
+    val grams =
+      """SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
+        |        for i in generate_series(1, greatest(len(w) - 7, 0))]) AS g
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""".stripMargin
+    s"""WITH g AS ($grams),
+       |du AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd
+       |                      FROM g GROUP BY g) WHERE nd > 1)
+       |SELECT t.doc_id,
+       |       count(*) AS n_grams,
+       |       count(*) FILTER (WHERE d.g IS NOT NULL) AS n_dup,
+       |       CAST(count(*) FILTER (WHERE d.g IS NOT NULL) AS DOUBLE)
+       |         / count(*) AS dup_fraction
+       |FROM g t LEFT JOIN du d ON t.g = d.g
+       |GROUP BY t.doc_id""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val g = Ngrams.postings(Tables.documents(s, dir), n = 8, distinct = false,
+      outCol = "g")
+    val du = g.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1).select($"g".as("dg"))
+    g.join(du, $"g" === $"dg", "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count($"dg").as("n_dup"))
+      .select($"doc_id", $"n_grams", $"n_dup",
+        ($"n_dup".cast("double") / $"n_grams").as("dup_fraction"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
-    importanceWeight)
+    importanceWeight, dupSpanFraction)
 }

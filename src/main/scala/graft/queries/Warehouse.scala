@@ -600,8 +600,67 @@ object Warehouse {
           graft.operators.ZOrder.zValue($"zx", $"zy", bits = 8).as("z"))
   }
 
+  /** W12: calendar gap-fill (densification) — daily revenue per order
+    * priority over a CONTIGUOUS date spine, zero-filled where no orders
+    * exist. The time-series completion every BI layer needs (charts,
+    * window functions over gapless series) and the one shape a plain
+    * GROUP BY cannot produce: absent days are absent rows.
+    *
+    * Spine = sequence(min_day, max_day) exploded from the 1-row bounds
+    * aggregate, × the priority domain via a constant-key broadcast
+    * equi-join (spine and domain are both tiny — days × priorities, not
+    * facts). The fact side joins the spine ONCE on (day, priority).
+    * Scale: the spine is O(days × groups) regardless of fact size; the
+    * fact is touched once by the rollup (partial-aggregated shuffle) —
+    * densification cost never tracks the 100 TB side.
+    */
+  val gapFill = Q("w12_gap_fill",
+    s"""WITH o AS (SELECT epoch_us(o_orderdate) // $dayUs AS order_day,
+       |             o_orderpriority AS priority,
+       |             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+       |           FROM orders),
+       |agg AS (SELECT order_day, priority,
+       |          CAST(sum(price) AS DOUBLE) AS revenue,
+       |          count(*) AS n_orders
+       |        FROM o GROUP BY 1, 2),
+       |b AS (SELECT min(order_day) AS lo, max(order_day) AS hi FROM o),
+       |spine AS (SELECT unnest(generate_series(lo, hi)) AS order_day FROM b),
+       |pr AS (SELECT DISTINCT priority FROM o)
+       |SELECT s.order_day, p.priority,
+       |       coalesce(a.revenue, CAST(0 AS DOUBLE)) AS revenue,
+       |       coalesce(a.n_orders, 0) AS n_orders,
+       |       (a.priority IS NULL) AS is_gap
+       |FROM spine s JOIN pr p ON TRUE
+       |LEFT JOIN agg a ON a.order_day = s.order_day AND a.priority = p.priority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select(expr(s"unix_micros(o_orderdate) div $dayUs").as("order_day"),
+          $"o_orderpriority".as("priority"), Exact.dec2($"o_totalprice").as("price"))
+      val agg = o.groupBy($"order_day", $"priority")
+        .agg(sum($"price").cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+      // the spine bounds are ONE row — evaluate them eagerly and inline as
+      // literals (the standard dynamic-spine move; a DF-level cross join
+      // here would plan a nested loop the global sweep forbids). The
+      // per-priority explode then yields (priority, every day in range).
+      val b = o.agg(min($"order_day").as("lo"), max($"order_day").as("hi")).head
+      val spine = o.select($"priority").distinct()
+        .select($"priority",
+          explode(sequence(lit(b.getLong(0)), lit(b.getLong(1)))).as("order_day"))
+      spine
+        .join(agg.withColumnRenamed("priority", "a_priority")
+          .withColumnRenamed("order_day", "a_day"),
+          $"order_day" === $"a_day" && $"priority" === $"a_priority", "left")
+        .select($"order_day", $"priority",
+          coalesce($"revenue", lit(0.0)).as("revenue"),
+          coalesce($"n_orders", lit(0L)).as("n_orders"),
+          $"a_priority".isNull.as("is_gap"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
-    q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative, zorderKey)
+    q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative, zorderKey,
+    gapFill)
 }

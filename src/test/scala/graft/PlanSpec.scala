@@ -116,9 +116,12 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     // the only justified nested-loop joins: deliberate few-row broadcast
     // sides whose cardinality is a CONSTANT of the algorithm, not of the
     // data — brute-force probes (e1), t10's 1-row document-frequency
-    // aggregate, PQ's probe table (e7), and IVF's k-centroid table (e4):
-    // corpus × k rows is the assignment step's intended shape
-    val whitelist = Set("e1_cosine_topk", "t10_tfidf_search", "e7_pq_ann", "e4_ivf_ann")
+    // aggregate, PQ's probe table (e7), and IVF's k-centroid table
+    // (e4, and e8 which reuses the same cached index — the BNLJ sits in
+    // the index BUILD subtree under the InMemoryRelation; e8's own pair
+    // step is equi-join-only, asserted in SemDedupSpec)
+    val whitelist = Set("e1_cosine_topk", "t10_tfidf_search", "e7_pq_ann",
+      "e4_ivf_ann", "e8_semdedup")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>

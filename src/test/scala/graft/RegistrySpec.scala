@@ -26,7 +26,7 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
     // full-precision line outgrew it and BENCH_r02 recorded parsed: null.
     // Reconstruct the line exactly as Bench prints it, worst-case widths.
     val qs = SparkEntry.registry
-      .map(q => "\"" + q.name + "\":" + "999.999").mkString("{", ",", "}")
+      .map(q => "\"" + q.name + "\":" + "999.99").mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"errors":[],"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 2700,
