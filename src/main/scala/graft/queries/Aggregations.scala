@@ -76,5 +76,26 @@ object Aggregations {
           (sum(Exact.dec2($"value")).cast("double") / count(lit(1))).as("avg_value"))
   }
 
-  val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts)
+  /** A15: heavy hitters via the Misra–Gries sketch
+    * ([[graft.functions.FrequentItems]]) — run here in the EXACT regime
+    * (l_shipmode has ≤7 values, k=32 counters never trim), so the sketch
+    * output equals a plain GROUP BY count and the DuckDB oracle checks it
+    * hash-exact. The approximate regime (k ≪ distinct) is gated by error
+    * bounds in FrequentItemsSpec — a sketch encoding itself is never
+    * cross-engine comparable.
+    */
+  val a15HeavyHitters = Q("a15_heavy_hitters",
+    """SELECT l_returnflag || '-' || l_linestatus AS item, count(*) AS est_count
+      |FROM lineitem GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.FrequentItems.register(s)
+      Tables.lineitem(s, dir)
+        .select(concat($"l_returnflag", lit("-"), $"l_linestatus").as("v"))
+        .agg(call_function("freq_items", $"v", lit(32)).as("hh"))
+        .select(explode($"hh").as("e"))
+        .select($"e.item".as("item"), $"e.est_count".as("est_count"))
+  }
+
+  val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters)
 }
