@@ -10,7 +10,7 @@ import org.apache.spark.sql.SparkSession
   *  - SQL functions: `vec_dot` (native codegen float dot product),
   *    `bloom_might_contain` (Spark's own predicate surfaced as a
   *    function), `bottom_k_sample` (deterministic mergeable per-group
-  *    sampling);
+  *    sampling), `freq_items` (Misra–Gries heavy-hitters sketch);
   *  - the bounded-levenshtein optimizer rule (entity-resolution verify
   *    predicates);
   *  - the native per-group top-k planner strategy
@@ -24,6 +24,7 @@ object Graft {
     functions.FloatVecDot.register(spark)
     functions.BloomFilters.register(spark)
     functions.BottomKSample.register(spark)
+    functions.FrequentItems.register(spark)
     plans.TopKPerGroup.ensureStrategy(spark)
     val rules = spark.experimental.extraOptimizations
     if (!rules.contains(plans.BoundedLevenshteinRule))

@@ -488,7 +488,49 @@ object TrainingPrep {
         ($"n_dup".cast("double") / $"n_grams").as("dup_fraction"))
   }
 
+  /** T20: corpus health statistics per source — document count, token
+    * count, vocabulary size, hapax-legomena count (words occurring
+    * exactly once in the source), and type-token ratio. The first
+    * dashboard a data-curation team builds: TTR and hapax mass shift
+    * sharply when a source turns templated/boilerplate or a scrape breaks.
+    * All counts are exact integers; TTR is one division — oracle-exact.
+    *
+    * Scale: explode → two hash-aggregates (word-level, then source-level)
+    * and a 1-row-per-source join — linear in corpus tokens, partial
+    * aggregation on both shuffles; the (source, word) aggregate carries
+    * the vocabulary, not the corpus.
+    */
+  val corpusStats = Q("t20_corpus_stats",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+      |               CAST(count(DISTINCT w) AS BIGINT) AS vocab
+      |        FROM w GROUP BY source),
+      |h AS (SELECT source, CAST(count(*) AS BIGINT) AS hapax
+      |      FROM (SELECT source, w FROM w GROUP BY source, w HAVING count(*) = 1)
+      |      GROUP BY source),
+      |d AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+      |SELECT d.source, n_docs, n_tokens, vocab,
+      |       coalesce(hapax, 0) AS hapax,
+      |       CAST(vocab AS DOUBLE) / n_tokens AS ttr
+      |FROM d JOIN per USING (source) LEFT JOIN h USING (source)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val words = docs.select($"source", explode(split($"text", " ")).as("w"))
+      val per = words.groupBy($"source")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct($"w").as("vocab"))
+      val hap = words.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+        .filter($"c" === 1)
+        .groupBy($"source").agg(count(lit(1)).as("hapax"))
+      docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+        .join(per, "source")
+        .join(hap, Seq("source"), "left")
+        .select($"source", $"n_docs", $"n_tokens", $"vocab",
+          coalesce($"hapax", lit(0L)).as("hapax"),
+          ($"vocab".cast("double") / $"n_tokens").as("ttr"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
-    importanceWeight, dupSpanFraction)
+    importanceWeight, dupSpanFraction, corpusStats)
 }

@@ -20,6 +20,10 @@ class GraftInstallSpec extends AnyFunSuite with SparkTestKit {
     assert(spark.sql(
       "SELECT bottom_k_sample(v, 2, 42) FROM VALUES ('a'), ('b'), ('c') t(v)")
       .first.getSeq[String](0).size == 2)
+    assert(spark.sql(
+      "SELECT freq_items(v, 4) FROM VALUES ('a'), ('a'), ('b') t(v)")
+      .first.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1))).toMap == Map("a" -> 2L, "b" -> 1L))
     // optimizer rule attached exactly once
     assert(spark.experimental.extraOptimizations
       .count(_ == plans.BoundedLevenshteinRule) == 1)

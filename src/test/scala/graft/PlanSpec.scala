@@ -112,6 +112,14 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("t18 importance weighting: both bucket count tables join as broadcast") {
+    val p = simplePlanOf(TrainingPrep.importanceWeight.run(spark, sfDir))
+    // the target and raw 256-row count tables must reach the candidate
+    // postings as broadcasts — a shuffle join here would shuffle the
+    // full corpus postings twice for two tiny sides
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+  }
+
   test("GLOBAL sweep: no registry query plans a cartesian/nested-loop join (whitelist excepted)") {
     // the only justified nested-loop joins: deliberate few-row broadcast
     // sides whose cardinality is a CONSTANT of the algorithm, not of the
