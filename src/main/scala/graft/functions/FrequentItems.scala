@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * stream. When the group's distinct-value count never exceeds k, no
   * counter is ever decremented anywhere, and the sketch IS the exact
   * count table — the regime the DuckDB oracle checks
-  * (`a15_heavy_hitters` over a ≤7-value column); the approximate regime's
-  * bounds are gated in FrequentItemsSpec.
+  * (`a15_heavy_hitters` over the ≤6-combination returnflag×linestatus
+  * domain); the approximate regime's bounds are gated in
+  * FrequentItemsSpec.
   *
   * Scale: the summary is O(k) per group regardless of input size — the
   * 100 TB answer to "top shipmodes / hot keys / dominant languages"

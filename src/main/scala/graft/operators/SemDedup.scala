@@ -50,8 +50,12 @@ object SemDedup {
       $"nrm".as("n_a"))
     val b = v.select($"cell_id".as("cell_b"), $"vec_id".as("vec_b"),
       $"embedding".as("e_b"), $"nrm".as("n_b"))
+    // the n_a > 0 / n_b > 0 guard keeps a zero vector from removing its
+    // cellmates: 0/0 is NaN, and Spark orders NaN ABOVE every double, so
+    // an unguarded `NaN >= tau` is true
     val removed = a.join(b, $"cell_id" === $"cell_b" && $"vec_a" < $"vec_b")
-      .filter(call_function("vec_dot", $"e_a", $"e_b") / ($"n_a" * $"n_b") >= tau)
+      .filter($"n_a" > 0 && $"n_b" > 0 &&
+        call_function("vec_dot", $"e_a", $"e_b") / ($"n_a" * $"n_b") >= tau)
       .select($"vec_b".as("vec_id")).distinct()
       .withColumn("keep", lit(false))
     v.select($"vec_id", $"cell_id")

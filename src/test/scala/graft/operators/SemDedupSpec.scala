@@ -75,6 +75,17 @@ class SemDedupSpec extends AnyFunSuite with SparkTestKit {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("zero-norm vectors never trigger removals (NaN cosine guard)") {
+    val assigned = Seq(
+      (1L, Array(0.0f, 0.0f), 0), // zero vector, lowest id in cell
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f), 0)  // zero vs zero is also 0/0
+    ).toDF("vec_id", "embedding", "cell_id")
+    val out = SemDedup.verdicts(assigned, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
   test("the rule itself on a hand-built assignment: removal needs a lower-id in-cell neighbor") {
     // two identical vectors in the same cell → higher id removed; an
     // identical vector in ANOTHER cell survives (cluster-restricted scope)

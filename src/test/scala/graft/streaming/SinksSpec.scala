@@ -132,6 +132,43 @@ class SinksSpec extends AnyFunSuite with SparkTestKit {
     assert(buckets.nonEmpty && buckets.forall(_.startsWith("__bucket=")), buckets.toSeq)
   }
 
+  test("upsert merge edges: null keys dropped, empty batch no-op, ties deterministic, bucket mismatch refused") {
+    val snap = tmp("ups2-root") + "/snapshot"
+    def read(): Map[String, String] =
+      spark.read.parquet(snap).select("order_id", "status")
+        .as[(String, String)].collect().toMap
+
+    // an empty FIRST batch must not create a part-less snapshot dir
+    val empty = Seq.empty[(String, String, Long)].toDF("order_id", "status", "seq")
+    StreamingIngest.mergeIntoSnapshot(empty, "order_id", "seq", snap, nBuckets = 4)
+    assert(!new java.io.File(snap).exists())
+
+    // null keys have no merge identity — dropped, not crashed on
+    val b1 = Seq(("k1", "a", 1L), (null.asInstanceOf[String], "x", 9L))
+      .toDF("order_id", "status", "seq")
+    StreamingIngest.mergeIntoSnapshot(b1, "order_id", "seq", snap, nBuckets = 4)
+    assert(read() == Map("k1" -> "a"))
+
+    // an empty batch against an existing snapshot is a no-op
+    StreamingIngest.mergeIntoSnapshot(empty, "order_id", "seq", snap, nBuckets = 4)
+    assert(read() == Map("k1" -> "a"))
+
+    // equal-seq ties resolve deterministically (remaining columns asc:
+    // "packed" < "shipped") — and identically on replay
+    val tie = Seq(("k2", "shipped", 5L), ("k2", "packed", 5L))
+      .toDF("order_id", "status", "seq")
+    StreamingIngest.mergeIntoSnapshot(tie, "order_id", "seq", snap, nBuckets = 4)
+    assert(read() == Map("k1" -> "a", "k2" -> "packed"))
+    StreamingIngest.mergeIntoSnapshot(tie, "order_id", "seq", snap, nBuckets = 4)
+    assert(read() == Map("k1" -> "a", "k2" -> "packed"))
+
+    // a different nBuckets would scatter keys across mismatched buckets
+    // (silent duplicates) — must refuse
+    intercept[IllegalArgumentException] {
+      StreamingIngest.mergeIntoSnapshot(tie, "order_id", "seq", snap, nBuckets = 8)
+    }
+  }
+
   test("S10 cdc-ish poll source: rate ticks become gap-free joor envelopes") {
     val src = StreamingIngest.cdcPollSource(spark, rowsPerSecond = 50)
     assert(src.isStreaming)
