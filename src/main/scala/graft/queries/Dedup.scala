@@ -407,6 +407,49 @@ object Dedup {
         .filter($"edit_dist" <= 1)
   }
 
+  /** D8: FUZZY decontamination — the near-duplicate complement of d6's
+    * exact 8-gram overlap: flag training docs whose MinHash signature
+    * agrees ≥ 0.5 with some eval (`src0`) doc, i.e. paraphrased or
+    * lightly-edited benchmark leakage that exact n-gram matching misses.
+    *
+    * The pair derivation IS the memoized d3 pair list (band-bucketed,
+    * never all-pairs, shared with d3/d5 per session) restricted to
+    * CROSS-split pairs by a doc→split join; output is one row per
+    * contaminated train doc with its eval-match count and strongest
+    * estimated Jaccard. Asymmetric decontamination at 100 TB runs the
+    * same shape with the eval side's band rows broadcast (it is tiny);
+    * here the shared pair list already exists, so reusing it is the
+    * cheaper plan.
+    */
+  val fuzzyDecontamination = Q("d8_fuzzy_decontam",
+    s"""WITH $minhashCtes,
+       |pairs AS ($minhashSelect),
+       |src AS (SELECT doc_id, source = 'src0' AS is_eval FROM documents),
+       |xp AS (
+       |  SELECT CASE WHEN sa.is_eval THEN p.doc_b ELSE p.doc_a END AS train_doc,
+       |         p.est_jaccard
+       |  FROM pairs p JOIN src sa ON p.doc_a = sa.doc_id
+       |               JOIN src sb ON p.doc_b = sb.doc_id
+       |  WHERE sa.is_eval <> sb.is_eval)
+       |SELECT train_doc,
+       |       CAST(count(*) AS BIGINT) AS n_eval_matches,
+       |       max(est_jaccard) AS max_est_jaccard
+       |FROM xp GROUP BY train_doc""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val src = Tables.documents(s, dir)
+        .select($"doc_id", ($"source" === "src0").as("is_eval"))
+      minhashPairs(s, dir)
+        .join(src.select($"doc_id".as("doc_a"), $"is_eval".as("ea")), "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"is_eval".as("eb")), "doc_b")
+        .filter($"ea" =!= $"eb")
+        .select(when($"ea", $"doc_b").otherwise($"doc_a").as("train_doc"),
+          $"est_jaccard")
+        .groupBy($"train_doc")
+        .agg(count(lit(1)).as("n_eval_matches"),
+          max($"est_jaccard").as("max_est_jaccard"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
-    contamination, contaminationBloom, fuzzyMatch)
+    contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination)
 }

