@@ -137,8 +137,15 @@ object FrequentItems {
       "freq_items",
       exprs => {
         require(exprs.length == 2, "freq_items(value, k)")
-        FrequentItems(exprs(0), exprs(1).eval().asInstanceOf[Int])
-          .toAggregateExpression()
+        require(exprs(1).foldable, "freq_items: k must be a literal")
+        val k = exprs(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case s: Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"freq_items: k must be an integer literal, got $other")
+        }
+        FrequentItems(exprs(0), k).toAggregateExpression()
       },
       "built-in")
 }

@@ -109,12 +109,14 @@ object IvfIndex {
     */
   def indexFor(spark: SparkSession, dir: String, k: Int = 16): Ivf = {
     val fp = graft.queries.Memo.fingerprint(spark, dir)
-    // retire (unpersist) superseded fingerprints, don't just orphan them
+    // retire (unpersist) superseded fingerprints, don't just orphan them —
+    // for EVERY k of this (session, dir): a rewrite invalidates all
+    // indexes over the old data, not just the k being requested now
     val it = indexMemo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val (es, ed, efp, ek) = e.getKey
-      if ((es eq spark) && ed == dir && ek == k && efp != fp) {
+      val (es, ed, efp, _) = e.getKey
+      if ((es eq spark) && ed == dir && efp != fp) {
         e.getValue.centroids.unpersist()
         e.getValue.assigned.unpersist()
         it.remove()

@@ -224,7 +224,11 @@ object Multimodal {
   def preprocess(spark: SparkSession, media: Dataset[MediaRow],
       imgSize: Int = 8, audioRate: Int = 8000): Dataset[MediaRow] = {
     import spark.implicits._
-    media.repartition(col("kind"))
+    // no repartition here: the resize/decimate is pure per-row byte math
+    // that gains nothing from codec locality, and featurize downstream
+    // repartitions by kind anyway — a second exchange would ship the
+    // whole binary payload across the network twice
+    media
       .mapPartitions(_.map { r =>
         r.fmt match {
           case "bmp" => r.copy(bytes = resizeBmp(r.bytes, imgSize, imgSize))

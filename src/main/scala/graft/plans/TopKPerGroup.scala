@@ -121,6 +121,11 @@ object TopKPerGroup {
     */
   def topK(df: DataFrame, groupCols: Seq[String],
       orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // fail here, not in EnsureRequirements: ClusteredDistribution(Nil)
+    // dies deep in planning with a Spark-internal message
+    require(groupCols.nonEmpty,
+      "topK needs at least one group column — for a GLOBAL top-k use " +
+        "orderBy(...).limit(k) (plans TakeOrderedAndProject)")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val plan = df.queryExecution.analyzed

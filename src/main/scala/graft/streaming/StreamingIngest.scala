@@ -614,12 +614,13 @@ object StreamingIngest {
     // buckets and dynamic overwrite would leave the old copies in place —
     // silent duplicate keys. Refuse instead.
     if (fs.exists(marker)) {
+      val len = fs.getFileStatus(marker).getLen.toInt
+      val buf = new Array[Byte](len)
       val in = fs.open(marker)
-      val buf = new Array[Byte](32)
-      val n = in.read(buf)
+      in.readFully(0, buf) // a bare read() may return short on remote FSs
       in.close()
-      val stored = new String(buf, 0, math.max(n, 0),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      val stored =
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
       require(stored == nBuckets,
         s"snapshot $snapshotDir was built with nBuckets=$stored; merging with " +
           s"nBuckets=$nBuckets would scatter keys across mismatched buckets")

@@ -58,19 +58,37 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkTestKit {
   }
 
   test("partial pass bounds what reaches the shuffle") {
-    // run just the partial contract: per input partition, at most k rows
-    // per group survive — over p partitions and g groups that is ≤ g·k·p
-    // rows into the Exchange, independent of input size
+    // execute the PARTIAL exec alone and count what it emits — per input
+    // partition at most k rows per group survive, so over p partitions
+    // and g groups ≤ g·k·p rows enter the Exchange, independent of input
+    // size. (A proxy through the full operator can't catch a regression
+    // that passes every row through the partial: results stay equal.)
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     val parts = 8
-    val df = viaOperator(base.repartition(parts))
+    val input = base.repartition(parts)
+    val inPlan = input.queryExecution.executedPlan
+    def attr(n: String) = inPlan.output.find(_.name == n).get
+    val partial = TopKPerGroupExec(
+      Seq(attr("priority")),
+      Seq(SortOrder(attr("totalprice"), Descending),
+        SortOrder(attr("order_no"), Ascending)),
+      k = 3, partial = true, inPlan)
+    val outRows = partial.execute().count()
+    val inRows = input.count()
     val nGroups = base.select($"priority").distinct().count()
-    // observable proxy: executing the full operator still yields exactly
-    // g·k rows, and the partial invariant is checkable directly:
-    val partialOnly = base.repartition(parts).rdd
-      .mapPartitions { it => Iterator.single(it.length) }.collect()
-    assert(partialOnly.sum > nGroups * 3 * parts,
+    assert(inRows > nGroups * 3 * parts,
       "test premise: input is larger than the partial bound")
-    assert(df.count() == nGroups * 3)
+    assert(outRows <= nGroups * 3 * parts,
+      s"partial emitted $outRows rows — bound is ${nGroups * 3 * parts}")
+    assert(outRows < inRows, "partial pass did not shrink the stream")
+    assert(viaOperator(input).count() == nGroups * 3)
+  }
+
+  test("global top-k (no group columns) is rejected at the API with guidance") {
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup.topK(base, Seq(), Seq(("totalprice", false)), 3)
+    }
+    assert(e.getMessage.contains("orderBy"))
   }
 
   test("property: equals the window idiom on random data, any k / skew / partitioning") {
