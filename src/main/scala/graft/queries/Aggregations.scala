@@ -97,5 +97,32 @@ object Aggregations {
         .select($"e.item".as("item"), $"e.est_count".as("est_count"))
   }
 
-  val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters)
+  /** A17: several COUNT(DISTINCT …) over DIFFERENT columns in one
+    * aggregation — Catalyst plans this via the Expand operator (one
+    * replicated row per distinct-set, then a two-phase aggregate), the
+    * operator this query exists to pin. Scale note: Expand multiplies the
+    * shuffled rows by the number of distinct sets (×3 here) — at 100 TB
+    * prefer one pass per distinct column, or the HLL sketches in
+    * `a7_sketch_stats` when ±2% suffices.
+    */
+  val a17MultiDistinct = Q("a17_distinct",
+    """SELECT o_orderpriority,
+      |       count(*) AS n_orders,
+      |       count(DISTINCT o_custkey) AS n_custs,
+      |       count(DISTINCT o_orderstatus) AS n_statuses,
+      |       count(DISTINCT CAST(o_orderdate AS DATE)) AS n_days
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct($"o_custkey").as("n_custs"),
+          countDistinct($"o_orderstatus").as("n_statuses"),
+          countDistinct(to_date($"o_orderdate")).as("n_days"))
+  }
+
+  val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
+    a17MultiDistinct)
 }

@@ -165,5 +165,29 @@ object Scalars {
         length($"c_name").cast("long").as("name_len"))
   }
 
-  val queries: Seq[Q] = Seq(f1Classifier, f4DetRand, f10Dates, dimDate, stringPack)
+  /** F16: ordered string aggregation — ANSI LISTAGG … WITHIN GROUP
+    * (Spark 4's `listagg`; DuckDB's `string_agg` with ORDER BY). The
+    * ORDER BY inside the aggregate is what makes the result deterministic
+    * and cross-engine comparable — an unordered listagg is
+    * accumulation-order-dependent and would never hash-match. Broadcast
+    * dim join + one hash aggregate; the per-group payload (nation names)
+    * is bounded, so the aggregate state stays small at any corpus size.
+    */
+  val listAgg = Q("f16_listagg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |       count(*) AS n_nations
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name")
+        .agg(
+          expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n_nations"))
+  }
+
+  val queries: Seq[Q] = Seq(f1Classifier, f4DetRand, f10Dates, dimDate, stringPack,
+    listAgg)
 }

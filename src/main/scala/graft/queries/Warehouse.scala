@@ -664,9 +664,72 @@ object Warehouse {
           $"a_priority".isNull.as("is_gap"))
   }
 
+  /** A16: correlation / covariance / stddev with EXACT evidence — the t18
+    * integer-evidence pattern applied to second moments. The built-in
+    * `corr`/`covar_samp`/`stddev` accumulate doubles, so their result
+    * depends on partial-aggregation order and can never hash-match an
+    * oracle. Instead: accumulate (n, Σx, Σy, Σxy, Σx², Σy²) exactly in
+    * narrow decimals (quantity is integral; price is clean cents ×100),
+    * combine exactly in decimal, and spend the only floating-point ops at
+    * the very end (cast, sqrt, division — IEEE-identical cross-engine).
+    * Decimal widths are sized so every product stays ≤ DECIMAL(37,0),
+    * because DuckDB refuses (and Spark truncates) products wider than 38:
+    * good to ~1e10 rows/group — far past this gate's data; at true 100 TB
+    * group sizes use the one-pass built-ins (no oracle to hash against).
+    * Plan: one hash-agg shuffle with map-side partials, same as q1.
+    */
+  val corrEvidence = Q("a16_corr",
+    """WITH e AS (
+      |  SELECT l_returnflag,
+      |         CAST(l_quantity AS DECIMAL(4,0)) AS x,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(12,0)) AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag,
+      |         CAST(count(*) AS DECIMAL(10,0)) AS n,
+      |         CAST(sum(x) AS DECIMAL(13,0)) AS sx,
+      |         CAST(sum(y) AS DECIMAL(18,0)) AS sy,
+      |         CAST(sum(x * y) AS DECIMAL(20,0)) AS sxy,
+      |         CAST(sum(x * x) AS DECIMAL(14,0)) AS sxx,
+      |         CAST(sum(y * y) AS DECIMAL(25,0)) AS syy
+      |  FROM e GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
+      |       CAST(n * sxy - sx * sy AS DOUBLE)
+      |         / CAST(n * (n - 1) AS DOUBLE) / CAST(100 AS DOUBLE) AS covar_qty_price,
+      |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+      |            / CAST(n * (n - 1) AS DOUBLE)) / CAST(100 AS DOUBLE) AS stddev_price
+      |FROM s""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.lineitem(s, dir).select(
+        $"l_returnflag",
+        $"l_quantity".cast(DecimalType(4, 0)).as("x"),
+        (Exact.dec2($"l_extendedprice") * 100).cast(DecimalType(12, 0)).as("y"))
+      val ev = e.groupBy($"l_returnflag").agg(
+        count(lit(1)).cast(DecimalType(10, 0)).as("n"),
+        sum($"x").cast(DecimalType(13, 0)).as("sx"),
+        sum($"y").cast(DecimalType(18, 0)).as("sy"),
+        sum($"x" * $"y").cast(DecimalType(20, 0)).as("sxy"),
+        sum($"x" * $"x").cast(DecimalType(14, 0)).as("sxx"),
+        sum($"y" * $"y").cast(DecimalType(25, 0)).as("syy"))
+      val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
+      val vx  = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
+      val vy  = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
+      val nn1 = ($"n" * ($"n" - lit(1))).cast("double")
+      val h   = lit(100).cast("double")
+      ev.select($"l_returnflag", $"n".cast("long").as("n_items"),
+        (num / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
+        (num / nn1 / h).as("covar_qty_price"),
+        (sqrt(vy / nn1) / h).as("stddev_price"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative, zorderKey,
-    gapFill)
+    gapFill, corrEvidence)
 }

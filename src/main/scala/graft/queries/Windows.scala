@@ -107,5 +107,34 @@ object Windows {
           ntile(4).over(w).cast("long").as("quartile"))
   }
 
-  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal, rankFamily)
+  /** W13: the value-picking window family — first_value / last_value /
+    * nth_value over an explicit whole-partition ROWS frame. last_value
+    * needs the UNBOUNDED FOLLOWING frame spelled out (the default frame
+    * ends at CURRENT ROW, where last_value degenerates to the row
+    * itself — a classic silent bug this query pins). The functions only
+    * pick values (no arithmetic), so the decimal→double emission is
+    * exact on both engines; ordering is total via the o_orderkey tiebreak.
+    * One shuffle on the partition key, like every window here.
+    */
+  val valueFrames = Q("w13_frames",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS first_price,
+      |       CAST(last_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS last_price,
+      |       CAST(nth_value(CAST(o_totalprice AS DECIMAL(18,2)), 2) OVER w AS DOUBLE) AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select($"o_custkey", $"o_orderkey",
+          first_value(dec2($"o_totalprice")).over(w).cast("double").as("first_price"),
+          last_value(dec2($"o_totalprice")).over(w).cast("double").as("last_price"),
+          nth_value(dec2($"o_totalprice"), 2).over(w).cast("double").as("second_price"))
+  }
+
+  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal, rankFamily,
+    valueFrames)
 }
