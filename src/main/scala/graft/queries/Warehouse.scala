@@ -672,10 +672,15 @@ object Warehouse {
     * narrow decimals (quantity is integral; price is clean cents ×100),
     * combine exactly in decimal, and spend the only floating-point ops at
     * the very end (cast, sqrt, division — IEEE-identical cross-engine).
-    * Decimal widths are sized so every product stays ≤ DECIMAL(37,0),
-    * because DuckDB refuses (and Spark truncates) products wider than 38:
-    * good to ~1e10 rows/group — far past this gate's data; at true 100 TB
-    * group sizes use the one-pass built-ins (no oracle to hash against).
+    * Decimal widths: each product's combined width must stay ≤ 38 (DuckDB
+    * refuses wider at bind time), AND at least one operand of each product
+    * must be width ≥ 19 — DuckDB multiplies in the operands' physical type,
+    * so two int64-backed (width ≤ 18) operands overflow int64 at runtime
+    * long before the logical width does (r3's `sy * sy` red row). The
+    * explicit CAST(.. AS DECIMAL(20,0)) widenings below force the int128
+    * path; values are exact integers either way, so the doubles (and the
+    * hash) are unchanged. Good to ~1e9 rows/group; at true 100 TB group
+    * sizes use the one-pass built-ins (no oracle to hash against).
     * Plan: one hash-agg shuffle with map-side partials, same as q1.
     */
   val corrEvidence = Q("a16_corr",
@@ -692,16 +697,22 @@ object Warehouse {
       |         CAST(sum(x * y) AS DECIMAL(20,0)) AS sxy,
       |         CAST(sum(x * x) AS DECIMAL(14,0)) AS sxx,
       |         CAST(sum(y * y) AS DECIMAL(25,0)) AS syy
-      |  FROM e GROUP BY l_returnflag)
+      |  FROM e GROUP BY l_returnflag),
+      |wide AS (
+      |  SELECT l_returnflag, n,
+      |         CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(20,0)) * sy AS num,
+      |         CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS vx,
+      |         CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(20,0)) * sy AS vy,
+      |         CAST(n AS DECIMAL(19,0)) * (n - 1) AS nn1
+      |  FROM s)
       |SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
-      |       CAST(n * sxy - sx * sy AS DOUBLE)
-      |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-      |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price,
-      |       CAST(n * sxy - sx * sy AS DOUBLE)
-      |         / CAST(n * (n - 1) AS DOUBLE) / CAST(100 AS DOUBLE) AS covar_qty_price,
-      |       sqrt(CAST(n * syy - sy * sy AS DOUBLE)
-      |            / CAST(n * (n - 1) AS DOUBLE)) / CAST(100 AS DOUBLE) AS stddev_price
-      |FROM s""".stripMargin) {
+      |       CAST(num AS DOUBLE)
+      |         / (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) AS corr_qty_price,
+      |       CAST(num AS DOUBLE)
+      |         / CAST(nn1 AS DOUBLE) / CAST(100 AS DOUBLE) AS covar_qty_price,
+      |       sqrt(CAST(vy AS DOUBLE)
+      |            / CAST(nn1 AS DOUBLE)) / CAST(100 AS DOUBLE) AS stddev_price
+      |FROM wide""".stripMargin) {
     (s, dir) =>
       import s.implicits._
       import org.apache.spark.sql.types.DecimalType
@@ -716,10 +727,16 @@ object Warehouse {
         sum($"x" * $"y").cast(DecimalType(20, 0)).as("sxy"),
         sum($"x" * $"x").cast(DecimalType(14, 0)).as("sxx"),
         sum($"y" * $"y").cast(DecimalType(25, 0)).as("syy"))
-      val num = ($"n" * $"sxy" - $"sx" * $"sy").cast("double")
-      val vx  = ($"n" * $"sxx" - $"sx" * $"sx").cast("double")
-      val vy  = ($"n" * $"syy" - $"sy" * $"sy").cast("double")
-      val nn1 = ($"n" * ($"n" - lit(1))).cast("double")
+      // mirror the oracle's widening casts so both engines run the exact
+      // same integer-decimal arithmetic before the one cast to double
+      val n19  = $"n".cast(DecimalType(19, 0))
+      val sx19 = $"sx".cast(DecimalType(19, 0))
+      val sx20 = $"sx".cast(DecimalType(20, 0))
+      val sy20 = $"sy".cast(DecimalType(20, 0))
+      val num = (n19 * $"sxy" - sx20 * $"sy").cast("double")
+      val vx  = (n19 * $"sxx" - sx19 * $"sx").cast("double")
+      val vy  = (n19 * $"syy" - sy20 * $"sy").cast("double")
+      val nn1 = (n19 * ($"n" - lit(1))).cast("double")
       val h   = lit(100).cast("double")
       ev.select($"l_returnflag", $"n".cast("long").as("n_items"),
         (num / (sqrt(vx) * sqrt(vy))).as("corr_qty_price"),
