@@ -29,11 +29,11 @@ object SparkEntry {
     Warehouse.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
-      // exec_daily_kpi); inputs are generated, not testdata, so there is
-      // no DuckDB oracle — driver records the rows-only check
-      Q.noOracle("domain_exec_daily_kpi") { (s, _) =>
-        domain.Pipeline.runInMemory(s,
-          domain.GenSpec(), domain.DomainConfig(dedupeFreight = true))._3
+      // exec_daily_kpi), hash-gated: the deterministic bronze is persisted
+      // to parquet and DomainOracle re-derives the identical
+      // cleanse→CM1→CM2→KPI chain in DuckDB SQL over the same files
+      Q("domain_exec_daily_kpi", domain.DomainOracle.sql) { (s, _) =>
+        domain.DomainOracle.query(s)
       },
       // multimodal featurization plumbing (decode is stubbed — no codecs
       // in-container); mapPartitions batching, binary columns, per-kind

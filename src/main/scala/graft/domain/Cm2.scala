@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
   * `silver_to_gold.py:499-628`): item→order rollup, freight enrichment
   * (left join + null-fill), channel-specific fee waterfall.
   *
+  * Money follows the [[graft.queries.Exact]] decimal discipline (the
+  * reference's gold layer types money as Decimal(10,2),
+  * `silver_to_gold.py:138-143`): each money line of the waterfall —
+  * revenue, costs, fees, freight — is snapped to cents as an exact
+  * decimal, and `cm2_amount` is the exact decimal difference of those
+  * lines. Raw double subtraction here would produce genuine half-cent
+  * ties (a 2-dp revenue × a 2-dp rate is exactly x.xxx5 whenever the
+  * cents digit is odd) that no two engines round alike; decimal math
+  * makes the mart bit-reproducible anywhere, which is what lets the
+  * flagship KPI carry a DuckDB hash gate ([[DomainOracle]]).
+  *
   * Scale notes: the rollup is the only wide shuffle (hash partial+final on
   * order keys); the freight side is explicitly `broadcast()` — in the
   * reference's deployment freight is tiny relative to orders, and at
@@ -43,39 +54,44 @@ object Cm2 {
 
   /** Joor order mart (`silver_to_gold.py:499-548`). */
   def joor(cm1: DataFrame, freight: DataFrame, cfg: DomainConfig): DataFrame = {
+    import graft.queries.Exact.{dec2, dec4}
     val rolled = cm1
       .groupBy("order_no", "buyer_name", "currency", "payment_source",
         "date_key", "channel_id", "country", "region")
       .agg(
         round(sum(col("qty")), 0).as("qty"),
-        round(sum(col("net_revenue")), 2).as("net_revenue"),
-        round(sum(col("unit_cost")), 2).as("production_cost"),
-        round(sum(col("prod_com")), 2).as("production_comm"))
+        dec2(sum(col("net_revenue"))).as("net_d2"),
+        dec2(sum(col("unit_cost"))).as("pc_d2"),
+        dec2(sum(col("prod_com"))).as("pcm_d2"))
 
     val joined = rolled.join(
       broadcast(freightSide(freight, cfg)),
       rolled("order_no") === col("order_reference"), "left")
 
-    val trxFees = when(isHilldun(cfg), lit(0.0))
-      .otherwise(col("net_revenue") * lit(0.029))
+    val trxD2 = when(isHilldun(cfg), dec2(lit(0.0)))
+      .otherwise(dec2(col("net_d2") * dec4(lit(0.029))))
+    val fiD2 = dec2(col("qty") * lit(3.0))
+    val foD2 = dec2(coalesce(col("cost"), lit(15.0)))
     joined.select(
       col("date_key"), col("order_no"), col("buyer_name"),
       col("country"), col("region"), col("currency"), col("payment_source"),
-      col("qty"), col("net_revenue"), col("production_cost"), col("production_comm"),
+      col("qty"),
+      col("net_d2").cast("double").as("net_revenue"),
+      col("pc_d2").cast("double").as("production_cost"),
+      col("pcm_d2").cast("double").as("production_comm"),
       coalesce(col("freight_status"), lit("not shipped yet")).as("freight_out_status"),
       lit("SGD").as("freight_currency"),
-      (col("qty") * lit(3.0)).as("freight_in"),
-      coalesce(col("cost"), lit(15.0)).as("freight_out"),
+      fiD2.cast("double").as("freight_in"),
+      foD2.cast("double").as("freight_out"),
       lit("USD").as("trx_currency"),
-      trxFees.as("trx_fees"),
+      trxD2.cast("double").as("trx_fees"),
       lit("USD").as("comm_currency"),
       lit(0.05).as("sales_comm"),
       lit("USD").as("insurance_currency"),
-      when(isHilldun(cfg), col("net_revenue") * lit(0.02))
-        .otherwise(lit(0.0)).as("insurance"),
-      (col("net_revenue") - col("production_cost") - col("production_comm")
-        - trxFees - (col("qty") * lit(3.0))
-        - coalesce(col("cost"), lit(15.0))).as("cm2_amount"),
+      when(isHilldun(cfg), dec2(col("net_d2") * dec4(lit(0.02))))
+        .otherwise(dec2(lit(0.0))).cast("double").as("insurance"),
+      (col("net_d2") - col("pc_d2") - col("pcm_d2")
+        - trxD2 - fiD2 - foD2).cast("double").as("cm2_amount"),
       col("channel_id"))
   }
 
@@ -84,70 +100,82 @@ object Cm2 {
     * key-derived draws by default, F4).
     */
   def shopify(cm1: DataFrame, cfg: DomainConfig): DataFrame = {
+    import graft.queries.Exact.{dec2, dec4}
     val rolled = cm1
       .groupBy("order_no", "buyer_name", "country", "region", "date_key", "channel_id")
       .agg(
         round(sum(col("qty")), 0).as("qty"),
-        round(sum(col("net_revenue")), 2).as("net_revenue"),
-        round(sum(col("total_returns")), 2).as("total_returns"),
-        round(sum(col("item_unit_cost")), 2).as("total_unit_cost"),
-        round(sum(col("margin")), 2).as("cm1_amount"))
+        dec2(sum(col("net_revenue"))).as("net_d2"),
+        dec2(sum(col("total_returns"))).as("ret_d2"),
+        dec2(sum(col("item_unit_cost"))).as("tuc_d2"),
+        dec2(sum(col("margin"))).as("cm1_d2"))
       .withColumn("currency", lit("SGD"))   // A2: constant through the agg
 
     val shippedDraw = cfg.draw(col("order_no"), "ship")
     val costDraw = cfg.draw(col("order_no"), "shipcost")
+    val fiD2 = dec2(col("qty") * lit(3.0))
+    val foD2 = dec2(when(shippedDraw < 0.7, lit(12.0) + (costDraw * lit(8.0)))
+      .otherwise(lit(12.0)))
+    val feesD2 = dec2(col("net_d2") * dec4(lit(0.029)))
     rolled.select(
       col("date_key"), col("order_no"), col("buyer_name"),
       col("country"), col("region"), col("currency"),
-      col("qty"), col("net_revenue"), col("total_returns"),
+      col("qty"),
+      col("net_d2").cast("double").as("net_revenue"),
+      col("ret_d2").cast("double").as("total_returns"),
       lit("USD").as("cost_currency"),
-      col("total_unit_cost"), col("cm1_amount"),
+      col("tuc_d2").cast("double").as("total_unit_cost"),
+      col("cm1_d2").cast("double").as("cm1_amount"),
       when(shippedDraw < 0.7, lit("shipped"))
         .otherwise(lit("not shipped yet")).as("freight_out_status"),
-      (col("qty") * lit(3.0)).as("freight_in"),
-      when(shippedDraw < 0.7, lit(12.0) + (costDraw * lit(8.0)))
-        .otherwise(lit(12.0)).as("freight_out"),
+      fiD2.cast("double").as("freight_in"),
+      foD2.cast("double").as("freight_out"),
       lit("not shipped yet").as("return_status"),
       lit(8.0).as("freight_return"),
       lit(0.0).as("freight_income"),
-      (col("net_revenue") * lit(0.029)).as("shopify_fees"),
-      col("channel_id"))
-      .withColumn("cm2_amount",
-        col("cm1_amount") - col("freight_in") - col("freight_out") - lit(8.0)
-          + col("freight_income") - col("shopify_fees"))
+      feesD2.cast("double").as("shopify_fees"),
+      col("channel_id"),
+      (col("cm1_d2") - fiD2 - foD2 - dec2(lit(8.0))
+        + dec2(lit(0.0)) - feesD2).cast("double").as("cm2_amount"))
   }
 
   /** TikTok order mart (`silver_to_gold.py:592-628`) — freight join with a
     * 10.0 default, 5% platform trx fee, 8% sales commission rate column.
     */
   def tiktok(cm1: DataFrame, freight: DataFrame, cfg: DomainConfig): DataFrame = {
+    import graft.queries.Exact.{dec2, dec4}
     val rolled = cm1
       .groupBy("order_no", "buyer_name", "country", "region", "date_key", "channel_id")
       .agg(
         round(sum(col("qty")), 0).as("qty"),
-        round(sum(col("net_revenue")), 2).as("net_revenue"),
-        round(sum(col("item_unit_cost")), 2).as("production_cost"),
-        round(sum(col("prod_com")), 2).as("production_comm"))
+        dec2(sum(col("net_revenue"))).as("net_d2"),
+        dec2(sum(col("item_unit_cost"))).as("pc_d2"),
+        dec2(sum(col("prod_com"))).as("pcm_d2"))
       .withColumn("currency", lit("SGD"))
 
     val joined = rolled.join(
       broadcast(freightSide(freight, cfg)),
       rolled("order_no") === col("order_reference"), "left")
 
+    val fiD2 = dec2(col("qty") * lit(3.0))
+    val foD2 = dec2(coalesce(col("cost"), lit(10.0)))
+    val trxD2 = dec2(col("net_d2") * dec4(lit(0.05)))
     joined.select(
       col("date_key"), col("order_no"), col("buyer_name"),
       col("country"), col("region"), col("currency"),
-      col("qty"), col("net_revenue"), col("production_cost"), col("production_comm"),
+      col("qty"),
+      col("net_d2").cast("double").as("net_revenue"),
+      col("pc_d2").cast("double").as("production_cost"),
+      col("pcm_d2").cast("double").as("production_comm"),
       lit("SGD").as("freight_currency"),
-      (col("qty") * lit(3.0)).as("freight_in"),
-      coalesce(col("cost"), lit(10.0)).as("freight_out"),
+      fiD2.cast("double").as("freight_in"),
+      foD2.cast("double").as("freight_out"),
       lit("SGD").as("trx_currency"),
-      (col("net_revenue") * lit(0.05)).as("trx_fees"),
+      trxD2.cast("double").as("trx_fees"),
       lit("SGD").as("comm_currency"),
       lit(0.08).as("sales_comm"),
-      (col("net_revenue") - col("production_cost") - col("production_comm")
-        - (col("qty") * lit(3.0)) - coalesce(col("cost"), lit(10.0))
-        - (col("net_revenue") * lit(0.05))).as("cm2_amount"),
+      (col("net_d2") - col("pc_d2") - col("pcm_d2")
+        - fiD2 - foD2 - trxD2).cast("double").as("cm2_amount"),
       col("channel_id"))
   }
 }

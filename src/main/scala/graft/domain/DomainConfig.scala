@@ -3,7 +3,7 @@ package graft.domain
 import java.sql.Timestamp
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Behavior switches for the domain pipeline.
   *
@@ -36,11 +36,20 @@ final case class DomainConfig(
     dedupeFreight: Boolean = false) {
 
   /** One uniform [0,1) draw per (row, branch). Deterministic mode derives
-    * it from the row key + branch tag via xxhash64 (codegen'd, no state);
-    * faithful mode is an independent `rand()` per branch like the
-    * reference.
+    * it from the first 24 bits of `md5(key:tag)` — chosen over xxhash64
+    * because md5 is the one keyed hash every SQL engine shares, so the
+    * oracle (DuckDB) can recompute the identical draw:
+    * Spark `conv(substr(md5(k),1,6),16,10)` ≡ DuckDB
+    * `CAST('0x' || substr(md5(k),1,6) AS BIGINT)`. The ÷2^24 is a
+    * power-of-two division, exact in binary floating point, so the draw
+    * double is bit-identical cross-engine. (md5 costs ~10× xxhash64 per
+    * draw; at 100 TB with draw-heavy classifiers, swap in a xxhash64
+    * variant and give up SQL-oracle reproducibility — the distribution
+    * contract is the same.) Faithful mode is an independent `rand()` per
+    * branch like the reference.
     */
   def draw(key: Column, tag: String): Column =
     if (faithfulRand) rand()
-    else pmod(xxhash64(key, lit(tag)), lit(1000000L)).cast(DoubleType) / 1000000.0
+    else conv(substring(md5(concat_ws(":", key, lit(tag))), 1, 6), 16, 10)
+      .cast(LongType).cast(DoubleType) / 16777216.0
 }

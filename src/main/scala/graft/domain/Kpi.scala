@@ -28,19 +28,31 @@ object Kpi {
       .unionByName(tiktokCm2.select(cols: _*))
   }
 
-  /** A5+F13: the KPI view body (`scripts/sql/.sql:4-26`). */
-  def execDailyKpi(unioned: DataFrame): DataFrame =
+  /** A5+F13: the KPI view body (`scripts/sql/.sql:4-26`).
+    *
+    * Money follows the [[graft.queries.Exact]] decimal discipline (the
+    * reference's gold layer types money as Decimal(10,2),
+    * `silver_to_gold.py:138-143`): each order's money is snapped to cents
+    * at the aggregate boundary and summed as exact decimals, so the
+    * result is independent of partial-aggregation order — `sum(double)`
+    * drifts with accumulation order and can never hash-match an oracle.
+    * Ratio KPIs are unrounded double divisions of exact operands (the
+    * oracle-portable form of the reference's `round(x, 2)`).
+    */
+  def execDailyKpi(unioned: DataFrame): DataFrame = {
+    import graft.queries.Exact.{cents, dec2}
     unioned
       .groupBy(col("date_key"), col("channel_id"), col("country"), col("region"))
       .agg(
-        round(sum(col("net_revenue")), 2).as("total_revenue"),
-        round(sum(col("cm2_amount")), 2).as("net_margin"),
+        cents(sum(dec2(col("net_revenue")))).as("total_revenue"),
+        cents(sum(dec2(col("cm2_amount")))).as("net_margin"),
         countDistinct(col("order_no")).as("total_orders"))
       .select(
         col("date_key"), col("channel_id"), col("country"), col("region"),
         to_date(col("date_key"), "yyyyMMdd").as("date"),
         col("total_revenue"), col("net_margin"), col("total_orders"),
-        round(col("total_revenue") / col("total_orders"), 2).as("avg_order_value"),
-        round(col("net_margin") / col("total_revenue") * 100, 2).as("margin_percentage"))
+        (col("total_revenue") / col("total_orders")).as("avg_order_value"),
+        (col("net_margin") / col("total_revenue") * 100.0).as("margin_percentage"))
       .orderBy(desc("date_key"))
+  }
 }

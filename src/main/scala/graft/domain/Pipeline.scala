@@ -156,15 +156,18 @@ object Pipeline {
       "dim_date", "dim_channels").foreach { t =>
       spark.read.parquet(s"$dir/$t").createOrReplaceTempView(t)
     }
+    // money discipline mirrors Kpi.execDailyKpi: cent-snapped decimal
+    // sums (order-independent), unrounded ratio KPIs
     spark.sql("""
       CREATE OR REPLACE TEMP VIEW exec_daily_kpi AS
       SELECT date_key, channel_id, country, region,
              to_date(date_key, 'yyyyMMdd') AS date,
-             round(SUM(net_revenue), 2) AS total_revenue,
-             round(SUM(cm2_amount), 2) AS net_margin,
+             CAST(CAST(SUM(CAST(net_revenue AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue,
+             CAST(CAST(SUM(CAST(cm2_amount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS net_margin,
              COUNT(DISTINCT order_no) AS total_orders,
-             round(SUM(net_revenue) / COUNT(DISTINCT order_no), 2) AS avg_order_value,
-             round((SUM(cm2_amount) / SUM(net_revenue)) * 100, 2) AS margin_percentage
+             CAST(CAST(SUM(CAST(net_revenue AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / COUNT(DISTINCT order_no) AS avg_order_value,
+             (CAST(CAST(SUM(CAST(cm2_amount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)
+              / CAST(CAST(SUM(CAST(net_revenue AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)) * 100.0 AS margin_percentage
       FROM (
         SELECT date_key, order_no, net_revenue, cm2_amount, channel_id, country, region FROM wholesale_cm2
         UNION ALL
