@@ -46,10 +46,12 @@ object SparkEntry {
       Q.noOracle("m2_multimodal_preprocess") { (s, dir) =>
         graft.operators.Multimodal.preprocessQuery(s, dir)
       },
-      // IVF ANN (seeded k-means cells + nprobe search) — k-means is not
-      // SQL-expressible → rows-only check; exactness gate lives in
-      // IvfSpec (nprobe=k ≡ brute force)
-      Q.noOracle("e4_ivf_ann") { (s, dir) =>
+      // IVF ANN: quantized integer Lloyd (floor(x·2^20), md5 seed order,
+      // integer argmin + floor-division update) makes the index build
+      // exact-portable, so the oracle replays the identical training as
+      // unrolled CTE iterations and the query hash-matches; the
+      // nprobe=k ≡ brute-force gate stays in IvfDupSpec
+      Q("e4_ivf_ann", graft.operators.IvfIndex.ivfOracleSql()) { (s, dir) =>
         graft.operators.IvfIndex.ivfQuery(s, dir)
       },
       // product-quantization ANN (per-subspace k-means codebooks, ADC

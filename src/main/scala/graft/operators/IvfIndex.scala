@@ -143,11 +143,208 @@ object IvfIndex {
     }
   }
 
+  // ── quantized integer Lloyd: the oracle-grade trainer ────────────────
+  //
+  // MLlib's k-means‖ init is distributed-sampling-based and cannot be
+  // reproduced in SQL, which left e4 rows-only for three rounds. This
+  // trainer makes the whole index build EXACT-portable by doing Lloyd in
+  // pure integer arithmetic:
+  //
+  //  - vectors quantize to q_i = floor(x_i·2^20) + 2^20 (floor has no
+  //    rounding ties, the scale is a power of two so x·2^20 is an exact
+  //    double op, and the +2^20 shift keeps everything non-negative so
+  //    truncating and flooring division agree);
+  //  - init = the k md5-ordered vectors (engine-neutral order);
+  //  - assignment = argmin of the exact integer L2² (diffs ≤ 2^21,
+  //    summed squares ≤ 2^48 — no overflow), ties broken by cell_id;
+  //  - update = per-element integer mean floor(Σq/n) — exact.
+  //
+  // Every step is integer-exact, so DuckDB replays the identical index
+  // (unrolled CTE iterations in [[ivfOracleSql]]) and e4 carries a hash
+  // gate. Quantizing at 2^-20 resolution is harmless for IVF: the index
+  // is a PARTITIONING — recall comes from nprobe, not centroid precision
+  // (the nprobe=k ≡ brute-force gate holds for any centroid set).
+  //
+  // Scale shape: identical to build() — centroids broadcast (k rows),
+  // one (cell, dim) hash-agg shuffle per iteration; the per-iteration
+  // driver collect is k×64 longs (bounded by the algorithm, not data).
+
+  private val QSCALE = 1048576.0 // 2^20
+  private val QSHIFT = 1048576L
+
+  private def quantize(emb: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * lit(QSCALE)).cast("long") + lit(QSHIFT))
+
+  /** Exact integer L2² between two quantized vectors. */
+  private def qd2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  def buildQuantized(spark: SparkSession, vectors: DataFrame, k: Int = 16,
+      iters: Int = 3): Ivf = {
+    import spark.implicits._
+    val qv = vectors.select(col("vec_id"), col("embedding"), col("label"),
+      quantize(col("embedding")).as("q"))
+
+    def centsDf(cents: Seq[(Int, Seq[Long])]): DataFrame =
+      spark.createDataFrame(cents).toDF("cell_id", "cq")
+
+    // seed centroids: the k md5-ordered vectors (k×64 longs — a bounded,
+    // algorithm-constant collect, like PqIndex's trainCap sample)
+    var cents: Seq[(Int, Seq[Long])] = qv
+      .select(col("vec_id"), col("q"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k).collect().toIndexedSeq
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+
+    def assign(c: DataFrame): DataFrame = qv
+      .join(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("label"), col("q"),
+        col("cell_id"), qd2(col("q"), col("cq")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cell_id"), struct(col("d2"), col("cell_id"))).as("cell_id"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"),
+        first(col("q")).as("q"))
+
+    for (_ <- 1 to iters) {
+      // integer mean per (cell, dim); empty cells drop (both engines
+      // agree — same data, same rule). Collecting k rows per iteration
+      // keeps the lineage flat instead of stacking join-agg plans.
+      cents = assign(centsDf(cents))
+        .select(col("cell_id"), posexplode(col("q")).as(Seq("idx", "v")))
+        .groupBy(col("cell_id"), col("idx"))
+        .agg(expr("sum(v) div count(1)").as("mu"))
+        .groupBy(col("cell_id"))
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("mu")))),
+          x => x("mu")).as("cq"))
+        .collect().toIndexedSeq
+        .map(r => (r.getInt(0), r.getSeq[Long](1)))
+    }
+
+    val finalCents = centsDf(cents)
+    Ivf(finalCents, assign(finalCents).drop("q"))
+  }
+
+  /** Rank cells by exact integer centroid distance, then exact cosine
+    * rerank inside the `nprobe` nearest cells (same fold-dot discipline
+    * as e1 — bit-identical in DuckDB).
+    */
+  def queryQuantized(spark: SparkSession, ivf: Ivf, probes: DataFrame,
+      nprobe: Int): DataFrame = {
+    FloatVecDot.register(spark)
+    val probeCells = probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        quantize(col("embedding")).as("pq"))
+      .join(broadcast(ivf.centroids))
+      .select(col("query_id"), col("q_emb"), col("cell_id"),
+        qd2(col("pq"), col("cq")).as("d2"))
+      .withColumn("cell_rank",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell_id"))))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell_id"))
+
+    val qNorm = sqrt(call_function("vec_dot", col("q_emb"), col("q_emb")))
+    val cNorm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+    probeCells
+      .join(ivf.assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        (call_function("vec_dot", col("q_emb"), col("embedding")) / (qNorm * cNorm)).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") === 1)
+      .drop("rank")
+  }
+
+  private val qIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Int), Ivf]()
+
+  /** Build-once quantized index — same lifecycle as [[indexFor]]. */
+  def indexQFor(spark: SparkSession, dir: String, k: Int = 16): Ivf = {
+    val fp = graft.queries.Memo.fingerprint(spark, dir)
+    val it = qIndexMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (es, ed, efp, _) = e.getKey
+      if ((es eq spark) && ed == dir && efp != fp) {
+        e.getValue.centroids.unpersist()
+        e.getValue.assigned.unpersist()
+        it.remove()
+      }
+    }
+    qIndexMemo.computeIfAbsent((spark, dir, fp, k), { _ =>
+      val ivf = buildQuantized(spark, Tables.embeddings(spark, dir), k)
+      Ivf(ivf.centroids.persist(), ivf.assigned.persist())
+    })
+  }
+
   /** Driver-facing query: 16 probes with nprobe=4 against the persisted
-    * k=16 index. KMeans is not SQL-expressible → rows-only check.
+    * k=16 quantized index — hash-gated by [[ivfOracleSql]].
     */
   def ivfQuery(spark: SparkSession, dir: String): DataFrame = {
-    val ivf = indexFor(spark, dir)
-    query(spark, ivf, Tables.embeddings(spark, dir).filter(col("vec_id") < 16), nprobe = 4)
+    val ivf = indexQFor(spark, dir)
+    queryQuantized(spark, ivf,
+      Tables.embeddings(spark, dir).filter(col("vec_id") < 16), nprobe = 4)
+  }
+
+  /** The identical quantized Lloyd + nprobe search as unrolled DuckDB
+    * CTEs: same quantization, same md5 seed order, same integer argmin
+    * and floor-division update per iteration, same fold-dot cosine
+    * rerank as e1.
+    */
+  def ivfOracleSql(k: Int = 16, iters: Int = 3, nprobe: Int = 4, dims: Int = 64): String = {
+    def qd2(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+    def assignCte(n: Int): String =
+      s"""assign$n AS (
+         |  SELECT vec_id, q, cell_id FROM (
+         |    SELECT v.vec_id, v.q, c.cell_id,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |                              ORDER BY ${qd2("v.q", "c.cq")}, c.cell_id) AS rn
+         |    FROM qv v CROSS JOIN cents${n - 1} c) WHERE rn = 1)""".stripMargin
+    def centsCte(n: Int): String =
+      s"""cents$n AS (
+         |  SELECT cell_id, list(mu ORDER BY idx) AS cq FROM (
+         |    SELECT a.cell_id, i.idx, CAST(sum(a.q[i.idx]) AS BIGINT) // count(*) AS mu
+         |    FROM assign$n a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS idx) i
+         |    GROUP BY a.cell_id, i.idx)
+         |  GROUP BY cell_id)""".stripMargin
+
+    val lloyd = (1 to iters).map(n => s"${assignCte(n)},\n${centsCte(n)}").mkString(",\n")
+
+    s"""WITH qv AS (
+       |  SELECT vec_id, embedding, label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
+       |  FROM embeddings),
+       |cents0 AS (
+       |  SELECT cell_id, q AS cq FROM (
+       |    SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
+       |    FROM qv) WHERE cell_id < $k),
+       |$lloyd,
+       |${assignCte(iters + 1)},
+       |probe_cells AS (
+       |  SELECT query_id, q_emb, cell_id FROM (
+       |    SELECT v.vec_id AS query_id, v.embedding AS q_emb, c.cell_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${qd2("v.q", "c.cq")}, c.cell_id) AS rn
+       |    FROM (SELECT * FROM qv WHERE vec_id < 16) v CROSS JOIN cents$iters c) WHERE rn <= $nprobe),
+       |members AS (
+       |  SELECT a.cell_id, a.vec_id, e.embedding, e.label
+       |  FROM assign${iters + 1} a JOIN qv e ON a.vec_id = e.vec_id),
+       |sims AS (
+       |  SELECT p.query_id, m.vec_id AS neighbor_id, m.label AS neighbor_label,
+       |         ${dot("p.q_emb", "m.embedding")}
+       |           / (sqrt(${dot("p.q_emb", "p.q_emb")}) * sqrt(${dot("m.embedding", "m.embedding")})) AS cosine
+       |  FROM probe_cells p JOIN members m ON p.cell_id = m.cell_id AND p.query_id <> m.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM sims) WHERE rank = 1""".stripMargin
   }
 }
