@@ -541,7 +541,9 @@ object StreamingIngest {
     *  1. collapse the batch to its LATEST row per key (`row_number` over
     *     `seqCol` desc — intra-batch duplicates resolve here);
     *  2. MERGE into the snapshot: matched keys take the update's whole
-    *     row, unmatched source keys insert, unmatched target rows carry;
+    *     row ONLY IF NEWER by `seqCol` (stale cross-batch redeliveries
+    *     never regress the snapshot), unmatched source keys insert,
+    *     unmatched target rows carry;
     *  3. rewrite ONLY the hash buckets the batch touched.
     *
     * The snapshot is laid out as `__bucket=<pmod(xxhash64(key), n)>`
@@ -630,11 +632,23 @@ object StreamingIngest {
       .collect().map(_.getLong(0)) // ≤ nBuckets rows — driver-safe
     val cur = spark.read.parquet(snapshotDir)
       .filter(col("__bucket").isin(touched.toIndexedSeq: _*)) // partition-pruned
+    // matched keys take the source row only if it is NEWER: at-least-once
+    // delivery reorders offsets ACROSS batches too — a stale redelivery
+    // (or a replay of an old batch) must never regress the snapshot. Equal
+    // seq resolves by the same deterministic remaining-columns-asc rule as
+    // the intra-batch winner, so replaying any past batch is a no-op.
+    val sSeq = col(s"s.`$seqCol`")
+    val tSeq = col(s"t.`$seqCol`")
+    val restCols = dataCols.filterNot(_ == seqCol)
+    val sRest = struct(restCols.map(c => col(s"s.`$c`")): _*)
+    val tRest = struct(restCols.map(c => col(s"t.`$c`")): _*)
+    val srcWins = col(s"s.`$keyCol`").isNotNull && (col(s"t.`$keyCol`").isNull ||
+      (tSeq.isNull && sSeq.isNotNull) || sSeq > tSeq ||
+      (sSeq <=> tSeq) && sRest <= tRest)
     val merged = cur.alias("t")
       .join(latest.alias("s"), col(s"t.`$keyCol`") === col(s"s.`$keyCol`"), "full_outer")
       .select(dataCols.map(c =>
-        when(col(s"s.`$keyCol`").isNotNull, col(s"s.`$c`"))
-          .otherwise(col(s"t.`$c`")).as(c)): _*)
+        when(srcWins, col(s"s.`$c`")).otherwise(col(s"t.`$c`")).as(c)): _*)
       .withColumn("__bucket", bucketOf)
 
     fs.delete(stage, true)

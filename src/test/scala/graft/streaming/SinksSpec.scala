@@ -169,6 +169,55 @@ class SinksSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("upsert chaos: duplicate and out-of-order kafka offsets converge to max-offset rows") {
+    // A real consumer feeding the upsert sink sees at-least-once delivery:
+    // offsets arrive out of order across micro-batches, stale offsets show
+    // up AFTER newer ones, and whole batches replay on crash. The merge
+    // keyed on (key, max seq=offset) must converge to the per-key
+    // max-offset row through all of it.
+    import org.apache.spark.sql.types.StructType
+    val srcDir = tmp("chaos-src")
+    val snap = tmp("chaos-root") + "/snapshot"
+    val ckpt = tmp("chaos-ckpt")
+    val ddl = "order_id string, status string, offset bigint"
+
+    def runOnce(): Unit = {
+      val q = StreamingIngest.upsertSink(
+        spark.readStream.schema(StructType.fromDDL(ddl)).json(srcDir),
+        "order_id", "offset", snap, ckpt, nBuckets = 4).start()
+      q.awaitTermination()
+    }
+    def snapshot(): Map[String, (String, Long)] =
+      spark.read.parquet(snap).select("order_id", "status", "offset")
+        .as[(String, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+
+    // batch 1: k1 delivered out of order within the batch (5 before 3),
+    // k2 in order
+    val batch1 = Seq(("k1", "shipped", 5L), ("k1", "packed", 3L), ("k2", "new", 1L))
+      .toDF("order_id", "status", "offset")
+    batch1.write.mode("append").json(srcDir)
+    runOnce()
+    assert(snapshot() == Map("k1" -> ("shipped", 5L), "k2" -> ("new", 1L)))
+
+    // batch 2: a STALE offset for k1 arrives after the newer one was
+    // applied (must not regress), plus an exact duplicate redelivery of
+    // offset 5, plus k2 progress
+    val batch2 = Seq(("k1", "packed", 4L), ("k1", "shipped", 5L), ("k2", "paid", 2L))
+      .toDF("order_id", "status", "offset")
+    batch2.write.mode("append").json(srcDir)
+    runOnce()
+    val converged = Map("k1" -> ("shipped", 5L), "k2" -> ("paid", 2L))
+    assert(snapshot() == converged, s"stale offset regressed the snapshot: ${snapshot()}")
+
+    // crash-replay: the SAME batch re-merged directly (foreachBatch
+    // redelivery) changes nothing
+    StreamingIngest.mergeIntoSnapshot(batch2, "order_id", "offset", snap, nBuckets = 4)
+    assert(snapshot() == converged)
+    // and replaying batch 1 — an ENTIRELY stale batch — also changes nothing
+    StreamingIngest.mergeIntoSnapshot(batch1, "order_id", "offset", snap, nBuckets = 4)
+    assert(snapshot() == converged)
+  }
+
   test("S10 cdc-ish poll source: rate ticks become gap-free joor envelopes") {
     val src = StreamingIngest.cdcPollSource(spark, rowsPerSecond = 50)
     assert(src.isStreaming)

@@ -428,6 +428,74 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     assert(new String(d.head._4) == "garbage{{{") // raw bytes preserved
   }
 
+  test("kafka wire fixtures on disk: sink→source round-trip, per-partition offset order") {
+    // No broker in-container, so pin the S7/S8 OFFSET SEMANTICS through
+    // on-disk fixtures carrying Kafka's exact wire schema: the producer
+    // half (S8 value encoding) writes what a broker would store per
+    // (topic, partition, offset), rows land in the fixture INTERLEAVED
+    // across partitions like a real multi-partition consumer poll, and
+    // the consumer half (S7 decode) must recover every field and rebuild
+    // per-partition order from the offsets alone.
+    val fixtureDir = tmp("wire-fixture")
+    val envelope = DataGen.bronzeJoor(spark, GenSpec(joor = 30), cfg)
+
+    // S8 producer half: the value bytes are exactly what kafkaSinkPlan's
+    // projection (toKafkaValue: to_json(struct(*))) would hand the broker
+    assert(StreamingIngest.toKafkaValue(envelope).first.getString(0) ==
+      envelope.select(to_json(struct(col("raw_api_data"), col("kafka_metadata"))))
+        .first.getString(0))
+    val wireOut = envelope.select(
+      col("raw_api_data.order_id").cast("binary").as("key"),
+      to_json(struct(col("raw_api_data"), col("kafka_metadata"))).cast("binary").as("value"),
+      col("kafka_metadata.topic").as("topic"),
+      col("kafka_metadata.partition").as("partition"),
+      col("kafka_metadata.offset").as("offset"),
+      to_timestamp(col("kafka_metadata.stream_timestamp")).as("timestamp"),
+      lit(0).as("timestampType"))
+    // interleave arrival order across partitions (md5 shuffle), one file:
+    // consumers see no global order — only per-partition offset order
+    wireOut.orderBy(md5(col("offset").cast("string")))
+      .coalesce(1).write.mode("overwrite").parquet(fixtureDir)
+
+    val wire = spark.read.parquet(fixtureDir)
+    val decoded = StreamingIngest.decodeKafkaEnvelope(wire, Schemas.joorRaw)
+    assert(decoded.count() == 30)
+
+    // every payload field survives the produce→store→consume round trip
+    val orig = envelope.select(col("raw_api_data.order_id").as("oid"),
+      col("raw_api_data.price").as("p"), col("raw_api_data.quantity").as("q"),
+      col("kafka_metadata.offset").as("off"))
+    val back = decoded.select(col("raw_api_data.order_id").as("oid"),
+      col("raw_api_data.price").as("bp"), col("raw_api_data.quantity").as("bq"),
+      col("kafka_metadata.offset").as("boff"))
+    val mismatch = orig.join(back, "oid")
+      .filter(col("p") =!= col("bp") || col("q") =!= col("bq") || col("off") =!= col("boff"))
+    assert(mismatch.count() == 0, mismatch.collect().take(3).mkString("\n"))
+
+    // wire coordinates must agree with the envelope's own metadata —
+    // partition/offset carried next to the value bytes, not inside them
+    val coordDrift = wire
+      .select(col("partition"), col("offset"),
+        from_json(col("value").cast("string"),
+          Schemas.bronzeEnvelope(Schemas.joorRaw)).as("e"))
+      .filter(col("e.kafka_metadata.partition") =!= col("partition") ||
+        col("e.kafka_metadata.offset") =!= col("offset"))
+    assert(coordDrift.count() == 0)
+
+    // per-partition order: within each partition the offsets sorted
+    // ascending are strictly increasing and hold exactly the rows whose
+    // offset ≡ partition (mod 3) — the consumer can always re-establish
+    // partition order from offsets after interleaved arrival
+    val perPart = wire.select(col("partition"), col("offset"))
+      .as[(Int, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    assert(perPart.keys.toSet == Set(0, 1, 2))
+    perPart.foreach { case (p, offs) =>
+      assert(offs == offs.sorted && offs.distinct == offs, s"partition $p not replayable in order")
+      assert(offs.forall(_ % 3 == p), s"partition $p holds foreign offsets")
+      assert(offs == (0L until 30L).filter(_ % 3 == p).toSeq, s"partition $p lost offsets")
+    }
+  }
+
   test("kafka plan construction (connector-dependent)") {
     // this container ships no spark-sql-kafka jar; with the connector the
     // plan must build with the envelope schema, without it the failure is
