@@ -54,16 +54,17 @@ object SparkEntry {
       Q("e4_ivf_ann", graft.operators.IvfIndex.ivfOracleSql()) { (s, dir) =>
         graft.operators.IvfIndex.ivfQuery(s, dir)
       },
-      // product-quantization ANN (per-subspace k-means codebooks, ADC
-      // lookup-table search over 8-code compressed corpus) — k-means is
-      // not SQL-expressible → rows-only check; determinism/recall/error
-      // gates live in PqSpec
-      Q.noOracle("e7_pq_ann") { (s, dir) =>
+      // product-quantization ANN: the per-subspace codebooks train with
+      // the same quantized integer Lloyd as e4, so the oracle replays
+      // train → encode → integer ADC shortlist → exact re-rank and the
+      // query hash-matches; determinism/recall/error gates stay in PqSpec
+      Q("e7_pq_ann", graft.operators.PqIndex.pqOracleSql()) { (s, dir) =>
         graft.operators.PqIndex.pqQuery(s, dir)
       },
-      // SemDeDup: k-means-clustered embedding near-dup pruning — rows-only
-      // (k-means); the removed-set ≡ brute-force gate lives in SemDedupSpec
-      Q.noOracle("e8_semdedup") { (s, dir) =>
+      // SemDeDup over the quantized-Lloyd cells — the oracle replays the
+      // identical training + lower-id-removes rule, so e8 is hash-exact;
+      // the removed-set ≡ brute-force gate stays in SemDedupSpec
+      Q("e8_semdedup", graft.operators.SemDedup.semdedupOracleSql()) { (s, dir) =>
         graft.operators.SemDedup.semdedupQuery(s, dir)
       },
       // connected-components dup clustering over the shared LSH pairs —

@@ -290,26 +290,29 @@ object IvfIndex {
       Tables.embeddings(spark, dir).filter(col("vec_id") < 16), nprobe = 4)
   }
 
-  /** The identical quantized Lloyd + nprobe search as unrolled DuckDB
-    * CTEs: same quantization, same md5 seed order, same integer argmin
-    * and floor-division update per iteration, same fold-dot cosine
-    * rerank as e1.
-    */
-  def ivfOracleSql(k: Int = 16, iters: Int = 3, nprobe: Int = 4, dims: Int = 64): String = {
-    def qd2(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def qd2Sql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
 
+  /** The quantized Lloyd as unrolled DuckDB CTEs — `qv` (quantized
+    * vectors), `cents0` (md5-ordered seeds) through `cents$iters`, and
+    * the final `assign${iters + 1}` over the trained centroids. Shared by
+    * the e4 and e8 oracles.
+    */
+  def lloydCtes(k: Int = 16, iters: Int = 3, dims: Int = 64): String = {
+    // AS MATERIALIZED: DuckDB 1.0 inlines CTEs at every reference, and
+    // the trained cents$iters is referenced more than once downstream —
+    // materializing each step keeps the unrolled recurrence linear
     def assignCte(n: Int): String =
-      s"""assign$n AS (
+      s"""assign$n AS MATERIALIZED (
          |  SELECT vec_id, q, cell_id FROM (
          |    SELECT v.vec_id, v.q, c.cell_id,
          |           row_number() OVER (PARTITION BY v.vec_id
-         |                              ORDER BY ${qd2("v.q", "c.cq")}, c.cell_id) AS rn
+         |                              ORDER BY ${qd2Sql("v.q", "c.cq")}, c.cell_id) AS rn
          |    FROM qv v CROSS JOIN cents${n - 1} c) WHERE rn = 1)""".stripMargin
     def centsCte(n: Int): String =
-      s"""cents$n AS (
+      s"""cents$n AS MATERIALIZED (
          |  SELECT cell_id, list(mu ORDER BY idx) AS cq FROM (
          |    SELECT a.cell_id, i.idx, CAST(sum(a.q[i.idx]) AS BIGINT) // count(*) AS mu
          |    FROM assign$n a CROSS JOIN (SELECT unnest(generate_series(1, $dims)) AS idx) i
@@ -318,7 +321,7 @@ object IvfIndex {
 
     val lloyd = (1 to iters).map(n => s"${assignCte(n)},\n${centsCte(n)}").mkString(",\n")
 
-    s"""WITH qv AS (
+    s"""qv AS (
        |  SELECT vec_id, embedding, label,
        |         list_transform(embedding,
        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
@@ -328,7 +331,19 @@ object IvfIndex {
        |    SELECT q, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell_id
        |    FROM qv) WHERE cell_id < $k),
        |$lloyd,
-       |${assignCte(iters + 1)},
+       |${assignCte(iters + 1)}""".stripMargin
+  }
+
+  /** The identical quantized Lloyd + nprobe search as unrolled DuckDB
+    * CTEs: same quantization, same md5 seed order, same integer argmin
+    * and floor-division update per iteration, same fold-dot cosine
+    * rerank as e1.
+    */
+  def ivfOracleSql(k: Int = 16, iters: Int = 3, nprobe: Int = 4, dims: Int = 64): String = {
+    def qd2(a: String, b: String) = qd2Sql(a, b)
+    def dot(a: String, b: String) = dotSql(a, b)
+
+    s"""WITH ${lloydCtes(k, iters, dims)},
        |probe_cells AS (
        |  SELECT query_id, q_emb, cell_id FROM (
        |    SELECT v.vec_id AS query_id, v.embedding AS q_emb, c.cell_id,

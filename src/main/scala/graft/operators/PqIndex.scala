@@ -31,40 +31,59 @@ import graft.Tables
   *    is `aggregate(codes, Σ dt[j][code_j])` — m lookups. One shuffle for
   *    the global per-probe top-k (TakeOrdered-shaped via row_number).
   *
-  * Correctness gating is rows-only (k-means is not SQL): PqSpec pins
-  * determinism, code range, quantization-error contraction vs a random
-  * codebook, and measured recall@1 against exact brute force.
+  * Correctness gating: the trainer is the same quantized INTEGER Lloyd
+  * as [[IvfIndex.buildQuantized]] (floor(x·2^20)+2^20 inputs, integer
+  * argmin with first-wins ties, floor-division means, empty clusters
+  * keep their previous centroid) — every training/encode/ADC step is
+  * integer-exact, so the DuckDB oracle ([[pqOracleSql]]) replays the
+  * identical index and e7 is hash-exact; PqSpec keeps determinism, code
+  * range, error contraction, and measured recall floors.
   */
 object PqIndex {
 
   final case class Pq(
-      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]], // m × k × dsub
-      encoded: DataFrame,                                   // vec_id, label, codes[m]
-      raw: DataFrame)                                       // the vectors the index was built from
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Long]]], // m × k × dsub (quantized)
+      encoded: DataFrame,                                 // vec_id, label, codes[m]
+      raw: DataFrame)                                     // the vectors the index was built from
 
   val m = 8        // subspaces
   val k = 16       // centroids per subspace
   val trainCap = 100000 // driver-side training sample bound
 
-  /** Seeded deterministic Lloyd's for one subspace: init = k evenly
-    * spaced points of the vec_id-ordered sample, fixed iteration count,
-    * empty clusters keep their previous centroid.
+  private val QSCALE = 1048576.0 // 2^20
+  private val QSHIFT = 1048576L
+
+  /** floor(x·2^20) + 2^20 per element — same exact-portable quantization
+    * as the IVF trainer (floor has no ties; the shift keeps values
+    * non-negative so truncating and flooring division agree).
     */
-  private def lloyd(sub: Array[Array[Double]], iters: Int = 10): IndexedSeq[IndexedSeq[Double]] = {
+  private def quantize(emb: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") * lit(QSCALE)).cast("long") + lit(QSHIFT))
+
+  private def quantize(v: Array[Float]): Array[Long] =
+    v.map(f => math.floor(f.toDouble * QSCALE).toLong + QSHIFT)
+
+  /** Deterministic integer Lloyd's for one subspace: init = k evenly
+    * spaced points of the vec_id-ordered sample, fixed iteration count,
+    * first-wins ties, floor-division means, empty clusters keep their
+    * previous centroid. Pure integer ops — replayable in any engine.
+    */
+  private def lloyd(sub: Array[Array[Long]], iters: Int = 10): IndexedSeq[IndexedSeq[Long]] = {
     val n = sub.length
     val d = sub.head.length
     var cents = Array.tabulate(k)(i => sub(((i.toLong * n) / k).toInt).clone())
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(k, d)(0.0)
-      val counts = Array.fill(k)(0)
+      val sums = Array.fill(k, d)(0L)
+      val counts = Array.fill(k)(0L)
       var r = 0
       while (r < n) {
         val v = sub(r)
-        var best = 0; var bestD = Double.MaxValue
+        var best = 0; var bestD = Long.MaxValue
         var c = 0
         while (c < k) {
-          var dist = 0.0; var i = 0
+          var dist = 0L; var i = 0
           while (i < d) { val t = v(i) - cents(c)(i); dist += t * t; i += 1 }
           if (dist < bestD) { bestD = dist; best = c }
           c += 1
@@ -82,13 +101,14 @@ object PqIndex {
     cents.map(_.toIndexedSeq).toIndexedSeq
   }
 
-  /** Squared L2 between subspace `j` of `emb` and centroid `kk` of the
-    * literal codebook, as a column expression (all indices are columns —
-    * usable inside HOF lambdas).
+  /** Integer squared L2 between subspace `j` of the QUANTIZED vector and
+    * centroid `kk` of the literal codebook, as a column expression (all
+    * indices are columns — usable inside HOF lambdas). Diffs ≤ 2^21,
+    * summed squares ≤ 2^45 — no overflow.
     */
-  private def subDist(cb: Column, emb: Column, j: Column, kk: Column, dsub: Int): Column =
-    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
-      val diff = element_at(emb, (j * dsub + i + 1).cast("int")).cast("double") -
+  private def subDist(cb: Column, qemb: Column, j: Column, kk: Column, dsub: Int): Column =
+    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L), (acc, i) => {
+      val diff = element_at(qemb, (j * dsub + i + 1).cast("int")) -
         element_at(element_at(element_at(cb, (j + 1).cast("int")), (kk + 1).cast("int")), (i + 1).cast("int"))
       acc + diff * diff
     })
@@ -100,7 +120,7 @@ object PqIndex {
     val sample = vectors.select(col("vec_id"), col("embedding"))
       .orderBy(col("vec_id")).limit(trainCap)
       .collect()
-      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+      .map(r => quantize(r.getSeq[Float](1).toArray))
     require(sample.length >= k, s"need at least $k vectors to train, got ${sample.length}")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
@@ -110,12 +130,13 @@ object PqIndex {
     }
 
     val cb = typedlit(codebook)
+    val q = quantize(col("embedding"))
     val codes = transform(sequence(lit(0), lit(m - 1)), j =>
       aggregate(
         sequence(lit(0), lit(k - 1)),
-        struct(lit(Double.MaxValue).as("d"), lit(-1).as("c")),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
         (acc, kk) => {
-          val dist = subDist(cb, col("embedding"), j, kk, dsub)
+          val dist = subDist(cb, q, j, kk, dsub)
           when(dist < acc.getField("d"),
             struct(dist.as("d"), kk.cast("int").as("c"))).otherwise(acc)
         },
@@ -162,15 +183,15 @@ object PqIndex {
     val d = pq.codebook.head.head.length * m
     val dsub = d / m
     val cb = typedlit(pq.codebook)
-    // per-probe ADC table: dt[j][kk] = ||q_sub_j - c_jk||²
+    // per-probe ADC table: dt[j][kk] = integer ||q_sub_j - c_jk||²
     val dt = transform(sequence(lit(0), lit(m - 1)), j =>
       transform(sequence(lit(0), lit(k - 1)), kk =>
-        subDist(cb, col("embedding"), j, kk, dsub)))
+        subDist(cb, quantize(col("embedding")), j, kk, dsub)))
     val probeT = probes.select(
       col("vec_id").as("query_id"), dt.as("dt"))
-    // ADC distance: m table lookups per corpus row
+    // ADC distance: m table lookups per corpus row — integer-exact
     val adc = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+      sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
         acc + element_at(
           element_at(col("dt"), (j + 1).cast("int")),
           (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int")))
@@ -218,12 +239,102 @@ object PqIndex {
 
   /** Driver-facing query: top-1 neighbor for 16 probes — ADC shortlist
     * of 32 from the build-once compressed index, exact re-rank on the
-    * shortlist. Rows-only (k-means not SQL-expressible).
+    * shortlist. Hash-gated by [[pqOracleSql]].
     */
   def pqQuery(spark: SparkSession, dir: String): DataFrame = {
     val pq = indexFor(spark, dir)
     queryRefined(spark, pq,
       Tables.embeddings(spark, dir).filter(col("vec_id") < 16),
       shortlist = 32, topk = 1)
+  }
+
+  /** The identical integer-PQ pipeline in DuckDB: quantize → per-subspace
+    * Lloyd (same evenly-spaced init, same first-wins argmin as the Scala
+    * loop's strict `<`, same floor-division means, same keep-previous for
+    * empty clusters, `iters` unrolled) → integer encode → integer ADC
+    * shortlist → exact fold-dot L2 re-rank.
+    */
+  def pqOracleSql(iters: Int = 10, shortlist: Int = 32, nProbes: Int = 16,
+      dims: Int = 64): String = {
+    val dsub = dims / m
+    def qd2(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+    // AS MATERIALIZED is load-bearing: cb$t references cb${t-1} TWICE
+    // (argmin + keep-previous), so an inlining planner would double the
+    // subtree per iteration — 2^iters blowup. Materializing each step
+    // keeps the unrolled recurrence linear.
+    def iterCtes(t: Int): String =
+      s"""as$t AS MATERIALIZED (
+         |  SELECT rn, j, sv, c FROM (
+         |    SELECT s.rn, s.j, s.sv, c.c,
+         |           row_number() OVER (PARTITION BY s.rn, s.j
+         |                              ORDER BY ${qd2("s.sv", "c.cq")}, c.c) AS rnk
+         |    FROM sub s JOIN cb${t - 1} c ON s.j = c.j) WHERE rnk = 1),
+         |cb$t AS MATERIALIZED (
+         |  SELECT p.j, p.c, coalesce(u.cq, p.cq) AS cq
+         |  FROM cb${t - 1} p LEFT JOIN (
+         |    SELECT j, c, list(mu ORDER BY idx) AS cq FROM (
+         |      SELECT a.j, a.c, i.idx, CAST(sum(a.sv[i.idx]) AS BIGINT) // count(*) AS mu
+         |      FROM as$t a CROSS JOIN (SELECT unnest(generate_series(1, $dsub)) AS idx) i
+         |      GROUP BY a.j, a.c, i.idx) GROUP BY j, c) u
+         |    ON p.j = u.j AND p.c = u.c)""".stripMargin
+
+    val lloydUnrolled = (1 to iters).map(iterCtes).mkString(",\n")
+
+    s"""WITH qv AS (
+       |  SELECT vec_id, embedding, label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
+       |  FROM embeddings),
+       |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+       |samp AS (
+       |  SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+       |  FROM (SELECT * FROM qv ORDER BY vec_id LIMIT $trainCap)),
+       |n AS (SELECT count(*) AS cnt FROM samp),
+       |sub AS (
+       |  SELECT s.rn, js.j, s.q[js.j * $dsub + 1 : js.j * $dsub + $dsub] AS sv
+       |  FROM samp s CROSS JOIN js),
+       |cb0 AS (
+       |  SELECT s.j, i.i AS c, s.sv AS cq
+       |  FROM (SELECT unnest(generate_series(0, ${k - 1})) AS i) i
+       |  CROSS JOIN n
+       |  JOIN sub s ON s.rn = (i.i * n.cnt) // $k),
+       |$lloydUnrolled,
+       |vsub AS (
+       |  SELECT v.vec_id, js.j, v.q[js.j * $dsub + 1 : js.j * $dsub + $dsub] AS sv
+       |  FROM qv v CROSS JOIN js),
+       |enc AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT v.vec_id, v.j, c.c,
+       |           row_number() OVER (PARTITION BY v.vec_id, v.j
+       |                              ORDER BY ${qd2("v.sv", "c.cq")}, c.c) AS rnk
+       |    FROM vsub v JOIN cb$iters c ON v.j = c.j) WHERE rnk = 1),
+       |pdt AS (
+       |  SELECT p.vec_id AS query_id, p.j, c.c, ${qd2("p.sv", "c.cq")} AS d
+       |  FROM (SELECT * FROM vsub WHERE vec_id < $nProbes) p
+       |  JOIN cb$iters c ON p.j = c.j),
+       |adc AS (
+       |  SELECT pd.query_id, e.vec_id AS neighbor_id, CAST(sum(pd.d) AS BIGINT) AS approx_d2
+       |  FROM enc e JOIN pdt pd ON e.j = pd.j AND e.c = pd.c AND pd.query_id <> e.vec_id
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY approx_d2, neighbor_id) AS rnk
+       |    FROM adc) WHERE rnk <= $shortlist),
+       |ref AS (
+       |  SELECT s.query_id, s.neighbor_id, e.label AS neighbor_label,
+       |         (${dot("p.embedding", "p.embedding")}
+       |           - (CAST(2.0 AS DOUBLE) * ${dot("p.embedding", "e.embedding")}))
+       |           + ${dot("e.embedding", "e.embedding")} AS exact_d2
+       |  FROM short s JOIN qv p ON s.query_id = p.vec_id
+       |               JOIN qv e ON s.neighbor_id = e.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, exact_d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY exact_d2, neighbor_id) AS rnk
+       |  FROM ref) WHERE rnk = 1""".stripMargin
   }
 }

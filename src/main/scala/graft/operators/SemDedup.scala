@@ -29,10 +29,15 @@ import graft.functions.FloatVecDot
   */
 object SemDedup {
 
-  /** Per-vector verdict: `(vec_id, cell_id, keep)`, ordered by vec_id. */
+  /** Per-vector verdict: `(vec_id, cell_id, keep)`, ordered by vec_id.
+    * Clusters come from the quantized integer-Lloyd index
+    * ([[IvfIndex.indexQFor]]) — exact-portable, so e8 carries a DuckDB
+    * hash gate; the brute-force-per-cell equivalence in SemDedupSpec
+    * holds for any clustering and is unchanged.
+    */
   def run(spark: SparkSession, dir: String, k: Int = 16,
       tau: Double = 0.40): DataFrame =
-    verdicts(IvfIndex.indexFor(spark, dir, k).assigned, tau)
+    verdicts(IvfIndex.indexQFor(spark, dir, k).assigned, tau)
 
   /** The dedup pass itself over a `(vec_id, embedding, cell_id)` cluster
     * assignment — split out from [[run]] so the pair-join shape is
@@ -64,9 +69,38 @@ object SemDedup {
       .orderBy($"vec_id")
   }
 
-  /** Driver-gated entry (`e8_semdedup`): rows-only — k-means is not
-    * SQL-expressible; exactness gates live in SemDedupSpec.
+  /** Driver-gated entry (`e8_semdedup`), hash-exact vs
+    * [[semdedupOracleSql]]: cell_id cast to BIGINT so both engines emit
+    * the same integer width.
     */
-  def semdedupQuery(spark: SparkSession, dir: String): DataFrame =
-    run(spark, dir)
+  def semdedupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    run(spark, dir).select($"vec_id", $"cell_id".cast("long").as("cell_id"), $"keep")
+  }
+
+  /** The identical pipeline in DuckDB: the shared quantized-Lloyd CTEs
+    * ([[IvfIndex.lloydCtes]]) produce the same cell assignment, then the
+    * same lower-id-removes rule over in-cell pairs with the e1 fold-dot
+    * cosine (bit-identical) and the same zero-norm guard.
+    */
+  def semdedupOracleSql(k: Int = 16, iters: Int = 3, tau: Double = 0.40): String = {
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    val fin = iters + 1
+    s"""WITH ${IvfIndex.lloydCtes(k, iters)},
+       |v AS MATERIALIZED (
+       |  SELECT a.cell_id, a.vec_id, e.embedding,
+       |         sqrt(${dot("e.embedding", "e.embedding")}) AS nrm
+       |  FROM assign$fin a JOIN qv e ON a.vec_id = e.vec_id),
+       |removed AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM v a JOIN v b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+       |  WHERE a.nrm > 0 AND b.nrm > 0
+       |    AND ${dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= CAST($tau AS DOUBLE))
+       |SELECT v.vec_id, CAST(v.cell_id AS BIGINT) AS cell_id,
+       |       (r.vec_id IS NULL) AS keep
+       |FROM v LEFT JOIN removed r ON v.vec_id = r.vec_id
+       |ORDER BY v.vec_id""".stripMargin
+  }
 }

@@ -44,16 +44,18 @@ class PqSpec extends AnyFunSuite with SparkTestKit {
     // untrained = the Lloyd INIT (evenly spaced sample points, 0 iters):
     // training must strictly reduce summed subspace quantization error.
     // One collect serves the error evaluation and the init construction.
+    // Everything lives in the quantized integer domain the trainer uses.
     val sample = graft.Tables.embeddings(spark, sfDir)
       .select($"embedding").orderBy($"vec_id").collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    def qErr(codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]]): Double = {
+      .map(_.getSeq[Float](0).toArray
+        .map(f => math.floor(f.toDouble * 1048576.0).toLong + 1048576L))
+    def qErr(codebook: IndexedSeq[IndexedSeq[IndexedSeq[Long]]]): Double = {
       val dsub = sample.head.length / PqIndex.m
       sample.map { v =>
         (0 until PqIndex.m).map { j =>
           codebook(j).map { c =>
             (0 until dsub).map { i =>
-              val t = v(j * dsub + i) - c(i); t * t
+              val t = (v(j * dsub + i) - c(i)).toDouble; t * t
             }.sum
           }.min
         }.sum
@@ -61,12 +63,13 @@ class PqSpec extends AnyFunSuite with SparkTestKit {
     }
     val n = sample.length
     val dsub = sample.head.length / PqIndex.m
-    val untrained = IndexedSeq.tabulate(PqIndex.m) { j =>
-      IndexedSeq.tabulate(PqIndex.k) { i =>
-        sample(((i.toLong * n) / PqIndex.k).toInt)
-          .slice(j * dsub, (j + 1) * dsub).toIndexedSeq
+    val untrained: IndexedSeq[IndexedSeq[IndexedSeq[Long]]] =
+      IndexedSeq.tabulate(PqIndex.m) { j =>
+        IndexedSeq.tabulate(PqIndex.k) { i =>
+          sample(((i.toLong * n) / PqIndex.k).toInt)
+            .slice(j * dsub, (j + 1) * dsub).toIndexedSeq
+        }
       }
-    }
     val trained = qErr(pq.codebook)
     val init = qErr(untrained)
     assert(trained < init * 0.8,
@@ -82,7 +85,8 @@ class PqSpec extends AnyFunSuite with SparkTestKit {
     val codes = pq.encoded.select($"vec_id", $"codes").collect()
       .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
     val qvecs = probes.select($"vec_id", $"embedding").collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray
+        .map(f => math.floor(f.toDouble * 1048576.0).toLong + 1048576L)).toMap
     val dsub = qvecs.values.head.length / PqIndex.m
     for ((q, qv) <- qvecs) {
       val dt = Array.tabulate(PqIndex.m, PqIndex.k) { (j, kk) =>
