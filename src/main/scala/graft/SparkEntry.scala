@@ -67,6 +67,14 @@ object SparkEntry {
       Q("e8_semdedup", graft.operators.SemDedup.semdedupOracleSql()) { (s, dir) =>
         graft.operators.SemDedup.semdedupQuery(s, dir)
       },
+      // IVF × PQ composition (the FAISS IVFPQ shape): quantized cells
+      // bound the candidates, global PQ codes bound the memory, exact
+      // re-rank restores accuracy — every stage integer-exact or
+      // fold-dot, so the whole composition hash-matches; reuses the
+      // session-memoized e4 + e7 indexes
+      Q("e9_ivfpq_ann", graft.operators.IvfPq.oracleSql()) { (s, dir) =>
+        graft.operators.IvfPq.query(s, dir)
+      },
       // connected-components dup clustering over the shared LSH pairs —
       // hash-exact vs a DuckDB recursive-CTE transitive closure; the
       // union-find/BSP equivalence gate lives in DupClustersSpec

@@ -227,6 +227,20 @@ object IvfIndex {
     Ivf(finalCents, assign(finalCents).drop("q"))
   }
 
+  /** The `nprobe` nearest cells per probe by exact integer centroid
+    * distance: `(query_id, cell_id)`. Shared by [[queryQuantized]] and
+    * the IVF×PQ composition ([[IvfPq]]).
+    */
+  def probeCells(probes: DataFrame, ivf: Ivf, nprobe: Int): DataFrame =
+    probes
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("pq"))
+      .join(broadcast(ivf.centroids))
+      .select(col("query_id"), col("cell_id"), qd2(col("pq"), col("cq")).as("d2"))
+      .withColumn("cell_rank",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell_id"))))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("query_id"), col("cell_id"))
+
   /** Rank cells by exact integer centroid distance, then exact cosine
     * rerank inside the `nprobe` nearest cells (same fold-dot discipline
     * as e1 — bit-identical in DuckDB).

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** IVF × PQ — the two ANN axes composed the way FAISS composes them
+  * (Jégou et al., TPAMI 2011; the IVFPQ index family): the quantized
+  * IVF cells bound the CANDIDATES (each probe searches `nprobe` cells ≈
+  * nprobe/k of the corpus) while the PQ codes bound the MEMORY (the
+  * candidate scan reads m one-byte codes per row, not raw vectors), and
+  * a small exact re-rank of the ADC shortlist restores accuracy.
+  *
+  * Composition choice: the codes come from the GLOBAL per-subspace
+  * codebooks (e7's), not per-cell residual codebooks — the classic
+  * residual-encoding refinement trades one more level of training for
+  * tighter codes; with a global codebook the two indexes stay
+  * independently buildable/cacheable and the whole pipeline remains
+  * integer-exact (hash-gated, `e9_ivfpq_ann`). Both indexes are the
+  * session-memoized builds shared with e4 and e7 — composing costs no
+  * extra training.
+  *
+  * Scale shape (10⁹–10¹² vectors): probe→cell ranking is a k-row
+  * broadcast; the candidate scan touches nprobe/k of the CODES table
+  * (32× smaller than the vectors); only the shortlist rows (a constant
+  * per probe) ever fetch raw vectors. No stage touches more than its
+  * bound; nothing self-joins.
+  */
+object IvfPq {
+
+  /** Top-1 per probe: IVF cells (nprobe) → integer ADC over codes within
+    * those cells → shortlist → exact fold-dot re-rank.
+    */
+  def query(spark: SparkSession, dir: String, nProbes: Int = 16,
+      nprobe: Int = 4, shortlist: Int = 16): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val ivf = IvfIndex.indexQFor(spark, dir)   // cells (shared with e4/e8)
+    val pq = PqIndex.indexFor(spark, dir)      // codes (shared with e7)
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes)
+
+    // probe → nprobe nearest cells by exact integer centroid distance
+    val probeCells = IvfIndex.probeCells(probes, ivf, nprobe)
+
+    // candidates = the probe's cells, read as CODES (vec_id, codes) —
+    // the raw-vector column never enters this join
+    val members = ivf.assigned.select(col("vec_id"), col("cell_id"))
+      .join(pq.encoded.select(col("vec_id"), col("codes")), Seq("vec_id"))
+
+    val probeT = probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), PqIndex.adcTable(pq, col("embedding")).as("dt"))
+    val shortlisted = probeCells
+      .join(members, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(probeT), Seq("query_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
+        PqIndex.adcDistance(col("dt"), col("codes")).as("approx_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("neighbor_id"))))
+      .filter(col("rnk") <= shortlist)
+
+    // exact re-rank: only the shortlist fetches raw vectors
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label").as("neighbor_label"))
+    val exactD2 =
+      call_function("vec_dot", col("q_emb"), col("q_emb")) -
+        lit(2.0) * call_function("vec_dot", col("q_emb"), col("embedding")) +
+        call_function("vec_dot", col("embedding"), col("embedding"))
+    shortlisted
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
+      .join(raw, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        exactD2.as("exact_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("exact_d2"), col("neighbor_id"))))
+      .filter(col("rnk") === 1)
+      .drop("rnk")
+  }
+
+  /** The whole composition replayed in DuckDB: the shared IVF Lloyd CTEs
+    * (cells), the shared PQ train/encode CTEs (codes), then cell-bounded
+    * integer ADC + exact re-rank. Every stage is integer-exact or
+    * fold-dot — hash-exact end to end.
+    */
+  def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 16,
+      ivfIters: Int = 3, pqIters: Int = 10, dims: Int = 64): String = {
+    def qd2(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
+    def dot(a: String, b: String) =
+      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    val fin = ivfIters + 1
+    s"""WITH ${IvfIndex.lloydCtes(16, ivfIters, dims)},
+       |${PqIndex.pqTrainEncodeCtes(pqIters, dims)},
+       |probe_cells AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT v.vec_id AS query_id, c.cell_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${qd2("v.q", "c.cq")}, c.cell_id) AS rn
+       |    FROM (SELECT * FROM qv WHERE vec_id < $nProbes) v
+       |    CROSS JOIN cents$ivfIters c) WHERE rn <= $nprobe),
+       |pdt AS (
+       |  SELECT p.vec_id AS query_id, p.j, c.c, ${qd2("p.sv", "c.cq")} AS d
+       |  FROM (SELECT * FROM vsub WHERE vec_id < $nProbes) p
+       |  JOIN cb$pqIters c ON p.j = c.j),
+       |adc AS (
+       |  SELECT pc.query_id, e.vec_id AS neighbor_id, CAST(sum(pd.d) AS BIGINT) AS approx_d2
+       |  FROM probe_cells pc
+       |  JOIN assign$fin a ON a.cell_id = pc.cell_id AND a.vec_id <> pc.query_id
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN pdt pd ON pd.query_id = pc.query_id AND pd.j = e.j AND pd.c = e.c
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY approx_d2, neighbor_id) AS rnk
+       |    FROM adc) WHERE rnk <= $shortlist),
+       |ref AS (
+       |  SELECT s.query_id, s.neighbor_id, e.label AS neighbor_label,
+       |         (${dot("p.embedding", "p.embedding")}
+       |           - (CAST(2.0 AS DOUBLE) * ${dot("p.embedding", "e.embedding")}))
+       |           + ${dot("e.embedding", "e.embedding")} AS exact_d2
+       |  FROM short s JOIN qv p ON s.query_id = p.vec_id
+       |               JOIN qv e ON s.neighbor_id = e.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, exact_d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY exact_d2, neighbor_id) AS rnk
+       |  FROM ref) WHERE rnk = 1""".stripMargin
+  }
+}

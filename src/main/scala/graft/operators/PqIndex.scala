@@ -176,25 +176,33 @@ object PqIndex {
     }
   }
 
+  /** Per-probe ADC table: dt[j][kk] = integer ‖q_sub_j − c_jk‖² against
+    * this index's codebook, from a raw float embedding column. Shared by
+    * [[query]] and the IVF×PQ composition ([[IvfPq]]).
+    */
+  def adcTable(pq: Pq, emb: Column): Column = {
+    val dsub = pq.codebook.head.head.length
+    val cb = typedlit(pq.codebook)
+    transform(sequence(lit(0), lit(m - 1)), j =>
+      transform(sequence(lit(0), lit(k - 1)), kk =>
+        subDist(cb, quantize(emb), j, kk, dsub)))
+  }
+
+  /** ADC distance: m table lookups per corpus row — integer-exact. */
+  def adcDistance(dt: Column, codes: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
+        acc + element_at(
+          element_at(dt, (j + 1).cast("int")),
+          (element_at(codes, (j + 1).cast("int")) + 1).cast("int")))
+
   /** ADC top-`topk` neighbors per probe. Probes carry their precomputed
     * m×k distance table; the corpus side touches ONLY codes.
     */
   def query(spark: SparkSession, pq: Pq, probes: DataFrame, topk: Int = 1): DataFrame = {
-    val d = pq.codebook.head.head.length * m
-    val dsub = d / m
-    val cb = typedlit(pq.codebook)
-    // per-probe ADC table: dt[j][kk] = integer ||q_sub_j - c_jk||²
-    val dt = transform(sequence(lit(0), lit(m - 1)), j =>
-      transform(sequence(lit(0), lit(k - 1)), kk =>
-        subDist(cb, quantize(col("embedding")), j, kk, dsub)))
     val probeT = probes.select(
-      col("vec_id").as("query_id"), dt.as("dt"))
-    // ADC distance: m table lookups per corpus row — integer-exact
-    val adc = aggregate(
-      sequence(lit(0), lit(m - 1)), lit(0L), (acc, j) =>
-        acc + element_at(
-          element_at(col("dt"), (j + 1).cast("int")),
-          (element_at(col("codes"), (j + 1).cast("int")) + 1).cast("int")))
+      col("vec_id").as("query_id"), adcTable(pq, col("embedding")).as("dt"))
+    val adc = adcDistance(col("dt"), col("codes"))
     pq.encoded
       .join(broadcast(probeT))
       .filter(col("query_id") =!= col("vec_id"))
@@ -248,19 +256,20 @@ object PqIndex {
       shortlist = 32, topk = 1)
   }
 
-  /** The identical integer-PQ pipeline in DuckDB: quantize → per-subspace
-    * Lloyd (same evenly-spaced init, same first-wins argmin as the Scala
-    * loop's strict `<`, same floor-division means, same keep-previous for
-    * empty clusters, `iters` unrolled) → integer encode → integer ADC
-    * shortlist → exact fold-dot L2 re-rank.
+  private def qd2Sql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+
+  /** PQ training + encode as DuckDB CTEs — everything between the shared
+    * `qv` (quantized vectors, identical to [[IvfIndex.lloydCtes]]'s) and
+    * the search: per-subspace Lloyd unrolled to codebook `cb$iters`, the
+    * subvector view `vsub`, and the encoded corpus `enc(vec_id, j, c)`.
+    * Shared by the e7 and e9 oracles.
     */
-  def pqOracleSql(iters: Int = 10, shortlist: Int = 32, nProbes: Int = 16,
-      dims: Int = 64): String = {
+  def pqTrainEncodeCtes(iters: Int = 10, dims: Int = 64): String = {
     val dsub = dims / m
-    def qd2(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    def qd2(a: String, b: String) = qd2Sql(a, b)
 
     // AS MATERIALIZED is load-bearing: cb$t references cb${t-1} TWICE
     // (argmin + keep-previous), so an inlining planner would double the
@@ -284,12 +293,7 @@ object PqIndex {
 
     val lloydUnrolled = (1 to iters).map(iterCtes).mkString(",\n")
 
-    s"""WITH qv AS (
-       |  SELECT vec_id, embedding, label,
-       |         list_transform(embedding,
-       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
-       |  FROM embeddings),
-       |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+    s"""js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
        |samp AS (
        |  SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS rn
        |  FROM (SELECT * FROM qv ORDER BY vec_id LIMIT $trainCap)),
@@ -306,12 +310,31 @@ object PqIndex {
        |vsub AS (
        |  SELECT v.vec_id, js.j, v.q[js.j * $dsub + 1 : js.j * $dsub + $dsub] AS sv
        |  FROM qv v CROSS JOIN js),
-       |enc AS (
+       |enc AS MATERIALIZED (
        |  SELECT vec_id, j, c FROM (
        |    SELECT v.vec_id, v.j, c.c,
        |           row_number() OVER (PARTITION BY v.vec_id, v.j
        |                              ORDER BY ${qd2("v.sv", "c.cq")}, c.c) AS rnk
-       |    FROM vsub v JOIN cb$iters c ON v.j = c.j) WHERE rnk = 1),
+       |    FROM vsub v JOIN cb$iters c ON v.j = c.j) WHERE rnk = 1)""".stripMargin
+  }
+
+  /** The identical integer-PQ pipeline in DuckDB: quantize → per-subspace
+    * Lloyd (same evenly-spaced init, same first-wins argmin as the Scala
+    * loop's strict `<`, same floor-division means, same keep-previous for
+    * empty clusters, `iters` unrolled) → integer encode → integer ADC
+    * shortlist → exact fold-dot L2 re-rank.
+    */
+  def pqOracleSql(iters: Int = 10, shortlist: Int = 32, nProbes: Int = 16,
+      dims: Int = 64): String = {
+    def qd2(a: String, b: String) = qd2Sql(a, b)
+    def dot(a: String, b: String) = dotSql(a, b)
+
+    s"""WITH qv AS (
+       |  SELECT vec_id, embedding, label,
+       |         list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
+       |  FROM embeddings),
+       |${pqTrainEncodeCtes(iters, dims)},
        |pdt AS (
        |  SELECT p.vec_id AS query_id, p.j, c.c, ${qd2("p.sv", "c.cq")} AS d
        |  FROM (SELECT * FROM vsub WHERE vec_id < $nProbes) p

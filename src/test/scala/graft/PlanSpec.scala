@@ -129,7 +129,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     // the index BUILD subtree under the InMemoryRelation; e8's own pair
     // step is equi-join-only, asserted in SemDedupSpec)
     val whitelist = Set("e1_cosine_topk", "t10_tfidf_search", "e7_pq_ann",
-      "e4_ivf_ann", "e8_semdedup")
+      "e4_ivf_ann", "e8_semdedup",
+      // e9 composes the e4 + e7 indexes — the same k-centroid / probe
+      // broadcast BNLJs sit in its (cached) index-build subtrees
+      "e9_ivfpq_ann")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
