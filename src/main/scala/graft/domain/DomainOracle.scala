@@ -30,7 +30,6 @@ object DomainOracle {
 
   /** Fixed location: content is deterministic (seeded generator, injected
     * clock) and SF-independent, so one path serves every scale factor.
-    * Bump the version suffix if generation ever changes shape.
     */
   val bronzeDir: String =
     sys.props.getOrElse("graft.domain.bronze.dir", "/tmp/graft_domain_bronze_v1")
@@ -40,25 +39,55 @@ object DomainOracle {
 
   private val tables = Seq("bronze_joor", "bronze_shopify", "bronze_tiktok", "bronze_freight")
 
-  /** Write the bronze tables once per JVM; skip entirely if a previous
-    * process already left all four `_SUCCESS` markers (content is always
-    * identical, and not rewriting keeps concurrent readers safe).
+  /** Content identity of the persisted bronze. The GenSpec parameters are
+    * embedded so a default change self-invalidates any machine's old
+    * copy; bump the leading tag when DataGen's derivation itself changes.
+    */
+  private def genVersion: String =
+    s"gen1:joor=${spec.joor}:shopify=${spec.shopify}:tiktok=${spec.tiktok}" +
+      s":freight=${spec.freight}:seed=${spec.seed}:linked=${spec.linkedFreight}"
+
+  /** Publish the bronze tables once: build into a private directory, then
+    * ONE rename makes them visible — concurrent builders (bench + tests)
+    * race at the rename and losers discard their identical build, so the
+    * published directory is never half-written. A version marker carries
+    * [[genVersion]]; a stale copy (older code, different GenSpec) is
+    * rebuilt instead of silently reused.
     */
   def ensureBronze(spark: SparkSession): String = synchronized {
-    val fs = new org.apache.hadoop.fs.Path(bronzeDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val complete = tables.forall(t =>
-      fs.exists(new org.apache.hadoop.fs.Path(s"$bronzeDir/$t/_SUCCESS")))
-    if (!complete) {
-      Seq(
-        "bronze_joor" -> DataGen.bronzeJoor(spark, spec, cfg),
-        "bronze_shopify" -> DataGen.bronzeShopify(spark, spec, cfg),
-        "bronze_tiktok" -> DataGen.bronzeTiktok(spark, spec, cfg),
-        "bronze_freight" -> DataGen.bronzeFreight(spark, spec, cfg)
-      ).foreach { case (name, df) =>
-        df.coalesce(1).write.mode("overwrite").parquet(s"$bronzeDir/$name")
-      }
+    import org.apache.hadoop.fs.Path
+    val target = new Path(bronzeDir)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versionOk: Boolean = {
+      val vp = new Path(s"$bronzeDir/_graft_gen_version")
+      fs.exists(vp) && {
+        val len = fs.getFileStatus(vp).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(vp)
+        in.readFully(0, buf)
+        in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim == genVersion
+      } && tables.forall(t => fs.exists(new Path(s"$bronzeDir/$t/_SUCCESS")))
     }
+    if (versionOk) return bronzeDir
+
+    val build = new Path(bronzeDir + ".build." + java.util.UUID.randomUUID)
+    Seq(
+      "bronze_joor" -> DataGen.bronzeJoor(spark, spec, cfg),
+      "bronze_shopify" -> DataGen.bronzeShopify(spark, spec, cfg),
+      "bronze_tiktok" -> DataGen.bronzeTiktok(spark, spec, cfg),
+      "bronze_freight" -> DataGen.bronzeFreight(spark, spec, cfg)
+    ).foreach { case (name, df) =>
+      df.coalesce(1).write.mode("overwrite").parquet(s"$build/$name")
+    }
+    val out = fs.create(new Path(build, "_graft_gen_version"), true)
+    out.write(genVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+
+    if (fs.exists(target)) fs.delete(target, true) // stale or partial copy
+    if (!fs.rename(build, target)) fs.delete(build, true) // another builder won
+    require(versionOk,
+      s"domain bronze publish failed: $bronzeDir has no current-version copy")
     bronzeDir
   }
 

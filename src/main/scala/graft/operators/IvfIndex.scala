@@ -128,17 +128,20 @@ object IvfIndex {
     })
   }
 
-  /** Unpersist and drop a session's cached indexes (mirror of
+  /** Unpersist and drop a session's cached indexes — BOTH memos, the
+    * MLlib one and the quantized one (mirror of
     * [[graft.queries.Memo.clear]]).
     */
   def clearIndexes(spark: SparkSession): Unit = {
-    val it = indexMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 eq spark) {
-        e.getValue.centroids.unpersist()
-        e.getValue.assigned.unpersist()
-        it.remove()
+    Seq(indexMemo, qIndexMemo).foreach { memo =>
+      val it = memo.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getKey._1 eq spark) {
+          e.getValue.centroids.unpersist()
+          e.getValue.assigned.unpersist()
+          it.remove()
+        }
       }
     }
   }
@@ -248,20 +251,13 @@ object IvfIndex {
   def queryQuantized(spark: SparkSession, ivf: Ivf, probes: DataFrame,
       nprobe: Int): DataFrame = {
     FloatVecDot.register(spark)
-    val probeCells = probes
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        quantize(col("embedding")).as("pq"))
-      .join(broadcast(ivf.centroids))
-      .select(col("query_id"), col("q_emb"), col("cell_id"),
-        qd2(col("pq"), col("cq")).as("d2"))
-      .withColumn("cell_rank",
-        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell_id"))))
-      .filter(col("cell_rank") <= nprobe)
-      .select(col("query_id"), col("q_emb"), col("cell_id"))
+    val cells = probeCells(probes, ivf, nprobe)
+      .join(broadcast(probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
 
     val qNorm = sqrt(call_function("vec_dot", col("q_emb"), col("q_emb")))
     val cNorm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
-    probeCells
+    cells
       .join(ivf.assigned, Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"),
@@ -304,9 +300,12 @@ object IvfIndex {
       Tables.embeddings(spark, dir).filter(col("vec_id") < 16), nprobe = 4)
   }
 
-  private def qd2Sql(a: String, b: String) =
+  // the load-bearing DuckDB distance folds shared by every ANN oracle
+  // (e4/e7/e8/e9): integer L2² and the e1 fold-dot. ONE definition — a
+  // drift between copies would silently diverge the gated oracles.
+  private[operators] def qd2Sql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
-  private def dotSql(a: String, b: String) =
+  private[operators] def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
 
   /** The quantized Lloyd as unrolled DuckDB CTEs — `qv` (quantized

@@ -47,8 +47,10 @@ object IvfPq {
     val members = ivf.assigned.select(col("vec_id"), col("cell_id"))
       .join(pq.encoded.select(col("vec_id"), col("codes")), Seq("vec_id"))
 
-    val probeT = probes.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"), PqIndex.adcTable(pq, col("embedding")).as("dt"))
+    val probeT = probes
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        PqIndex.quantizeCol(col("embedding")).as("pq"))
+      .select(col("query_id"), col("q_emb"), PqIndex.adcTable(pq, col("pq")).as("dt"))
     val shortlisted = probeCells
       .join(members, Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
@@ -85,10 +87,8 @@ object IvfPq {
     */
   def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 16,
       ivfIters: Int = 3, pqIters: Int = 10, dims: Int = 64): String = {
-    def qd2(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    def qd2(a: String, b: String) = IvfIndex.qd2Sql(a, b)
+    def dot(a: String, b: String) = IvfIndex.dotSql(a, b)
     val fin = ivfIters + 1
     s"""WITH ${IvfIndex.lloydCtes(16, ivfIters, dims)},
        |${PqIndex.pqTrainEncodeCtes(pqIters, dims)},

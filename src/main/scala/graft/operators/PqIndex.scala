@@ -177,16 +177,22 @@ object PqIndex {
   }
 
   /** Per-probe ADC table: dt[j][kk] = integer ‖q_sub_j − c_jk‖² against
-    * this index's codebook, from a raw float embedding column. Shared by
-    * [[query]] and the IVF×PQ composition ([[IvfPq]]).
+    * this index's codebook, from an ALREADY-QUANTIZED vector column
+    * (project [[quantizeCol]] first — the quantize subtree would
+    * otherwise be copied into all m×k lambda bodies; HOF subtrees are
+    * not CSE'd). Shared by [[query]] and the IVF×PQ composition
+    * ([[IvfPq]]).
     */
-  def adcTable(pq: Pq, emb: Column): Column = {
+  def adcTable(pq: Pq, qemb: Column): Column = {
     val dsub = pq.codebook.head.head.length
     val cb = typedlit(pq.codebook)
     transform(sequence(lit(0), lit(m - 1)), j =>
       transform(sequence(lit(0), lit(k - 1)), kk =>
-        subDist(cb, quantize(emb), j, kk, dsub)))
+        subDist(cb, qemb, j, kk, dsub)))
   }
+
+  /** The quantization projection for [[adcTable]] callers. */
+  def quantizeCol(emb: Column): Column = quantize(emb)
 
   /** ADC distance: m table lookups per corpus row — integer-exact. */
   def adcDistance(dt: Column, codes: Column): Column =
@@ -200,8 +206,9 @@ object PqIndex {
     * m×k distance table; the corpus side touches ONLY codes.
     */
   def query(spark: SparkSession, pq: Pq, probes: DataFrame, topk: Int = 1): DataFrame = {
-    val probeT = probes.select(
-      col("vec_id").as("query_id"), adcTable(pq, col("embedding")).as("dt"))
+    val probeT = probes
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("pq"))
+      .select(col("query_id"), adcTable(pq, col("pq")).as("dt"))
     val adc = adcDistance(col("dt"), col("codes"))
     pq.encoded
       .join(broadcast(probeT))
@@ -256,10 +263,8 @@ object PqIndex {
       shortlist = 32, topk = 1)
   }
 
-  private def qd2Sql(a: String, b: String) =
-    s"list_reduce(list_transform(list_zip($a, $b), x -> (x[1] - x[2]) * (x[1] - x[2])), (acc, x) -> acc + x)"
-  private def dotSql(a: String, b: String) =
-    s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+  private def qd2Sql(a: String, b: String) = IvfIndex.qd2Sql(a, b)
+  private def dotSql(a: String, b: String) = IvfIndex.dotSql(a, b)
 
   /** PQ training + encode as DuckDB CTEs — everything between the shared
     * `qv` (quantized vectors, identical to [[IvfIndex.lloydCtes]]'s) and

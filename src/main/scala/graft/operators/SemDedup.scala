@@ -85,8 +85,7 @@ object SemDedup {
     * cosine (bit-identical) and the same zero-norm guard.
     */
   def semdedupOracleSql(k: Int = 16, iters: Int = 3, tau: Double = 0.40): String = {
-    def dot(a: String, b: String) =
-      s"list_reduce(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, x) -> acc + x)"
+    def dot(a: String, b: String) = IvfIndex.dotSql(a, b)
     val fin = iters + 1
     s"""WITH ${IvfIndex.lloydCtes(k, iters)},
        |v AS MATERIALIZED (

@@ -530,33 +530,55 @@ object TrainingPrep {
           ($"vocab".cast("double") / $"n_tokens").as("ttr"))
   }
 
-  /** C1: the curation FUNNEL — the whole training-data pipeline as one
-    * query, reporting per-stage attrition (docs and tokens) over the
+  /** C1/C2: the curation FUNNEL — the whole training-data pipeline as
+    * one query, reporting per-stage attrition (docs and tokens) over the
     * train split:
     *
     *   s0 raw → s1 exact dedup (min-doc_id canonical per content hash)
     *   → s2 decontaminated (no 8-gram shared with the eval split, d6's
-    *   rule) → s3 quality floor (≥8 words, distinct-word ratio ≥ 0.4)
+    *   rule) → [`fuzzy`: s2f fuzzy decontamination — drop any train doc
+    *   whose MinHash-estimated Jaccard vs an eval doc is ≥ 0.5, d8's
+    *   rule over the session-memoized d3 pair list]
+    *   → s3 quality floor (≥8 words, distinct-word ratio ≥ 0.4)
     *   → s4 token budget (t12's per-source md5-order fill to 800).
     *
     * This is the composition story: every stage is an operator the engine
-    * already gates individually (d1, d6, t2/t11, t12), chained the way a
-    * curation run actually chains them, with the stage counts a data team
-    * watches. All counts integer-exact; the one division per doc (the
-    * ratio) feeds a comparison, not an aggregate — oracle-exact.
+    * already gates individually (d1, d6, d8, t2/t11, t12), chained the
+    * way a curation run actually chains them, with the stage counts a
+    * data team watches. One builder emits BOTH gated variants (c1 plain,
+    * c2 fuzzy) and both sides of each (Spark + oracle SQL) — a fix to a
+    * shared stage cannot diverge them. All counts integer-exact;
+    * oracle-exact.
     *
     * Scale: each stage is the underlying operator's plan (hash-agg /
-    * broadcast n-gram join / narrow filter / one window) over a
-    * monotonically SHRINKING survivor set — the funnel costs at most the
-    * sum of its stages on the full corpus, and the five stage aggregates
+    * broadcast n-gram join / narrow filter / anti-join / one window) over
+    * a monotonically SHRINKING survivor set — the funnel costs at most
+    * the sum of its stages on the full corpus, and the stage aggregates
     * are independent single-pass reductions.
     */
-  val curationFunnel = Q("c1_curation_funnel", {
+  private def funnelQ(name: String, fuzzy: Boolean): Q = Q(name, {
     def grams(src: String) =
       s"""SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
          |        for i in generate_series(1, greatest(len(w) - 7, 0))]) AS g
          |FROM $src""".stripMargin
-    s"""WITH train AS (
+    val fuzzyPrefix = if (!fuzzy) "" else
+      s"""${Dedup.minhashCtes},
+         |pairs AS (${Dedup.minhashSelect}),
+         |src AS (SELECT doc_id, source = 'src0' AS is_eval FROM documents),
+         |fuzzy_contam AS (
+         |  SELECT DISTINCT CASE WHEN sa.is_eval THEN p.doc_b ELSE p.doc_a END AS doc_id
+         |  FROM pairs p JOIN src sa ON p.doc_a = sa.doc_id
+         |               JOIN src sb ON p.doc_b = sb.doc_id
+         |  WHERE sa.is_eval <> sb.is_eval),
+         |""".stripMargin
+    val fuzzyCte = if (!fuzzy) "" else
+      "s2f AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_contam)),\n"
+    val fuzzyStage = if (!fuzzy) "" else
+      """UNION ALL SELECT 's2f_fuzzy_decontam', count(*),
+        |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s2f
+        |""".stripMargin
+    val qualityIn = if (fuzzy) "s2f" else "s2"
+    s"""WITH ${fuzzyPrefix}train AS (
        |  SELECT doc_id, source, text, string_split(text, ' ') AS w
        |  FROM documents WHERE source <> 'src0'),
        |s1 AS (
@@ -570,7 +592,7 @@ object TrainingPrep {
        |  SELECT DISTINCT sg.doc_id
        |  FROM (${grams("s1")}) sg JOIN eval_g e ON sg.g = e.g),
        |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-       |s3 AS (SELECT * FROM s2 WHERE len(w) >= 8
+       |${fuzzyCte}s3 AS (SELECT * FROM $qualityIn WHERE len(w) >= 8
        |         AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.4),
        |s4 AS (
        |  SELECT * FROM (
@@ -585,7 +607,7 @@ object TrainingPrep {
        |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s1
        |UNION ALL SELECT 's2_decontaminated', count(*),
        |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s2
-       |UNION ALL SELECT 's3_quality', count(*),
+       |${fuzzyStage}UNION ALL SELECT 's3_quality', count(*),
        |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s3
        |UNION ALL SELECT 's4_token_budget', count(*),
        |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4""".stripMargin
@@ -605,114 +627,17 @@ object TrainingPrep {
     val contam = Ngrams.postings(s1, n = 8, distinct = true, outCol = "g")
       .join(broadcast(evalG), "g").select($"doc_id").distinct()
     val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
-    val s3 = s2.filter(size($"w") >= 8 &&
-      (size(array_distinct($"w")).cast("double") / size($"w")) >= 0.4)
-    val budgetW = Window.partitionBy($"source")
-      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s4 = s3.select($"doc_id", $"source", size($"w").cast("long").as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(budgetW))
-      .filter($"cum" <= mixBudget)
-    def stage(name: String, df: DataFrame,
-        tok: org.apache.spark.sql.Column): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(tok), lit(0L)).as("n_tokens"))
-        .select(lit(name).as("stage"), $"n_docs", $"n_tokens")
-    stage("s0_raw", train, size($"w").cast("long"))
-      .unionByName(stage("s1_exact_dedup", s1, size($"w").cast("long")))
-      .unionByName(stage("s2_decontaminated", s2, size($"w").cast("long")))
-      .unionByName(stage("s3_quality", s3, size($"w").cast("long")))
-      .unionByName(stage("s4_token_budget", s4, $"n_tokens"))
-  }
-
-  /** C2: the funnel with the FUZZY decontamination stage the modern
-    * curation chain adds after exact decontamination (d8's rule: drop any
-    * train doc whose MinHash-estimated Jaccard vs an eval doc is ≥ 0.5 —
-    * near-paraphrases that share no exact 8-gram). Stage order:
-    *
-    *   s0 raw → s1 exact dedup → s2 exact decontam (8-gram) →
-    *   s2f fuzzy decontam (cross-split MinHash) → s3 quality →
-    *   s4 token budget.
-    *
-    * Reuses the session-memoized d3 pair list ([[Dedup.minhashPairs]]) —
-    * the signature/banding work is shared with d3/d5/d8, not recomputed.
-    * Scale: the added stage is one anti-join against the (tiny)
-    * cross-split survivor list; at true asymmetric scale the eval side's
-    * band rows broadcast (documented on d8).
-    */
-  val curationFunnelFuzzy = Q("c2_curation_funnel_fuzzy", {
-    def grams(src: String) =
-      s"""SELECT doc_id, unnest([array_to_string(w[i:i+7], ' ')
-         |        for i in generate_series(1, greatest(len(w) - 7, 0))]) AS g
-         |FROM $src""".stripMargin
-    s"""WITH ${Dedup.minhashCtes},
-       |pairs AS (${Dedup.minhashSelect}),
-       |src AS (SELECT doc_id, source = 'src0' AS is_eval FROM documents),
-       |fuzzy_contam AS (
-       |  SELECT DISTINCT CASE WHEN sa.is_eval THEN p.doc_b ELSE p.doc_a END AS doc_id
-       |  FROM pairs p JOIN src sa ON p.doc_a = sa.doc_id
-       |               JOIN src sb ON p.doc_b = sb.doc_id
-       |  WHERE sa.is_eval <> sb.is_eval),
-       |train AS (
-       |  SELECT doc_id, source, text, string_split(text, ' ') AS w
-       |  FROM documents WHERE source <> 'src0'),
-       |s1 AS (
-       |  SELECT t.doc_id, t.source, t.text, t.w FROM train t
-       |  JOIN (SELECT md5(lower(text)) AS h, min(doc_id) AS keep
-       |        FROM train GROUP BY 1) k
-       |    ON md5(lower(t.text)) = k.h AND t.doc_id = k.keep),
-       |eval_g AS (SELECT DISTINCT g FROM (${grams(
-        "(SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE source = 'src0')")})),
-       |contam AS (
-       |  SELECT DISTINCT sg.doc_id
-       |  FROM (${grams("s1")}) sg JOIN eval_g e ON sg.g = e.g),
-       |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
-       |s2f AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_contam)),
-       |s3 AS (SELECT * FROM s2f WHERE len(w) >= 8
-       |         AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.4),
-       |s4 AS (
-       |  SELECT * FROM (
-       |    SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n_tokens,
-       |           sum(len(w)) OVER (PARTITION BY source
-       |                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-       |                             ROWS UNBOUNDED PRECEDING) AS cum
-       |    FROM s3) WHERE cum <= $mixBudget)
-       |SELECT 's0_raw' AS stage, count(*) AS n_docs,
-       |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_tokens FROM train
-       |UNION ALL SELECT 's1_exact_dedup', count(*),
-       |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s1
-       |UNION ALL SELECT 's2_decontaminated', count(*),
-       |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s2
-       |UNION ALL SELECT 's2f_fuzzy_decontam', count(*),
-       |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s2f
-       |UNION ALL SELECT 's3_quality', count(*),
-       |       CAST(coalesce(sum(len(w)), 0) AS BIGINT) FROM s3
-       |UNION ALL SELECT 's4_token_budget', count(*),
-       |       CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4""".stripMargin
-  }) { (s, dir) =>
-    import s.implicits._
-    val docs = Tables.documents(s, dir)
-    val train = docs.filter($"source" =!= "src0")
-      .select($"doc_id", $"source", $"text", split($"text", " ").as("w"))
-    val keep = train
-      .groupBy(md5(lower($"text")).as("h")).agg(min($"doc_id").as("keep"))
-    val s1 = train
-      .join(keep, md5(lower(train("text"))) === keep("h") &&
-        train("doc_id") === keep("keep"))
-      .select(train("doc_id"), train("source"), train("text"), train("w"))
-    val evalG = Ngrams.postings(docs.filter($"source" === "src0"),
-      n = 8, distinct = true, outCol = "g").select($"g").distinct()
-    val contam = Ngrams.postings(s1, n = 8, distinct = true, outCol = "g")
-      .join(broadcast(evalG), "g").select($"doc_id").distinct()
-    val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
-    val src = docs.select($"doc_id", ($"source" === "src0").as("is_eval"))
-    val fuzzyContam = Dedup.minhashPairs(s, dir)
-      .join(src.select($"doc_id".as("doc_a"), $"is_eval".as("ea")), "doc_a")
-      .join(src.select($"doc_id".as("doc_b"), $"is_eval".as("eb")), "doc_b")
-      .filter($"ea" =!= $"eb")
-      .select(when($"ea", $"doc_b").otherwise($"doc_a").as("doc_id"))
-      .distinct()
-    val s2f = s2.join(fuzzyContam, Seq("doc_id"), "left_anti")
+    // optional d8 stage: drop train docs with a cross-split MinHash match
+    val s2f = if (!fuzzy) s2 else {
+      val src = docs.select($"doc_id", ($"source" === "src0").as("is_eval"))
+      val fuzzyContam = Dedup.minhashPairs(s, dir)
+        .join(src.select($"doc_id".as("doc_a"), $"is_eval".as("ea")), "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"is_eval".as("eb")), "doc_b")
+        .filter($"ea" =!= $"eb")
+        .select(when($"ea", $"doc_b").otherwise($"doc_a").as("doc_id"))
+        .distinct()
+      s2.join(fuzzyContam, Seq("doc_id"), "left_anti")
+    }
     val s3 = s2f.filter(size($"w") >= 8 &&
       (size(array_distinct($"w")).cast("double") / size($"w")) >= 0.4)
     val budgetW = Window.partitionBy($"source")
@@ -726,13 +651,18 @@ object TrainingPrep {
       df.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(tok), lit(0L)).as("n_tokens"))
         .select(lit(name).as("stage"), $"n_docs", $"n_tokens")
-    stage("s0_raw", train, size($"w").cast("long"))
+    val head = stage("s0_raw", train, size($"w").cast("long"))
       .unionByName(stage("s1_exact_dedup", s1, size($"w").cast("long")))
       .unionByName(stage("s2_decontaminated", s2, size($"w").cast("long")))
-      .unionByName(stage("s2f_fuzzy_decontam", s2f, size($"w").cast("long")))
+    val mid = if (!fuzzy) head
+      else head.unionByName(stage("s2f_fuzzy_decontam", s2f, size($"w").cast("long")))
+    mid
       .unionByName(stage("s3_quality", s3, size($"w").cast("long")))
       .unionByName(stage("s4_token_budget", s4, $"n_tokens"))
   }
+
+  val curationFunnel = funnelQ("c1_curation_funnel", fuzzy = false)
+  val curationFunnelFuzzy = funnelQ("c2_curation_funnel_fuzzy", fuzzy = true)
 
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,

@@ -672,9 +672,11 @@ object Warehouse {
     * narrow decimals (quantity is integral; price is clean cents ×100),
     * combine exactly in decimal, and spend the only floating-point ops at
     * the very end (cast, sqrt, division — IEEE-identical cross-engine).
-    * Decimal widths: each product's combined width must stay ≤ 38 (DuckDB
-    * refuses wider at bind time), AND at least one operand of each product
-    * must be width ≥ 19 — DuckDB multiplies in the operands' physical type,
+    * Decimal widths: keep each product's combined width ≤ 38 (wider
+    * products silently cap at DECIMAL(38,0) in DuckDB — fine for these
+    * magnitudes but not a regime to rely on), AND at least one operand
+    * of each product must be width ≥ 19 —
+    * DuckDB multiplies in the operands' physical type,
     * so two int64-backed (width ≤ 18) operands overflow int64 at runtime
     * long before the logical width does (r3's `sy * sy` red row). The
     * explicit CAST(.. AS DECIMAL(20,0)) widenings below force the int128

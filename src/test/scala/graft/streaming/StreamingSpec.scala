@@ -486,13 +486,21 @@ class StreamingSpec extends AnyFunSuite with SparkTestKit {
     // ascending are strictly increasing and hold exactly the rows whose
     // offset ≡ partition (mod 3) — the consumer can always re-establish
     // partition order from offsets after interleaved arrival
-    val perPart = wire.select(col("partition"), col("offset"))
-      .as[(Int, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq)
+    // collect in ARRIVAL (file) order, then verify order is recoverable:
+    // arrival must actually be interleaved (or the test is vacuous) while
+    // sorting each partition's offsets reconstructs the exact gap-free
+    // sequence the producer wrote
+    val arrival = wire.select(col("partition"), col("offset"))
+      .as[(Int, Long)].collect().toSeq
+    assert(arrival.map(_._2) != arrival.map(_._2).sorted,
+      "fixture arrived fully ordered — the interleave this test exists for is gone")
+    val perPart = arrival.groupBy(_._1).view.mapValues(_.map(_._2))
     assert(perPart.keys.toSet == Set(0, 1, 2))
     perPart.foreach { case (p, offs) =>
-      assert(offs == offs.sorted && offs.distinct == offs, s"partition $p not replayable in order")
+      assert(offs.distinct == offs, s"partition $p delivered duplicate offsets")
       assert(offs.forall(_ % 3 == p), s"partition $p holds foreign offsets")
-      assert(offs == (0L until 30L).filter(_ % 3 == p).toSeq, s"partition $p lost offsets")
+      assert(offs.sorted == (0L until 30L).filter(_ % 3 == p),
+        s"partition $p cannot rebuild its gap-free offset order")
     }
   }
 
