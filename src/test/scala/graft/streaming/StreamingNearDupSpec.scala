@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+
+/** Streaming near-dup screening gates: verdicts must equal a batch
+  * recompute over everything ingested so far, intra-batch pairs resolve
+  * deterministically, replay converges, and the probe stays an equi-join.
+  */
+class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  // ten-word sentences so 3-gram shingles are plentiful; each seed gets a
+  // DISJOINT vocabulary so unrelated docs share zero shingles and the
+  // only near-dups are the explicit mutate() copies
+  private def sentence(seed: Int): String =
+    (0 until 10).map(i => s"s${seed}w$i").mkString(" ")
+  private def mutate(s: String): String = {
+    val w = s.split(" "); w(9) = "zzz"; w.mkString(" ")
+  }
+
+  test("stream screening equals batch recompute; intra-batch and cross-batch dups flagged") {
+    val indexDir = tmp("nd-index") + "/index"
+    val srcDir = tmp("nd-src")
+    val verdictDir = tmp("nd-verdicts") + "/v"
+    val ckpt = tmp("nd-ckpt")
+
+    def run(): Unit = {
+      val q = StreamingNearDup.sink(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id bigint, text string"))
+          .json(srcDir),
+        indexDir, verdictDir, ckpt).start()
+      q.awaitTermination()
+    }
+    def verdicts(): Map[Long, (Boolean, Option[Long])] =
+      spark.read.parquet(verdictDir)
+        .select($"doc_id", $"is_near_dup", $"matched_doc")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+
+    // batch 1: three originals + one intra-batch near-copy of doc 0
+    Seq(
+      (0L, sentence(1)), (1L, sentence(2)), (2L, sentence(3)),
+      (3L, mutate(sentence(1)))
+    ).toDF("doc_id", "text").write.mode("append").json(srcDir)
+    run()
+    val v1 = verdicts()
+    assert(v1(0L) == (false, None) && v1(1L) == (false, None) && v1(2L) == (false, None))
+    assert(v1(3L)._1 && v1(3L)._2.contains(0L), s"intra-batch near-dup missed: ${v1(3L)}")
+
+    // batch 2: a cross-batch near-copy of doc 1, a fresh doc, and an
+    // exact copy of doc 2
+    Seq(
+      (10L, mutate(sentence(2))), (11L, sentence(40)), (12L, sentence(3))
+    ).toDF("doc_id", "text").write.mode("append").json(srcDir)
+    run()
+    val v2 = verdicts()
+    assert(v2(10L)._1 && v2(10L)._2.contains(1L), s"cross-batch near-dup missed: ${v2(10L)}")
+    assert(v2(11L) == (false, None))
+    assert(v2(12L)._1 && v2(12L)._2.contains(2L), s"exact cross-batch dup missed: ${v2(12L)}")
+
+    // equivalence: the streamed verdicts must match a batch recompute
+    // over ALL docs — a doc is a near-dup iff it pairs (agreement ≥ 0.5)
+    // with an earlier doc (doc_ids here encode arrival order)
+    val all = Seq(
+      (0L, sentence(1)), (1L, sentence(2)), (2L, sentence(3)), (3L, mutate(sentence(1))),
+      (10L, mutate(sentence(2))), (11L, sentence(40)), (12L, sentence(3))
+    ).toDF("doc_id", "text")
+    val sigs = StreamingNearDup.signatures(all)
+    val bands = StreamingNearDup.bandRows(sigs)
+    val agree = (0 until graft.queries.Dedup.numHashes)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / graft.queries.Dedup.numHashes
+    val expected = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("b.doc_id") < col("a.doc_id"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("m"), agree.as("e"))
+      .filter(col("e") >= 0.5)
+      .groupBy($"doc_id").agg(min($"m").as("m"))
+      .as[(Long, Long)].collect().toMap
+    val streamed = verdicts()
+    all.select($"doc_id").as[Long].collect().foreach { id =>
+      assert(streamed(id)._1 == expected.contains(id),
+        s"doc $id: streamed=${streamed(id)} expected match=${expected.get(id)}")
+      expected.get(id).foreach(m => assert(streamed(id)._2.contains(m)))
+    }
+
+    // replay convergence: re-screening the last batch with ITS OWN
+    // batchId must produce identical verdicts (the index already holds
+    // that batch's rows — the screen must not match the batch to itself)
+    val batch2 = Seq(
+      (10L, mutate(sentence(2))), (11L, sentence(40)), (12L, sentence(3))
+    ).toDF("doc_id", "text")
+    val lastBatchId = spark.read.parquet(indexDir)
+      .agg(max($"__batch")).as[Long].head()
+    val replayed = StreamingNearDup.screenBatch(batch2, indexDir, lastBatchId)
+      .select($"doc_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    assert(replayed == Map(10L -> true, 11L -> false, 12L -> true))
+
+    // the probe plan stays an equi-join — no cartesian against history
+    val p = StreamingNearDup.screenBatch(batch2, indexDir, lastBatchId)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"near-dup probe degenerated to a cartesian:\n$p")
+  }
+}
