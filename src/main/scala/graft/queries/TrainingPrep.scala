@@ -616,17 +616,27 @@ object TrainingPrep {
     val docs = Tables.documents(s, dir)
     val train = docs.filter($"source" =!= "src0")
       .select($"doc_id", $"source", $"text", split($"text", " ").as("w"))
-    val keep = train
-      .groupBy(md5(lower($"text")).as("h")).agg(min($"doc_id").as("keep"))
-    val s1 = train
-      .join(keep, md5(lower(train("text"))) === keep("h") &&
-        train("doc_id") === keep("keep"))
-      .select(train("doc_id"), train("source"), train("text"), train("w"))
-    val evalG = Ngrams.postings(docs.filter($"source" === "src0"),
-      n = 8, distinct = true, outCol = "g").select($"g").distinct()
-    val contam = Ngrams.postings(s1, n = 8, distinct = true, outCol = "g")
-      .join(broadcast(evalG), "g").select($"doc_id").distinct()
-    val s2 = s1.join(contam, Seq("doc_id"), "left_anti")
+    // s1/s2 are the funnel's hot derived tables, shared by BOTH gated
+    // variants (c1 and c2 differ only after s2) — session-memoized like
+    // the d3 pair list, so the dedup join and the 8-gram decontamination
+    // join run once per (session, dir), not once per funnel variant.
+    // The memoized sets are the SURVIVORS (post-dedup), which is also
+    // the scale-sane thing to persist — never the raw split-word corpus.
+    val s1 = Memo.cached(s, dir, "funnel_s1") {
+      val keep = train
+        .groupBy(md5(lower($"text")).as("h")).agg(min($"doc_id").as("keep"))
+      train
+        .join(keep, md5(lower(train("text"))) === keep("h") &&
+          train("doc_id") === keep("keep"))
+        .select(train("doc_id"), train("source"), train("text"), train("w"))
+    }
+    val s2 = Memo.cached(s, dir, "funnel_s2") {
+      val evalG = Ngrams.postings(docs.filter($"source" === "src0"),
+        n = 8, distinct = true, outCol = "g").select($"g").distinct()
+      val contam = Ngrams.postings(s1, n = 8, distinct = true, outCol = "g")
+        .join(broadcast(evalG), "g").select($"doc_id").distinct()
+      s1.join(contam, Seq("doc_id"), "left_anti")
+    }
     // optional d8 stage: drop train docs with a cross-split MinHash match
     val s2f = if (!fuzzy) s2 else {
       val src = docs.select($"doc_id", ($"source" === "src0").as("is_eval"))
