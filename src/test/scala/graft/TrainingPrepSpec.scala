@@ -189,4 +189,15 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     val nDocs = Tables.documents(spark, sfDir).count()
     assert(rows.count() == nDocs)
   }
+
+  test("c2 reuses the memoized funnel survivor sets (no second decontamination join)") {
+    // c1 and c2 share the s1/s2 derived tables via Memo — after c1 has
+    // run, c2's plan must read the persisted sets (InMemoryTableScan)
+    // instead of re-planning the dedup + 8-gram contamination joins
+    TrainingPrep.curationFunnel.run(spark, sfDir).collect()
+    val p = TrainingPrep.curationFunnelFuzzy.run(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(p.contains("InMemoryTableScan"),
+      s"c2 is not reading the memoized survivor sets:\n${p.take(2000)}")
+  }
 }
