@@ -112,4 +112,42 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"near-dup probe degenerated to a cartesian:\n$p")
   }
+
+  test("soak: heavy-dup batches against a growing index stay bounded") {
+    // three 5k-doc batches, each 50% exact re-fetches of earlier docs
+    // (the adversarial live-intake shape: a crawler re-crawling known
+    // pages). Exact copies have jaccard 1 → every band matches, so the
+    // flag is deterministic (a MUTATED copy at jaccard ≈ 0.78 has ~75%
+    // LSH recall with 3 bands of 4 — the single-mutation case above is
+    // the probe-correctness test, this one is the scale soak). Guards
+    // the Σ|bucket|² probe bound via a wall limit.
+    val indexDir = tmp("nds-index") + "/index"
+    def batchDf(b: Int) = {
+      val rows = (0 until 5000).map { i =>
+        val id = b * 5000L + i
+        // even i: fresh doc with its own vocabulary; odd i: exact copy of
+        // the fresh doc one position earlier (previous batch when b > 0)
+        if (i % 2 == 0) (id, sentence(id.toInt))
+        else {
+          val srcId = if (b > 0) (b - 1) * 5000L + (i - 1) else id - 1
+          (id, sentence(srcId.toInt))
+        }
+      }
+      rows.toDF("doc_id", "text")
+    }
+    val t0 = System.nanoTime()
+    val verdicts = (0 until 3).map { b =>
+      StreamingNearDup.screenBatch(batchDf(b), indexDir, b.toLong)
+        .select($"doc_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(wallSec < 120.0, f"streaming near-dup soak took $wallSec%.0f s — probe not bounded")
+    // every engineered near-copy flagged; fresh docs in batch 0 clean
+    verdicts.zipWithIndex.foreach { case (v, b) =>
+      val odd = v.filter(_._1 % 2 == 1)
+      assert(odd.values.forall(identity), s"batch $b missed near-copies")
+      if (b == 0) assert(v.filter(_._1 % 2 == 0).values.forall(!_),
+        "batch 0 fresh docs falsely flagged")
+    }
+  }
 }
