@@ -75,6 +75,13 @@ object SparkEntry {
       Q("e9_ivfpq_ann", graft.operators.IvfPq.oracleSql()) { (s, dir) =>
         graft.operators.IvfPq.query(s, dir)
       },
+      // residual IVFPQ (the full FAISS formulation): PQ codebooks train
+      // on x − μ(x) residuals, so the codes describe every cell's local
+      // geometry; the probe's ADC table is per (probe, cell). Still
+      // all-integer → hash-exact
+      Q("e10_ivfpq_residual", graft.operators.IvfPqResidual.oracleSql()) { (s, dir) =>
+        graft.operators.IvfPqResidual.query(s, dir)
+      },
       // connected-components dup clustering over the shared LSH pairs —
       // hash-exact vs a DuckDB recursive-CTE transitive closure; the
       // union-find/BSP equivalence gate lives in DupClustersSpec

@@ -1,0 +1,221 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Residual IVF×PQ — the full FAISS IVFPQ formulation (Jégou et al.,
+  * TPAMI 2011 §IV): PQ codebooks are trained on the RESIDUALS x − μ(x)
+  * (each vector minus its IVF cell centroid) rather than on raw vectors.
+  * Residuals concentrate near zero regardless of where a cell sits in
+  * space, so the same k codes per subspace describe every cell's local
+  * geometry — tighter quantization than [[IvfPq]]'s global-codebook
+  * variant for the same memory. The price is that the probe's ADC table
+  * becomes per (probe, cell): the probe's residual differs in every cell
+  * it searches.
+  *
+  * Everything stays integer-exact: residuals are differences of 2^20-
+  * quantized values shifted by +2^21 (non-negative, ≤ 2^22 — squared
+  * diffs ≤ 2^44, summed ≤ 2^47), training is the same integer Lloyd, and
+  * the ADC is integer lookups — so the DuckDB oracle replays the entire
+  * index (`e10_ivfpq_residual`, hash-exact).
+  *
+  * Scale shape: identical to [[IvfPq]] plus one extra broadcast-sized
+  * stage — the per-(probe, cell) residual tables are nprobe rows per
+  * probe against the k-row centroid table. The encode remains one
+  * shuffle-free projection over the assigned corpus.
+  */
+object IvfPqResidual {
+
+  private val RSHIFT = 2097152L // 2^21: residual range is ±2^21
+
+  final case class RPq(
+      codebook: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
+      encoded: DataFrame) // vec_id, codes[m]
+
+  /** Shifted integer residual of a quantized vector vs its cell centroid. */
+  private def residual(q: Column, cq: Column): Column =
+    zip_with(q, cq, (a, b) => a - b + lit(RSHIFT))
+
+  /** The residual corpus `(vec_id, label, embedding, q)` where q is the
+    * shifted residual — the PQ trainer/encoder's input.
+    */
+  private def residualCorpus(ivf: IvfIndex.Ivf): DataFrame =
+    ivf.assigned
+      .join(broadcast(ivf.centroids), Seq("cell_id"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("cell_id"),
+        residual(PqIndex.quantizeCol(col("embedding")), col("cq")).as("q"))
+
+  private def buildResidual(spark: SparkSession, ivf: IvfIndex.Ivf): RPq = {
+    val rv = residualCorpus(ivf)
+    val sample = rv.select(col("vec_id"), col("q"))
+      .orderBy(col("vec_id")).limit(PqIndex.trainCap)
+      .collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(sample.length >= PqIndex.k,
+      s"need at least ${PqIndex.k} vectors to train, got ${sample.length}")
+    val d = sample.head.length
+    val dsub = d / PqIndex.m
+    val codebook = IndexedSeq.tabulate(PqIndex.m) { j =>
+      PqIndex.lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+    }
+    val cb = typedlit(codebook)
+    val codes = transform(sequence(lit(0), lit(PqIndex.m - 1)), j =>
+      aggregate(
+        sequence(lit(0), lit(PqIndex.k - 1)),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
+        (acc, kk) => {
+          val dist = PqIndex.subDist(cb, col("q"), j, kk, dsub)
+          when(dist < acc.getField("d"),
+            struct(dist.as("d"), kk.cast("int").as("c"))).otherwise(acc)
+        },
+        acc => acc.getField("c")))
+    RPq(codebook, rv.select(col("vec_id"), codes.as("codes")))
+  }
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), RPq]()
+
+  /** Build-once residual index per (session, dir, fingerprint). */
+  def indexFor(spark: SparkSession, dir: String): RPq = {
+    val fp = graft.queries.Memo.fingerprint(spark, dir)
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (es, ed, efp) = e.getKey
+      if ((es eq spark) && ed == dir && efp != fp) {
+        e.getValue.encoded.unpersist()
+        it.remove()
+      }
+    }
+    memo.computeIfAbsent((spark, dir, fp), { _ =>
+      val r = buildResidual(spark, IvfIndex.indexQFor(spark, dir))
+      r.copy(encoded = r.encoded.persist())
+    })
+  }
+
+  def clearIndexes(spark: SparkSession): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.encoded.unpersist(); it.remove() }
+    }
+  }
+
+  /** Top-1 per probe: IVF cells → per-(probe, cell) residual ADC over the
+    * residual codes within those cells → shortlist → exact re-rank.
+    */
+  def query(spark: SparkSession, dir: String, nProbes: Int = 16,
+      nprobe: Int = 4, shortlist: Int = 16): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val ivf = IvfIndex.indexQFor(spark, dir)
+    val rpq = indexFor(spark, dir)
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes)
+    val dsub = rpq.codebook.head.head.length
+    val cb = typedlit(rpq.codebook)
+
+    val cells = IvfIndex.probeCells(probes, ivf, nprobe)
+    // per-(probe, cell) residual → its own ADC table
+    val pdt = cells
+      .join(broadcast(probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), PqIndex.quantizeCol(col("embedding")).as("pq"))),
+        Seq("query_id"))
+      .join(broadcast(ivf.centroids), Seq("cell_id"))
+      .select(col("query_id"), col("cell_id"), col("q_emb"),
+        residual(col("pq"), col("cq")).as("rq"))
+      .select(col("query_id"), col("cell_id"), col("q_emb"),
+        transform(sequence(lit(0), lit(PqIndex.m - 1)), j =>
+          transform(sequence(lit(0), lit(PqIndex.k - 1)), kk =>
+            PqIndex.subDist(cb, col("rq"), j, kk, dsub))).as("dt"))
+
+    val members = ivf.assigned.select(col("vec_id"), col("cell_id"))
+      .join(rpq.encoded, Seq("vec_id"))
+    val shortlisted = pdt
+      .join(members, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
+        PqIndex.adcDistance(col("dt"), col("codes")).as("approx_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("neighbor_id"))))
+      .filter(col("rnk") <= shortlist)
+
+    val raw = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("label").as("neighbor_label"))
+    val exactD2 =
+      call_function("vec_dot", col("q_emb"), col("q_emb")) -
+        lit(2.0) * call_function("vec_dot", col("q_emb"), col("embedding")) +
+        call_function("vec_dot", col("embedding"), col("embedding"))
+    shortlisted
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
+      .join(raw, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        exactD2.as("exact_d2"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("exact_d2"), col("neighbor_id"))))
+      .filter(col("rnk") === 1)
+      .drop("rnk")
+  }
+
+  /** The full residual pipeline in DuckDB: shared IVF Lloyd CTEs → shifted
+    * residual corpus `rv` → the shared PQ train/encode CTEs over `rv` →
+    * per-(probe, cell) residual ADC → exact re-rank.
+    */
+  def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 16,
+      ivfIters: Int = 3, pqIters: Int = 10, dims: Int = 64): String = {
+    def qd2(a: String, b: String) = IvfIndex.qd2Sql(a, b)
+    def dot(a: String, b: String) = IvfIndex.dotSql(a, b)
+    val fin = ivfIters + 1
+    val dsub = dims / PqIndex.m
+    s"""WITH ${IvfIndex.lloydCtes(16, ivfIters, dims)},
+       |rv AS MATERIALIZED (
+       |  SELECT a.vec_id, e.label, e.embedding,
+       |         list_transform(list_zip(e.q, c.cq), x -> x[1] - x[2] + $RSHIFT) AS q
+       |  FROM assign$fin a JOIN qv e ON a.vec_id = e.vec_id
+       |                    JOIN cents$ivfIters c ON c.cell_id = a.cell_id),
+       |${PqIndex.pqTrainEncodeCtes(pqIters, dims, src = "rv")},
+       |probe_cells AS (
+       |  SELECT query_id, cell_id FROM (
+       |    SELECT v.vec_id AS query_id, c.cell_id,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |                              ORDER BY ${qd2("v.q", "c.cq")}, c.cell_id) AS rn
+       |    FROM (SELECT * FROM qv WHERE vec_id < $nProbes) v
+       |    CROSS JOIN cents$ivfIters c) WHERE rn <= $nprobe),
+       |pr AS (
+       |  SELECT pc.query_id, pc.cell_id,
+       |         list_transform(list_zip(v.q, c.cq), x -> x[1] - x[2] + $RSHIFT) AS rq
+       |  FROM probe_cells pc JOIN qv v ON v.vec_id = pc.query_id
+       |                      JOIN cents$ivfIters c ON c.cell_id = pc.cell_id),
+       |prsub AS (
+       |  SELECT query_id, cell_id, js.j, rq[js.j * $dsub + 1 : js.j * $dsub + $dsub] AS sv
+       |  FROM pr CROSS JOIN js),
+       |pdt AS (
+       |  SELECT p.query_id, p.cell_id, p.j, c.c, ${qd2("p.sv", "c.cq")} AS d
+       |  FROM prsub p JOIN cb$pqIters c ON p.j = c.j),
+       |adc AS (
+       |  SELECT pc.query_id, a.vec_id AS neighbor_id, CAST(sum(pd.d) AS BIGINT) AS approx_d2
+       |  FROM probe_cells pc
+       |  JOIN assign$fin a ON a.cell_id = pc.cell_id AND a.vec_id <> pc.query_id
+       |  JOIN enc e ON e.vec_id = a.vec_id
+       |  JOIN pdt pd ON pd.query_id = pc.query_id AND pd.cell_id = pc.cell_id
+       |             AND pd.j = e.j AND pd.c = e.c
+       |  GROUP BY 1, 2),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                 ORDER BY approx_d2, neighbor_id) AS rnk
+       |    FROM adc) WHERE rnk <= $shortlist),
+       |ref AS (
+       |  SELECT s.query_id, s.neighbor_id, e.label AS neighbor_label,
+       |         (${dot("p.embedding", "p.embedding")}
+       |           - (CAST(2.0 AS DOUBLE) * ${dot("p.embedding", "e.embedding")}))
+       |           + ${dot("e.embedding", "e.embedding")} AS exact_d2
+       |  FROM short s JOIN qv p ON s.query_id = p.vec_id
+       |               JOIN qv e ON s.neighbor_id = e.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, exact_d2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY exact_d2, neighbor_id) AS rnk
+       |  FROM ref) WHERE rnk = 1""".stripMargin
+  }
+}

@@ -69,7 +69,7 @@ object PqIndex {
     * first-wins ties, floor-division means, empty clusters keep their
     * previous centroid. Pure integer ops — replayable in any engine.
     */
-  private def lloyd(sub: Array[Array[Long]], iters: Int = 10): IndexedSeq[IndexedSeq[Long]] = {
+  private[operators] def lloyd(sub: Array[Array[Long]], iters: Int = 10): IndexedSeq[IndexedSeq[Long]] = {
     val n = sub.length
     val d = sub.head.length
     var cents = Array.tabulate(k)(i => sub(((i.toLong * n) / k).toInt).clone())
@@ -106,7 +106,7 @@ object PqIndex {
     * indices are columns — usable inside HOF lambdas). Diffs ≤ 2^21,
     * summed squares ≤ 2^45 — no overflow.
     */
-  private def subDist(cb: Column, qemb: Column, j: Column, kk: Column, dsub: Int): Column =
+  private[operators] def subDist(cb: Column, qemb: Column, j: Column, kk: Column, dsub: Int): Column =
     aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L), (acc, i) => {
       val diff = element_at(qemb, (j * dsub + i + 1).cast("int")) -
         element_at(element_at(element_at(cb, (j + 1).cast("int")), (kk + 1).cast("int")), (i + 1).cast("int"))
@@ -272,7 +272,7 @@ object PqIndex {
     * subvector view `vsub`, and the encoded corpus `enc(vec_id, j, c)`.
     * Shared by the e7 and e9 oracles.
     */
-  def pqTrainEncodeCtes(iters: Int = 10, dims: Int = 64): String = {
+  def pqTrainEncodeCtes(iters: Int = 10, dims: Int = 64, src: String = "qv"): String = {
     val dsub = dims / m
     def qd2(a: String, b: String) = qd2Sql(a, b)
 
@@ -301,7 +301,7 @@ object PqIndex {
     s"""js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
        |samp AS (
        |  SELECT q, row_number() OVER (ORDER BY vec_id) - 1 AS rn
-       |  FROM (SELECT * FROM qv ORDER BY vec_id LIMIT $trainCap)),
+       |  FROM (SELECT * FROM $src ORDER BY vec_id LIMIT $trainCap)),
        |n AS (SELECT count(*) AS cnt FROM samp),
        |sub AS (
        |  SELECT s.rn, js.j, s.q[js.j * $dsub + 1 : js.j * $dsub + $dsub] AS sv
@@ -314,7 +314,7 @@ object PqIndex {
        |$lloydUnrolled,
        |vsub AS (
        |  SELECT v.vec_id, js.j, v.q[js.j * $dsub + 1 : js.j * $dsub + $dsub] AS sv
-       |  FROM qv v CROSS JOIN js),
+       |  FROM $src v CROSS JOIN js),
        |enc AS MATERIALIZED (
        |  SELECT vec_id, j, c FROM (
        |    SELECT v.vec_id, v.j, c.c,

@@ -130,9 +130,9 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     // step is equi-join-only, asserted in SemDedupSpec)
     val whitelist = Set("e1_cosine_topk", "t10_tfidf_search", "e7_pq_ann",
       "e4_ivf_ann", "e8_semdedup",
-      // e9 composes the e4 + e7 indexes — the same k-centroid / probe
-      // broadcast BNLJs sit in its (cached) index-build subtrees
-      "e9_ivfpq_ann")
+      // e9/e10 compose the e4 + e7-shaped indexes — the same k-centroid /
+      // probe broadcast BNLJs sit in their (cached) index-build subtrees
+      "e9_ivfpq_ann", "e10_ivfpq_residual")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>

@@ -92,4 +92,18 @@ class IvfPqSpec extends AnyFunSuite with SparkTestKit {
     info(f"IVF×PQ recall@1 over $nProbes probes: $recall%.2f")
     assert(recall >= 0.25, f"recall@1 $recall%.2f below pinned floor 0.25")
   }
+
+  test("e10 residual variant: deterministic and clears the recall floor") {
+    val truth = exactTop1()
+    val run1 = IvfPqResidual.query(spark, sfDir)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val run2 = IvfPqResidual.query(spark, sfDir)
+      .select($"query_id", $"neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run1 == run2, "residual IVFPQ must be deterministic")
+    val recall = truth.count { case (q, nn) => run1.get(q).contains(nn) }.toDouble / nProbes
+    info(f"residual IVF×PQ recall@1 over $nProbes probes: $recall%.2f")
+    assert(recall >= 0.25, f"recall@1 $recall%.2f below pinned floor 0.25")
+  }
 }
