@@ -28,11 +28,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object DomainOracle {
 
-  /** Fixed location: content is deterministic (seeded generator, injected
-    * clock) and SF-independent, so one path serves every scale factor.
+  /** Root under which VERSIONED bronze copies are published: content is
+    * deterministic (seeded generator, injected clock) and SF-independent,
+    * so one copy per [[genVersion]] serves every scale factor.
     */
-  val bronzeDir: String =
-    sys.props.getOrElse("graft.domain.bronze.dir", "/tmp/graft_domain_bronze_v1")
+  val bronzeRoot: String =
+    sys.props.getOrElse("graft.domain.bronze.dir", "/tmp/graft_domain_bronze")
 
   private val spec = GenSpec()
   private def cfg = DomainConfig(dedupeFreight = true)
@@ -47,29 +48,32 @@ object DomainOracle {
     s"gen1:joor=${spec.joor}:shopify=${spec.shopify}:tiktok=${spec.tiktok}" +
       s":freight=${spec.freight}:seed=${spec.seed}:linked=${spec.linkedFreight}"
 
+  /** The published location IS version-addressed — the directory name
+    * carries a digest of [[genVersion]], so a process running older code
+    * (different GenSpec / generator derivation) reads and writes a
+    * DIFFERENT path rather than deleting a live copy out from under a
+    * concurrent reader. Stale version directories are never removed by
+    * this code; they simply stop being referenced.
+    */
+  val bronzeDir: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(genVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s"$bronzeRoot/gen-${md.take(6).map("%02x".format(_)).mkString}"
+  }
+
   /** Publish the bronze tables once: build into a private directory, then
-    * ONE rename makes them visible — concurrent builders (bench + tests)
+    * ONE rename of a directory that did not previously exist makes them
+    * visible — concurrent builders (bench + tests, even across processes)
     * race at the rename and losers discard their identical build, so the
-    * published directory is never half-written. A version marker carries
-    * [[genVersion]]; a stale copy (older code, different GenSpec) is
-    * rebuilt instead of silently reused.
+    * published directory is never half-written, never deleted, and never
+    * observed mid-swap.
     */
   def ensureBronze(spark: SparkSession): String = synchronized {
     import org.apache.hadoop.fs.Path
     val target = new Path(bronzeDir)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def versionOk: Boolean = {
-      val vp = new Path(s"$bronzeDir/_graft_gen_version")
-      fs.exists(vp) && {
-        val len = fs.getFileStatus(vp).getLen.toInt
-        val buf = new Array[Byte](len)
-        val in = fs.open(vp)
-        in.readFully(0, buf)
-        in.close()
-        new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim == genVersion
-      } && tables.forall(t => fs.exists(new Path(s"$bronzeDir/$t/_SUCCESS")))
-    }
-    if (versionOk) return bronzeDir
+    def ok: Boolean = tables.forall(t => fs.exists(new Path(s"$bronzeDir/$t/_SUCCESS")))
+    if (ok) return bronzeDir
 
     val build = new Path(bronzeDir + ".build." + java.util.UUID.randomUUID)
     Seq(
@@ -84,10 +88,8 @@ object DomainOracle {
     out.write(genVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
 
-    if (fs.exists(target)) fs.delete(target, true) // stale or partial copy
     if (!fs.rename(build, target)) fs.delete(build, true) // another builder won
-    require(versionOk,
-      s"domain bronze publish failed: $bronzeDir has no current-version copy")
+    require(ok, s"domain bronze publish failed: $bronzeDir has no complete copy")
     bronzeDir
   }
 
@@ -139,7 +141,12 @@ object DomainOracle {
     s"CASE ${rules.mkString("\n       ")}\n       ELSE 'Other' END"
   }
 
-  private val dateKey = "20250704" // date_format(cfg.asOf, yyyyMMdd)
+  /** `date_format(cfg.asOf, "yyyyMMdd")`, derived — not a hand-kept copy
+    * that would drift silently if the default injected clock changed.
+    */
+  private def dateKey: String =
+    cfg.asOf.toLocalDateTime.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd"))
 
   /** Spark `Exact.dec2(doubleExpr)` — cast double→DECIMAL(18,2), which
     * Spark does HALF_UP on the double's SHORTEST DECIMAL REPR. A direct

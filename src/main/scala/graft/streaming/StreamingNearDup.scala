@@ -118,12 +118,78 @@ object StreamingNearDup {
       .partitionBy("__batch")
       .parquet(indexDir)
 
-    val verdicts = sigs.select(col("doc_id"))
+    // Verdicts for EVERY doc in the raw batch: a doc under 3 whitespace
+    // tokens yields zero 3-gram shingles, hence no signature row and no
+    // index entry — it cannot match anything (and nothing can match it),
+    // so its verdict is an explicit is_near_dup=false rather than a
+    // silently missing row. localCheckpoint materializes the verdicts
+    // while the signature cache is still hot (the lazy plan references
+    // sigs three ways: candHist, candSelf, and the index write above) —
+    // without it the caller's write would recompute the shingle/min-hash
+    // aggregation after the unpersist below.
+    val verdicts = batch.select(col("doc_id")).distinct()
       .join(matches, Seq("doc_id"), "left")
       .select(col("doc_id"), col("matched_doc").isNotNull.as("is_near_dup"),
         col("matched_doc"), col("est_jaccard"))
+      .localCheckpoint(true)
     sigs.unpersist()
     verdicts
+  }
+
+  /** Fold historical `__batch=N` partitions into one consolidated
+    * partition — the maintenance pass a long-running stream needs: the
+    * index gains one partition directory (and ≥1 file) per micro-batch
+    * forever, and a week of 60 s triggers is ~10k directories whose
+    * listing/footer costs dominate the probe long before data size does.
+    *
+    * Safety argument (each property load-bearing):
+    *  - the LIVE batch's partition is never touched, so a concurrent or
+    *    replayed `screenBatch(_, _, liveBatchId)` keeps its exactly-once
+    *    dynamic-overwrite contract;
+    *  - the consolidated partition gets a FRESH NEGATIVE id (below any
+    *    previous one), so it can never collide with a real batchId and
+    *    the `__batch =!= batchId` history filter still excludes exactly
+    *    the live batch;
+    *  - publish is one rename of a directory built outside the index
+    *    root; source partitions are deleted only after it lands. A crash
+    *    between publish and the deletes leaves DUPLICATE band rows —
+    *    harmless for verdicts (candidates aggregate per doc via
+    *    min_by, so duplicate rows collapse) and self-healing (the next
+    *    fold's dropDuplicates removes them);
+    *  - an orphaned build dir from a crashed run is removed at entry.
+    *
+    * Returns (partitions folded, files before, files after).
+    */
+  def compactIndex(spark: SparkSession, indexDir: String, liveBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return (0, 0, 0)
+    val tmp = new Path(indexDir + ".consolidate.tmp")
+    fs.delete(tmp, true)
+
+    def partDirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    def files(p: Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val folds = partDirs.filter(_.getPath.getName != s"__batch=$liveBatchId")
+    if (folds.length <= 1) return (0, 0, 0)
+    val filesBefore = folds.map(s => files(s.getPath)).sum
+    val bytes = folds.map(s => fs.getContentSummary(s.getPath).getLength).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val freshId = math.min(
+      folds.map(_.getPath.getName.stripPrefix("__batch=").toLong).min, 0L) - 1L
+
+    spark.read.parquet(folds.map(_.getPath.toString): _*)
+      .dropDuplicates("doc_id", "band_idx") // heals a previous crash's leftovers
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = new Path(root, s"__batch=$freshId")
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"index consolidation: could not publish $target")
+    folds.foreach(s => fs.delete(s.getPath, true))
+    (folds.length, filesBefore, files(target))
   }
 
   /** Streaming sink: screen each micro-batch of `(doc_id, text)` rows

@@ -21,23 +21,43 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("bench JSON line stays inside the driver's log-tail window") {
-    // the driver captures only the tail of the build output; round 2's
-    // full-precision line outgrew it and BENCH_r02 recorded parsed: null.
-    // Reconstruct the line exactly as Bench prints it, worst-case widths.
-    // worst-case per-query width "99.99": Bench prints %.2f and no single
-    // query can reach 100 s when the whole-bench budget is well under that
-    val qs = SparkEntry.registry
-      .map(q => "\"" + q.name + "\":" + "99.99").mkString("{", ",", "}")
+  test("bench COMPACT summary line always survives the driver's log-tail window") {
+    // the driver keeps only the last ~2000 chars of the build log,
+    // front-truncated: the full per-query line has never fit at 112
+    // queries (BENCH_r01–r04 all record parsed: null). Bench therefore
+    // prints a compact summary LAST — guard that its worst case plus the
+    // sbt epilogue ("[success] Total time: …", ~80 chars observed in
+    // BENCH_r04's tail) still leaves the whole compact line inside the
+    // window. Worst-case widths: 5-digit total, 3 longest error names +
+    // "+N more", 2-digit calibration pair, 3-digit rerun count.
+    val worstErrs = (SparkEntry.registry.sortBy(-_.name.length).take(3)
+      .map("\"" + _.name + "\"") :+ "\"+109 more\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":99999.999,"unit":"sec","queries":$qs,"errors":[],"sf":"/root/testdata/sf0.1"}"""
-    // limit 2800: the driver tail window is ~2900 observed; worst-case
-    // widths here already over-estimate the real line by ~450 chars
-    // (actual BENCH_r03-era line ≈ 2.3 KB), so 100 chars of true margin
-    // remain even at the bound. Next step past this: shorten names.
-    assert(line.length < 2800,
-      s"bench JSON line ${line.length} chars — approaching the ~2900-char tail window; " +
-        "shorten names or split the payload before adding more queries")
+      s"""{"metric":"total","value":99999.999,"unit":"sec","nq":${SparkEntry.registry.size},""" +
+        s""""errors":$worstErrs,"cal":{"start":99.99,"end":99.99},"reruns":112,""" +
+        s""""detail":"/tmp/graft_bench.json","sf":"/root/testdata/sf0.1"}"""
+    assert(line.length + 120 < 2000,
+      s"bench compact line ${line.length} chars — too close to the 2000-char tail window")
+  }
+
+  test("every registry name is documented in COVERAGE.md (drift catch)") {
+    val coverage = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val missing = SparkEntry.registry.map(_.name).filterNot(coverage.contains)
+    assert(missing.isEmpty,
+      s"queries missing from COVERAGE.md: ${missing.mkString(", ")}")
+  }
+
+  test("every oracle text is distinct (copy-paste catch)") {
+    // d6b is the bloom-prefiltered plan for d6's exact semantics — same
+    // expected output by DESIGN, so the shared oracle is the gate that the
+    // prefilter drops nothing. Any other identical pair is a paste error.
+    val intentional = Set(Set("d6_contamination", "d6b_bloom_contamination"))
+    val dups = SparkEntry.oracleSql.groupBy(_._2).collect {
+      case (_, entries) if entries.size > 1 && !intentional(entries.keySet) =>
+        entries.keys.mkString("=")
+    }
+    assert(dups.isEmpty, s"identical oracle SQL for: ${dups.mkString(", ")}")
   }
 
   for (q <- SparkEntry.registry) {

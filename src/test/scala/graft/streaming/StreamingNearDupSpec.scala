@@ -113,6 +113,66 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
       s"near-dup probe degenerated to a cartesian:\n$p")
   }
 
+  test("docs too short to shingle still get an explicit false verdict") {
+    // <3 whitespace tokens → zero 3-gram shingles → no signature row.
+    // The contract is one verdict row PER INPUT DOC, so these must come
+    // back is_near_dup=false (not silently missing), while normal docs
+    // in the same batch screen as usual.
+    val indexDir = tmp("ndshort-index") + "/index"
+    val batch = Seq(
+      (0L, "tiny"), (1L, "two words"), (2L, sentence(7)), (3L, sentence(7))
+    ).toDF("doc_id", "text")
+    val v = StreamingNearDup.screenBatch(batch, indexDir, 0L)
+      .select($"doc_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    assert(v.keySet == Set(0L, 1L, 2L, 3L), s"missing verdict rows: $v")
+    assert(!v(0L) && !v(1L), "shingle-less docs must be is_near_dup=false")
+    assert(!v(2L) && v(3L), "normal docs in the same batch must still screen")
+    // and they are not in the index (nothing to probe against)
+    assert(spark.read.parquet(indexDir).filter($"doc_id" < 2).count() == 0)
+  }
+
+  test("index compaction folds history, preserves verdicts, bounds files") {
+    val indexDir = tmp("ndc-index") + "/index"
+    // five batches of 40 docs; each batch after the first re-fetches 10
+    // FRESH docs of the previous batch (deterministic exact dups — fresh
+    // docs are those with i >= 10, whose text is sentence(their own id))
+    def batchDf(b: Int) = (0 until 40).map { i =>
+      val id = b * 100L + i
+      if (b > 0 && i < 10) (id, sentence(((b - 1) * 100 + 20 + i).toInt))
+      else (id, sentence(id.toInt))
+    }.toDF("doc_id", "text")
+    (0 until 5).foreach(b => StreamingNearDup.screenBatch(batchDf(b), indexDir, b.toLong).count())
+
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch=")).map(_.getPath.getName)
+    assert(partDirs.length == 5)
+    val before = spark.read.parquet(indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet
+
+    // live batch = 5 (the next one); everything else folds into one part
+    val (folded, _, filesAfter) = StreamingNearDup.compactIndex(spark, indexDir, 5L)
+    assert(folded == 5 && filesAfter >= 1)
+    assert(partDirs.length == 1 && partDirs.head.stripPrefix("__batch=").toLong < 0,
+      s"got ${partDirs.toSeq}")
+    // content identical (modulo the __batch bookkeeping column)
+    assert(spark.read.parquet(indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet == before)
+
+    // screening continues identically: batch 5 re-fetches from batch 4
+    val v = StreamingNearDup.screenBatch(batchDf(5), indexDir, 5L)
+      .select($"doc_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    (0 until 40).foreach { i =>
+      assert(v(500L + i) == (i < 10), s"post-compaction verdict wrong for doc ${500 + i}")
+    }
+    // a second fold (now with the live batch written) folds {consolidated, batch-5}
+    val (folded2, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 6L)
+    assert(folded2 == 2 && partDirs.length == 1)
+    // idempotence: nothing left to fold
+    assert(StreamingNearDup.compactIndex(spark, indexDir, 6L) == ((0, 0, 0)))
+  }
+
   test("soak: heavy-dup batches against a growing index stay bounded") {
     // three 5k-doc batches, each 50% exact re-fetches of earlier docs
     // (the adversarial live-intake shape: a crawler re-crawling known
