@@ -13,13 +13,22 @@ import graft.Tables
   * a small exact re-rank of the ADC shortlist restores accuracy.
   *
   * Composition choice: the codes come from the GLOBAL per-subspace
-  * codebooks (e7's), not per-cell residual codebooks — the classic
-  * residual-encoding refinement trades one more level of training for
-  * tighter codes; with a global codebook the two indexes stay
-  * independently buildable/cacheable and the whole pipeline remains
-  * integer-exact (hash-gated, `e9_ivfpq_ann`). Both indexes are the
-  * session-memoized builds shared with e4 and e7 — composing costs no
-  * extra training.
+  * codebooks (e7's), not per-cell residual codebooks — with a global
+  * codebook the two indexes stay independently buildable/cacheable and
+  * the whole pipeline remains integer-exact (hash-gated,
+  * `e9_ivfpq_ann`). Both indexes are the session-memoized builds shared
+  * with e4 and e7 — composing costs no extra training.
+  *
+  * MEASURED LIMIT (SCALE.md r5 frontier, 100k clustered corpus): global
+  * codes collapse within-cluster detail — every member of a tight
+  * cluster encodes to near-identical codes, ADC ties, and recall@1 of a
+  * genuinely close neighbor caps at ~0.17 REGARDLESS of kIvf, nprobe, or
+  * shortlist ≤ 32. That is structural, not a tuning problem. When
+  * within-cluster ranking matters (near-dup retrieval, semantic pairs),
+  * use [[IvfPqResidual]] with corpus-sized cells (kIvf ≈ √N): residual
+  * codes encode exactly the within-cell offsets and measured 0.86–0.88
+  * at the same memory and LOWER latency. e9 remains the right shape when
+  * cells are coarse filters and the shortlist re-rank does the deciding.
   *
   * Scale shape (10⁹–10¹² vectors): probe→cell ranking is a k-row
   * broadcast; the candidate scan touches nprobe/k of the CODES table
@@ -33,9 +42,9 @@ object IvfPq {
     * those cells → shortlist → exact fold-dot re-rank.
     */
   def query(spark: SparkSession, dir: String, nProbes: Int = 16,
-      nprobe: Int = 4, shortlist: Int = 16): DataFrame = {
+      nprobe: Int = 4, shortlist: Int = 32, kIvf: Int = 16): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val ivf = IvfIndex.indexQFor(spark, dir)   // cells (shared with e4/e8)
+    val ivf = IvfIndex.indexQFor(spark, dir, kIvf) // cells (shared with e4/e8)
     val pq = PqIndex.indexFor(spark, dir)      // codes (shared with e7)
     val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes)
 
@@ -85,7 +94,7 @@ object IvfPq {
     * integer ADC + exact re-rank. Every stage is integer-exact or
     * fold-dot — hash-exact end to end.
     */
-  def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 16,
+  def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 32,
       ivfIters: Int = 3, pqIters: Int = 10, dims: Int = 64): String = {
     def qd2(a: String, b: String) = IvfIndex.qd2Sql(a, b)
     def dot(a: String, b: String) = IvfIndex.dotSql(a, b)

@@ -53,44 +53,35 @@ object IvfPqResidual {
       .orderBy(col("vec_id")).limit(PqIndex.trainCap)
       .collect()
       .map(_.getSeq[Long](1).toArray)
-    require(sample.length >= PqIndex.k,
-      s"need at least ${PqIndex.k} vectors to train, got ${sample.length}")
+    require(sample.nonEmpty, "need at least one vector to train")
     val d = sample.head.length
     val dsub = d / PqIndex.m
     val codebook = IndexedSeq.tabulate(PqIndex.m) { j =>
       PqIndex.lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     }
-    val cb = typedlit(codebook)
-    val codes = transform(sequence(lit(0), lit(PqIndex.m - 1)), j =>
-      aggregate(
-        sequence(lit(0), lit(PqIndex.k - 1)),
-        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
-        (acc, kk) => {
-          val dist = PqIndex.subDist(cb, col("q"), j, kk, dsub)
-          when(dist < acc.getField("d"),
-            struct(dist.as("d"), kk.cast("int").as("c"))).otherwise(acc)
-        },
-        acc => acc.getField("c")))
+    // native fused-loop encode — see PqIndex.build / functions.PqEncode
+    graft.functions.PqEncode.register(spark)
+    val codes = call_function("pq_encode", col("q"), typedlit(codebook))
     RPq(codebook, rv.select(col("vec_id"), codes.as("codes")))
   }
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), RPq]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Int), RPq]()
 
-  /** Build-once residual index per (session, dir, fingerprint). */
-  def indexFor(spark: SparkSession, dir: String): RPq = {
+  /** Build-once residual index per (session, dir, fingerprint, kIvf). */
+  def indexFor(spark: SparkSession, dir: String, kIvf: Int = 16): RPq = {
     val fp = graft.queries.Memo.fingerprint(spark, dir)
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val (es, ed, efp) = e.getKey
+      val (es, ed, efp, _) = e.getKey
       if ((es eq spark) && ed == dir && efp != fp) {
         e.getValue.encoded.unpersist()
         it.remove()
       }
     }
-    memo.computeIfAbsent((spark, dir, fp), { _ =>
-      val r = buildResidual(spark, IvfIndex.indexQFor(spark, dir))
+    memo.computeIfAbsent((spark, dir, fp, kIvf), { _ =>
+      val r = buildResidual(spark, IvfIndex.indexQFor(spark, dir, kIvf))
       r.copy(encoded = r.encoded.persist())
     })
   }
@@ -107,10 +98,10 @@ object IvfPqResidual {
     * residual codes within those cells → shortlist → exact re-rank.
     */
   def query(spark: SparkSession, dir: String, nProbes: Int = 16,
-      nprobe: Int = 4, shortlist: Int = 16): DataFrame = {
+      nprobe: Int = 4, shortlist: Int = 32, kIvf: Int = 16): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
-    val ivf = IvfIndex.indexQFor(spark, dir)
-    val rpq = indexFor(spark, dir)
+    val ivf = IvfIndex.indexQFor(spark, dir, kIvf)
+    val rpq = indexFor(spark, dir, kIvf)
     val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes)
     val dsub = rpq.codebook.head.head.length
     val cb = typedlit(rpq.codebook)
@@ -162,7 +153,7 @@ object IvfPqResidual {
     * residual corpus `rv` → the shared PQ train/encode CTEs over `rv` →
     * per-(probe, cell) residual ADC → exact re-rank.
     */
-  def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 16,
+  def oracleSql(nProbes: Int = 16, nprobe: Int = 4, shortlist: Int = 32,
       ivfIters: Int = 3, pqIters: Int = 10, dims: Int = 64): String = {
     def qd2(a: String, b: String) = IvfIndex.qd2Sql(a, b)
     def dot(a: String, b: String) = IvfIndex.dotSql(a, b)

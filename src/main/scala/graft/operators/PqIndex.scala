@@ -46,9 +46,22 @@ object PqIndex {
       encoded: DataFrame,                                 // vec_id, label, codes[m]
       raw: DataFrame)                                     // the vectors the index was built from
 
-  val m = 8        // subspaces
-  val k = 16       // centroids per subspace
-  val trainCap = 100000 // driver-side training sample bound
+  val m = 8         // subspaces
+  /** Centroids per subspace — 256 = 8-bit codes, the FAISS standard. The
+    * round-4 value (16, 4-bit) was measured unable to rank WITHIN a
+    * cluster on a 100k clustered corpus (recall@1 ≤ 0.19 at any
+    * nprobe/shortlist ≤ 32 — quantization noise exceeded the within-
+    * cluster distance spread; see SCALE.md frontier table): 8-bit
+    * codebooks restore the ranking power while codes stay 1 B/subspace,
+    * the same 32× memory story. Corpora smaller than k train with
+    * duplicated seed centroids (first-wins argmin keeps it deterministic
+    * and the oracle replays the identical arithmetic).
+    */
+  val k = 256
+  /** Driver-side training sample bound — FAISS-guideline ~64 points per
+    * centroid; training cost is sample-bounded, never corpus-bounded.
+    */
+  val trainCap = 16384
 
   private val QSCALE = 1048576.0 // 2^20
   private val QSHIFT = 1048576L
@@ -121,7 +134,7 @@ object PqIndex {
       .orderBy(col("vec_id")).limit(trainCap)
       .collect()
       .map(r => quantize(r.getSeq[Float](1).toArray))
-    require(sample.length >= k, s"need at least $k vectors to train, got ${sample.length}")
+    require(sample.nonEmpty, "need at least one vector to train")
     val d = sample.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     val dsub = d / m
@@ -129,18 +142,12 @@ object PqIndex {
       lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     }
 
-    val cb = typedlit(codebook)
-    val q = quantize(col("embedding"))
-    val codes = transform(sequence(lit(0), lit(m - 1)), j =>
-      aggregate(
-        sequence(lit(0), lit(k - 1)),
-        struct(lit(Long.MaxValue).as("d"), lit(-1).as("c")),
-        (acc, kk) => {
-          val dist = subDist(cb, q, j, kk, dsub)
-          when(dist < acc.getField("d"),
-            struct(dist.as("d"), kk.cast("int").as("c"))).otherwise(acc)
-        },
-        acc => acc.getField("c")))
+    // encode via the native fused-loop expression: the HOF argmin form
+    // interprets m·k·dsub catalyst nodes per row — 40 min for a 100k
+    // corpus at k=256 vs seconds for PqEncode (bit-identical results)
+    graft.functions.PqEncode.register(spark)
+    val codes = call_function("pq_encode",
+      quantize(col("embedding")), typedlit(codebook))
     Pq(codebook, vectors.select(col("vec_id"), col("label"), codes.as("codes")), vectors)
   }
 

@@ -618,25 +618,29 @@ object TrainingPrep {
       .select($"doc_id", $"source", $"text", split($"text", " ").as("w"))
     // s1/s2 are the funnel's hot derived tables, shared by BOTH gated
     // variants (c1 and c2 differ only after s2) — session-memoized like
-    // the d3 pair list, so the dedup join and the 8-gram decontamination
-    // join run once per (session, dir), not once per funnel variant.
-    // The memoized sets are the SURVIVORS (post-dedup), which is also
-    // the scale-sane thing to persist — never the raw split-word corpus.
-    val s1 = Memo.cached(s, dir, "funnel_s1") {
-      val keep = train
-        .groupBy(md5(lower($"text")).as("h")).agg(min($"doc_id").as("keep"))
-      train
-        .join(keep, md5(lower(train("text"))) === keep("h") &&
-          train("doc_id") === keep("keep"))
-        .select(train("doc_id"), train("source"), train("text"), train("w"))
+    // the d3 pair list, so the dedup aggregation and the 8-gram
+    // decontamination join run once per (session, dir), not once per
+    // funnel variant. What gets persisted is the survivor doc_id SET
+    // ONLY (one bigint per row): most docs survive dedup, so memoizing
+    // payload columns would pin text + the split-word array (~2× the
+    // corpus) in executor storage for the session — at 100 TB that is
+    // the difference between a key set and a second copy of the corpus.
+    // Payload columns are rebuilt by joining back to the documents scan
+    // at each use site.
+    val s1Ids = Memo.cached(s, dir, "funnel_s1_ids") {
+      // the s1 survivors are exactly min(doc_id) per content-hash group
+      train.groupBy(md5(lower($"text")).as("h")).agg(min($"doc_id").as("doc_id"))
+        .select($"doc_id")
     }
-    val s2 = Memo.cached(s, dir, "funnel_s2") {
+    val s1 = train.join(s1Ids, Seq("doc_id"))
+    val s2Ids = Memo.cached(s, dir, "funnel_s2_ids") {
       val evalG = Ngrams.postings(docs.filter($"source" === "src0"),
         n = 8, distinct = true, outCol = "g").select($"g").distinct()
       val contam = Ngrams.postings(s1, n = 8, distinct = true, outCol = "g")
         .join(broadcast(evalG), "g").select($"doc_id").distinct()
-      s1.join(contam, Seq("doc_id"), "left_anti")
+      s1Ids.join(contam, Seq("doc_id"), "left_anti")
     }
+    val s2 = train.join(s2Ids, Seq("doc_id"))
     // optional d8 stage: drop train docs with a cross-split MinHash match
     val s2f = if (!fuzzy) s2 else {
       val src = docs.select($"doc_id", ($"source" === "src0").as("is_eval"))

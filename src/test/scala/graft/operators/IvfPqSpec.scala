@@ -38,7 +38,8 @@ class IvfPqSpec extends AnyFunSuite with SparkTestKit {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     // recompute: probe cells from the quantized IVF index, ADC over the
-    // PQ codes of those cells only, shortlist 16, exact L2 re-rank
+    // PQ codes of those cells only, shortlist 32 (the default), exact
+    // L2 re-rank
     val ivf = IvfIndex.indexQFor(spark, sfDir)
     val pq = PqIndex.indexFor(spark, sfDir)
     val cells = ivf.assigned.select($"vec_id", $"cell_id")
@@ -71,7 +72,7 @@ class IvfPqSpec extends AnyFunSuite with SparkTestKit {
         .filter { case (id, c) => id != q && probeCells(c) }
         .map { case (id, _) =>
           (id, (0 until PqIndex.m).map(j => dt(j)(codes(id)(j))).sum) }
-        .toSeq.sortBy { case (id, d) => (d, id) }.take(16).map(_._1)
+        .toSeq.sortBy { case (id, d) => (d, id) }.take(32).map(_._1)
       val qv = vecs(q)
       val best = shortlist.map { id =>
         val v = vecs(id)
@@ -90,7 +91,10 @@ class IvfPqSpec extends AnyFunSuite with SparkTestKit {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val recall = truth.count { case (q, nn) => got.get(q).contains(nn) }.toDouble / nProbes
     info(f"IVF×PQ recall@1 over $nProbes probes: $recall%.2f")
-    assert(recall >= 0.25, f"recall@1 $recall%.2f below pinned floor 0.25")
+    // floor matches the r5 defaults (8-bit codebooks, shortlist 32):
+    // measured 0.69+ on this deterministic corpus, was 0.50 at the r4
+    // 4-bit/shortlist-16 defaults
+    assert(recall >= 0.60, f"recall@1 $recall%.2f below pinned floor 0.60")
   }
 
   test("e10 residual variant: deterministic and clears the recall floor") {
@@ -104,6 +108,6 @@ class IvfPqSpec extends AnyFunSuite with SparkTestKit {
     assert(run1 == run2, "residual IVFPQ must be deterministic")
     val recall = truth.count { case (q, nn) => run1.get(q).contains(nn) }.toDouble / nProbes
     info(f"residual IVF×PQ recall@1 over $nProbes probes: $recall%.2f")
-    assert(recall >= 0.25, f"recall@1 $recall%.2f below pinned floor 0.25")
+    assert(recall >= 0.60, f"recall@1 $recall%.2f below pinned floor 0.60")
   }
 }
