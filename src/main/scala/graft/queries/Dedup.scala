@@ -242,14 +242,20 @@ object Dedup {
     * distance ≤ 3. (64-bit at scale; 16 keeps the oracle SQL tractable.)
     */
   val simhash = Q("d4_simhash", {
-    // hex digit d of md5(word) → 4 bits; value via strpos table lookup
+    // hex digit d of md5(word) → 4 bits; value via strpos table lookup.
+    // 32-bit fingerprint (r5): the original 16-bit space capped each
+    // band at 256 buckets, so in-bucket verify pairs grew quadratically
+    // once the corpus outgrew the bucket count — the 10× soak measured
+    // exponent 1.32. 32 bits / two 16-bit bands keep buckets ahead of
+    // any plausible shard size (65 536 per band).
     def digit(d: Int) = s"(strpos('0123456789abcdef', substr(md5(w), ${d + 1}, 1)) - 1)"
-    val bits = (0 until 16).map { j =>
+    val bits = (0 until 32).map { j =>
       val v = digit(j / 4); val b = 3 - (j % 4)
       s"CASE WHEN ($v >> $b) & 1 = 1 THEN 1 ELSE -1 END AS v$j"
     }.mkString(", ")
-    val fp = (0 until 16)
-      .map(j => s"(CASE WHEN sum(v$j) > 0 THEN 1 ELSE 0 END << $j)").mkString(" + ")
+    val fp = (0 until 32)
+      .map(j => s"(CAST(CASE WHEN sum(v$j) > 0 THEN 1 ELSE 0 END AS BIGINT) << $j)")
+      .mkString(" + ")
     s"""WITH wordbits AS (
        |  SELECT doc_id, $bits
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
@@ -263,18 +269,18 @@ object Dedup {
       import s.implicits._
       val wordRows = Tables.documents(s, dir)
         .select($"doc_id", explode(split($"text", " ")).as("w"))
-        .select(col("doc_id") +: (0 until 16).map { j =>
+        .select(col("doc_id") +: (0 until 32).map { j =>
           val v = conv(substring(md5($"w"), j / 4 + 1, 1), 16, 10).cast("int")
           when(shiftright(v, 3 - (j % 4)).bitwiseAND(1) === 1, 1).otherwise(-1).as(s"v$j")
         }: _*)
       val fp = wordRows.groupBy($"doc_id")
-        .agg((0 until 16).map(j => sum(col(s"v$j")).as(s"s$j")).head,
-             (0 until 16).map(j => sum(col(s"v$j")).as(s"s$j")).tail: _*)
+        .agg((0 until 32).map(j => sum(col(s"v$j")).as(s"s$j")).head,
+             (0 until 32).map(j => sum(col(s"v$j")).as(s"s$j")).tail: _*)
         .select($"doc_id",
-          (0 until 16).map(j =>
-            shiftleft(when(col(s"s$j") > 0, 1).otherwise(0), j))
+          (0 until 32).map(j =>
+            shiftleft(when(col(s"s$j") > 0, 1L).otherwise(0L), j))
             .reduce(_ + _).as("fingerprint"))
-      // Pigeonhole blocking: split the 16-bit fingerprint into two 8-bit
+      // Pigeonhole blocking: split the 32-bit fingerprint into two 16-bit
       // bands — any pair at hamming ≤ 1 differs in at most one band, so it
       // agrees EXACTLY on the other ⇒ every qualifying pair meets in an
       // equal-band bucket. Candidate generation is a hash equi-join on
@@ -285,8 +291,8 @@ object Dedup {
       val banded = fp
         .select($"doc_id", $"fingerprint",
           posexplode(array(
-            $"fingerprint".bitwiseAND(lit(255)),
-            shiftright($"fingerprint", 8).bitwiseAND(lit(255)))))
+            $"fingerprint".bitwiseAND(lit(65535L)),
+            shiftright($"fingerprint", 16).bitwiseAND(lit(65535L)))))
         .toDF("doc_id", "fingerprint", "band_idx", "band_key")
       val cand = banded.toDF("doc_a", "fp_a", "band_idx", "band_key")
         .join(banded.toDF("doc_b", "fp_b", "band_idx", "band_key"),

@@ -74,10 +74,15 @@ object ScaleSoak {
 
     // the document/embedding families only (registry names dN/eN/tN/cN;
     // excludes the TPC-H/domain queries, which read tables this corpus
-    // does not carry)
+    // does not carry). d7/t13 are dropped EXPLICITLY: they operate on
+    // the customer table, so their cost scales with customer rows, not
+    // this corpus — soaking them here would measure nothing.
+    val excluded = Set("d7_fuzzy_match", "t13_pii_scrub")
     val fam = "^(d\\d|e\\d|t\\d|c\\d)".r
-    val qs = graft.SparkEntry.registry.filter(q => fam.findFirstIn(q.name).isDefined)
-    println(s"soaking ${qs.size} queries at 1x (5k docs / 2k vecs) and 10x")
+    val qs = graft.SparkEntry.registry.filter(q =>
+      fam.findFirstIn(q.name).isDefined && !excluded(q.name))
+    println(s"soaking ${qs.size} queries at 1x (5k docs / 2k vecs) and 10x; " +
+      s"excluded (customer-table operators): ${excluded.mkString(", ")}")
     println("| query | 1x s | 10x s | exponent |")
     val exps = qs.map { q =>
       def minOf2(dir: String): Double = {
