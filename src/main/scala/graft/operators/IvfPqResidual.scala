@@ -103,11 +103,13 @@ object IvfPqResidual {
     val ivf = IvfIndex.indexQFor(spark, dir, kIvf)
     val rpq = indexFor(spark, dir, kIvf)
     val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes)
-    val dsub = rpq.codebook.head.head.length
+    graft.functions.PqAdcTable.register(spark)
     val cb = typedlit(rpq.codebook)
 
     val cells = IvfIndex.probeCells(probes, ivf, nprobe)
-    // per-(probe, cell) residual → its own ADC table
+    // per-(probe, cell) residual → its own ADC table, built by the
+    // native fused-loop expression (one table per (probe, cell) row —
+    // the HOF form was the bench-visible cost of the residual variant)
     val pdt = cells
       .join(broadcast(probes.select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), PqIndex.quantizeCol(col("embedding")).as("pq"))),
@@ -116,9 +118,7 @@ object IvfPqResidual {
       .select(col("query_id"), col("cell_id"), col("q_emb"),
         residual(col("pq"), col("cq")).as("rq"))
       .select(col("query_id"), col("cell_id"), col("q_emb"),
-        transform(sequence(lit(0), lit(PqIndex.m - 1)), j =>
-          transform(sequence(lit(0), lit(PqIndex.k - 1)), kk =>
-            PqIndex.subDist(cb, col("rq"), j, kk, dsub))).as("dt"))
+        call_function("pq_adc_table", col("rq"), cb).as("dt"))
 
     val members = ivf.assigned.select(col("vec_id"), col("cell_id"))
       .join(rpq.encoded, Seq("vec_id"))

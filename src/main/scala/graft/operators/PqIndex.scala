@@ -23,13 +23,17 @@ import graft.Tables
   *    (8 KB here) — FAISS trains them on an in-memory sample too; corpus
   *    size never enters the training cost.
   *  - ENCODE: one shuffle-free narrow projection — the codebook rides
-  *    into the plan as a nested array literal and `transform`/`aggregate`
-  *    HOFs argmin each subspace. At 100 TB this is a scan-speed map over
-  *    the corpus, the index build cost you cannot avoid, and nothing else.
-  *  - QUERY: probes (few) each build their m×k ADC table in a projection,
-  *    broadcast against the encoded corpus; per corpus row the distance
-  *    is `aggregate(codes, Σ dt[j][code_j])` — m lookups. One shuffle for
-  *    the global per-probe top-k (TakeOrdered-shaped via row_number).
+  *    into the plan as a nested array literal and the native `pq_encode`
+  *    codegen Expression ([[graft.functions.PqEncode]]) argmins each
+  *    subspace in a fused loop (the HOF form interpreted m·k·dsub
+  *    catalyst nodes per row — 40 min per 100k rows at k=256). At
+  *    100 TB this is a scan-speed map over the corpus, the index build
+  *    cost you cannot avoid, and nothing else.
+  *  - QUERY: probes (few) each build their m×k ADC table in a projection
+  *    (native `pq_adc_table`), broadcast against the encoded corpus; per
+  *    corpus row the distance is `aggregate(codes, Σ dt[j][code_j])` — m
+  *    lookups. One shuffle for the global per-probe top-k
+  *    (TakeOrdered-shaped via row_number).
   *
   * Correctness gating: the trainer is the same quantized INTEGER Lloyd
   * as [[IvfIndex.buildQuantized]] (floor(x·2^20)+2^20 inputs, integer
@@ -114,18 +118,6 @@ object PqIndex {
     cents.map(_.toIndexedSeq).toIndexedSeq
   }
 
-  /** Integer squared L2 between subspace `j` of the QUANTIZED vector and
-    * centroid `kk` of the literal codebook, as a column expression (all
-    * indices are columns — usable inside HOF lambdas). Diffs ≤ 2^21,
-    * summed squares ≤ 2^45 — no overflow.
-    */
-  private[operators] def subDist(cb: Column, qemb: Column, j: Column, kk: Column, dsub: Int): Column =
-    aggregate(sequence(lit(0), lit(dsub - 1)), lit(0L), (acc, i) => {
-      val diff = element_at(qemb, (j * dsub + i + 1).cast("int")) -
-        element_at(element_at(element_at(cb, (j + 1).cast("int")), (kk + 1).cast("int")), (i + 1).cast("int"))
-      acc + diff * diff
-    })
-
   /** Train codebooks on a bounded sample and encode the full corpus as a
     * shuffle-free projection.
     */
@@ -191,11 +183,12 @@ object PqIndex {
     * ([[IvfPq]]).
     */
   def adcTable(pq: Pq, qemb: Column): Column = {
-    val dsub = pq.codebook.head.head.length
-    val cb = typedlit(pq.codebook)
-    transform(sequence(lit(0), lit(m - 1)), j =>
-      transform(sequence(lit(0), lit(k - 1)), kk =>
-        subDist(cb, qemb, j, kk, dsub)))
+    // native fused-loop table build (see functions/PqAdcTable): the HOF
+    // form interprets m·k·dsub nodes per row — visible in the bench at
+    // the 8-bit codebooks. Identical integer arithmetic.
+    graft.functions.PqAdcTable.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("pq_adc_table", qemb, typedlit(pq.codebook))
   }
 
   /** The quantization projection for [[adcTable]] callers. */
