@@ -456,6 +456,41 @@ object Dedup {
           max($"est_jaccard").as("max_est_jaccard"))
   }
 
+  /** D9: cross-source duplication matrix — for every unordered source
+    * pair, how many verified near-dup pairs (the d3 list) span them.
+    * This is the corpus-diagnostics view a data team reads before
+    * setting mixture weights: a hot (src_i, src_j) cell means one crawl
+    * re-serves another's pages (or an eval split leaks into training —
+    * the (src0, *) row IS d8's contamination, aggregated). Reuses the
+    * session-memoized pair list, so it costs two broadcast-sized
+    * label joins and one ≤|sources|² aggregation on top of d3; at
+    * 100 TB the pair list is already the materialization boundary and
+    * this matrix is a cheap rollup of it. Counts only — integer-exact
+    * (averaging est_jaccard would reintroduce float-sum ordering).
+    */
+  val sourceOverlap = Q("d9_source_overlap",
+    s"""WITH $minhashCtes,
+       |pairs AS ($minhashSelect),
+       |lab AS (SELECT doc_id, source FROM documents)
+       |SELECT least(a.source, b.source) AS source_a,
+       |       greatest(a.source, b.source) AS source_b,
+       |       CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM pairs p JOIN lab a ON p.doc_a = a.doc_id
+       |             JOIN lab b ON p.doc_b = b.doc_id
+       |GROUP BY 1, 2""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val lab = Tables.documents(s, dir).select($"doc_id", $"source")
+      minhashPairs(s, dir)
+        .join(lab.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+        .join(lab.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+        .select(least($"sa", $"sb").as("source_a"),
+          greatest($"sa", $"sb").as("source_b"))
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
-    contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination)
+    contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
+    sourceOverlap)
 }
