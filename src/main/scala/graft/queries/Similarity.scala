@@ -282,6 +282,57 @@ object Similarity {
       multiProbeTop1(s, dir, rpSig, bits = rpBits)
   }
 
+  /** E11: the kNN GRAPH build — top-3 cosine neighbors for EVERY vector
+    * (not a probe set), the batch structure SemDeDup-style pruning,
+    * diversity sampling, and graph-based label propagation all start
+    * from. Candidates are sign-bucket-blocked like e3 (a vector ranks
+    * only its own bucket's members — the documented recall trade of
+    * single-probe blocking; production uses e10's fine-cell candidates
+    * with the identical rank-and-keep tail), so the pair space is
+    * Σ|bucket|², never N². Vectors alone in their bucket emit no rows —
+    * an empty neighborhood, not a missing contract. Cosine ordering is
+    * cross-engine-safe: the fold dot is bit-identical (FloatVecDot ≡
+    * oracle fold), ties break by neighbor id.
+    */
+  val knnGraph = Q("e11_knn_graph", {
+    def sig(t: String) = (0 until 4)
+      .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
+      .mkString(" + ")
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH v AS (SELECT vec_id, embedding, label, sqrt($nv) AS nrm, ${sig("embeddings")} AS bucket FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+       |         $d / (a.nrm * b.nrm) AS cosine
+       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, neighbor_label, cosine
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM pairs) WHERE rnk <= 3""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.FloatVecDot.register(s)
+      def sig(emb: Column): Column = (0 until 4)
+        .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
+        .reduce(_ + _)
+      val v = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
+          norm($"embedding").as("nrm"))
+      val a = v.select($"bucket", $"vec_id", $"embedding".as("e_a"), $"nrm".as("nrm_a"))
+      val b = v.select($"bucket".as("bucket_b"), $"vec_id".as("neighbor_id"),
+        $"embedding".as("e_b"), $"label".as("neighbor_label"), $"nrm".as("nrm_b"))
+      a.join(b, $"bucket" === $"bucket_b" && $"vec_id" =!= $"neighbor_id")
+        .select($"vec_id", $"neighbor_id", $"neighbor_label",
+          (dot($"e_a", $"e_b") / ($"nrm_a" * $"nrm_b")).as("cosine"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"vec_id")
+            .orderBy($"cosine".desc, $"neighbor_id")).cast("long"))
+        .filter($"rnk" <= 3)
+        .select($"vec_id", $"rnk", $"neighbor_id", $"neighbor_label", $"cosine")
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
-    annRandomHyperplane)
+    annRandomHyperplane, knnGraph)
 }
