@@ -293,14 +293,27 @@ object Similarity {
     * an empty neighborhood, not a missing contract. Cosine ordering is
     * cross-engine-safe: the fold dot is bit-identical (FloatVecDot ≡
     * oracle fold), ties break by neighbor id.
+    *
+    * BUCKET BITS SCALE WITH THE CORPUS (the d4 lesson, caught by the
+    * same 10× soak: at fixed 4-bit buckets the pair space is (N/16)² —
+    * measured exponent 1.43): bits = 4 + #{j ∈ [4,11] : N > 64·2^j},
+    * i.e. the smallest width (capped at 12) keeping expected bucket
+    * population ≲ 64, so pairs stay ~64·N. The ladder is pure integer
+    * comparisons on count(*) — both engines derive the identical width
+    * from the data, no float log to diverge at a boundary.
     */
   val knnGraph = Q("e11_knn_graph", {
-    def sig(t: String) = (0 until 4)
-      .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
+    val bitsLadder = (4 to 11)
+      .map(j => s"(CASE WHEN count(*) > ${64L << j} THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    def sig(t: String) = (0 until 12)
+      .map(i => s"(CASE WHEN $i < nb.bits AND $t.embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
       .mkString(" + ")
     val d = dotSql.format("a.embedding", "b.embedding")
     val nv = dotSql.format("embedding", "embedding")
-    s"""WITH v AS (SELECT vec_id, embedding, label, sqrt($nv) AS nrm, ${sig("embeddings")} AS bucket FROM embeddings),
+    s"""WITH nb AS (SELECT 4 + $bitsLadder AS bits FROM embeddings),
+       |v AS (SELECT vec_id, embedding, label, sqrt($nv) AS nrm, ${sig("e")} AS bucket
+       |      FROM embeddings e CROSS JOIN nb),
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
        |         $d / (a.nrm * b.nrm) AS cosine
@@ -314,7 +327,9 @@ object Similarity {
     (s, dir) =>
       import s.implicits._
       graft.functions.FloatVecDot.register(s)
-      def sig(emb: Column): Column = (0 until 4)
+      val n = Tables.embeddings(s, dir).count()
+      val bits = 4 + (4 to 11).count(j => n > (64L << j))
+      def sig(emb: Column): Column = (0 until bits)
         .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
         .reduce(_ + _)
       val v = Tables.embeddings(s, dir)
