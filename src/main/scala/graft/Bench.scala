@@ -29,9 +29,20 @@ object Bench {
 
     // a throwing query reports -1, NOT its time-to-exception — a broken
     // query must be visible in the JSON, not blended into the total
+    // SPARK_GRAFT_SLOW="name:millis" injects a sleep into one query's
+    // timing — the test hook that lets the regression tripwire below be
+    // exercised end-to-end without touching query code
+    val slowHook: Map[String, Long] = sys.env.get("SPARK_GRAFT_SLOW")
+      .flatMap { v => v.split(":", 2) match {
+        case Array(n, ms) => ms.toLongOption.map(n -> _)
+        case _ => None
+      } }.toMap
     def once(q: graft.queries.Q): Double = {
       val t0 = System.nanoTime()
-      try { q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try {
+        slowHook.get(q.name).foreach(Thread.sleep)
+        q.run(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9
+      }
       catch { case _: Throwable => -1.0 }
     }
     // min of two runs per query: the second run amortizes per-query JIT /
@@ -40,7 +51,12 @@ object Bench {
       val a = once(q)
       if (a < 0) -1.0 else { val b = once(q); if (b < 0) -1.0 else math.min(a, b) }
     }
-    val registry = SparkEntry.registry
+    // SPARK_GRAFT_BENCH_ONLY: regex over query names for targeted local
+    // iteration (the driver never sets it → full registry)
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(re) => SparkEntry.registry.filter(q => re.r.findFirstIn(q.name).isDefined)
+      case None     => SparkEntry.registry
+    }
     val firstPass = registry.map(q => q.name -> minOf2(q)).toMap
     val calEnd = calibrate()
 
@@ -94,11 +110,43 @@ object Bench {
       val p = prev.getOrElse(q.name, -1.0)
       v > 0 && p > 0 && v > factor * p
     }
+    // suspects get exactly ONE extra run (min of 3 total vs min of 2 for
+    // everyone else — the "reruns" list in the artifact records who got
+    // the extra depth, so the asymmetry is visible, not silent)
     val results = registry.map { q =>
       q.name -> (if (suspects.exists(_.name == q.name))
-        Seq(firstPass(q.name), minOf2(q)).filter(_ >= 0).min
+        Seq(firstPass(q.name), once(q)).filter(_ >= 0).min
       else firstPass(q.name))
     }
+
+    // In-round regression tripwire (r5 VERDICT item 6): after the rerun
+    // logic has had its chance to absolve load spikes, any query still
+    // >2× its previous-round time — scaled by the calibration ratio, so
+    // a uniformly slower machine doesn't trip it — is flagged in the
+    // artifact AND on stderr. Exit stays 0 for the driver;
+    // SPARK_GRAFT_BENCH_STRICT=1 turns trips into a nonzero exit for
+    // local gating.
+    val prevCal: Double = try {
+      val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om2.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_prev.json")))
+      val c = root.get("cal")
+      if (c == null) -1.0
+      else (c.get("start").asDouble(-1.0) + c.get("end").asDouble(-1.0)) / 2.0
+    } catch { case _: Throwable => -1.0 }
+    val calNow = (calStart + calEnd) / 2.0
+    val calRatio = if (prevCal > 0 && calNow > 0) calNow / prevCal else 1.0
+    val regressions = results.collect {
+      case (n, v) if v > 0 && prev.getOrElse(n, -1.0) > 0 &&
+        v > 2.0 * prev(n) * math.max(1.0, calRatio) => n
+    }
+    if (regressions.nonEmpty)
+      System.err.println(
+        s"[bench] REGRESSION TRIPWIRE: ${regressions.size} quer" +
+          s"${if (regressions.size == 1) "y" else "ies"} >2x previous round " +
+          s"(cal ratio ${String.format(java.util.Locale.ROOT, "%.2f", Double.box(calRatio))}): " +
+          regressions.map(n => s"$n ${String.format(java.util.Locale.ROOT, "%.2f", Double.box(results.toMap.apply(n)))}s " +
+            s"(prev ${String.format(java.util.Locale.ROOT, "%.2f", Double.box(prev(n)))}s)").mkString(", "))
 
     // Locale.ROOT: a comma-decimal default locale would print 0,123 and
     // break the driver's JSON parse
@@ -126,8 +174,9 @@ object Bench {
     //    whole, so the driver's parse gets total/calibration/error-count
     //    even though the per-query map only lives in the file.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val regrs = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,$cal,"reruns":$rers,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,$cal,"reruns":$rers,"regressions":$regrs,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), full + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     println(full)
@@ -137,7 +186,9 @@ object Bench {
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","nq":${results.size},""" +
         s""""errors":$errsCompact,$cal,"reruns":${suspects.size},""" +
-        s""""detail":"$outFile","sf":"$sfDir"}""")
+        s""""regr":${regressions.size},"detail":"$outFile","sf":"$sfDir"}""")
     spark.stop()
+    if (regressions.nonEmpty && sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1"))
+      sys.exit(1)
   }
 }

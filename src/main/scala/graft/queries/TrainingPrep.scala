@@ -550,11 +550,13 @@ object TrainingPrep {
     * shared stage cannot diverge them. All counts integer-exact;
     * oracle-exact.
     *
-    * Scale: each stage is the underlying operator's plan (hash-agg /
-    * broadcast n-gram join / narrow filter / anti-join / one window) over
-    * a monotonically SHRINKING survivor set — the funnel costs at most
-    * the sum of its stages on the full corpus, and the stage aggregates
-    * are independent single-pass reductions.
+    * Scale: the survivor-set derivations are the underlying operators'
+    * plans (hash-agg / broadcast n-gram join / anti-join), memoized as
+    * slim ID sets; the stage COUNTS are then a single pass — every train
+    * row is flagged with the stages it survives via ID-set joins, the
+    * budget window runs once, and one aggregate + `stack` emits all
+    * stage rows. The corpus is scanned exactly once per funnel run
+    * (plus once per memo build), never once per stage.
     */
   private def funnelQ(name: String, fuzzy: Boolean): Q = Q(name, {
     def grams(src: String) =
@@ -627,52 +629,84 @@ object TrainingPrep {
     // the difference between a key set and a second copy of the corpus.
     // Payload columns are rebuilt by joining back to the documents scan
     // at each use site.
-    val s1Ids = Memo.cached(s, dir, "funnel_s1_ids") {
+    // ONE memo carries both stage memberships — (doc_id of every s1
+    // survivor, in_s2 flag) — so the single-pass flagging below costs one
+    // broadcast join, not two. Two bits per survivor instead of two
+    // separate ID sets; the s2 set is definitionally a subset of s1.
+    val stageIds = Memo.cached(s, dir, "funnel_stage_ids") {
       // the s1 survivors are exactly min(doc_id) per content-hash group
-      train.groupBy(md5(lower($"text")).as("h")).agg(min($"doc_id").as("doc_id"))
-        .select($"doc_id")
-    }
-    val s1 = train.join(s1Ids, Seq("doc_id"))
-    val s2Ids = Memo.cached(s, dir, "funnel_s2_ids") {
+      val s1Ids = train.groupBy(md5(lower($"text")).as("h"))
+        .agg(min($"doc_id").as("doc_id")).select($"doc_id")
+      val s1 = train.join(s1Ids, Seq("doc_id"))
       val evalG = Ngrams.postings(docs.filter($"source" === "src0"),
         n = 8, distinct = true, outCol = "g").select($"g").distinct()
       val contam = Ngrams.postings(s1, n = 8, distinct = true, outCol = "g")
         .join(broadcast(evalG), "g").select($"doc_id").distinct()
-      s1Ids.join(contam, Seq("doc_id"), "left_anti")
+      s1Ids.join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+        .select($"doc_id", (!coalesce($"is_contam", lit(false))).as("in_s2"))
     }
-    val s2 = train.join(s2Ids, Seq("doc_id"))
+    // Single-pass stage counting (r5 VERDICT: each of the five stage
+    // aggregates re-derived from `train`, so the union re-scanned and
+    // re-split `documents` once per branch). Instead: flag every train
+    // row with the stages it survives (left joins against the memoized
+    // ID sets — unique doc_ids, so row multiplicity is preserved), run
+    // the budget window once, and reduce in ONE aggregate, unpivoted to
+    // stage rows with `stack`. One corpus scan total, still fully lazy.
+    // The budget window now sorts all train rows (not just s3 survivors,
+    // with non-survivors contributing 0 tokens — the running sum at each
+    // s3 row is unchanged); survivor fraction is high, so the sort is
+    // comparable and it beats a second corpus scan at any scale.
     // optional d8 stage: drop train docs with a cross-split MinHash match
-    val s2f = if (!fuzzy) s2 else {
-      val src = docs.select($"doc_id", ($"source" === "src0").as("is_eval"))
-      val fuzzyContam = Dedup.minhashPairs(s, dir)
-        .join(src.select($"doc_id".as("doc_a"), $"is_eval".as("ea")), "doc_a")
-        .join(src.select($"doc_id".as("doc_b"), $"is_eval".as("eb")), "doc_b")
-        .filter($"ea" =!= $"eb")
-        .select(when($"ea", $"doc_b").otherwise($"doc_a").as("doc_id"))
-        .distinct()
-      s2.join(fuzzyContam, Seq("doc_id"), "left_anti")
+    val withFlags = {
+      val base = train
+        .join(stageIds.withColumn("in_s1", lit(true)), Seq("doc_id"), "left")
+      if (!fuzzy) base.withColumn("is_fc", lit(null).cast("boolean"))
+      else {
+        val src = docs.select($"doc_id", ($"source" === "src0").as("is_eval"))
+        val fuzzyContam = Dedup.minhashPairs(s, dir)
+          .join(src.select($"doc_id".as("doc_a"), $"is_eval".as("ea")), "doc_a")
+          .join(src.select($"doc_id".as("doc_b"), $"is_eval".as("eb")), "doc_b")
+          .filter($"ea" =!= $"eb")
+          .select(when($"ea", $"doc_b").otherwise($"doc_a").as("doc_id"))
+          .distinct()
+        base.join(fuzzyContam.withColumn("is_fc", lit(true)), Seq("doc_id"), "left")
+      }
     }
-    val s3 = s2f.filter(size($"w") >= 8 &&
-      (size(array_distinct($"w")).cast("double") / size($"w")) >= 0.4)
     val budgetW = Window.partitionBy($"source")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val s4 = s3.select($"doc_id", $"source", size($"w").cast("long").as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(budgetW))
-      .filter($"cum" <= mixBudget)
-    def stage(name: String, df: DataFrame,
-        tok: org.apache.spark.sql.Column): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(tok), lit(0L)).as("n_tokens"))
-        .select(lit(name).as("stage"), $"n_docs", $"n_tokens")
-    val head = stage("s0_raw", train, size($"w").cast("long"))
-      .unionByName(stage("s1_exact_dedup", s1, size($"w").cast("long")))
-      .unionByName(stage("s2_decontaminated", s2, size($"w").cast("long")))
-    val mid = if (!fuzzy) head
-      else head.unionByName(stage("s2f_fuzzy_decontam", s2f, size($"w").cast("long")))
-    mid
-      .unionByName(stage("s3_quality", s3, size($"w").cast("long")))
-      .unionByName(stage("s4_token_budget", s4, $"n_tokens"))
+    // project to narrow columns BEFORE the window: the sort exchange must
+    // move (doc_id, source, n_tok, 4 booleans), never text or the split
+    // word array — at 100 TB the payload through the window sort is the
+    // whole cost
+    val fIn1 = coalesce($"in_s1", lit(false))
+    val fIn2 = coalesce($"in_s2", lit(false))
+    val fIn2f = fIn2 && !coalesce($"is_fc", lit(false))
+    val fIn3 = fIn2f && size($"w") >= 8 &&
+      (size(array_distinct($"w")).cast("double") / size($"w")) >= 0.4
+    val staged = withFlags
+      .select($"doc_id", $"source",
+        size($"w").cast("long").as("n_tok"),
+        fIn1.as("in_s1"), fIn2.as("in_s2"), fIn2f.as("in_s2f"), fIn3.as("in_s3"))
+      .withColumn("cum", sum(when($"in_s3", $"n_tok").otherwise(0L)).over(budgetW))
+      .withColumn("in_s4", $"in_s3" && $"cum" <= mixBudget)
+    def cnt(f: org.apache.spark.sql.Column) =
+      coalesce(sum(when(f, 1L).otherwise(0L)), lit(0L))
+    def tok(f: org.apache.spark.sql.Column) =
+      coalesce(sum(when(f, $"n_tok").otherwise(0L)), lit(0L))
+    val stageFlags: Seq[(String, org.apache.spark.sql.Column)] =
+      Seq("s0_raw" -> lit(true), "s1_exact_dedup" -> $"in_s1",
+        "s2_decontaminated" -> $"in_s2") ++
+        (if (fuzzy) Seq("s2f_fuzzy_decontam" -> $"in_s2f") else Nil) ++
+        Seq("s3_quality" -> $"in_s3", "s4_token_budget" -> $"in_s4")
+    val aggExprs = stageFlags.zipWithIndex.flatMap { case ((_, f), i) =>
+      Seq(cnt(f).as(s"c$i"), tok(f).as(s"t$i"))
+    }
+    val agg = staged.agg(aggExprs.head, aggExprs.tail: _*)
+    val stackArgs = stageFlags.zipWithIndex
+      .map { case ((n, _), i) => s"'$n', c$i, t$i" }.mkString(", ")
+    agg.select(expr(
+      s"stack(${stageFlags.size}, $stackArgs) AS (stage, n_docs, n_tokens)"))
   }
 
   val curationFunnel = funnelQ("c1_curation_funnel", fuzzy = false)
