@@ -282,63 +282,21 @@ object Similarity {
       multiProbeTop1(s, dir, rpSig, bits = rpBits)
   }
 
-  /** E11: the kNN GRAPH build — top-3 cosine neighbors for EVERY vector
-    * (not a probe set), the batch structure SemDeDup-style pruning,
-    * diversity sampling, and graph-based label propagation all start
-    * from. Candidates are sign-bucket-blocked like e3 (a vector ranks
-    * only its own bucket's members — the documented recall trade of
-    * single-probe blocking; production uses e10's fine-cell candidates
-    * with the identical rank-and-keep tail), so the pair space is
-    * Σ|bucket|², never N². Vectors alone in their bucket emit no rows —
-    * an empty neighborhood, not a missing contract. Cosine ordering is
-    * cross-engine-safe: the fold dot is bit-identical (FloatVecDot ≡
-    * oracle fold), ties break by neighbor id.
-    *
-    * BUCKET BITS SCALE WITH THE CORPUS (the d4 lesson, caught by the
-    * same 10× soak: at fixed 4-bit buckets the pair space is (N/16)² —
-    * measured exponent 1.43): bits = 4 + #{j ∈ [4,11] : N > 64·2^j},
-    * i.e. the smallest width (capped at 12) keeping expected bucket
-    * population ≲ 64, so pairs stay ~64·N. The ladder is pure integer
-    * comparisons on count(*) — both engines derive the identical width
-    * from the data, no float log to diverge at a boundary.
+  /** Shared top-3 kNN graph (e11's result, e12's input), session-memoized
+    * like the d3 pair list: 3 rows per vector with a same-cell companion —
+    * slim enough to persist at any corpus size the graph itself fits.
     */
-  val knnGraph = Q("e11_knn_graph", {
-    val bitsLadder = (4 to 11)
-      .map(j => s"(CASE WHEN count(*) > ${64L << j} THEN 1 ELSE 0 END)")
-      .mkString(" + ")
-    def sig(t: String) = (0 until 12)
-      .map(i => s"(CASE WHEN $i < nb.bits AND $t.embedding[${i + 1}] >= 0 THEN ${1 << i} ELSE 0 END)")
-      .mkString(" + ")
-    val d = dotSql.format("a.embedding", "b.embedding")
-    val nv = dotSql.format("embedding", "embedding")
-    s"""WITH nb AS (SELECT 4 + $bitsLadder AS bits FROM embeddings),
-       |v AS (SELECT vec_id, embedding, label, sqrt($nv) AS nrm, ${sig("e")} AS bucket
-       |      FROM embeddings e CROSS JOIN nb),
-       |pairs AS (
-       |  SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
-       |         $d / (a.nrm * b.nrm) AS cosine
-       |  FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
-       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, neighbor_label, cosine
-       |FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY vec_id
-       |                               ORDER BY cosine DESC, neighbor_id) AS rnk
-       |  FROM pairs) WHERE rnk <= 3""".stripMargin
-  }) {
-    (s, dir) =>
-      import s.implicits._
-      graft.functions.FloatVecDot.register(s)
-      val n = Tables.embeddings(s, dir).count()
-      val bits = 4 + (4 to 11).count(j => n > (64L << j))
-      def sig(emb: Column): Column = (0 until bits)
-        .map(i => shiftleft(when(element_at(emb, i + 1) >= 0, 1).otherwise(0), i))
-        .reduce(_ + _)
-      val v = Tables.embeddings(s, dir)
-        .select($"vec_id", $"embedding", $"label", sig($"embedding").as("bucket"),
-          norm($"embedding").as("nrm"))
-      val a = v.select($"bucket", $"vec_id", $"embedding".as("e_a"), $"nrm".as("nrm_a"))
-      val b = v.select($"bucket".as("bucket_b"), $"vec_id".as("neighbor_id"),
+  private[queries] def knnGraphDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.FloatVecDot.register(s)
+    Memo.cached(s, dir, "knn_graph_top3") {
+      val ivf = graft.operators.IvfIndex.indexQFor(s, dir)
+      val v = ivf.assigned.select($"vec_id", $"embedding", $"label", $"cell_id",
+        norm($"embedding").as("nrm"))
+      val a = v.select($"cell_id", $"vec_id", $"embedding".as("e_a"), $"nrm".as("nrm_a"))
+      val b = v.select($"cell_id".as("cell_b"), $"vec_id".as("neighbor_id"),
         $"embedding".as("e_b"), $"label".as("neighbor_label"), $"nrm".as("nrm_b"))
-      a.join(b, $"bucket" === $"bucket_b" && $"vec_id" =!= $"neighbor_id")
+      a.join(b, $"cell_id" === $"cell_b" && $"vec_id" =!= $"neighbor_id")
         .select($"vec_id", $"neighbor_id", $"neighbor_label",
           (dot($"e_a", $"e_b") / ($"nrm_a" * $"nrm_b")).as("cosine"))
         .withColumn("rnk", row_number().over(
@@ -346,8 +304,110 @@ object Similarity {
             .orderBy($"cosine".desc, $"neighbor_id")).cast("long"))
         .filter($"rnk" <= 3)
         .select($"vec_id", $"rnk", $"neighbor_id", $"neighbor_label", $"cosine")
+    }
+  }
+
+  /** E11: the kNN GRAPH build — top-3 cosine neighbors for EVERY vector
+    * (not a probe set), the batch structure SemDeDup-style pruning,
+    * diversity sampling, and graph-based label propagation all start
+    * from. Candidates are blocked on the SHARED integer-Lloyd IVF cells
+    * (the same session index e4/e9/e10 probe — fine-cell blocking, the
+    * production tail the r5 sign-bucket variant documented as its swap
+    * target): a vector ranks only its own cell's members, so the pair
+    * space is Σ|cell|², never N², and the blocking structure follows the
+    * data instead of fixed sign planes. AnnFrontier's planted-pair
+    * comparison measures the swap's recall win (sign buckets split
+    * planted near-pairs across any flipped near-zero dim; Lloyd cells
+    * keep them together). Vectors alone in their cell emit no rows — an
+    * empty neighborhood, not a missing contract. Cosine ordering is
+    * cross-engine-safe: the fold dot is bit-identical (FloatVecDot ≡
+    * oracle fold), ties break by neighbor id; the oracle replays the
+    * identical index via the shared Lloyd CTEs.
+    *
+    * CELL COUNT SCALES WITH THE CORPUS: kIvf ≈ √N keeps in-cell pair
+    * work at N^1.5 total and per-cell membership ≈ √N (the SCALE.md
+    * sizing rule measured by AnnFrontier; the gate SFs share e4's
+    * kIvf=16 session index so the build cost amortizes across queries).
+    */
+  val knnGraph = Q("e11_knn_graph", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, e.label, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+       |         $d / (a.nrm * b.nrm) AS cosine
+       |  FROM members a JOIN members b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, neighbor_label, cosine
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cosine DESC, neighbor_id) AS rnk
+       |  FROM pairs) WHERE rnk <= 3""".stripMargin
+  }) { (s, dir) => knnGraphDf(s, dir) }
+
+  /** E12: graph-consuming diversity downsample — the operation a
+    * training-data pipeline runs right after the graph build: threshold
+    * the kNN edges at the e3 near-dup bar (cosine ≥ 0.40), take connected
+    * components over the surviving edges (the shared adaptive
+    * [[graft.operators.DupClusters]] machinery — driver union-find small,
+    * Hash-Min BSP at scale), and keep exactly one representative (the
+    * min vec_id) per semantic cluster. Output is the full corpus roster:
+    * `(vec_id, cluster_id, is_kept)` — SemDeDup's removal decision
+    * derived from the graph instead of from per-cell re-ranking.
+    *
+    * The edge list is the MEMOIZED e11 graph (3 rows/vector), so e12
+    * costs a filter + components over an already-persisted relation —
+    * the d3→d5 reuse pattern. Cross-engine exactness: cosine values are
+    * bit-identical (fold dot), so the ≥ 0.40 edge set agrees; the oracle
+    * replays components with a recursive transitive-closure CTE (the d5
+    * pattern) over the identical Lloyd-cell graph.
+    */
+  val graphDownsample = Q("e12_graph_downsample", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH RECURSIVE ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, e.label, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         $d / (a.nrm * b.nrm) AS cosine
+       |  FROM members a JOIN members b ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+       |graph AS (
+       |  SELECT vec_id, neighbor_id, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM pairs) WHERE rnk <= 3),
+       |edges AS (
+       |  SELECT vec_id AS a, neighbor_id AS b FROM graph WHERE cosine >= 0.40
+       |  UNION ALL
+       |  SELECT neighbor_id, vec_id FROM graph WHERE cosine >= 0.40),
+       |reach(vec_id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.vec_id = e.b),
+       |labels AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id)
+       |SELECT v.vec_id,
+       |       coalesce(l.cluster_id, v.vec_id) AS cluster_id,
+       |       v.vec_id = coalesce(l.cluster_id, v.vec_id) AS is_kept
+       |FROM embeddings v LEFT JOIN labels l ON v.vec_id = l.vec_id""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val edges = knnGraphDf(s, dir).filter($"cosine" >= 0.40)
+        .select($"vec_id".as("doc_a"), $"neighbor_id".as("doc_b"))
+      // clustered rows ≤ docs touching a ≥0.40 edge — the same ≪corpus
+      // broadcast argument as d5's roster join
+      val clustered = graft.operators.DupClusters.clusters(s, edges)
+        .withColumnRenamed("doc_id", "vec_id")
+      Tables.embeddings(s, dir).select($"vec_id")
+        .join(broadcast(clustered), Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"cluster_id", $"vec_id").as("cluster_id"))
+        .withColumn("is_kept", $"vec_id" === $"cluster_id")
   }
 
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
-    annRandomHyperplane, knnGraph)
+    annRandomHyperplane, knnGraph, graphDownsample)
 }

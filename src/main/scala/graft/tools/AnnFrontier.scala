@@ -1,7 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-import graft.operators.{IvfPq, IvfPqResidual}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{IvfIndex, IvfPq, IvfPqResidual}
 
 /** Recall/latency frontier for the composed ANN paths (VERDICT r4 #3):
   * sweeps kIvf × nprobe × shortlist for e9 (global-codebook IVF×PQ) and
@@ -81,6 +83,57 @@ object AnnFrontier {
     }.toMap
   }
 
+  /** e11 blocking comparison: does the planted near-pair survive as a
+    * graph edge (either direction, top-3) under sign-plane blocking vs
+    * Lloyd fine cells? sign-8bit vs lloyd-256 is the apples-to-apples
+    * row — identical block cardinality, so identical pair budget; the
+    * only difference is whether the blocks follow the data. sign-11bit
+    * is the r5 adaptive-width configuration.
+    */
+  def graphCompare(spark: SparkSession): Unit = {
+    import spark.implicits._
+    graft.functions.FloatVecDot.register(spark)
+    val e = graft.Tables.embeddings(spark, corpusDir)
+
+    def graphEdges(blocked: DataFrame): Set[(Long, Long)] = {
+      val nrm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+      val v = blocked.select(col("vec_id"), col("embedding"), col("block"), nrm.as("nrm"))
+      val a = v.select(col("block"), col("vec_id"), col("embedding").as("e_a"),
+        col("nrm").as("nrm_a"))
+      val b = v.select(col("block").as("block_b"), col("vec_id").as("nb"),
+        col("embedding").as("e_b"), col("nrm").as("nrm_b"))
+      a.join(b, col("block") === col("block_b") && col("vec_id") =!= col("nb"))
+        .select(col("vec_id"), col("nb"),
+          (call_function("vec_dot", col("e_a"), col("e_b")) /
+            (col("nrm_a") * col("nrm_b"))).as("cosine"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(desc("cosine"), col("nb"))))
+        .filter(col("rnk") <= 3)
+        .select(col("vec_id"), col("nb")).as[(Long, Long)].collect().toSet
+    }
+    def signBlock(bits: Int): DataFrame = e.select(col("vec_id"), col("embedding"),
+      (0 until bits).map(i =>
+        shiftleft(when(element_at(col("embedding"), i + 1) >= 0, 1).otherwise(0), i))
+        .reduce(_ + _).as("block"))
+    def cellBlock(k: Int): DataFrame = IvfIndex.indexQFor(spark, corpusDir, k)
+      .assigned.select(col("vec_id"), col("embedding"), col("cell_id").as("block"))
+
+    println("| e11 blocking | blocks | planted-edge recall@3 | s |")
+    for ((name, df, blocks) <- Seq(
+        ("sign-8bit", signBlock(8), 256),
+        ("sign-11bit (r5 adaptive width)", signBlock(11), 2048),
+        ("lloyd-256 (fine cells)", cellBlock(256), 256))) {
+      val t0 = System.nanoTime()
+      val edges = graphEdges(df)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val rec = (0 until nProbes).count { i =>
+        edges.contains((i.toLong, (nVecs + i).toLong)) ||
+          edges.contains(((nVecs + i).toLong, i.toLong))
+      }.toDouble / nProbes
+      println(f"| $name | $blocks | $rec%.3f | $sec%.1f |")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
@@ -91,8 +144,11 @@ object AnnFrontier {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     ensureCorpus(spark)
-    val t = truth(spark)
     println(s"corpus: $nVecs x $dims + $nProbes planted, $nClusters clusters, $nProbes probes")
+    // `runMain graft.tools.AnnFrontier graph` runs only the e11 blocking
+    // comparison; no arg runs everything (sweeps included)
+    if (args.contains("graph")) { graphCompare(spark); spark.stop(); return }
+    val t = truth(spark)
 
     def sweep(name: String,
         run: (Int, Int, Int) => org.apache.spark.sql.DataFrame): Unit = {

@@ -132,7 +132,12 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e4_ivf_ann", "e8_semdedup",
       // e9/e10 compose the e4 + e7-shaped indexes — the same k-centroid /
       // probe broadcast BNLJs sit in their (cached) index-build subtrees
-      "e9_ivfpq_ann", "e10_ivfpq_residual")
+      "e9_ivfpq_ann", "e10_ivfpq_residual",
+      // e11 blocks on the same cached IVF index (r6 fine-cell swap) and
+      // e12 consumes e11's memoized graph — the only BNLJ either plan
+      // carries is the identical k-centroid broadcast in the index-build
+      // subtree; their own pair/cluster steps are equi-joins (KnnGraphSpec)
+      "e11_knn_graph", "e12_graph_downsample")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
