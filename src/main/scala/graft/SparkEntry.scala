@@ -35,16 +35,20 @@ object SparkEntry {
       Q("domain_exec_daily_kpi", domain.DomainOracle.sql) { (s, _) =>
         domain.DomainOracle.query(s)
       },
-      // multimodal featurization plumbing (decode is stubbed — no codecs
-      // in-container); mapPartitions batching, binary columns, per-kind
-      // partitioning are real. No SQL oracle (binary + custom decode).
-      Q.noOracle("m1_multimodal_featurize") { (s, dir) =>
-        graft.operators.Multimodal.featurizeQuery(s, dir)
+      // multimodal featurization plumbing (ML feature extraction stubbed —
+      // no codecs in-container); mapPartitions batching, binary columns,
+      // per-kind partitioning, header decode are real. HASH-EXACT since
+      // r6: every scalar the decode emits is an integer function of
+      // doc_id, so the oracle predicts the byte-level synth→decode round
+      // trip without ever seeing a byte (Multimodal.featurizeOracleSql).
+      Q("m1_multimodal_featurize", graft.operators.Multimodal.featurizeOracleSql) {
+        (s, dir) => graft.operators.Multimodal.featurizeQuery(s, dir)
       },
       // preprocess (REAL nearest-neighbor BMP resize + WAV decimation,
-      // pure byte math) → decode; rows-only (binary + custom decode)
-      Q.noOracle("m2_multimodal_preprocess") { (s, dir) =>
-        graft.operators.Multimodal.preprocessQuery(s, dir)
+      // pure byte math) → decode; oracle predicts the post-preprocess
+      // headers the same way
+      Q("m2_multimodal_preprocess", graft.operators.Multimodal.preprocessOracleSql) {
+        (s, dir) => graft.operators.Multimodal.preprocessQuery(s, dir)
       },
       // IVF ANN: quantized integer Lloyd (floor(x·2^20), md5 seed order,
       // integer argmin + floor-division update) makes the index build

@@ -238,14 +238,18 @@ object Multimodal {
       })
   }
 
-  /** Driver-facing rows-only query: preprocess → decode — every image
-    * must surface as imgSize², every audio at audioRate.
+  /** Driver-facing query: preprocess → decode — every image must surface
+    * as imgSize², every audio at audioRate. Scalar metadata only (longs
+    * for oracle dtype parity); bytes/features stay engine-side.
     */
   def preprocessQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     featurize(spark, preprocess(spark, mediaTable(spark, dir)))
-      .select($"media_id", $"kind", $"fmt", $"n_bytes",
-        $"decoded_w", $"decoded_h", $"sample_rate", $"duration_ms")
+      .select($"media_id", $"kind", $"fmt", $"n_bytes".cast("long").as("n_bytes"),
+        $"decoded_w".cast("long").as("decoded_w"),
+        $"decoded_h".cast("long").as("decoded_h"),
+        $"sample_rate".cast("long").as("sample_rate"),
+        $"duration_ms".cast("long").as("duration_ms"))
   }
 
   /** Featurize: repartition by kind (one codec per partition), then a
@@ -262,11 +266,62 @@ object Multimodal {
       }
   }
 
-  /** Driver-facing rows-only query (bytes/features stay engine-side). */
+  /** Driver-facing query (bytes/features stay engine-side; longs for
+    * oracle dtype parity).
+    */
   def featurizeQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     featurize(spark, mediaTable(spark, dir))
-      .select($"media_id", $"kind", $"fmt", $"n_bytes",
-        $"decoded_w", $"decoded_h", $"sample_rate", $"duration_ms", $"frames_sampled")
+      .select($"media_id", $"kind", $"fmt", $"n_bytes".cast("long").as("n_bytes"),
+        $"decoded_w".cast("long").as("decoded_w"),
+        $"decoded_h".cast("long").as("decoded_h"),
+        $"sample_rate".cast("long").as("sample_rate"),
+        $"duration_ms".cast("long").as("duration_ms"),
+        $"frames_sampled".cast("long").as("frames_sampled"))
   }
+
+  /** The m1/m2 DuckDB oracles: every scalar the decode emits is an
+    * integer-arithmetic function of doc_id (the synthesis parameters) —
+    * so the oracle PREDICTS, from the documents table alone, what the
+    * real byte-level synth → (preprocess →) header-decode round trip
+    * must produce. A single byte of drift in any header writer or parser
+    * breaks the hash. The binary payloads and the stubbed feature vector
+    * stay engine-side (LlmOpsSpec pins those pixel/sample-exact).
+    */
+  private def mediaParamsCte = s"""m AS (
+    |  SELECT doc_id AS media_id, doc_id % 3 AS k,
+    |         (doc_id % 4) * 8 + 8 AS bw, (doc_id % 3) * 8 + 8 AS bh,
+    |         100 + doc_id % 400 AS ns, 30 + doc_id % 270 AS nf
+    |  FROM documents)""".stripMargin
+
+  val featurizeOracleSql: String =
+    s"""WITH $mediaParamsCte
+       |SELECT media_id,
+       |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'mp4' END AS fmt,
+       |  CAST(CASE k WHEN 0 THEN 54 + ((bw * 3 + 3) // 4 * 4) * bh
+       |              WHEN 1 THEN 44 + ns * 2
+       |              ELSE 28 + nf * 32 END AS BIGINT) AS n_bytes,
+       |  CAST(CASE k WHEN 0 THEN bw ELSE 0 END AS BIGINT) AS decoded_w,
+       |  CAST(CASE k WHEN 0 THEN bh ELSE 0 END AS BIGINT) AS decoded_h,
+       |  CAST(CASE k WHEN 1 THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN ns * 1000 // 16000
+       |              ELSE nf * 33 END AS BIGINT) AS duration_ms,
+       |  CAST(CASE k WHEN 2 THEN least(nf, 16) ELSE 1 END AS BIGINT) AS frames_sampled
+       |FROM m""".stripMargin
+
+  val preprocessOracleSql: String =
+    s"""WITH $mediaParamsCte
+       |SELECT media_id,
+       |  CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       |  CASE k WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' ELSE 'mp4' END AS fmt,
+       |  CAST(CASE k WHEN 0 THEN 54 + 24 * 8
+       |              WHEN 1 THEN 44 + ((ns + 1) // 2) * 2
+       |              ELSE 28 + nf * 32 END AS BIGINT) AS n_bytes,
+       |  CAST(CASE k WHEN 0 THEN 8 ELSE 0 END AS BIGINT) AS decoded_w,
+       |  CAST(CASE k WHEN 0 THEN 8 ELSE 0 END AS BIGINT) AS decoded_h,
+       |  CAST(CASE k WHEN 1 THEN 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+       |  CAST(CASE k WHEN 0 THEN 0 WHEN 1 THEN ((ns + 1) // 2) * 1000 // 8000
+       |              ELSE nf * 33 END AS BIGINT) AS duration_ms
+       |FROM m""".stripMargin
 }

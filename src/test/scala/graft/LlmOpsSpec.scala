@@ -196,12 +196,12 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
     out.foreach { r =>
       r.getAs[String]("fmt") match {
         case "bmp" =>
-          assert(r.getAs[Int]("decoded_w") == 8 && r.getAs[Int]("decoded_h") == 8)
+          assert(r.getAs[Long]("decoded_w") == 8 && r.getAs[Long]("decoded_h") == 8)
         case "wav" =>
-          assert(r.getAs[Int]("sample_rate") == 8000)
+          assert(r.getAs[Long]("sample_rate") == 8000)
           // decimation halves the sample count at half the rate → duration preserved
-          assert(r.getAs[Int]("duration_ms") >= 6 && r.getAs[Int]("duration_ms") <= 31)
-        case "mp4" => assert(r.getAs[Int]("duration_ms") > 0) // pass-through
+          assert(r.getAs[Long]("duration_ms") >= 6 && r.getAs[Long]("duration_ms") <= 31)
+        case "mp4" => assert(r.getAs[Long]("duration_ms") > 0) // pass-through
       }
     }
   }
