@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** The composed intake stage — both admission screens
+  * ([[StreamingNearDup]] d3-style history screening and
+  * [[StreamingDecontam]] d6-style eval screening) over ONE micro-batch
+  * stream in ONE `foreachBatch`, emitting ONE verdict row per document:
+  *
+  * `(doc_id, is_near_dup, matched_doc, est_jaccard,
+  *   is_contaminated, n_shared_ngrams, admitted)`
+  *
+  * where `admitted = !is_near_dup && !is_contaminated` — the row a
+  * downstream writer filters on. This is the shape a production intake
+  * actually runs: one stream read, one checkpoint, one verdict table,
+  * not two sinks whose outputs someone joins later.
+  *
+  * Composition semantics (each deliberate, spec-pinned):
+  *  - both screens see the SAME raw batch — the near-dup screen is NOT
+  *    applied to decontam survivors or vice versa, so each verdict
+  *    column is independently meaningful and equals what the standalone
+  *    screen would say (StreamingIntakeSpec proves verdict equality);
+  *  - the band index ingests every screened doc, including contaminated
+  *    ones: dedup history must cover everything SEEN, so a later
+  *    near-copy of a rejected page is still flagged (rejection is the
+  *    `admitted` bit, not an index hole);
+  *  - replay idempotence composes: the index append and the verdict
+  *    write are both per-`__batch` dynamic overwrites, and the decontam
+  *    screen is stateless — re-running a crashed batchId converges to
+  *    the identical state, exactly-once effect from at-least-once runs.
+  *
+  * Scale: the decontam side adds one bloom-prefiltered broadcast join to
+  * the near-dup screen's band equi-join — nothing new shuffles with
+  * history size, and the two screens' jobs share the batch scan within
+  * the single foreachBatch.
+  */
+object StreamingIntake {
+
+  /** Run both screens on one batch and join their per-doc verdicts. */
+  def screenBatch(batch: DataFrame, indexDir: String, batchId: Long,
+      screen: StreamingDecontam.Screen): DataFrame = {
+    val nd = StreamingNearDup.screenBatch(batch, indexDir, batchId)
+    val dc = StreamingDecontam.screenBatch(batch, screen)
+    // both sides emit exactly one row per input doc (spec-pinned), so an
+    // inner join preserves the roster
+    nd.join(dc, Seq("doc_id"))
+      .withColumn("admitted", !col("is_near_dup") && !col("is_contaminated"))
+  }
+
+  /** Streaming sink: one foreachBatch, both screens, one verdict table
+    * (per-`__batch` dynamic-overwrite partitions, like each screen's own
+    * sink).
+    */
+  def sink(docs: DataFrame, indexDir: String, screen: StreamingDecontam.Screen,
+      verdictDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenBatch(batch, indexDir, batchId, screen)
+          .withColumn("__batch", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("__batch")
+          .parquet(verdictDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+}

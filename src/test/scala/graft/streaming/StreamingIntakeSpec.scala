@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+
+/** Composed-intake gates: the single-pass verdict table must equal what
+  * the two standalone screens say independently (per column), every doc
+  * gets exactly one row with the `admitted` conjunction, the band index
+  * ingests contaminated docs too (a later near-copy of a rejected page
+  * is still flagged), and replaying a batch converges.
+  */
+class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  // twelve-word sentences: plentiful 3-gram shingles for the near-dup
+  // screen AND five 8-grams for the decontam screen; disjoint per-seed
+  // vocabularies so the only overlaps are the engineered ones
+  private def sentence(seed: Int): String =
+    (0 until 12).map(i => s"s${seed}w$i").mkString(" ")
+  private def mutate(s: String): String = {
+    val w = s.split(" "); w(w.length - 1) = "zzz"; w.mkString(" ")
+  }
+
+  private val evalDocs = Seq((900L, sentence(1))).toDF("doc_id", "text")
+
+  // batch 1: clean original, its near-copy, a verbatim eval copy
+  // (contaminated but NOT a near-dup of anything earlier), a doc too
+  // short for either screen, and a second clean original
+  private val batch1 = Seq(
+    (0L, sentence(10)), (1L, mutate(sentence(10))), (2L, sentence(1)),
+    (3L, "too short"), (4L, sentence(11))
+  )
+  // batch 2: a near-copy of the CONTAMINATED doc 2 — flagged only if the
+  // index ingested doc 2 despite its rejection — plus a fresh clean doc
+  private val batch2 = Seq((10L, mutate(sentence(1))), (11L, sentence(12)))
+
+  private def verdictMap(df: DataFrame): Map[Long, (Boolean, Boolean, Boolean)] =
+    df.select($"doc_id", $"is_near_dup", $"is_contaminated", $"admitted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+
+  test("composed verdicts equal the standalone screens; admitted conjunction; index covers rejected docs") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("in-index") + "/index"
+    val srcDir = tmp("in-src")
+    val verdictDir = tmp("in-verdicts") + "/v"
+    val ckpt = tmp("in-ckpt")
+
+    def run(): Unit = {
+      val q = StreamingIntake.sink(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL("doc_id bigint, text string"))
+          .json(srcDir),
+        indexDir, screen, verdictDir, ckpt).start()
+      q.awaitTermination()
+    }
+
+    batch1.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    run()
+    batch2.toDF("doc_id", "text").write.mode("append").json(srcDir)
+    run()
+
+    val v = verdictMap(spark.read.parquet(verdictDir))
+    assert(v.keySet == (batch1 ++ batch2).map(_._1).toSet,
+      s"one verdict row per input doc expected: ${v.keySet}")
+    // the engineered shape, stated directly
+    assert(v(0L) == ((false, false, true)))
+    assert(v(1L) == ((true, false, false)), s"near-copy of doc 0: ${v(1L)}")
+    assert(v(2L) == ((false, true, false)), s"verbatim eval copy: ${v(2L)}")
+    assert(v(3L) == ((false, false, true)), s"short doc must get explicit falses: ${v(3L)}")
+    assert(v(10L)._1, s"near-copy of a CONTAMINATED doc must still flag near-dup " +
+      s"(the index must ingest rejected docs): ${v(10L)}")
+    assert(v(11L) == ((false, false, true)))
+    // admitted ≡ !near_dup && !contaminated, row by row
+    v.foreach { case (id, (nd, dc, adm)) =>
+      assert(adm == (!nd && !dc), s"doc $id: admitted=$adm vs nd=$nd dc=$dc")
+    }
+
+    // verdict-equality vs the standalone screens, replayed batch-by-batch
+    // into a SEPARATE index: every shared column must agree exactly
+    val soloIndex = tmp("in-solo") + "/index"
+    val solo = Seq(batch1 -> 0L, batch2 -> 1L).map { case (rows, bid) =>
+      val df = rows.toDF("doc_id", "text")
+      StreamingNearDup.screenBatch(df, soloIndex, bid)
+        .join(StreamingDecontam.screenBatch(df, screen), Seq("doc_id"))
+    }.reduce(_ unionByName _)
+      .select($"doc_id", $"is_near_dup", $"matched_doc", $"est_jaccard",
+        $"is_contaminated", $"n_shared_ngrams")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val composed = spark.read.parquet(verdictDir)
+      .select($"doc_id", $"is_near_dup", $"matched_doc", $"est_jaccard",
+        $"is_contaminated", $"n_shared_ngrams")
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(composed == solo,
+      s"composition changed a screen's verdict:\n composed=$composed\n solo=$solo")
+
+    // replay idempotence: re-screening batch 2 under its original batchId
+    // converges — identical verdicts, no index growth
+    val before = spark.read.parquet(indexDir).count()
+    val again = verdictMap(
+      StreamingIntake.screenBatch(batch2.toDF("doc_id", "text"), indexDir, 1L, screen))
+    assert(again == v.filter { case (id, _) => batch2.exists(_._1 == id) },
+      s"replayed batch-2 verdicts drifted: $again")
+    assert(spark.read.parquet(indexDir).count() == before,
+      "replay must dynamic-overwrite its own partition, not append")
+  }
+
+  test("the composed screen plan stays nested-loop-free") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("in-plan") + "/index"
+    val p = StreamingIntake.screenBatch(
+      batch1.toDF("doc_id", "text"), indexDir, 0L, screen)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"composed intake degenerated to a cartesian:\n${p.take(1500)}")
+  }
+}
