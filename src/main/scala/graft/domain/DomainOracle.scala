@@ -88,7 +88,11 @@ object DomainOracle {
     out.write(genVersion.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
 
-    if (!fs.rename(build, target)) fs.delete(build, true) // another builder won
+    // Treat an existing target as a loss EXPLICITLY: Hadoop rename
+    // semantics move the source INTO an existing destination directory
+    // (returning true) rather than failing, which would leave the losing
+    // build as a junk subdirectory inside the published dir.
+    if (fs.exists(target) || !fs.rename(build, target)) fs.delete(build, true)
     require(ok, s"domain bronze publish failed: $bronzeDir has no complete copy")
     bronzeDir
   }

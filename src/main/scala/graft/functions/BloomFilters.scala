@@ -32,7 +32,11 @@ object BloomFilters {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_might_contain",
-      exprs => BloomFilterMightContain(exprs(0), exprs(1)), "built-in")
+      exprs => {
+        require(exprs.length == 2,
+          s"bloom_might_contain(bloom_bytes, hash64) expects 2 arguments, got ${exprs.length}")
+        BloomFilterMightContain(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Build a Bloom filter over `xxhash64(key)` of `df` and return it as a
     * foldable binary literal. Key space matches `bloom_might_contain`'s

@@ -74,7 +74,11 @@ object FloatVecDot {
   /** Register `vec_dot` on the session (SQL + Column surface). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+      "vec_dot", exprs => {
+        require(exprs.length == 2,
+          s"vec_dot(vec_a, vec_b) expects 2 arguments, got ${exprs.length}")
+        FloatVecDot(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column-API surface — requires [[register]] on the session first
     * (the public Column↔Expression bridge in Spark 4 is the function

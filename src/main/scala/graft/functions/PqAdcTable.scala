@@ -120,7 +120,13 @@ object PqAdcTable {
   /** Register `pq_adc_table` on the session (SQL + Column surface). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_adc_table", exprs => PqAdcTable(exprs(0), exprs(1)), "built-in")
+      "pq_adc_table", exprs => {
+        // wrong SQL arity must surface as an analysis-time error with the
+        // expected signature, not an IndexOutOfBoundsException
+        require(exprs.length == 2,
+          s"pq_adc_table(quantized_vec, codebook) expects 2 arguments, got ${exprs.length}")
+        PqAdcTable(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column-API surface. */
   def adcTable(spark: SparkSession, vec: Column, codebook: Column): Column = {

@@ -127,7 +127,13 @@ object PqEncode {
   /** Register `pq_encode` on the session (SQL + Column surface). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "pq_encode", exprs => PqEncode(exprs(0), exprs(1)), "built-in")
+      "pq_encode", exprs => {
+        // wrong SQL arity must surface as an analysis-time error with the
+        // expected signature, not an IndexOutOfBoundsException
+        require(exprs.length == 2,
+          s"pq_encode(quantized_vec, codebook) expects 2 arguments, got ${exprs.length}")
+        PqEncode(exprs(0), exprs(1))
+      }, "built-in")
 
   /** Column-API surface: `codes = pqEncode(spark, quantizedVec, typedlit(codebook))`. */
   def pqEncode(spark: SparkSession, vec: Column, codebook: Column): Column = {

@@ -59,7 +59,8 @@ object IvfPq {
     val probeT = probes
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         PqIndex.quantizeCol(col("embedding")).as("pq"))
-      .select(col("query_id"), col("q_emb"), PqIndex.adcTable(pq, col("pq")).as("dt"))
+      .select(col("query_id"), col("q_emb"),
+        PqIndex.adcTable(probes.sparkSession, pq, col("pq")).as("dt"))
     val shortlisted = probeCells
       .join(members, Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))

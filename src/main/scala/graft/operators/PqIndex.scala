@@ -182,12 +182,14 @@ object PqIndex {
     * not CSE'd). Shared by [[query]] and the IVF×PQ composition
     * ([[IvfPq]]).
     */
-  def adcTable(pq: Pq, qemb: Column): Column = {
+  def adcTable(spark: SparkSession, pq: Pq, qemb: Column): Column = {
     // native fused-loop table build (see functions/PqAdcTable): the HOF
     // form interprets m·k·dsub nodes per row — visible in the bench at
-    // the 8-bit codebooks. Identical integer arithmetic.
-    graft.functions.PqAdcTable.register(
-      org.apache.spark.sql.SparkSession.active)
+    // the 8-bit codebooks. Identical integer arithmetic. The session is
+    // threaded explicitly like every other builder in this file —
+    // SparkSession.active throws on threads with no active session
+    // (e.g. a pool thread driving a query build).
+    graft.functions.PqAdcTable.register(spark)
     call_function("pq_adc_table", qemb, typedlit(pq.codebook))
   }
 
@@ -208,7 +210,7 @@ object PqIndex {
   def query(spark: SparkSession, pq: Pq, probes: DataFrame, topk: Int = 1): DataFrame = {
     val probeT = probes
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("pq"))
-      .select(col("query_id"), adcTable(pq, col("pq")).as("dt"))
+      .select(col("query_id"), adcTable(spark, pq, col("pq")).as("dt"))
     val adc = adcDistance(col("dt"), col("codes"))
     pq.encoded
       .join(broadcast(probeT))

@@ -25,8 +25,8 @@ import graft.Tables
   *  - MinHash+LSH: fixed-width signature per doc (one aggregate), then a
   *    candidate join per band bucket — the join key is the band hash, so
   *    candidate generation is linear in bucket sizes, never all-pairs;
-  *  - SimHash: 16-bit fingerprint per doc; candidate pairs join on equal
-  *    8-bit fingerprint bands (pigeonhole: hamming ≤ 1 ⇒ one band equal),
+  *  - SimHash: 32-bit fingerprint per doc; candidate pairs join on equal
+  *    16-bit fingerprint bands (pigeonhole: hamming ≤ 1 ⇒ one band equal),
   *    hamming-verified within buckets — never all-pairs.
   */
 object Dedup {
@@ -237,9 +237,10 @@ object Dedup {
     (s, dir) => minhashPairsFast(s, dir)
   }
 
-  /** D4: 16-bit SimHash from per-word md5 bits: fingerprint bit j is the
+  /** D4: 32-bit SimHash from per-word md5 bits: fingerprint bit j is the
     * sign of Σ±1 votes over the doc's words; near-dup pairs have hamming
-    * distance ≤ 3. (64-bit at scale; 16 keeps the oracle SQL tractable.)
+    * distance ≤ 1 — the two 16-bit bands guarantee recall exactly up to
+    * that radius. (64-bit at scale; 32 keeps the oracle SQL tractable.)
     */
   val simhash = Q("d4_simhash", {
     // hex digit d of md5(word) → 4 bits; value via strpos table lookup.

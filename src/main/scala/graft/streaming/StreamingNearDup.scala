@@ -142,6 +142,22 @@ object StreamingNearDup {
     * forever, and a week of 60 s triggers is ~10k directories whose
     * listing/footer costs dominate the probe long before data size does.
     *
+    * WHEN to run: between micro-batches, or from inside the foreachBatch
+    * callback after `screenBatch` returns — never concurrently with a
+    * probe. The live partition is protected by `liveBatchId`, but a probe
+    * that already PLANNED its scan over folded source partitions can hit
+    * FileNotFoundException when the deletes land mid-scan (self-healing
+    * on the foreachBatch retry, yet an avoidable failure — the
+    * between-batch placement avoids it by construction).
+    *
+    * INCREMENTAL by default: an already-consolidated partition (negative
+    * id) is NOT re-folded unless small per-batch partitions have
+    * accumulated past `fullRefoldAt` (or consolidated partitions
+    * themselves have), so a steady-state call rewrites only the new
+    * batches' rows, not the whole history — full-history rewrites are
+    * amortized to one in `fullRefoldAt` compactions while the total
+    * partition count stays bounded by ~2·`fullRefoldAt`.
+    *
     * Safety argument (each property load-bearing):
     *  - the LIVE batch's partition is never touched, so a concurrent or
     *    replayed `screenBatch(_, _, liveBatchId)` keeps its exactly-once
@@ -154,14 +170,17 @@ object StreamingNearDup {
     *    root; source partitions are deleted only after it lands. A crash
     *    between publish and the deletes leaves DUPLICATE band rows —
     *    harmless for verdicts (candidates aggregate per doc via
-    *    min_by, so duplicate rows collapse) and self-healing (the next
-    *    fold's dropDuplicates removes them);
+    *    min_by, so duplicate rows collapse) and self-healing
+    *    (dropDuplicates removes them at the next fold that covers both
+    *    copies — at latest the next FULL refold, for a crash whose
+    *    leftovers straddle a consolidated partition);
     *  - an orphaned build dir from a crashed run is removed at entry.
     *
     * Returns (partitions folded, files before, files after).
     */
   def compactIndex(spark: SparkSession, indexDir: String, liveBatchId: Long,
-      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fullRefoldAt: Int = 16): (Int, Int, Int) = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -173,13 +192,20 @@ object StreamingNearDup {
       s.isDirectory && s.getPath.getName.startsWith("__batch="))
     def files(p: Path): Int =
       fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-    val folds = partDirs.filter(_.getPath.getName != s"__batch=$liveBatchId")
+    val nonLive = partDirs.filter(_.getPath.getName != s"__batch=$liveBatchId")
+    def id(s: org.apache.hadoop.fs.FileStatus): Long =
+      s.getPath.getName.stripPrefix("__batch=").toLong
+    val (consolidated, smalls) = nonLive.partition(id(_) < 0L)
+    val folds =
+      if (smalls.length >= fullRefoldAt || consolidated.length >= fullRefoldAt) nonLive
+      else smalls
     if (folds.length <= 1) return (0, 0, 0)
     val filesBefore = folds.map(s => files(s.getPath)).sum
     val bytes = folds.map(s => fs.getContentSummary(s.getPath).getLength).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val freshId = math.min(
-      folds.map(_.getPath.getName.stripPrefix("__batch=").toLong).min, 0L) - 1L
+    // below EVERY existing partition id (folded or not), so untouched
+    // consolidated partitions can never collide with the new one
+    val freshId = math.min(nonLive.map(id).min, 0L) - 1L
 
     spark.read.parquet(folds.map(_.getPath.toString): _*)
       .dropDuplicates("doc_id", "band_idx") // heals a previous crash's leftovers

@@ -166,11 +166,29 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
     (0 until 40).foreach { i =>
       assert(v(500L + i) == (i < 10), s"post-compaction verdict wrong for doc ${500 + i}")
     }
-    // a second fold (now with the live batch written) folds {consolidated, batch-5}
-    val (folded2, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 6L)
-    assert(folded2 == 2 && partDirs.length == 1)
-    // idempotence: nothing left to fold
+    // INCREMENTAL contract: one new small partition is not worth a
+    // rewrite, and the consolidated partition is never re-folded below
+    // the threshold — history stays untouched
     assert(StreamingNearDup.compactIndex(spark, indexDir, 6L) == ((0, 0, 0)))
+    assert(partDirs.length == 2)
+    StreamingNearDup.screenBatch(batchDf(6), indexDir, 6L).count()
+    val contentAll = spark.read.parquet(indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet
+    val consolBefore = partDirs.filter(_.stripPrefix("__batch=").toLong < 0).toSet
+    // two small partitions (5, 6) fold into a NEW consolidated partition;
+    // the big history partition is not rewritten
+    val (folded2, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 7L)
+    assert(folded2 == 2, s"expected the two small partitions to fold, got $folded2")
+    assert(partDirs.length == 2 && consolBefore.subsetOf(partDirs.toSet),
+      s"history partition must survive an incremental fold: ${partDirs.toSeq}")
+    // past the threshold (2 consolidated partitions) a FULL refold merges
+    // everything into one
+    val (folded3, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 7L, fullRefoldAt = 2)
+    assert(folded3 == 2 && partDirs.length == 1, s"full refold expected: ${partDirs.toSeq}")
+    assert(spark.read.parquet(indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet == contentAll)
+    // idempotence: nothing left to fold
+    assert(StreamingNearDup.compactIndex(spark, indexDir, 7L, fullRefoldAt = 2) == ((0, 0, 0)))
   }
 
   test("soak: heavy-dup batches against a growing index stay bounded") {
