@@ -63,16 +63,25 @@ object Tables {
     StructField("l_linestatus", StringType),
     StructField("l_shipdate", TimestampType)))
 
-  // events.ts is parquet TIMESTAMP(NANOS) which Spark reads as Long only
-  // (with spark.sql.legacy.parquet.nanosAsLong=true, set in all sessions);
-  // use `eventTime` below for a usable TimestampType column.
+  // Contract: `ts` is always surfaced as TimestampType (µs precision, the
+  // only precision Spark timestamps carry). The physical layout on disk has
+  // drifted across testdata generations (int64 epoch-ns → timestamp[us]),
+  // so `events()` below sniffs the parquet footer and normalizes — any
+  // OTHER physical type fails loudly instead of silently skewing units.
   val events: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Legacy physical layout: ts stored as a plain int64 of epoch-NANOS. */
+  private val eventsTsLong: StructType =
+    StructType(events.fields.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
 
   val documents: StructType = StructType(Seq(
     StructField("doc_id", LongType),
@@ -106,16 +115,57 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
 
-  /** events with `event_time: TimestampType` (microsecond truncation of the
-    * nanosecond source — Spark timestamps are micros).
+  /** Footer-sniffed `ts` physical type per path — one footer read per path
+    * per JVM, so repeated loads (Bench runs 115 queries) stay cheap.
+    */
+  private val tsPhysical =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** events with the `ts: TimestampType` contract, whatever the physical
+    * layout. The driver has regenerated the testdata with a different ts
+    * unit once already (int64 epoch-ns → timestamp[us]); a pinned schema
+    * would reinterpret the raw values 1000× off WITHOUT any error, so this
+    * loader sniffs the footer and either reads natively (timestamp[us]) or
+    * converts (int64 epoch-ns), and throws on anything else. The sniff is
+    * one footer read; the actual scan still uses an explicit schema, so
+    * pushdown/pruning behave exactly as the pinned-schema loads above.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$dir/events.parquet"
+    val phys = tsPhysical.computeIfAbsent(path, p =>
+      try spark.read.parquet(p).schema("ts").dataType
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"events.ts: cannot determine physical type of $p (TIMESTAMP(NANOS) " +
+            "needs spark.sql.legacy.parquet.nanosAsLong=true to even load; " +
+            "the expected layouts are timestamp[us] or int64 epoch-ns)", e)
+      })
+    phys match {
+      case TimestampType | TimestampNTZType =>
+        // native µs timestamp — read through the pinned contract schema
+        spark.read.schema(events).parquet(path)
+      case LongType =>
+        // legacy int64 epoch-ns; integer div (epoch-ns ≈ 1.7e18 overflows
+        // double precision, so no `/`), then restore column order
+        spark.read.schema(eventsTsLong).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(events.fieldNames.map(col).toIndexedSeq: _*)
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical type $other in $path — expected " +
+          "timestamp[us] (current driver layout) or int64 epoch-ns (legacy). " +
+          "The testdata generator has changed layout again; update Tables.events.")
+    }
+  }
+
+  /** events with `event_time: TimestampType` — alias of `ts` now that the
+    * loader normalizes to the timestamp contract; kept for call-site
+    * stability (streaming specs address `event_time`).
     */
   def eventsWithTime(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    // integer div: epoch-ns ≈ 1.7e18 overflows double precision, so no `/`
-    events(spark, dir)
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events(spark, dir).withColumn("event_time", col("ts"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

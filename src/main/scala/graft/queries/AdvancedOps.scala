@@ -19,7 +19,7 @@ object AdvancedOps {
     */
   val sessionize = Q("w4_sessionize",
     """WITH flagged AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, event_id, value,
       |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
       |                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
       |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -27,7 +27,7 @@ object AdvancedOps {
       |  FROM events),
       |sessions AS (
       |  SELECT user_id, ts, value,
-      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       |  FROM flagged)
       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
@@ -38,10 +38,12 @@ object AdvancedOps {
       |GROUP BY user_id, session_id""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // BOTH windows (flag and running-sum) order by (ts, event_id): the
+      // event_id tiebreak keeps same-timestamp events in one order across
+      // the two windows and across engines — oracle SQL pins the same pair
       val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val gapUs = 30L * 60 * 1000000 // 30 min in µs
-      // events.ts is epoch-ns long; µs on both sides (oracle epoch_us)
-      val tsUs = expr("ts div 1000")
+      val tsUs = unix_micros($"ts")
       val flagged = Tables.events(s, dir)
         .select($"user_id", $"ts", $"event_id", $"value", tsUs.as("ts_us"))
         .withColumn("new_session",
@@ -50,8 +52,7 @@ object AdvancedOps {
       flagged
         .withColumn("session_id",
           sum($"new_session").over(
-            Window.partitionBy($"user_id").orderBy($"ts")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_id")
         .agg(
           count(lit(1)).as("n_events"),
@@ -163,9 +164,9 @@ object AdvancedOps {
       |  ON e.user_id = o.o_custkey AND e.event_time >= o.o_orderdate""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      // µs timeline on both sides (events.ts is ns; orders timestamps are µs)
+      // µs timeline on both sides (unix_micros of both timestamps)
       val events = Tables.events(s, dir)
-        .select($"user_id".as("k"), expr("ts div 1000").as("t_us"),
+        .select($"user_id".as("k"), unix_micros($"ts").as("t_us"),
           $"event_id", lit(null).cast("long").as("o_orderkey"), lit(1).as("is_event"))
       // ties on (customer, time) are resolved to the max order key BEFORE
       // the as-of (ASOF's pick among equal timestamps is engine-defined)
@@ -213,7 +214,7 @@ object AdvancedOps {
       import s.implicits._
       val win = 600000000L // 10 min in µs; bucket size == window size
       val ev = Tables.events(s, dir)
-        .select($"event_id", $"event_type", expr("ts div 1000").as("t_us"))
+        .select($"event_id", $"event_type", unix_micros($"ts").as("t_us"))
       val p = ev.filter($"event_type" === "purchase").select($"event_id", $"t_us")
       val err = ev.filter($"event_type" === "error")
         .select($"t_us".as("e_us"), expr(s"t_us div $win").as("bucket"))

@@ -43,18 +43,18 @@ object Aggregations {
   }
 
   /** A3: max-watermark checkpoint aggregate
-    * (`bronze_to_silver_all_sources.py:93`).
-    */
-  /** Micros on both sides: DuckDB timestamps are µs (the parquet ns source
-    * is truncated on read), Spark reads the raw ns long — `div 1000` aligns.
+    * (`bronze_to_silver_all_sources.py:93`). Watermarks surfaced as
+    * epoch-µs longs on both sides (DuckDB `epoch_us` ≡ Spark
+    * `unix_micros`); the agg runs on the timestamp, the conversion on the
+    * single output row.
     */
   val a3Max = Q("a3_max_watermark",
     "SELECT epoch_us(max(ts)) AS high_watermark, epoch_us(min(ts)) AS low_watermark FROM events") {
     (s, dir) =>
       import s.implicits._
       Tables.events(s, dir)
-        .agg(expr("max(ts) div 1000").as("high_watermark"),
-             expr("min(ts) div 1000").as("low_watermark"))
+        .agg(unix_micros(max($"ts")).as("high_watermark"),
+             unix_micros(min($"ts")).as("low_watermark"))
   }
 
   /** A4/A6: count actions (guards, per-table stats,

@@ -38,7 +38,7 @@ object Funnels {
     (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir)
-        .select($"user_id", $"event_type", expr("ts div 1000").as("t_us"))
+        .select($"user_id", $"event_type", unix_micros($"ts").as("t_us"))
       val v = ev.filter($"event_type" === "view")
         .groupBy($"user_id").agg(min($"t_us").as("t_view_us"))
       val c = ev.filter($"event_type" === "click")
@@ -71,7 +71,7 @@ object Funnels {
     (s, dir) =>
       import s.implicits._
       val w = Tables.events(s, dir)
-        .select($"user_id", expr(s"(ts div 1000) div $weekUs").as("week"))
+        .select($"user_id", expr(s"unix_micros(ts) div $weekUs").as("week"))
       val cohort = w.groupBy($"user_id").agg(min($"week").as("cohort_week"))
       w.join(cohort, "user_id")
         .groupBy($"cohort_week", ($"week" - $"cohort_week").as("week_offset"))
@@ -98,11 +98,10 @@ object Funnels {
       |ORDER BY n_users DESC, path LIMIT 10""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      // rank on µs-truncated ts (as sessionize does): DuckDB orders on µs
-      // timestamps, so ranking Spark-side on raw ns would tie-break
-      // differently for two events inside the same µs
+      // ts is µs TimestampType on both engines; event_id tie-breaks
+      // same-timestamp events identically
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"user_id").orderBy(expr("ts div 1000"), $"event_id")
+        .partitionBy($"user_id").orderBy($"ts", $"event_id")
       Tables.events(s, dir)
         .select($"user_id", $"event_type", $"ts", $"event_id")
         .withColumn("rn", row_number().over(w))

@@ -104,11 +104,12 @@ object ScansProjections {
       |WHERE ts > TIMESTAMP '2024-01-25 00:00:00'""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      // checkpoint in epoch-ns (events.ts is read as ns long)
-      val ckptNs = java.time.LocalDateTime.parse("2024-01-25T00:00:00")
-        .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000000L
+      // checkpoint as a timestamp literal (ts is TimestampType; sessions
+      // run UTC, matching DuckDB's naive-timestamp read of the parquet) —
+      // to_timestamp(lit) folds to a constant, so the predicate is pushed
+      // to the scan (PlanSpec asserts PushedFilters: GreaterThan(ts ...))
       Tables.events(s, dir)
-        .filter($"ts" > lit(ckptNs))
+        .filter($"ts" > to_timestamp(lit("2024-01-25 00:00:00")))
         .select($"event_id", $"user_id", $"event_type", $"value")
   }
 

@@ -69,6 +69,57 @@ object StreamingNearDup {
         s"doc_id bigint, $mh, band_idx int, band_key bigint, __batch bigint"))
   }
 
+  /** Partition dirs marked for DEFERRED deletion by the last compaction.
+    * Their rows already live in a consolidated partition; they are kept on
+    * disk for one full compaction cycle so a probe that planned its scan
+    * over them before the fold published can still finish (no
+    * FileNotFoundException), and they are excluded from new probes so the
+    * probe cost does not double. The `_` prefix hides the manifest from
+    * Spark's parquet listing; format is one dir name per line.
+    */
+  private val pendingFile = "_graft_pending_delete"
+
+  private def readPending(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, pendingFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private def writePending(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
+    val target = new org.apache.hadoop.fs.Path(root, pendingFile)
+    if (names.isEmpty) { fs.delete(target, false); return }
+    // write-then-rename so a reader never sees a torn manifest
+    val tmp = new org.apache.hadoop.fs.Path(root, pendingFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"index consolidation: could not publish $target")
+  }
+
+  /** The history a probe reads: every `__batch=` partition except those
+    * pending deletion (already folded — reading them would only duplicate
+    * rows and double the probe cost).
+    */
+  def historyScan(spark: SparkSession, indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return emptyIndex(spark)
+    val pending = readPending(fs, root)
+    val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("__batch=") && !pending(s.getPath.getName))
+    if (dirs.isEmpty) emptyIndex(spark)
+    else spark.read.option("basePath", indexDir)
+      .parquet(dirs.map(_.getPath.toString).toIndexedSeq: _*)
+  }
+
   /** Screen one batch against the persisted index plus itself, append the
     * batch's band rows (idempotently), and return per-doc verdicts:
     * `(doc_id, is_near_dup, matched_doc, est_jaccard)` where matched_doc
@@ -79,13 +130,8 @@ object StreamingNearDup {
     val sigs = signatures(batch).cache()
     val fresh = bandRows(sigs)
 
-    val fs = new org.apache.hadoop.fs.Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hist =
-      if (fs.exists(new org.apache.hadoop.fs.Path(indexDir)))
-        // a replayed batch must not see its own half-appended rows
-        spark.read.parquet(indexDir).filter(col("__batch") =!= batchId)
-      else emptyIndex(spark)
+    // a replayed batch must not see its own half-appended rows
+    val hist = historyScan(spark, indexDir).filter(col("__batch") =!= batchId)
 
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(col("doc_id").as(s"${tag}_id") +: col("band_idx") +: col("band_key") +:
@@ -142,13 +188,14 @@ object StreamingNearDup {
     * forever, and a week of 60 s triggers is ~10k directories whose
     * listing/footer costs dominate the probe long before data size does.
     *
-    * WHEN to run: between micro-batches, or from inside the foreachBatch
-    * callback after `screenBatch` returns — never concurrently with a
-    * probe. The live partition is protected by `liveBatchId`, but a probe
-    * that already PLANNED its scan over folded source partitions can hit
-    * FileNotFoundException when the deletes land mid-scan (self-healing
-    * on the foreachBatch retry, yet an avoidable failure — the
-    * between-batch placement avoids it by construction).
+    * SAFE TO RUN CONCURRENTLY WITH A PROBE: folded source partitions are
+    * not deleted here but marked in a pending-delete manifest and removed
+    * at the NEXT compaction, one full cycle later. A probe that already
+    * planned its scan over them still finds every file; probes planned
+    * after the fold read `historyScan`, which skips pending partitions
+    * (no duplicate rows, no doubled probe cost). The only residual hazard
+    * is a single probe spanning two entire compaction cycles — orders of
+    * magnitude beyond any trigger interval.
     *
     * INCREMENTAL by default: an already-consolidated partition (negative
     * id) is NOT re-folded unless small per-batch partitions have
@@ -167,13 +214,13 @@ object StreamingNearDup {
     *    the `__batch =!= batchId` history filter still excludes exactly
     *    the live batch;
     *  - publish is one rename of a directory built outside the index
-    *    root; source partitions are deleted only after it lands. A crash
-    *    between publish and the deletes leaves DUPLICATE band rows —
-    *    harmless for verdicts (candidates aggregate per doc via
-    *    min_by, so duplicate rows collapse) and self-healing
-    *    (dropDuplicates removes them at the next fold that covers both
-    *    copies — at latest the next FULL refold, for a crash whose
-    *    leftovers straddle a consolidated partition);
+    *    root; source partitions are marked pending-delete only after it
+    *    lands. A crash between publish and the manifest write leaves
+    *    DUPLICATE band rows visible — harmless for verdicts (candidates
+    *    aggregate per doc via min_by, so duplicate rows collapse) and
+    *    self-healing (dropDuplicates removes them at the next fold that
+    *    covers both copies — at latest the next FULL refold, for
+    *    leftovers that straddle a consolidated partition);
     *  - an orphaned build dir from a crashed run is removed at entry.
     *
     * Returns (partitions folded, files before, files after).
@@ -187,6 +234,12 @@ object StreamingNearDup {
     if (!fs.exists(root)) return (0, 0, 0)
     val tmp = new Path(indexDir + ".consolidate.tmp")
     fs.delete(tmp, true)
+
+    // the previous fold's sources have now survived one full cycle — any
+    // probe planned over them has long finished; physically delete them
+    val pendingAtEntry = readPending(fs, root)
+    pendingAtEntry.foreach(n => fs.delete(new Path(root, n), true))
+    if (pendingAtEntry.nonEmpty) writePending(fs, root, Seq.empty)
 
     def partDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("__batch="))
@@ -214,7 +267,9 @@ object StreamingNearDup {
     val target = new Path(root, s"__batch=$freshId")
     if (!fs.rename(tmp, target))
       throw new IllegalStateException(s"index consolidation: could not publish $target")
-    folds.foreach(s => fs.delete(s.getPath, true))
+    // deferred deletion: mark, don't delete — an in-flight probe planned
+    // over these partitions keeps every file it expects until next fold
+    writePending(fs, root, folds.map(_.getPath.getName).toIndexedSeq)
     (folds.length, filesBefore, files(target))
   }
 

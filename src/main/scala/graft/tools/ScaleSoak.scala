@@ -64,7 +64,6 @@ object ScaleSoak {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d1 = "/tmp/graft_soak_1x"

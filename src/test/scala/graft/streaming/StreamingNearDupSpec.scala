@@ -147,6 +147,12 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch=")).map(_.getPath.getName)
+    // what a NEW probe sees: physical partitions minus pending-delete ones
+    // (folded sources linger one compaction cycle for in-flight probes)
+    def liveDirs = {
+      val hist = StreamingNearDup.historyScan(spark, indexDir)
+      hist.select($"__batch").distinct().as[Long].collect().map(b => s"__batch=$b")
+    }
     assert(partDirs.length == 5)
     val before = spark.read.parquet(indexDir)
       .select($"doc_id", $"band_idx", $"band_key").collect().toSet
@@ -154,10 +160,12 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
     // live batch = 5 (the next one); everything else folds into one part
     val (folded, _, filesAfter) = StreamingNearDup.compactIndex(spark, indexDir, 5L)
     assert(folded == 5 && filesAfter >= 1)
-    assert(partDirs.length == 1 && partDirs.head.stripPrefix("__batch=").toLong < 0,
-      s"got ${partDirs.toSeq}")
+    assert(liveDirs.length == 1 && liveDirs.head.stripPrefix("__batch=").toLong < 0,
+      s"got ${liveDirs.toSeq}")
+    // folded sources still on disk (deferred), but excluded from probes
+    assert(partDirs.length == 6, s"sources must linger one cycle: ${partDirs.toSeq}")
     // content identical (modulo the __batch bookkeeping column)
-    assert(spark.read.parquet(indexDir)
+    assert(StreamingNearDup.historyScan(spark, indexDir)
       .select($"doc_id", $"band_idx", $"band_key").collect().toSet == before)
 
     // screening continues identically: batch 5 re-fetches from batch 4
@@ -168,27 +176,73 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
     }
     // INCREMENTAL contract: one new small partition is not worth a
     // rewrite, and the consolidated partition is never re-folded below
-    // the threshold — history stays untouched
+    // the threshold — history stays untouched. This no-op call also
+    // physically removes the previous fold's pending sources (their one
+    // cycle of grace is over).
     assert(StreamingNearDup.compactIndex(spark, indexDir, 6L) == ((0, 0, 0)))
-    assert(partDirs.length == 2)
+    assert(partDirs.length == 2, s"pending sources must be gone: ${partDirs.toSeq}")
     StreamingNearDup.screenBatch(batchDf(6), indexDir, 6L).count()
     val contentAll = spark.read.parquet(indexDir)
       .select($"doc_id", $"band_idx", $"band_key").collect().toSet
-    val consolBefore = partDirs.filter(_.stripPrefix("__batch=").toLong < 0).toSet
+    val consolBefore = liveDirs.filter(_.stripPrefix("__batch=").toLong < 0).toSet
     // two small partitions (5, 6) fold into a NEW consolidated partition;
     // the big history partition is not rewritten
     val (folded2, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 7L)
     assert(folded2 == 2, s"expected the two small partitions to fold, got $folded2")
-    assert(partDirs.length == 2 && consolBefore.subsetOf(partDirs.toSet),
-      s"history partition must survive an incremental fold: ${partDirs.toSeq}")
+    assert(liveDirs.length == 2 && consolBefore.subsetOf(liveDirs.toSet),
+      s"history partition must survive an incremental fold: ${liveDirs.toSeq}")
     // past the threshold (2 consolidated partitions) a FULL refold merges
     // everything into one
     val (folded3, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 7L, fullRefoldAt = 2)
-    assert(folded3 == 2 && partDirs.length == 1, s"full refold expected: ${partDirs.toSeq}")
-    assert(spark.read.parquet(indexDir)
+    assert(folded3 == 2 && liveDirs.length == 1, s"full refold expected: ${liveDirs.toSeq}")
+    assert(StreamingNearDup.historyScan(spark, indexDir)
       .select($"doc_id", $"band_idx", $"band_key").collect().toSet == contentAll)
-    // idempotence: nothing left to fold
+    // idempotence: nothing left to fold (and the last pending set drains)
     assert(StreamingNearDup.compactIndex(spark, indexDir, 7L, fullRefoldAt = 2) == ((0, 0, 0)))
+    assert(partDirs.length == 1, s"only the consolidated partition remains: ${partDirs.toSeq}")
+  }
+
+  test("a probe planned before compaction drains without error") {
+    // the operational hazard compaction used to document: a probe whose
+    // scan was PLANNED (file listing resolved) before the fold would hit
+    // FileNotFoundException when the fold deleted its source partitions
+    // mid-scan. Deferred deletion keeps those files for one full cycle:
+    // the in-flight probe drains to the same rows, new probes skip the
+    // pending partitions, and the next compaction reclaims the space.
+    val indexDir = tmp("ndp-index") + "/index"
+    def batchDf(b: Int) = (0 until 20).map { i =>
+      val id = b * 100L + i; (id, sentence(id.toInt))
+    }.toDF("doc_id", "text")
+    (0 until 4).foreach(b => StreamingNearDup.screenBatch(batchDf(b), indexDir, b.toLong).count())
+
+    // plan a probe-shaped scan NOW — spark.read.parquet snapshots the file
+    // listing at plan time, exactly like an in-flight screenBatch
+    val planned = spark.read.parquet(indexDir)
+      .select($"doc_id", $"band_idx", $"band_key")
+    val expected = planned.collect().toSet // also warms nothing: re-collected below
+
+    val (folded, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 4L)
+    assert(folded == 4)
+    // the pre-fold plan still finds every file and every row
+    assert(planned.collect().toSet == expected)
+    // a new probe reads each band row exactly once (pending dirs skipped)
+    val hist = StreamingNearDup.historyScan(spark, indexDir)
+    assert(hist.count() == expected.size, "new probes must not see duplicate rows")
+    assert(hist.select($"doc_id", $"band_idx", $"band_key").collect().toSet == expected)
+    // screening itself stays correct across the pending window: an exact
+    // re-fetch of a folded doc is still flagged against the consolidated rows
+    val refetch = Seq((900L, sentence(5))).toDF("doc_id", "text") // copy of doc 5
+    val v = StreamingNearDup.screenBatch(refetch, indexDir, 4L)
+      .select($"doc_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    assert(v(900L), "probe against consolidated history must still match")
+    // next maintenance pass reclaims the space
+    StreamingNearDup.compactIndex(spark, indexDir, 5L)
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val physical = fs.listStatus(new org.apache.hadoop.fs.Path(indexDir))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__batch=")).map(_.getPath.getName)
+    assert(!physical.exists(n => (0 until 4).map(b => s"__batch=$b").contains(n)),
+      s"folded sources must be reclaimed at the next pass: ${physical.toSeq}")
   }
 
   test("soak: heavy-dup batches against a growing index stay bounded") {
