@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared machinery for batch-partitioned on-disk indexes — the storage
+  * contract behind the streaming screens ([[StreamingNearDup]],
+  * [[StreamingSemDedup]]): one `__batch=N` parquet partition per
+  * micro-batch (dynamic overwrite → replay-idempotent appends), probes
+  * that read the whole history, and a maintenance fold that consolidates
+  * the per-batch partitions without ever breaking an in-flight probe.
+  *
+  * DEFERRED DELETION is the concurrency story: a fold never deletes the
+  * partitions it consolidated. It lists them in a `_graft_pending_delete`
+  * manifest (published write-then-rename, so never torn) and the NEXT
+  * fold removes them — one full compaction cycle of grace. A probe that
+  * planned its scan before the fold keeps every file it resolved; probes
+  * planned after go through [[scan]], which skips pending partitions so
+  * no row is read twice. The only unprotected shape is a single probe
+  * spanning two entire compaction cycles.
+  */
+object PartitionedIndex {
+
+  private[streaming] val pendingFile = "_graft_pending_delete"
+
+  private[streaming] def fsFor(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val root = new Path(dir)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private[streaming] def readPending(fs: FileSystem, root: Path): Set[String] = {
+    val p = new Path(root, pendingFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  private[streaming] def writePending(fs: FileSystem, root: Path,
+      names: Seq[String]): Unit = {
+    val target = new Path(root, pendingFile)
+    if (names.isEmpty) { fs.delete(target, false); return }
+    // write-then-rename so a reader never sees a torn manifest
+    val tmp = new Path(root, pendingFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"index consolidation: could not publish $target")
+  }
+
+  /** Pending-aware history read: every `__batch=` partition except those
+    * marked for deferred deletion (their rows already live in a
+    * consolidated partition — reading them would duplicate). Returns None
+    * when the index has no live partitions yet (callers supply their own
+    * empty-schema frame).
+    */
+  def scan(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val (fs, root) = fsFor(spark, indexDir)
+    if (!fs.exists(root)) return None
+    val pending = readPending(fs, root)
+    val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("__batch=") && !pending(s.getPath.getName))
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", indexDir)
+      .parquet(dirs.map(_.getPath.toString).toIndexedSeq: _*))
+  }
+
+  /** Fold historical `__batch=N` partitions into one consolidated
+    * partition (fresh NEGATIVE id so it never collides with a real
+    * batchId). Incremental: consolidated partitions are only re-folded
+    * once `fullRefoldAt` small or consolidated partitions have
+    * accumulated, so steady-state calls rewrite only the new batches.
+    * The live batch's partition is never touched. `dedupKeys` heal the
+    * duplicate rows a crash between publish and manifest write can leave
+    * (the keys that identify one index row).
+    *
+    * Returns (partitions folded, files before, files after).
+    */
+  def compact(spark: SparkSession, indexDir: String, liveBatchId: Long,
+      dedupKeys: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fullRefoldAt: Int = 16): (Int, Int, Int) = {
+    val (fs, root) = fsFor(spark, indexDir)
+    if (!fs.exists(root)) return (0, 0, 0)
+    val tmp = new Path(indexDir + ".consolidate.tmp")
+    fs.delete(tmp, true)
+
+    // the previous fold's sources have now survived one full cycle — any
+    // probe planned over them has long finished; physically delete them
+    val pendingAtEntry = readPending(fs, root)
+    pendingAtEntry.foreach(n => fs.delete(new Path(root, n), true))
+    if (pendingAtEntry.nonEmpty) writePending(fs, root, Seq.empty)
+
+    def partDirs = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("__batch="))
+    def files(p: Path): Int =
+      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    val nonLive = partDirs.filter(_.getPath.getName != s"__batch=$liveBatchId")
+    def id(s: org.apache.hadoop.fs.FileStatus): Long =
+      s.getPath.getName.stripPrefix("__batch=").toLong
+    val (consolidated, smalls) = nonLive.partition(id(_) < 0L)
+    val folds =
+      if (smalls.length >= fullRefoldAt || consolidated.length >= fullRefoldAt) nonLive
+      else smalls
+    if (folds.length <= 1) return (0, 0, 0)
+    val filesBefore = folds.map(s => files(s.getPath)).sum
+    val bytes = folds.map(s => fs.getContentSummary(s.getPath).getLength).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    // below EVERY existing partition id (folded or not), so untouched
+    // consolidated partitions can never collide with the new one
+    val freshId = math.min(nonLive.map(id).min, 0L) - 1L
+
+    spark.read.parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
+      .dropDuplicates(dedupKeys)
+      .repartition(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val target = new Path(root, s"__batch=$freshId")
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"index consolidation: could not publish $target")
+    // deferred deletion: mark, don't delete — an in-flight probe planned
+    // over these partitions keeps every file it expects until next fold
+    writePending(fs, root, folds.map(_.getPath.getName).toIndexedSeq)
+    (folds.length, filesBefore, files(target))
+  }
+}

@@ -69,56 +69,13 @@ object StreamingNearDup {
         s"doc_id bigint, $mh, band_idx int, band_key bigint, __batch bigint"))
   }
 
-  /** Partition dirs marked for DEFERRED deletion by the last compaction.
-    * Their rows already live in a consolidated partition; they are kept on
-    * disk for one full compaction cycle so a probe that planned its scan
-    * over them before the fold published can still finish (no
-    * FileNotFoundException), and they are excluded from new probes so the
-    * probe cost does not double. The `_` prefix hides the manifest from
-    * Spark's parquet listing; format is one dir name per line.
-    */
-  private val pendingFile = "_graft_pending_delete"
-
-  private def readPending(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Set[String] = {
-    val p = new org.apache.hadoop.fs.Path(root, pendingFile)
-    if (!fs.exists(p)) Set.empty
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
-    }
-  }
-
-  private def writePending(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, names: Seq[String]): Unit = {
-    val target = new org.apache.hadoop.fs.Path(root, pendingFile)
-    if (names.isEmpty) { fs.delete(target, false); return }
-    // write-then-rename so a reader never sees a torn manifest
-    val tmp = new org.apache.hadoop.fs.Path(root, pendingFile + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"index consolidation: could not publish $target")
-  }
-
   /** The history a probe reads: every `__batch=` partition except those
     * pending deletion (already folded — reading them would only duplicate
-    * rows and double the probe cost).
+    * rows and double the probe cost). See [[PartitionedIndex]] for the
+    * deferred-deletion contract.
     */
-  def historyScan(spark: SparkSession, indexDir: String): DataFrame = {
-    val root = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return emptyIndex(spark)
-    val pending = readPending(fs, root)
-    val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("__batch=") && !pending(s.getPath.getName))
-    if (dirs.isEmpty) emptyIndex(spark)
-    else spark.read.option("basePath", indexDir)
-      .parquet(dirs.map(_.getPath.toString).toIndexedSeq: _*)
-  }
+  def historyScan(spark: SparkSession, indexDir: String): DataFrame =
+    PartitionedIndex.scan(spark, indexDir).getOrElse(emptyIndex(spark))
 
   /** Screen one batch against the persisted index plus itself, append the
     * batch's band rows (idempotently), and return per-doc verdicts:
@@ -227,51 +184,11 @@ object StreamingNearDup {
     */
   def compactIndex(spark: SparkSession, indexDir: String, liveBatchId: Long,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      fullRefoldAt: Int = 16): (Int, Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    val root = new Path(indexDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (0, 0, 0)
-    val tmp = new Path(indexDir + ".consolidate.tmp")
-    fs.delete(tmp, true)
-
-    // the previous fold's sources have now survived one full cycle — any
-    // probe planned over them has long finished; physically delete them
-    val pendingAtEntry = readPending(fs, root)
-    pendingAtEntry.foreach(n => fs.delete(new Path(root, n), true))
-    if (pendingAtEntry.nonEmpty) writePending(fs, root, Seq.empty)
-
-    def partDirs = fs.listStatus(root).filter(s =>
-      s.isDirectory && s.getPath.getName.startsWith("__batch="))
-    def files(p: Path): Int =
-      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
-    val nonLive = partDirs.filter(_.getPath.getName != s"__batch=$liveBatchId")
-    def id(s: org.apache.hadoop.fs.FileStatus): Long =
-      s.getPath.getName.stripPrefix("__batch=").toLong
-    val (consolidated, smalls) = nonLive.partition(id(_) < 0L)
-    val folds =
-      if (smalls.length >= fullRefoldAt || consolidated.length >= fullRefoldAt) nonLive
-      else smalls
-    if (folds.length <= 1) return (0, 0, 0)
-    val filesBefore = folds.map(s => files(s.getPath)).sum
-    val bytes = folds.map(s => fs.getContentSummary(s.getPath).getLength).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    // below EVERY existing partition id (folded or not), so untouched
-    // consolidated partitions can never collide with the new one
-    val freshId = math.min(nonLive.map(id).min, 0L) - 1L
-
-    spark.read.parquet(folds.map(_.getPath.toString): _*)
-      .dropDuplicates("doc_id", "band_idx") // heals a previous crash's leftovers
-      .repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
-    val target = new Path(root, s"__batch=$freshId")
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"index consolidation: could not publish $target")
-    // deferred deletion: mark, don't delete — an in-flight probe planned
-    // over these partitions keeps every file it expects until next fold
-    writePending(fs, root, folds.map(_.getPath.getName).toIndexedSeq)
-    (folds.length, filesBefore, files(target))
-  }
+      fullRefoldAt: Int = 16): (Int, Int, Int) =
+    // (doc_id, band_idx) identifies one band row — the crash-heal dedup key
+    PartitionedIndex.compact(spark, indexDir, liveBatchId,
+      dedupKeys = Seq("doc_id", "band_idx"),
+      targetFileBytes = targetFileBytes, fullRefoldAt = fullRefoldAt)
 
   /** Streaming sink: screen each micro-batch of `(doc_id, text)` rows
     * against the growing index, writing verdicts idempotently (per-batch

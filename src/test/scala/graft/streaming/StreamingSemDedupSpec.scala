@@ -1,0 +1,146 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+
+/** Streaming SemDeDup gates — mirrors StreamingNearDupSpec for the
+  * embedding screen: verdicts must equal the batch SemDeDup recompute
+  * over everything ingested so far (same frozen centroids), replay
+  * converges, the probe stays a cell equi-join, and compaction preserves
+  * screening.
+  */
+class StreamingSemDedupSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  // deterministic 8-dim corpus: family f's base vector is one-hot-ish on
+  // axis f%8 with a family-unique tail component, so distinct families
+  // are near-orthogonal (cos ≈ 0) and near-copies (tiny perturbation on a
+  // non-dominant axis) have cos ≈ 0.99 — far on either side of τ=0.9
+  private def base(f: Int): Array[Float] = {
+    val v = Array.fill(8)(0.0f)
+    v(f % 8) = 10.0f
+    v((f + 3) % 8) += 1.0f + (f % 5) * 0.1f
+    v
+  }
+  private def nearCopy(f: Int): Array[Float] = {
+    val v = base(f)
+    v((f + 5) % 8) += 0.3f
+    v
+  }
+
+  /** (vec_id, family, isCopy) → rows; copies of family f duplicate f's base */
+  private def vecs(rows: Seq[(Long, Int, Boolean)]) =
+    rows.map { case (id, f, copy) => (id, if (copy) nearCopy(f) else base(f)) }
+      .toDF("vec_id", "embedding")
+
+  test("stream screening equals batch SemDeDup recompute under the frozen codebook") {
+    val indexDir = tmp("ssd-index") + "/index"
+    val tau = 0.9
+
+    // batch 0: six fresh families + one intra-batch near-copy of vec 0
+    val b0 = vecs(Seq((0L, 0, false), (1L, 1, false), (2L, 2, false),
+      (3L, 3, false), (4L, 4, false), (5L, 5, false), (6L, 0, true)))
+    // batch 1: cross-batch near-copy of family 1, two fresh families,
+    // an exact re-send of vec 2's family base
+    val b1 = vecs(Seq((10L, 1, true), (11L, 6, false), (12L, 7, false),
+      (13L, 2, false)))
+    // batch 2: copies only
+    val b2 = vecs(Seq((20L, 6, true), (21L, 4, true)))
+
+    val v0 = StreamingSemDedup.screenBatch(b0, indexDir, 0L, k = 4, tau = tau)
+      .select($"vec_id", $"is_near_dup", $"matched_vec")
+      .as[(Long, Boolean, Option[Long])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(v0(0L) == (false, None) && v0(5L) == (false, None))
+    assert(v0(6L)._1 && v0(6L)._2.contains(0L), s"intra-batch near-copy missed: ${v0(6L)}")
+
+    val v1 = StreamingSemDedup.screenBatch(b1, indexDir, 1L, k = 4, tau = tau)
+      .select($"vec_id", $"is_near_dup", $"matched_vec")
+      .as[(Long, Boolean, Option[Long])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(v1(10L)._1 && v1(10L)._2.contains(1L), s"cross-batch near-copy missed: ${v1(10L)}")
+    assert(v1(11L)._1 == false && v1(12L)._1 == false)
+    assert(v1(13L)._1 && v1(13L)._2.contains(2L), s"exact cross-batch dup missed: ${v1(13L)}")
+
+    val v2 = StreamingSemDedup.screenBatch(b2, indexDir, 2L, k = 4, tau = tau)
+      .select($"vec_id", $"is_near_dup", $"matched_vec")
+      .as[(Long, Boolean, Option[Long])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(v2(20L)._1 && v2(20L)._2.contains(11L))
+    assert(v2(21L)._1 && v2(21L)._2.contains(4L))
+
+    // EQUIVALENCE: streamed is_near_dup must equal batch SemDeDup's
+    // NOT-keep over the full corpus, under the SAME (frozen) centroids
+    // and the same lower-id-survives rule — arrival order here is vec_id
+    // order, so the streaming "earlier" relation coincides with batch's
+    val all = b0.unionByName(b1).unionByName(b2)
+    val cents = StreamingSemDedup.centroidsFor(spark, indexDir, b0, k = 4, seed = 42L)
+    val assigned = StreamingSemDedup.assign(all, cents)
+      .select($"vec_id", $"embedding", $"cell_id")
+    val batchVerdicts = graft.operators.SemDedup.verdicts(assigned, tau)
+      .select($"vec_id", $"keep").as[(Long, Boolean)].collect().toMap
+    val streamed = (v0 ++ v1 ++ v2).map { case (k2, (d, _)) => k2 -> d }
+    batchVerdicts.foreach { case (id, keep) =>
+      assert(streamed(id) == !keep,
+        s"vec $id: streamed=${streamed(id)} batch keep=$keep")
+    }
+
+    // REPLAY: re-screening the last batch with ITS OWN batchId must not
+    // match the batch against its own indexed rows
+    val replayed = StreamingSemDedup.screenBatch(b2, indexDir, 2L, k = 4, tau = tau)
+      .select($"vec_id", $"is_near_dup", $"matched_vec")
+      .as[(Long, Boolean, Option[Long])].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(replayed == v2, s"replay diverged: $replayed vs $v2")
+
+    // PLAN: the probe shape (assigned batch ⋈ history on cell_id) is a
+    // hash equi-join — never a cartesian. The assignment itself contains
+    // a justified BNLJ (batch × broadcast k-row centroids), so checkpoint
+    // the assigned side to isolate the history join under test.
+    val probe = StreamingSemDedup.assign(b2, cents).localCheckpoint(true)
+      .join(PartitionedIndex.scan(spark, indexDir).get, Seq("cell_id"))
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup probe degenerated to a cartesian:\n$p")
+  }
+
+  test("centroids are frozen at first ingest and reused verbatim") {
+    val indexDir = tmp("ssd-frozen") + "/index"
+    val b0 = vecs(Seq((0L, 0, false), (1L, 1, false), (2L, 2, false), (3L, 3, false)))
+    val c1 = StreamingSemDedup.centroidsFor(spark, indexDir, b0, k = 2, seed = 42L)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    // a DIFFERENT "first" batch afterwards must not retrain
+    val other = vecs(Seq((100L, 7, false), (101L, 6, false), (102L, 5, false)))
+    val c2 = StreamingSemDedup.centroidsFor(spark, indexDir, other, k = 2, seed = 7L)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    assert(c1 == c2, "centroids must be frozen after first publish")
+  }
+
+  test("compaction folds the vector index and screening continues identically") {
+    val indexDir = tmp("ssd-compact") + "/index"
+    val tau = 0.9
+    // four batches of fresh families, then a batch of near-copies
+    (0 until 4).foreach { b =>
+      val rows = (0 until 2).map(i => ((b * 10 + i).toLong, b * 2 + i, false))
+      StreamingSemDedup.screenBatch(vecs(rows), indexDir, b.toLong, k = 4, tau = tau).count()
+    }
+    val before = PartitionedIndex.scan(spark, indexDir).get
+      .select($"vec_id", $"cell_id").collect().toSet
+
+    val (folded, _, _) = StreamingSemDedup.compactIndex(spark, indexDir, 4L)
+    assert(folded == 4)
+    assert(PartitionedIndex.scan(spark, indexDir).get
+      .select($"vec_id", $"cell_id").collect().toSet == before,
+      "fold must preserve every index row")
+
+    // a near-copy of a folded vector is still caught
+    val v = StreamingSemDedup.screenBatch(
+      vecs(Seq((100L, 3, true))), indexDir, 4L, k = 4, tau = tau)
+      .select($"vec_id", $"is_near_dup", $"matched_vec")
+      .as[(Long, Boolean, Option[Long])].collect().head
+    assert(v._2 && v._3.nonEmpty, s"post-fold screen missed a known near-copy: $v")
+  }
+}
