@@ -544,6 +544,44 @@ object Warehouse {
         .filter($"cum_tokens" <= $"budget")
   }
 
+  /** T21: temperature-smoothed multilingual sampling mix — the standard
+    * multilingual-LM recipe (XLM/mT5 style): language l is sampled with
+    * probability q_l ∝ n_l^α, α < 1, which UPSAMPLES low-resource
+    * languages relative to their natural share. α is pinned at 0.5 so the
+    * per-language weight is `sqrt(n_l)` — IEEE-exact in both engines,
+    * unlike a general `pow` whose libm rounding may differ in the last
+    * bit. The one cross-engine hazard is the DENOMINATOR Σ w_l: float
+    * addition is not associative, so both sides fold the per-language
+    * weights in PINNED lang-ascending order (Spark: `aggregate` over a
+    * `sort_array(collect_list(...))`; DuckDB: `sum(w ORDER BY lang)` —
+    * both sequential left folds from 0.0). At scale the per-language
+    * count is one partial-aggregated shuffle; the fold is over ≤ #langs
+    * rows — driver-trivial.
+    */
+  val temperatureMix = Q("t21_temperature_mix",
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |             sqrt(count(*)) AS weight
+      |           FROM documents GROUP BY lang),
+      |d AS (SELECT sum(weight ORDER BY lang) AS denom FROM c)
+      |SELECT c.lang, c.n_docs, c.weight,
+      |       c.weight / d.denom AS sample_prob,
+      |       CAST(100000 AS DOUBLE) * c.weight / d.denom AS expected_docs
+      |FROM c, d""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .select($"lang", $"n_docs", sqrt($"n_docs").as("weight"))
+        .agg(sort_array(collect_list(struct($"lang", $"n_docs", $"weight"))).as("xs"))
+        .select(explode($"xs").as("x"),
+          expr("aggregate(xs, 0D, (acc, e) -> acc + e.weight)").as("denom"))
+        .select($"x.lang".as("lang"), $"x.n_docs".as("n_docs"),
+          $"x.weight".as("weight"),
+          ($"x.weight" / $"denom").as("sample_prob"),
+          (lit(100000.0) * $"x.weight" / $"denom").as("expected_docs"))
+  }
+
   /** W11: per-group top-k through the NATIVE bounded-heap operator
     * ([[graft.plans.TopKPerGroup]] — custom LogicalPlan + Strategy +
     * SparkPlan pair) instead of the window idiom: top-3 orders by value
@@ -749,6 +787,6 @@ object Warehouse {
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
-    q18BigOrders, pctOfTotal, aggPack, weightedMix, topKNative, zorderKey,
-    gapFill, corrEvidence)
+    q18BigOrders, pctOfTotal, aggPack, weightedMix, temperatureMix,
+    topKNative, zorderKey, gapFill, corrEvidence)
 }

@@ -148,6 +148,23 @@ class WarehouseSpec extends AnyFunSuite with SparkTestKit {
     assert(bySource.getOrElse("src0", 0) >= bySource.getOrElse("src5", 0))
   }
 
+  test("t21: temperature smoothing upsamples low-resource languages, conserves the budget") {
+    val rows = Warehouse.temperatureMix.run(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    // q_l / p_l > 1 for the smallest language, < 1 for the largest —
+    // the entire point of α < 1 smoothing
+    val byN = rows.sortBy(_.getAs[Long]("n_docs"))
+    def boost(r: org.apache.spark.sql.Row) =
+      r.getAs[Double]("sample_prob") / (r.getAs[Long]("n_docs") / total)
+    assert(boost(byN.head) > 1.0, s"low-resource lang not upsampled: ${byN.head}")
+    assert(boost(byN.last) < 1.0, s"high-resource lang not downsampled: ${byN.last}")
+    // sample_probs form a distribution and the expected docs spend the budget
+    assert(math.abs(rows.map(_.getAs[Double]("sample_prob")).sum - 1.0) < 1e-12)
+    assert(math.abs(rows.map(_.getAs[Double]("expected_docs")).sum - 100000.0) < 1e-6)
+    // weight ordering follows count ordering (sqrt is monotone)
+    assert(byN.map(_.getAs[Double]("weight")).toSeq == byN.map(_.getAs[Double]("weight")).sortBy(identity).toSeq)
+  }
+
   test("dq1: the shipped testdata passes every expectation") {
     val rows = Warehouse.dqExpectations.run(spark, sfDir).collect()
     assert(rows.length == 4)
