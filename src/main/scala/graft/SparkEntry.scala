@@ -90,6 +90,7 @@ object SparkEntry {
       // hash-exact vs a DuckDB recursive-CTE transitive closure; the
       // union-find/BSP equivalence gate lives in DupClustersSpec
       graft.operators.DupClusters.dupClustersQ,
+      graft.operators.DupClusters.canonicalQ,
       // deterministic per-group bottom-k sampling via the custom
       // TypedImperativeAggregate. The selection key is md5("seed:value"),
       // so the oracle derives the identical sample with a window over

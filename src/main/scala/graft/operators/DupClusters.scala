@@ -118,6 +118,50 @@ object DupClusters {
     * transitive closure over the symmetric edge list (set-semantics UNION
     * terminates it), then min reachable id per doc = cluster id.
     */
+  /** D10: CANONICAL SELECTION — the step a dedup pipeline runs after
+    * clustering: keep exactly one representative per duplicate cluster,
+    * chosen by a quality key rather than by arbitrary id. The rule here is
+    * the common "longest copy wins": argmax over `(n_chars, −doc_id)` —
+    * n_chars descending, doc_id ascending on ties — ALL-integer, so the
+    * cross-engine gate is hash-exact with no float-ratio hazard. Both
+    * engines express the argmax as a lexicographic struct max (Spark
+    * `max(struct(…))`, DuckDB `max(struct_pack(…))` — a14's established
+    * idiom). One extra shuffle on cluster_id over d5; the canonical table
+    * is |clusters| rows, broadcast back to the membership.
+    */
+  def canonicalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = dupClustersQuery(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val sized = labeled.join(
+      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val canon = sized.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("cluster_id"), (-col("m.neg_id")).as("kept_doc"))
+    sized.join(broadcast(canon), Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
+        (col("doc_id") === col("kept_doc")).as("keep"))
+  }
+
+  val canonicalQ: graft.queries.Q = graft.queries.Q("d10_canonical_selection",
+    s"""WITH RECURSIVE ${Dedup.minhashCtes},
+       |pairs AS (${Dedup.minhashSelect}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
+       |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |canon AS (SELECT cluster_id,
+       |                 -max(struct_pack(n_chars := n_chars, neg_id := -doc_id)).neg_id AS kept_doc
+       |          FROM lab GROUP BY cluster_id)
+       |SELECT lab.doc_id, lab.cluster_id, lab.n_chars,
+       |       lab.doc_id = c.kept_doc AS keep
+       |FROM lab JOIN canon c ON lab.cluster_id = c.cluster_id""".stripMargin) {
+    (s, dir) => canonicalQuery(s, dir)
+  }
+
   val dupClustersQ: graft.queries.Q = graft.queries.Q("d5_dup_clusters",
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),

@@ -70,6 +70,22 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(ts"), p)
   }
 
+  test("w4 sessionize: one shuffle, both windows ride one sort") {
+    // r7 pinned BOTH windows (lag-flag and running-sum) to the same
+    // (user_id / ts, event_id) ordering — beyond determinism, that lets
+    // Spark satisfy the second window with the FIRST window's sort: the
+    // plan must shuffle once on user_id and sort once
+    val p = simplePlanOf(AdvancedOps.sessionize.run(spark, sfDir))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    val sorts = p.linesIterator.count(_.contains("Sort "))
+    // ONE shuffle for the whole query: the final (user_id, session_id)
+    // aggregate's clustered distribution is satisfied by the windows'
+    // hashpartitioning(user_id), so even the groupBy rides along
+    assert(exchanges == 1, s"expected a single user_id shuffle, got $exchanges:\n$p")
+    assert(sorts == 1, s"both windows must share one sort, got $sorts:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) == 2, p)
+  }
+
   test("correlated scalar subqueries decorrelate into joins") {
     val p = simplePlanOf(Subqueries.corrSubquery.run(spark, sfDir))
     // after decorrelation the per-row subqueries become aggregate+join —

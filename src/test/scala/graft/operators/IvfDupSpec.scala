@@ -92,4 +92,23 @@ class IvfDupSpec extends AnyFunSuite with SparkTestKit {
     assert(out.filter($"is_canonical" =!= ($"doc_id" === $"cluster_id")).count() == 0)
     assert(out.filter($"cluster_id" > $"doc_id").count() == 0) // min-label
   }
+
+  test("d10 canonical selection: exactly one keeper per cluster, longest copy wins") {
+    val out = DupClusters.canonicalQuery(spark, sfDir).cache()
+    // total coverage and one keep per cluster
+    assert(out.count() == Tables.documents(spark, sfDir).count())
+    val perCluster = out.groupBy($"cluster_id")
+      .agg(org.apache.spark.sql.functions.sum($"keep".cast("int")).as("n_keep"),
+        org.apache.spark.sql.functions.max($"n_chars").as("max_chars"))
+    assert(perCluster.filter($"n_keep" =!= 1).count() == 0, "each cluster keeps exactly one doc")
+    // the keeper carries the cluster's max n_chars, and among equal-length
+    // candidates it is the smallest doc_id
+    val keepers = out.filter($"keep").join(perCluster, "cluster_id")
+    assert(keepers.filter($"n_chars" =!= $"max_chars").count() == 0, "keeper must be longest")
+    val tieBreak = out.join(keepers.select($"cluster_id",
+        $"doc_id".as("kept"), $"n_chars".as("kept_chars")), "cluster_id")
+      .filter($"n_chars" === $"kept_chars" && $"doc_id" < $"kept")
+    assert(tieBreak.count() == 0, "equal-length ties must resolve to min doc_id")
+    out.unpersist()
+  }
 }
