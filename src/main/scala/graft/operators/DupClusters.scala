@@ -124,21 +124,21 @@ object DupClusters {
     * the common "longest copy wins": argmax over `(n_chars, −doc_id)` —
     * n_chars descending, doc_id ascending on ties — ALL-integer, so the
     * cross-engine gate is hash-exact with no float-ratio hazard. Both
-    * engines express the argmax as a lexicographic struct max (Spark
-    * `max(struct(…))`, DuckDB `max(struct_pack(…))` — a14's established
-    * idiom). One extra shuffle on cluster_id over d5; the canonical table
-    * is |clusters| rows, broadcast back to the membership.
+    * DuckDB side expresses the argmax as a lexicographic struct_pack max
+    * (a14's established idiom); the Spark side uses a rank-1 window —
+    * ONE shuffle on cluster_id, no second join, and nothing broadcast
+    * (a per-cluster canonical table is O(corpus) rows at 100 TB — far too
+    * big to broadcast back to the membership).
     */
   def canonicalQuery(spark: SparkSession, dir: String): DataFrame = {
     val labeled = dupClustersQuery(spark, dir).select(col("doc_id"), col("cluster_id"))
     val sized = labeled.join(
       Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-    val canon = sized.groupBy(col("cluster_id"))
-      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
-      .select(col("cluster_id"), (-col("m.neg_id")).as("kept_doc"))
-    sized.join(broadcast(canon), Seq("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"), col("n_chars"),
-        (col("doc_id") === col("kept_doc")).as("keep"))
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))
+    sized
+      .withColumn("keep", row_number().over(byQuality) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
   }
 
   val canonicalQ: graft.queries.Q = graft.queries.Q("d10_canonical_selection",
