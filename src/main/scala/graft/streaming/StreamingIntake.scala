@@ -49,6 +49,45 @@ object StreamingIntake {
       .withColumn("admitted", !col("is_near_dup") && !col("is_contaminated"))
   }
 
+  /** MULTIMODAL intake: all THREE admission screens over one
+    * `(doc_id, text, embedding)` batch — the text near-dup screen, the
+    * eval decontam screen, and the embedding SemDeDup screen
+    * ([[StreamingSemDedup]], catching paraphrases/re-encodes whose
+    * surface text shares no shingles) — emitting one verdict row per doc:
+    *
+    * `(doc_id, is_near_dup, matched_doc, est_jaccard, is_contaminated,
+    *   n_shared_ngrams, is_sem_dup, matched_sem_doc, cosine, admitted)`
+    *
+    * with `admitted` the conjunction of all three clean bits. The same
+    * composition contract as [[screenBatch]]: every screen sees the raw
+    * batch, both history indexes ingest every doc (including rejected
+    * ones), and all three writes are per-`__batch` dynamic overwrites so
+    * replay idempotence composes.
+    */
+  def screenBatchMultimodal(batch: DataFrame, indexDir: String, embIndexDir: String,
+      batchId: Long, screen: StreamingDecontam.Screen,
+      k: Int = 16, tau: Double = 0.40): DataFrame = {
+    val textVerdicts = screenBatch(batch.select("doc_id", "text"), indexDir, batchId, screen)
+    val semVerdicts = StreamingSemDedup.screenBatch(
+        batch.select(col("doc_id").as("vec_id"), col("embedding")),
+        embIndexDir, batchId, k = k, tau = tau)
+      .select(col("vec_id").as("doc_id"), col("is_near_dup").as("is_sem_dup"),
+        col("matched_vec").as("matched_sem_doc"), col("cosine"))
+    textVerdicts.drop("admitted")
+      .join(semVerdicts, Seq("doc_id"))
+      .withColumn("admitted",
+        !col("is_near_dup") && !col("is_contaminated") && !col("is_sem_dup"))
+  }
+
+  private def verdictWriter(verdictDir: String)(verdicts: DataFrame, batchId: Long): Unit =
+    verdicts
+      .withColumn("__batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__batch")
+      .parquet(verdictDir)
+
   /** Streaming sink: one foreachBatch, both screens, one verdict table
     * (per-`__batch` dynamic-overwrite partitions, like each screen's own
     * sink).
@@ -58,13 +97,24 @@ object StreamingIntake {
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        screenBatch(batch, indexDir, batchId, screen)
-          .withColumn("__batch", lit(batchId))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .partitionBy("__batch")
-          .parquet(verdictDir)
+        verdictWriter(verdictDir)(screenBatch(batch, indexDir, batchId, screen), batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
+  /** Streaming sink for the multimodal intake: one foreachBatch, three
+    * screens, one verdict table.
+    */
+  def sinkMultimodal(docs: DataFrame, indexDir: String, embIndexDir: String,
+      screen: StreamingDecontam.Screen, verdictDir: String, checkpointDir: String,
+      k: Int = 16, tau: Double = 0.40,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        verdictWriter(verdictDir)(
+          screenBatchMultimodal(batch, indexDir, embIndexDir, batchId, screen, k, tau),
+          batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

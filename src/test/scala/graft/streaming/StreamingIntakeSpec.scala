@@ -111,6 +111,90 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
       "replay must dynamic-overwrite its own partition, not append")
   }
 
+  // embedding fixtures for the multimodal intake: same family scheme as
+  // StreamingSemDedupSpec — near-orthogonal families, near-copies ≈ 0.999
+  private def emb(f: Int): Array[Float] = {
+    val v = Array.fill(8)(0.0f); v(f % 8) = 10.0f; v((f + 3) % 8) += 1.0f; v
+  }
+  private def embCopy(f: Int): Array[Float] = {
+    val v = emb(f); v((f + 5) % 8) += 0.3f; v
+  }
+
+  test("multimodal intake: three screens, one verdict row, each column equals its standalone screen") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("mm-index") + "/index"
+    val embIndexDir = tmp("mm-emb") + "/index"
+    val tau = 0.9
+
+    // batch 1 — each rejection reason hit by a DIFFERENT doc:
+    //   0: clean everywhere → admitted
+    //   1: TEXT near-copy of 0 (fresh embedding) → only is_near_dup
+    //   2: fresh text, EMBEDDING near-copy of 0 → only is_sem_dup
+    //   3: verbatim EVAL text (fresh embedding) → only is_contaminated
+    val b1 = Seq(
+      (0L, sentence(20), emb(0)),
+      (1L, mutate(sentence(20)), emb(1)),
+      (2L, sentence(21), embCopy(0)),
+      (3L, sentence(1), emb(3)))
+    // batch 2 — cross-batch semantic copy of doc 1's embedding + a clean doc
+    val b2 = Seq(
+      (10L, sentence(22), embCopy(1)),
+      (11L, sentence(23), emb(6)))
+
+    def df(rows: Seq[(Long, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "embedding")
+
+    val v1 = StreamingIntake.screenBatchMultimodal(df(b1), indexDir, embIndexDir, 0L,
+      screen, k = 3, tau = tau)
+    val v2 = StreamingIntake.screenBatchMultimodal(df(b2), indexDir, embIndexDir, 1L,
+      screen, k = 3, tau = tau)
+    val v = (v1.collect() ++ v2.collect()).map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_near_dup"),
+        r.getAs[Boolean]("is_contaminated"), r.getAs[Boolean]("is_sem_dup"),
+        r.getAs[Boolean]("admitted")))
+    }.toMap
+
+    assert(v.keySet == (b1 ++ b2).map(_._1).toSet)
+    assert(v(0L) == ((false, false, false, true)))
+    assert(v(1L) == ((true, false, false, false)), s"text near-copy: ${v(1L)}")
+    assert(v(2L) == ((false, false, true, false)), s"embedding near-copy: ${v(2L)}")
+    assert(v(3L) == ((false, true, false, false)), s"eval copy: ${v(3L)}")
+    assert(v(10L) == ((false, false, true, false)), s"cross-batch sem copy: ${v(10L)}")
+    assert(v(11L) == ((false, false, false, true)))
+    v.foreach { case (id, (nd, dc, sd, adm)) =>
+      assert(adm == (!nd && !dc && !sd), s"doc $id conjunction broken")
+    }
+
+    // the semantic column equals the standalone embedding screen run into
+    // a SEPARATE index batch-by-batch
+    val soloEmb = tmp("mm-solo") + "/index"
+    val solo = Seq(b1 -> 0L, b2 -> 1L).map { case (rows, bid) =>
+      StreamingSemDedup.screenBatch(
+        df(rows).select($"doc_id".as("vec_id"), $"embedding"), soloEmb, bid, k = 3, tau = tau)
+    }.reduce(_ unionByName _)
+      .select($"vec_id", $"is_near_dup", $"matched_vec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val composedSem = (v1.collect() ++ v2.collect()).map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_sem_dup"),
+        if (r.isNullAt(r.fieldIndex("matched_sem_doc"))) -1L
+        else r.getAs[Long]("matched_sem_doc")))
+    }.toMap
+    assert(composedSem == solo,
+      s"composition changed the semantic verdict:\n composed=$composedSem\n solo=$solo")
+
+    // replay idempotence across BOTH indexes
+    val beforeText = spark.read.parquet(indexDir).count()
+    val beforeEmb = spark.read.parquet(embIndexDir).count()
+    val again = StreamingIntake.screenBatchMultimodal(df(b2), indexDir, embIndexDir, 1L,
+      screen, k = 3, tau = tau).collect().map { r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted")
+    }.toMap
+    assert(again == Map(10L -> false, 11L -> true), s"replay drifted: $again")
+    assert(spark.read.parquet(indexDir).count() == beforeText)
+    assert(spark.read.parquet(embIndexDir).count() == beforeEmb)
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"
