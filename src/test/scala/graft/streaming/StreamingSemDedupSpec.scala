@@ -119,6 +119,55 @@ class StreamingSemDedupSpec extends AnyFunSuite with SparkTestKit {
     assert(c1 == c2, "centroids must be frozen after first publish")
   }
 
+  test("soak: heavy-dup embedding batches against a growing index stay bounded") {
+    // three 5k-vector batches, 50% exact re-sends of earlier vectors (the
+    // re-crawl shape). Families are spread over a 64-cell codebook trained
+    // on the first batch, so cells stay ~n/k and the probe cost tracks
+    // Σ|cell|² — the wall limit guards that bound, as in the near-dup soak.
+    val indexDir = tmp("ssd-soak") + "/index"
+    // deterministic pseudo-random direction per id (LCG mix): 15k random
+    // 8-dim vectors are pairwise far below τ=0.9999 (the τ-cap around any
+    // direction has ~1e-11 mass, ~1e8 pairs → no collisions), while exact
+    // copies are bit-identical. Structured families don't work here: any
+    // shared dominant component keeps same-family cosines ≈ 1 no matter
+    // the bounded perturbation.
+    def synth(id: Long): Array[Float] = {
+      val v = new Array[Float](8)
+      var h = id * 2654435761L + 12345L
+      var j = 0
+      while (j < 8) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        v(j) = (((h >>> 33) % 1001L) - 500L).toFloat / 100.0f
+        j += 1
+      }
+      v
+    }
+    def batchDf(b: Int) = (0 until 5000).map { i =>
+      val id = b * 5000L + i
+      // even i: fresh vector; odd i: exact copy of the fresh vector one
+      // position earlier (previous batch when b > 0)
+      if (i % 2 == 0) (id, synth(id))
+      else {
+        val srcId = if (b > 0) (b - 1) * 5000L + (i - 1) else id - 1
+        (id, synth(srcId))
+      }
+    }.toDF("vec_id", "embedding")
+    val t0 = System.nanoTime()
+    val verdicts = (0 until 3).map { b =>
+      StreamingSemDedup.screenBatch(batchDf(b), indexDir, b.toLong, k = 64, tau = 0.9999)
+        .select($"vec_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    }
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(wallSec < 120.0, f"embedding screen soak took $wallSec%.0f s — probe not bounded")
+    // every exact copy flagged; batch-0 fresh vectors clean
+    verdicts.zipWithIndex.foreach { case (v, b) =>
+      val odd = v.filter(_._1 % 2 == 1)
+      assert(odd.values.forall(identity), s"batch $b missed exact copies")
+      if (b == 0) assert(v.filter(_._1 % 2 == 0).values.forall(!_),
+        s"batch 0 fresh vectors falsely flagged")
+    }
+  }
+
   test("compaction folds the vector index and screening continues identically") {
     val indexDir = tmp("ssd-compact") + "/index"
     val tau = 0.9
