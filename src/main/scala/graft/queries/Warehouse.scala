@@ -582,6 +582,61 @@ object Warehouse {
           (lit(100000.0) * $"x.weight" / $"denom").as("expected_docs"))
   }
 
+  /** T22: per-source WINSORIZATION + z-score normalization — the outlier
+    * discipline a feature/label pipeline applies before training: clip
+    * each value into its source's exact [P5, P95] band (percentile_disc —
+    * both engines pick the same actual member value), then standardize
+    * with the CLIPPED moments. Cross-engine exactness comes from keeping
+    * every aggregate INTEGER (sum, sum-of-squares, n·ss − s² — all exact
+    * in int64/int128) and converting to double only for the final
+    * fixed-order (x − s/n) / sqrt(var/nn1) arithmetic; a zero-variance
+    * source yields NULL z rather than an engine-dependent ±inf. Scale:
+    * two aggregate passes over the fact plus two broadcast joins of
+    * #sources-row stats tables.
+    */
+  val winsorize = Q("t22_winsorize_zscore",
+    """WITH p AS (SELECT source,
+      |             percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS p05,
+      |             percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+      |           FROM documents GROUP BY source),
+      |c AS (SELECT d.doc_id, d.source, d.n_chars,
+      |             least(greatest(d.n_chars, p.p05), p.p95) AS clipped
+      |      FROM documents d JOIN p ON d.source = p.source),
+      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(clipped) AS BIGINT) AS s,
+      |             CAST(sum(clipped * clipped) AS BIGINT) AS ss
+      |      FROM c GROUP BY source),
+      |w AS (SELECT source, n, s, n * ss - s * s AS var_num, n * (n - 1) AS nn1 FROM s)
+      |SELECT c.doc_id, c.source, c.n_chars, c.clipped,
+      |       c.n_chars <> c.clipped AS was_clipped,
+      |       CASE WHEN w.var_num = 0 THEN NULL
+      |            ELSE (CAST(c.clipped AS DOUBLE) - CAST(w.s AS DOUBLE) / CAST(w.n AS DOUBLE))
+      |                 / sqrt(CAST(w.var_num AS DOUBLE) / CAST(w.nn1 AS DOUBLE)) END AS z
+      |FROM c JOIN w ON c.source = w.source""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source", $"n_chars")
+      // Spark's percentile_disc widens to DOUBLE even over bigint input;
+      // the picked value is an actual member, so the cast back is exact
+      val p = docs.groupBy($"source").agg(
+        expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p05"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p95"))
+      val c = docs.join(broadcast(p), "source")
+        .select($"doc_id", $"source", $"n_chars",
+          least(greatest($"n_chars", $"p05"), $"p95").as("clipped"))
+      val w = c.groupBy($"source").agg(
+          count(lit(1)).as("n"), sum($"clipped").as("s"),
+          sum($"clipped" * $"clipped").as("ss"))
+        .select($"source", $"n", $"s",
+          ($"n" * $"ss" - $"s" * $"s").as("var_num"), ($"n" * ($"n" - 1)).as("nn1"))
+      c.join(broadcast(w), "source")
+        .select($"doc_id", $"source", $"n_chars", $"clipped",
+          ($"n_chars" =!= $"clipped").as("was_clipped"),
+          when($"var_num" === 0, lit(null).cast("double"))
+            .otherwise(($"clipped".cast("double") - $"s".cast("double") / $"n".cast("double"))
+              / sqrt($"var_num".cast("double") / $"nn1".cast("double"))).as("z"))
+  }
+
   /** W11: per-group top-k through the NATIVE bounded-heap operator
     * ([[graft.plans.TopKPerGroup]] — custom LogicalPlan + Strategy +
     * SparkPlan pair) instead of the window idiom: top-3 orders by value
@@ -788,5 +843,5 @@ object Warehouse {
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, pctOfTotal, aggPack, weightedMix, temperatureMix,
-    topKNative, zorderKey, gapFill, corrEvidence)
+    winsorize, topKNative, zorderKey, gapFill, corrEvidence)
 }

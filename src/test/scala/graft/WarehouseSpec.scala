@@ -165,6 +165,28 @@ class WarehouseSpec extends AnyFunSuite with SparkTestKit {
     assert(byN.map(_.getAs[Double]("weight")).toSeq == byN.map(_.getAs[Double]("weight")).sortBy(identity).toSeq)
   }
 
+  test("t22: clipping binds to the exact band and z-scores center per source") {
+    val rows = Warehouse.winsorize.run(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rs) =>
+      val clipped = rs.map(_.getAs[Long]("clipped"))
+      // the band edges are actual member values and every row is inside
+      assert(clipped.forall(v => v >= clipped.min && v <= clipped.max))
+      rs.foreach { r =>
+        assert(r.getAs[Boolean]("was_clipped") ==
+          (r.getAs[Long]("n_chars") != r.getAs[Long]("clipped")), s"$src flag")
+      }
+      // standardization: z has mean ~0 and unit sample variance per source
+      val zs = rs.map(_.getAs[Double]("z"))
+      assert(math.abs(zs.sum / zs.length) < 1e-9, s"$src z-mean")
+      val varZ = zs.map(z => z * z).sum / (zs.length - 1)
+      assert(math.abs(varZ - 1.0) < 1e-9, s"$src z-variance $varZ")
+    }
+    // clipping actually fires on the shipped data, but only on the tails
+    val frac = rows.count(_.getAs[Boolean]("was_clipped")).toDouble / rows.length
+    assert(frac > 0.0 && frac < 0.15, s"clip fraction $frac")
+  }
+
   test("dq1: the shipped testdata passes every expectation") {
     val rows = Warehouse.dqExpectations.run(spark, sfDir).collect()
     assert(rows.length == 4)
