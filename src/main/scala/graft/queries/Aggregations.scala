@@ -123,6 +123,50 @@ object Aggregations {
           countDistinct(to_date($"o_orderdate")).as("n_days"))
   }
 
+  /** A18: exact WEIGHTED median — line price per return flag, weighted by
+    * quantity: the lower weighted median (smallest price whose cumulative
+    * weight reaches half the total, 2·cum ≥ W). The classic
+    * hard-to-distribute order statistic, done exactly with one shuffle:
+    * ordered cumulative-weight window per group + a broadcast of the
+    * #groups-row totals. Intra-tie cumulative weights are
+    * order-dependent, but the RESULT is not: whether the boundary price
+    * group qualifies is decided at its last row (all ties included), and
+    * `min(price)` over qualifying rows doesn't care which tie member
+    * crossed the threshold. The median VALUE is a raw parquet double —
+    * no arithmetic touches it, so the hash gate is trivially exact.
+    */
+  val a18WeightedMedian = Q("a18_weighted_median",
+    """WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+      |             CAST(l_quantity AS BIGINT) AS w
+      |           FROM lineitem),
+      |t AS (SELECT flag, sum(w) AS total_weight FROM r GROUP BY flag),
+      |c AS (SELECT flag, price,
+      |        sum(w) OVER (PARTITION BY flag ORDER BY price
+      |                     ROWS UNBOUNDED PRECEDING) AS cw
+      |      FROM r)
+      |SELECT c.flag, CAST(t.total_weight AS BIGINT) AS total_weight,
+      |       min(c.price) AS weighted_median
+      |FROM c JOIN t ON c.flag = t.flag
+      |WHERE 2 * c.cw >= t.total_weight
+      |GROUP BY c.flag, t.total_weight""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val r = Tables.lineitem(s, dir).select(
+        $"l_returnflag".as("flag"), $"l_extendedprice".as("price"),
+        $"l_quantity".cast("long").as("w"))
+      val t = r.groupBy($"flag").agg(sum($"w").as("total_weight"))
+      val byPrice = org.apache.spark.sql.expressions.Window
+        .partitionBy($"flag").orderBy($"price")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      r.withColumn("cw", sum($"w").over(byPrice))
+        .join(broadcast(t), "flag")
+        .filter(lit(2) * $"cw" >= $"total_weight")
+        .groupBy($"flag", $"total_weight")
+        .agg(min($"price").as("weighted_median"))
+        .select($"flag", $"total_weight", $"weighted_median")
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
-    a17MultiDistinct)
+    a17MultiDistinct, a18WeightedMedian)
 }

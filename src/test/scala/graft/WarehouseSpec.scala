@@ -187,6 +187,21 @@ class WarehouseSpec extends AnyFunSuite with SparkTestKit {
     assert(frac > 0.0 && frac < 0.15, s"clip fraction $frac")
   }
 
+  test("a18: weighted median equals a local brute-force recompute") {
+    val got = graft.queries.Aggregations.a18WeightedMedian.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val rows = graft.Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice", $"l_quantity".cast("long"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (flag, rs) =>
+      val total = rs.map(_._3).sum
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L
+      val median = sorted.find { r => cum += r._3; 2 * cum >= total }.get._2
+      assert(got(flag) == ((total, median)), s"flag $flag: ${got(flag)} vs ($total, $median)")
+    }
+  }
+
   test("dq1: the shipped testdata passes every expectation") {
     val rows = Warehouse.dqExpectations.run(spark, sfDir).collect()
     assert(rows.length == 4)
