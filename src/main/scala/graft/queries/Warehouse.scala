@@ -544,6 +544,57 @@ object Warehouse {
         .filter($"cum_tokens" <= $"budget")
   }
 
+  /** Q7-shape flagship: volume shipping between two nations — the TPC-H
+    * Q7 join pyramid, the deepest relational shape in the set: lineitem ⋈
+    * supplier ⋈ orders ⋈ customer ⋈ nation×2, where nation plays TWO
+    * roles (supplier's and customer's) and the pair filter is symmetric
+    * (either direction). Revenue per (supp_nation, cust_nation, year)
+    * with the Exact decimal discipline. Plan shape that matters at
+    * 100 TB: both fact tables scanned once, every dimension broadcast,
+    * the lineitem⋈orders join is the only big shuffle.
+    */
+  val q7Volume = Q("q7_volume_shipping",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      |JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+      |GROUP BY 1, 2, 3""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      // pre-filter both nation roles to the pair: Catalyst cannot factor
+      // the cross-side OR into per-side predicates, and the early filter
+      // is what shrinks the supplier/customer broadcasts and makes the
+      // fact joins selective
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.nation(s, dir).filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+      val n2 = Tables.nation(s, dir).filter($"n_name".isin(pair: _*))
+        .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+      val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")
+      val cust = Tables.customer(s, dir).select($"c_custkey", $"c_nationkey")
+      val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_custkey")
+      Tables.lineitem(s, dir)
+        .select($"l_suppkey", $"l_orderkey", $"l_shipdate", $"l_extendedprice", $"l_discount")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust.join(broadcast(n2), $"c_nationkey" === $"c_nk")),
+          $"o_custkey" === $"c_custkey")
+        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2")
+          || ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").cast("int").as("l_year"))
+        .agg(sum(Exact.dec2($"l_extendedprice") * Exact.dec4(lit(1.0) - $"l_discount"))
+          .cast("double").as("revenue"))
+  }
+
   /** T21: temperature-smoothed multilingual sampling mix — the standard
     * multilingual-LM recipe (XLM/mT5 style): language l is sampled with
     * probability q_l ∝ n_l^α, α < 1, which UPSAMPLES low-resource
@@ -842,6 +893,6 @@ object Warehouse {
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
-    q18BigOrders, pctOfTotal, aggPack, weightedMix, temperatureMix,
+    q18BigOrders, q7Volume, pctOfTotal, aggPack, weightedMix, temperatureMix,
     winsorize, topKNative, zorderKey, gapFill, corrEvidence)
 }
