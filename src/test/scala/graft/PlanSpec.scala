@@ -86,6 +86,14 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.linesIterator.count(_.contains("Window")) == 2, p)
   }
 
+  test("q7 pyramid: dimensions broadcast, both facts scanned once") {
+    val p = simplePlanOf(Warehouse.q7Volume.run(spark, sfDir))
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts:\n$p")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1, p)
+    assert(p.linesIterator.count(_.contains("orders.parquet")) == 1, p)
+  }
+
   test("correlated scalar subqueries decorrelate into joins") {
     val p = simplePlanOf(Subqueries.corrSubquery.run(spark, sfDir))
     // after decorrelation the per-row subqueries become aggregate+join —

@@ -104,4 +104,31 @@ class TablesUnitSpec extends AnyFunSuite with SparkTestKit {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.limit(1).count() == 1)
   }
+
+  test("every table's physical layout is compatible with its pinned schema") {
+    // the r6 lesson, generalized: a pinned schema silently REINTERPRETS a
+    // changed physical layout instead of erroring. This sweep footer-sniffs
+    // every driver table and demands each pinned field matches the file's
+    // inferred type, modulo the intended divergences:
+    //   - TimestampType pinned over naive parquet timestamps (inferred
+    //     TimestampNTZ) — the UTC-session convention every oracle relies on;
+    //   - events.ts — normalized by the adaptive loader, checked above.
+    def compatible(pinned: DataType, inferred: DataType): Boolean =
+      (pinned, inferred) match {
+        case (a, b) if a == b => true
+        case (TimestampType, TimestampNTZType) => true
+        case _ => false
+      }
+    for ((name, pinnedSchema) <- Tables.schemas; if name != "events") {
+      val inferred = spark.read.parquet(s"$sfDir/$name.parquet").schema
+      assert(inferred.fieldNames.toSeq == pinnedSchema.fieldNames.toSeq,
+        s"$name: column names/order drifted — pinned ${pinnedSchema.fieldNames.toSeq}, " +
+          s"file has ${inferred.fieldNames.toSeq}")
+      for ((p, i) <- pinnedSchema.fields.zip(inferred.fields))
+        assert(compatible(p.dataType, i.dataType),
+          s"$name.${p.name}: the driver regenerated the testdata with a new physical " +
+            s"type — pinned ${p.dataType}, file has ${i.dataType}; update Tables.$name " +
+            "(and re-run the oracle sweep) instead of silently reinterpreting")
+    }
+  }
 }
