@@ -167,6 +167,48 @@ object Aggregations {
         .select($"flag", $"total_weight", $"weighted_median")
   }
 
+  /** A19: robust outlier flagging by MEDIAN ABSOLUTE DEVIATION — the
+    * robust-statistics alternative to z-scores (t22): the median and MAD
+    * ignore the very outliers they are hunting, where mean/stddev get
+    * dragged toward them. Two exact percentile_disc passes (both engines
+    * pick actual member values — no interpolation to diverge on), then
+    * the classic |x − med| > 3·1.4826·MAD cut with fixed-order double
+    * arithmetic. Scale: two grouped aggregates over the fact + two
+    * broadcast joins of #groups-row stats — same shape as t22.
+    */
+  val a19MadOutliers = Q("a19_mad_outliers",
+    """WITH m AS (
+      |  SELECT o_orderpriority AS priority,
+      |         percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+      |  FROM orders GROUP BY o_orderpriority),
+      |d AS (
+      |  SELECT o.o_orderkey, m.priority, o.o_totalprice, m.med,
+      |         abs(o.o_totalprice - m.med) AS adev
+      |  FROM orders o JOIN m ON o.o_orderpriority = m.priority),
+      |s AS (
+      |  SELECT priority,
+      |         percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      |  FROM d GROUP BY priority)
+      |SELECT d.o_orderkey AS order_no, d.priority, d.o_totalprice AS totalprice,
+      |       d.med, s.mad,
+      |       d.adev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * s.mad AS is_outlier
+      |FROM d JOIN s ON d.priority = s.priority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_orderpriority".as("priority"), $"o_totalprice")
+      val m = o.groupBy($"priority").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").as("med"))
+      val d = o.join(broadcast(m), "priority")
+        .withColumn("adev", abs($"o_totalprice" - $"med"))
+      val mad = d.groupBy($"priority").agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").as("mad"))
+      d.join(broadcast(mad), "priority")
+        .select($"o_orderkey".as("order_no"), $"priority",
+          $"o_totalprice".as("totalprice"), $"med", $"mad",
+          ($"adev" > lit(3.0) * lit(1.4826) * $"mad").as("is_outlier"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
-    a17MultiDistinct, a18WeightedMedian)
+    a17MultiDistinct, a18WeightedMedian, a19MadOutliers)
 }
