@@ -712,7 +712,105 @@ object TrainingPrep {
   val curationFunnel = funnelQ("c1_curation_funnel", fuzzy = false)
   val curationFunnelFuzzy = funnelQ("c2_curation_funnel_fuzzy", fuzzy = true)
 
+  /** C3: the CANONICAL curation funnel — composes the r7 operators into
+    * the end-to-end shape a dedup-first corpus build runs: near-dup
+    * cluster the corpus (d5's connected components over the memoized LSH
+    * pairs), keep ONE canonical doc per cluster by longest-copy-wins
+    * (d10), drop length outliers outside the survivors' per-source exact
+    * [P5, P95] band (t22's band, as a filter), then apply per-language
+    * temperature quotas (t21's q_l ∝ √n_l with the pinned-order denom
+    * fold; deterministic md5-ordered selection within each language,
+    * t6/t17's sampling idiom). Four stage rows `(stage, n_docs,
+    * n_chars)` — integer counts and sums, hash-exact.
+    *
+    * Scale: the cluster labels are computed once (memoized pair list +
+    * adaptive union-find/BSP); each later stage is a narrow-column
+    * window or broadcast join over a shrinking survivor set. The stage
+    * populations are window-dependent (band over s1 only, ranks over s2
+    * only), so the funnel chains rather than single-pass-flags — the
+    * heavy input (clusters) is not recomputed, only re-joined.
+    */
+  val curationCanonical = Q("c3_curation_canonical", {
+    val budget = 300
+    s"""WITH RECURSIVE ${Dedup.minhashCtes},
+       |pairs AS (${Dedup.minhashSelect}),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
+       |clab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |               d.source, d.lang, d.n_chars
+       |        FROM documents d LEFT JOIN clab l ON d.doc_id = l.doc_id),
+       |s1 AS (SELECT * FROM (
+       |         SELECT lab.*, row_number() OVER (PARTITION BY cluster_id
+       |                        ORDER BY n_chars DESC, doc_id) AS krn
+       |         FROM lab) WHERE krn = 1),
+       |p AS (SELECT source,
+       |        percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars) AS p05,
+       |        percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars) AS p95
+       |      FROM s1 GROUP BY source),
+       |s2 AS (SELECT s1.doc_id, s1.lang, s1.n_chars
+       |       FROM s1 JOIN p ON s1.source = p.source
+       |       WHERE s1.n_chars >= p.p05 AND s1.n_chars <= p.p95),
+       |c AS (SELECT lang, sqrt(count(*)) AS w FROM s2 GROUP BY lang),
+       |dn AS (SELECT sum(w ORDER BY lang) AS denom FROM c),
+       |cap AS (SELECT c.lang,
+       |               CAST(floor(CAST($budget AS DOUBLE) * c.w / dn.denom) AS BIGINT) AS cap
+       |        FROM c, dn),
+       |r AS (SELECT s2.doc_id, s2.lang, s2.n_chars,
+       |             row_number() OVER (PARTITION BY s2.lang
+       |                ORDER BY md5(CAST(s2.doc_id AS VARCHAR)), s2.doc_id) AS rn
+       |      FROM s2),
+       |s3 AS (SELECT r.doc_id, r.n_chars FROM r JOIN cap ON r.lang = cap.lang
+       |       WHERE r.rn <= cap.cap)
+       |SELECT 's0_raw' AS stage, count(*) AS n_docs,
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM lab
+       |UNION ALL SELECT 's1_canonical', count(*),
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT 's2_length_band', count(*),
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 's3_lang_quota', count(*),
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val budget = 300
+    val lab = graft.operators.DupClusters.canonicalQuery(s, dir)
+      .join(Tables.documents(s, dir).select($"doc_id", $"source", $"lang"), "doc_id")
+    val s1 = lab.filter($"keep").select($"doc_id", $"source", $"lang", $"n_chars")
+    val p = s1.groupBy($"source").agg(
+      expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p05"),
+      expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p95"))
+    val s2 = s1.join(broadcast(p), "source")
+      .filter($"n_chars" >= $"p05" && $"n_chars" <= $"p95")
+      .select($"doc_id", $"lang", $"n_chars")
+    val caps = s2.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .select($"lang", sqrt($"n").as("w"))
+      .agg(sort_array(collect_list(struct($"lang", $"w"))).as("xs"))
+      .select(explode($"xs").as("x"),
+        expr("aggregate(xs, 0D, (acc, e) -> acc + e.w)").as("denom"))
+      .select($"x.lang".as("lang"),
+        floor(lit(budget.toDouble) * $"x.w" / $"denom").cast("long").as("cap"))
+    val rw = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    val s3 = s2.withColumn("rn", row_number().over(rw))
+      .join(broadcast(caps), "lang")
+      .filter($"rn" <= $"cap")
+      .select($"doc_id", $"n_chars")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum($"n_chars"), lit(0L)).cast("long").as("n_chars"))
+        .select(lit(name).as("stage"), $"n_docs", $"n_chars")
+    stage("s0_raw", lab)
+      .unionByName(stage("s1_canonical", s1))
+      .unionByName(stage("s2_length_band", s2))
+      .unionByName(stage("s3_lang_quota", s3))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
-    importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy)
+    importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
+    curationCanonical)
 }
