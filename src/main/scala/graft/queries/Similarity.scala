@@ -408,6 +408,86 @@ object Similarity {
         .withColumn("is_kept", $"vec_id" === $"cluster_id")
   }
 
+  /** E13: graph CENTRALITY over the kNN graph — integer fixed-point
+    * PageRank, the importance score graph-based curation ranks documents
+    * by (a vector many neighborhoods point at is "central"; the
+    * complement of e12's diversity downsample). Float PageRank cannot be
+    * oracle-gated (per-node neighbor sums are order-dependent doubles),
+    * so the same trick that made the Lloyd trainer exact applies:
+    * quantize the rank mass to Q = 2^30 and run every step in integer
+    * arithmetic — `pr0 = Q div N`, per-edge contribution
+    * `pr div outdeg`, damping `(15·(Q div N)) div 100 +
+    * (85·inflow) div 100` — three unrolled iterations, identical in both
+    * engines, hash-exact. Dangling mass (vectors with no out-edges —
+    * singleton cells) is dropped, the standard no-redistribution
+    * variant; deterministic either way.
+    *
+    * Scale: each iteration is one groupBy(dst) shuffle over the edge
+    * list + a join back to the vertex roster — linear in |E| = 3N, the
+    * textbook BSP PageRank shape. The graph itself is the memoized e11
+    * build (Σ|cell|² bounded).
+    */
+  val graphPagerank = Q("e13_graph_pagerank", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    val base = "(15 * ((1073741824) // n.n)) // 100"
+    def iter(k: Int) =
+      s"""pr$k AS (
+         |  SELECT v.vec_id,
+         |         $base + (85 * coalesce(inf.s, 0)) // 100 AS pr
+         |  FROM vtx v CROSS JOIN nn n LEFT JOIN (
+         |    SELECT e.dst AS vec_id, sum(pr${k - 1}.pr // od.deg) AS s
+         |    FROM e JOIN od ON e.src = od.src
+         |           JOIN pr${k - 1} ON e.src = pr${k - 1}.vec_id
+         |    GROUP BY e.dst) inf ON v.vec_id = inf.vec_id)""".stripMargin
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |knn AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3),
+       |e AS (SELECT src, dst FROM knn),
+       |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |vtx AS (SELECT vec_id FROM embeddings),
+       |nn AS (SELECT count(*) AS n FROM vtx),
+       |pr0 AS (SELECT v.vec_id, (1073741824) // n.n AS pr
+       |        FROM vtx v CROSS JOIN nn n),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT vec_id, CAST(pr AS BIGINT) AS pr_q FROM pr3""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val q = 1073741824L // 2^30 rank mass
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val od = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val vtx = Tables.embeddings(s, dir).select($"vec_id")
+      val nn = vtx.agg(count(lit(1)).as("n"))
+      // 1-row global-N join (t10's crossJoin(broadcast) precedent)
+      def withBase(df: org.apache.spark.sql.DataFrame) =
+        df.crossJoin(broadcast(nn))
+      var pr = withBase(vtx).select($"vec_id", expr(s"$q div n").as("pr"))
+      for (_ <- 1 to 3) {
+        val inflow = e.join(od, "src")
+          .join(pr.select($"vec_id".as("src"), $"pr"), "src")
+          .select($"dst".as("vec_id"), expr("pr div deg").as("c"))
+          .groupBy($"vec_id").agg(sum($"c").as("s"))
+        pr = withBase(vtx)
+          .join(inflow, Seq("vec_id"), "left")
+          .select($"vec_id",
+            (expr(s"(15 * ($q div n)) div 100")
+              + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      pr.select($"vec_id", $"pr".cast("long").as("pr_q"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
-    annRandomHyperplane, knnGraph, graphDownsample)
+    annRandomHyperplane, knnGraph, graphDownsample, graphPagerank)
 }

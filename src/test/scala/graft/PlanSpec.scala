@@ -161,7 +161,12 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e12 consumes e11's memoized graph — the only BNLJ either plan
       // carries is the identical k-centroid broadcast in the index-build
       // subtree; their own pair/cluster steps are equi-joins (KnnGraphSpec)
-      "e11_knn_graph", "e12_graph_downsample")
+      "e11_knn_graph", "e12_graph_downsample",
+      // e13's only BNLJs are the 1-ROW global-N broadcast (vtx ⨯ nn, the
+      // t10 global-stats pattern, once per unrolled iteration) plus the
+      // same cached index-build subtree as e11; every edge/inflow step
+      // is a keyed equi-join
+      "e13_graph_pagerank")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
