@@ -130,16 +130,21 @@ object DupClusters {
     * (a per-cluster canonical table is O(corpus) rows at 100 TB — far too
     * big to broadcast back to the membership).
     */
-  def canonicalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val labeled = dupClustersQuery(spark, dir).select(col("doc_id"), col("cluster_id"))
-    val sized = labeled.join(
-      Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-    val byQuality = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))
-    sized
-      .withColumn("keep", row_number().over(byQuality) === 1)
-      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
-  }
+  def canonicalQuery(spark: SparkSession, dir: String): DataFrame =
+    // session-memoized like the d3 pair list: d10 and the c3 funnel both
+    // consume this, and the memo is FIXED-WIDTH columns only (doc_id,
+    // cluster_id, n_chars, keep — no payload), within the key-set
+    // discipline that keeps memos slim at corpus scale
+    graft.queries.Memo.cached(spark, dir, "d10_canonical") {
+      val labeled = dupClustersQuery(spark, dir).select(col("doc_id"), col("cluster_id"))
+      val sized = labeled.join(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val byQuality = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id")).orderBy(col("n_chars").desc, col("doc_id"))
+      sized
+        .withColumn("keep", row_number().over(byQuality) === 1)
+        .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("keep"))
+    }
 
   val canonicalQ: graft.queries.Q = graft.queries.Q("d10_canonical_selection",
     s"""WITH RECURSIVE ${Dedup.minhashCtes},

@@ -777,16 +777,23 @@ object TrainingPrep {
   }) { (s, dir) =>
     import s.implicits._
     val budget = 300
+    // single-pass stage counting, the c1 discipline: the memoized
+    // canonical table (fixed-width columns) carries the in_s1 flag; the
+    // band and quota stats are small aggregates over its survivors
+    // (broadcast back); the quota rank is a conditional running count
+    // over the SAME frame (sum of in_s2 over the md5 order ≡ row_number
+    // among s2 rows — the order is a total order, so no tie hazard); the
+    // four stage rows then come from ONE aggregate, unpivoted with stack.
     val lab = graft.operators.DupClusters.canonicalQuery(s, dir)
       .join(Tables.documents(s, dir).select($"doc_id", $"source", $"lang"), "doc_id")
-    val s1 = lab.filter($"keep").select($"doc_id", $"source", $"lang", $"n_chars")
+      .select($"doc_id", $"source", $"lang", $"n_chars", $"keep".as("in_s1"))
+    val s1 = lab.filter($"in_s1")
     val p = s1.groupBy($"source").agg(
       expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p05"),
       expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)").cast("long").as("p95"))
-    val s2 = s1.join(broadcast(p), "source")
+    val caps = s1.join(broadcast(p), "source")
       .filter($"n_chars" >= $"p05" && $"n_chars" <= $"p95")
-      .select($"doc_id", $"lang", $"n_chars")
-    val caps = s2.groupBy($"lang").agg(count(lit(1)).as("n"))
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
       .select($"lang", sqrt($"n").as("w"))
       .agg(sort_array(collect_list(struct($"lang", $"w"))).as("xs"))
       .select(explode($"xs").as("x"),
@@ -795,18 +802,26 @@ object TrainingPrep {
         floor(lit(budget.toDouble) * $"x.w" / $"denom").cast("long").as("cap"))
     val rw = Window.partitionBy($"lang")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
-    val s3 = s2.withColumn("rn", row_number().over(rw))
-      .join(broadcast(caps), "lang")
-      .filter($"rn" <= $"cap")
-      .select($"doc_id", $"n_chars")
-    def stage(name: String, df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"),
-          coalesce(sum($"n_chars"), lit(0L)).cast("long").as("n_chars"))
-        .select(lit(name).as("stage"), $"n_docs", $"n_chars")
-    stage("s0_raw", lab)
-      .unionByName(stage("s1_canonical", s1))
-      .unionByName(stage("s2_length_band", s2))
-      .unionByName(stage("s3_lang_quota", s3))
+    val staged = lab
+      .join(broadcast(p), "source")
+      .withColumn("in_s2", $"in_s1" && $"n_chars" >= $"p05" && $"n_chars" <= $"p95")
+      .join(broadcast(caps), Seq("lang"), "left")
+      .withColumn("rn", sum(when($"in_s2", 1L).otherwise(0L)).over(rw))
+      .withColumn("in_s3", $"in_s2" && $"rn" <= coalesce($"cap", lit(0L)))
+    def cnt(f: org.apache.spark.sql.Column) =
+      coalesce(sum(when(f, 1L).otherwise(0L)), lit(0L))
+    def chars(f: org.apache.spark.sql.Column) =
+      coalesce(sum(when(f, $"n_chars").otherwise(0L)), lit(0L))
+    val flags: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+      "s0_raw" -> lit(true), "s1_canonical" -> $"in_s1",
+      "s2_length_band" -> $"in_s2", "s3_lang_quota" -> $"in_s3")
+    val aggExprs = flags.zipWithIndex.flatMap { case ((_, f), i) =>
+      Seq(cnt(f).as(s"c$i"), chars(f).as(s"t$i"))
+    }
+    val stackArgs = flags.zipWithIndex
+      .map { case ((n, _), i) => s"'$n', c$i, t$i" }.mkString(", ")
+    staged.agg(aggExprs.head, aggExprs.tail: _*)
+      .select(expr(s"stack(${flags.size}, $stackArgs) AS (stage, n_docs, n_chars)"))
   }
 
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
