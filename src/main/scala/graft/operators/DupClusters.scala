@@ -118,6 +118,21 @@ object DupClusters {
     * transitive closure over the symmetric edge list (set-semantics UNION
     * terminates it), then min reachable id per doc = cluster id.
     */
+  /** Shared DuckDB connected-components CTE text over a `pairs(doc_a,
+    * doc_b)` CTE: symmetric edges → recursive transitive closure
+    * (set-semantics UNION terminates it) → min reachable id per doc.
+    * One definition for the three oracles that need cluster labels
+    * (d5, d10, c3) — closure-semantics fixes apply in exactly one place.
+    */
+  private[graft] val ccCtes: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+      |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |reach(doc_id, r) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
+      |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)""".stripMargin
+
   /** D10: CANONICAL SELECTION — the step a dedup pipeline runs after
     * clustering: keep exactly one representative per duplicate cluster,
     * chosen by a quality key rather than by arbitrary id. The rule here is
@@ -149,13 +164,7 @@ object DupClusters {
   val canonicalQ: graft.queries.Q = graft.queries.Q("d10_canonical_selection",
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(doc_id, r) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
-       |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |$ccCtes,
        |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
        |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
        |canon AS (SELECT cluster_id,
@@ -170,13 +179,7 @@ object DupClusters {
   val dupClustersQ: graft.queries.Q = graft.queries.Q("d5_dup_clusters",
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(doc_id, r) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
-       |labels AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+       |$ccCtes
        |SELECT d.doc_id,
        |       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        |       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical

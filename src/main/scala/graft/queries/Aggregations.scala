@@ -137,7 +137,7 @@ object Aggregations {
     */
   val a18WeightedMedian = Q("a18_weighted_median",
     """WITH r AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
-      |             CAST(l_quantity AS BIGINT) AS w
+      |             CAST(floor(l_quantity) AS BIGINT) AS w
       |           FROM lineitem),
       |t AS (SELECT flag, sum(w) AS total_weight FROM r GROUP BY flag),
       |c AS (SELECT flag, price,
@@ -151,9 +151,12 @@ object Aggregations {
       |GROUP BY c.flag, t.total_weight""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // explicit floor on BOTH sides: a bare double→BIGINT cast truncates
+      // in Spark but rounds-to-nearest in DuckDB — identical only while
+      // quantities stay integral; floor pins the semantics outright
       val r = Tables.lineitem(s, dir).select(
         $"l_returnflag".as("flag"), $"l_extendedprice".as("price"),
-        $"l_quantity".cast("long").as("w"))
+        floor($"l_quantity").cast("long").as("w"))
       val t = r.groupBy($"flag").agg(sum($"w").as("total_weight"))
       val byPrice = org.apache.spark.sql.expressions.Window
         .partitionBy($"flag").orderBy($"price")

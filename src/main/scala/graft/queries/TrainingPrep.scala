@@ -734,16 +734,10 @@ object TrainingPrep {
     val budget = 300
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),
-       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(doc_id, r) AS (
-       |  SELECT a, a FROM edges
-       |  UNION
-       |  SELECT e.a, r.r FROM edges e JOIN reach r ON r.doc_id = e.b),
-       |clab AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id),
+       |${graft.operators.DupClusters.ccCtes},
        |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        |               d.source, d.lang, d.n_chars
-       |        FROM documents d LEFT JOIN clab l ON d.doc_id = l.doc_id),
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
        |s1 AS (SELECT * FROM (
        |         SELECT lab.*, row_number() OVER (PARTITION BY cluster_id
        |                        ORDER BY n_chars DESC, doc_id) AS krn
@@ -802,9 +796,14 @@ object TrainingPrep {
         floor(lit(budget.toDouble) * $"x.w" / $"denom").cast("long").as("cap"))
     val rw = Window.partitionBy($"lang")
       .orderBy(md5($"doc_id".cast("string")), $"doc_id")
+    // LEFT join: a source whose docs are all non-keeper members of
+    // cross-source clusters has no s1 survivors and hence no band row —
+    // its docs must still count in s0_raw (the oracle counts all of lab);
+    // null band edges make in_s2 false via the null-safe coalesce
     val staged = lab
-      .join(broadcast(p), "source")
-      .withColumn("in_s2", $"in_s1" && $"n_chars" >= $"p05" && $"n_chars" <= $"p95")
+      .join(broadcast(p), Seq("source"), "left")
+      .withColumn("in_s2", $"in_s1" &&
+        coalesce($"n_chars" >= $"p05" && $"n_chars" <= $"p95", lit(false)))
       .join(broadcast(caps), Seq("lang"), "left")
       .withColumn("rn", sum(when($"in_s2", 1L).otherwise(0L)).over(rw))
       .withColumn("in_s3", $"in_s2" && $"rn" <= coalesce($"cap", lit(0L)))

@@ -653,11 +653,13 @@ object Warehouse {
       |c AS (SELECT d.doc_id, d.source, d.n_chars,
       |             least(greatest(d.n_chars, p.p05), p.p95) AS clipped
       |      FROM documents d JOIN p ON d.source = p.source),
-      |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
-      |             CAST(sum(clipped) AS BIGINT) AS s,
-      |             CAST(sum(clipped * clipped) AS BIGINT) AS ss
+      |s AS (SELECT source, CAST(count(*) AS DECIMAL(12,0)) AS n,
+      |             CAST(sum(clipped) AS DECIMAL(19,0)) AS s,
+      |             CAST(sum(clipped * clipped) AS DECIMAL(25,0)) AS ss
       |      FROM c GROUP BY source),
-      |w AS (SELECT source, n, s, n * ss - s * s AS var_num, n * (n - 1) AS nn1 FROM s)
+      |w AS (SELECT source, n, s,
+      |             CAST(n AS DECIMAL(13,0)) * ss - CAST(s AS DECIMAL(19,0)) * s AS var_num,
+      |             CAST(n AS DECIMAL(13,0)) * (n - 1) AS nn1 FROM s)
       |SELECT c.doc_id, c.source, c.n_chars, c.clipped,
       |       c.n_chars <> c.clipped AS was_clipped,
       |       CASE WHEN w.var_num = 0 THEN NULL
@@ -675,11 +677,20 @@ object Warehouse {
       val c = docs.join(broadcast(p), "source")
         .select($"doc_id", $"source", $"n_chars",
           least(greatest($"n_chars", $"p05"), $"p95").as("clipped"))
+      // DECIMAL moments (a16's int128 discipline): int64 sums would wrap
+      // silently in Spark at large corpora (n·ss ≈ 1e22 at 1e5 docs of
+      // 1e6 chars) while DuckDB errors — decimals keep both engines exact
+      // and identical; widths chosen so every DuckDB product stays ≤ 38
+      import org.apache.spark.sql.types.DecimalType
       val w = c.groupBy($"source").agg(
-          count(lit(1)).as("n"), sum($"clipped").as("s"),
-          sum($"clipped" * $"clipped").as("ss"))
+          count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+          sum($"clipped".cast(DecimalType(19, 0))).cast(DecimalType(19, 0)).as("s"),
+          sum(($"clipped" * $"clipped").cast(DecimalType(25, 0)))
+            .cast(DecimalType(25, 0)).as("ss"))
         .select($"source", $"n", $"s",
-          ($"n" * $"ss" - $"s" * $"s").as("var_num"), ($"n" * ($"n" - 1)).as("nn1"))
+          ($"n".cast(DecimalType(13, 0)) * $"ss"
+            - $"s".cast(DecimalType(19, 0)) * $"s").as("var_num"),
+          ($"n".cast(DecimalType(13, 0)) * ($"n" - 1)).as("nn1"))
       c.join(broadcast(w), "source")
         .select($"doc_id", $"source", $"n_chars", $"clipped",
           ($"n_chars" =!= $"clipped").as("was_clipped"),

@@ -28,28 +28,59 @@ object PartitionedIndex {
     (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
   }
 
-  private[streaming] def readPending(fs: FileSystem, root: Path): Set[String] = {
+  /** Manifest contents: the consolidated dir the pending partitions were
+    * folded into, plus the pending dir names. The target is what makes
+    * the manifest TRANSACTIONAL: it is written BEFORE the consolidated
+    * partition is renamed into place, and readers honor the pending list
+    * only once that target dir exists — so there is never a window where
+    * a scan sees the folded rows twice (manifest live + target live) or
+    * not at all (manifest honored while the copy is still being staged).
+    */
+  private[streaming] final case class Manifest(target: String, pending: Seq[String])
+
+  private[streaming] def readManifest(fs: FileSystem, root: Path): Option[Manifest] = {
     val p = new Path(root, pendingFile)
-    if (!fs.exists(p)) Set.empty
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toSet
-      finally in.close()
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      lines match {
+        case head :: rest if head.startsWith("target=") =>
+          Some(Manifest(head.stripPrefix("target="), rest))
+        case _ => None // torn/foreign content — ignore, never guess
+      }
     }
   }
 
-  private[streaming] def writePending(fs: FileSystem, root: Path,
-      names: Seq[String]): Unit = {
+  /** The pending set a reader must honor: only once the fold's target
+    * partition is live; a manifest whose target never landed (crash
+    * between manifest write and publish) is inert.
+    */
+  private[streaming] def livePending(fs: FileSystem, root: Path): Set[String] =
+    readManifest(fs, root) match {
+      case Some(m) if fs.exists(new Path(root, m.target)) => m.pending.toSet
+      case _ => Set.empty
+    }
+
+  private[streaming] def writeManifest(fs: FileSystem, root: Path,
+      m: Option[Manifest]): Unit = {
     val target = new Path(root, pendingFile)
-    if (names.isEmpty) { fs.delete(target, false); return }
-    // write-then-rename so a reader never sees a torn manifest
-    val tmp = new Path(root, pendingFile + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write((names.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
-    fs.delete(target, false)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"index consolidation: could not publish $target")
+    m match {
+      case None => fs.delete(target, false)
+      case Some(mm) =>
+        // write-then-rename so a reader never sees a torn manifest
+        val tmp = new Path(root, pendingFile + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write((s"target=${mm.target}\n" + mm.pending.mkString("\n") + "\n")
+          .getBytes("UTF-8"))
+        finally out.close()
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          throw new IllegalStateException(s"index consolidation: could not publish $target")
+    }
   }
 
   /** Pending-aware history read: every `__batch=` partition except those
@@ -61,7 +92,7 @@ object PartitionedIndex {
   def scan(spark: SparkSession, indexDir: String): Option[DataFrame] = {
     val (fs, root) = fsFor(spark, indexDir)
     if (!fs.exists(root)) return None
-    val pending = readPending(fs, root)
+    val pending = livePending(fs, root)
     val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
       s.getPath.getName.startsWith("__batch=") && !pending(s.getPath.getName))
     if (dirs.isEmpty) None
@@ -90,10 +121,15 @@ object PartitionedIndex {
     fs.delete(tmp, true)
 
     // the previous fold's sources have now survived one full cycle — any
-    // probe planned over them has long finished; physically delete them
-    val pendingAtEntry = readPending(fs, root)
-    pendingAtEntry.foreach(n => fs.delete(new Path(root, n), true))
-    if (pendingAtEntry.nonEmpty) writePending(fs, root, Seq.empty)
+    // probe planned over them has long finished; physically delete them.
+    // A manifest whose target never landed (crash between manifest write
+    // and publish) is inert: its sources are still the live data — just
+    // clear it and let this fold redo the work.
+    readManifest(fs, root).foreach { m =>
+      if (fs.exists(new Path(root, m.target)))
+        m.pending.foreach(n => fs.delete(new Path(root, n), true))
+      writeManifest(fs, root, None)
+    }
 
     def partDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("__batch="))
@@ -119,11 +155,15 @@ object PartitionedIndex {
       .repartition(n)
       .write.mode("overwrite").parquet(tmp.toString)
     val target = new Path(root, s"__batch=$freshId")
-    if (!fs.rename(tmp, target))
+    // manifest FIRST (inert until the target lands), then the publish
+    // rename — the pending exclusion and the consolidated partition
+    // become visible to readers in the same atomic step
+    writeManifest(fs, root,
+      Some(Manifest(target.getName, folds.map(_.getPath.getName).toIndexedSeq)))
+    if (!fs.rename(tmp, target)) {
+      writeManifest(fs, root, None)
       throw new IllegalStateException(s"index consolidation: could not publish $target")
-    // deferred deletion: mark, don't delete — an in-flight probe planned
-    // over these partitions keeps every file it expects until next fold
-    writePending(fs, root, folds.map(_.getPath.getName).toIndexedSeq)
+    }
     (folds.length, filesBefore, files(target))
   }
 }

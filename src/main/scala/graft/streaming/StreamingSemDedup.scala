@@ -71,10 +71,22 @@ object StreamingSemDedup {
         model.clusterCenters.zipWithIndex.map { case (c, i) =>
           (i, c.toArray.map(_.toFloat))
         }.toIndexedSeq).toDF("cell_id", "centroid")
-      val tmp = new org.apache.hadoop.fs.Path(dir + ".tmp")
-      fs.delete(tmp, true)
+      // unique tmp per attempt: two concurrent first batches must not
+      // clobber each other's build dir before the publish race resolves
+      val tmp = new org.apache.hadoop.fs.Path(
+        dir + ".tmp-" + java.util.UUID.randomUUID().toString)
       cents.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(tmp, root)) fs.delete(tmp, true) // lost the race — winner's are identical
+      // Hadoop rename(dir, existingDir) MOVES the source INSIDE the
+      // destination (and returns true) — so a lost race can nest our tmp
+      // under the winner's published dir. Treat either a false return or
+      // a nested tmp as "lost": remove the leftovers and read the winner
+      // (identical content — same batch, same seed).
+      val renamed = fs.rename(tmp, root)
+      val nested = new org.apache.hadoop.fs.Path(root, tmp.getName)
+      if (!renamed || fs.exists(nested)) {
+        fs.delete(nested, true)
+        fs.delete(tmp, true)
+      }
     }
     spark.read.parquet(dir)
   }
