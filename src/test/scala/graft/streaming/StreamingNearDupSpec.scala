@@ -245,6 +245,45 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
       s"folded sources must be reclaimed at the next pass: ${physical.toSeq}")
   }
 
+  test("a manifest whose consolidated target never landed is inert") {
+    // crash window: compact writes the manifest BEFORE the publish
+    // rename. If the rename never happens, the pending sources are still
+    // the only copy — scan must keep reading them, and the next compact
+    // must clear the stale manifest and redo the fold.
+    val indexDir = tmp("ndm-index") + "/index"
+    def batchDf(b: Int) = (0 until 10).map { i =>
+      val id = b * 100L + i; (id, sentence(id.toInt))
+    }.toDF("doc_id", "text")
+    (0 until 3).foreach(b => StreamingNearDup.screenBatch(batchDf(b), indexDir, b.toLong).count())
+    val all = spark.read.parquet(indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet
+
+    // simulate the crash: manifest names a target that was never renamed in
+    val (fs, root) = PartitionedIndex.fsFor(spark, indexDir)
+    PartitionedIndex.writeManifest(fs, root, Some(
+      PartitionedIndex.Manifest("__batch=-99",
+        Seq("__batch=0", "__batch=1", "__batch=2"))))
+
+    // scan ignores the inert manifest — every row still visible
+    assert(StreamingNearDup.historyScan(spark, indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet == all,
+      "an unpublished fold must not hide the live source partitions")
+    // and screening still works against the full history
+    val v = StreamingNearDup.screenBatch(
+      Seq((900L, sentence(105))).toDF("doc_id", "text"), indexDir, 3L)
+      .select($"doc_id", $"is_near_dup").as[(Long, Boolean)].collect().head
+    assert(v._2, "probe against manifest-shadowed history must still match")
+
+    // the next compact clears the stale manifest and folds for real
+    // (batches 0-2 plus the just-written batch 3)
+    val (folded, _, _) = StreamingNearDup.compactIndex(spark, indexDir, 4L)
+    assert(folded == 4, s"expected a real refold after the stale manifest, got $folded")
+    val after = StreamingNearDup.historyScan(spark, indexDir)
+      .select($"doc_id", $"band_idx", $"band_key").collect().toSet
+    assert(all.subsetOf(after) && after.exists(_.getLong(0) == 900L)
+      && after.size > all.size, "refold must preserve history plus batch 3")
+  }
+
   test("soak: heavy-dup batches against a growing index stay bounded") {
     // three 5k-doc batches, each 50% exact re-fetches of earlier docs
     // (the adversarial live-intake shape: a crawler re-crawling known
