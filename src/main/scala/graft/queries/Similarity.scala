@@ -488,6 +488,67 @@ object Similarity {
       pr.select($"vec_id", $"pr".cast("long").as("pr_q"))
   }
 
+  /** E14: LABEL PROPAGATION over the kNN graph — the weak-supervision
+    * primitive: each vector adopts the MAJORITY label among its nearest
+    * neighbors, iterated (2 unrolled rounds), smoothing noisy labels /
+    * densifying sparse ones for training-data labeling. Entirely integer:
+    * votes are counts and the majority pick is the a13 deterministic
+    * argmax idiom — `min(struct(−n, label))` — so frequency ties resolve
+    * to the smallest label identically in both engines and the gate is
+    * hash-exact. A vector with no out-edges (singleton cell) keeps its
+    * label. Scale: per round, one groupBy(src) shuffle over the 3N-edge
+    * list + a roster left-join — linear, the same BSP shape as e13.
+    */
+  val labelPropagation = Q("e14_label_propagation", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    def round(k: Int) =
+      s"""votes$k AS (
+         |  SELECT e.src, l.cur, count(*) AS n
+         |  FROM e JOIN lab${k - 1} l ON e.dst = l.vec_id GROUP BY e.src, l.cur),
+         |maj$k AS (
+         |  SELECT src, min(struct_pack(neg := -n, l := cur)).l AS maj
+         |  FROM votes$k GROUP BY src),
+         |lab$k AS (
+         |  SELECT l.vec_id, coalesce(m.maj, l.cur) AS cur
+         |  FROM lab${k - 1} l LEFT JOIN maj$k m ON l.vec_id = m.src)""".stripMargin
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |e AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3),
+       |lab0 AS (SELECT vec_id, label AS cur FROM embeddings),
+       |${round(1)},
+       |${round(2)}
+       |SELECT v.vec_id, v.label, l.cur AS label_2, v.label <> l.cur AS changed
+       |FROM embeddings v JOIN lab2 l ON v.vec_id = l.vec_id""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      var lab = Tables.embeddings(s, dir).select($"vec_id", $"label".as("cur"))
+      for (_ <- 1 to 2) {
+        val maj = e.join(lab.select($"vec_id".as("dst"), $"cur"), "dst")
+          .groupBy($"src", $"cur").agg(count(lit(1)).as("n"))
+          .groupBy($"src")
+          .agg(min(struct((-$"n").as("neg"), $"cur".as("l"))).as("m"))
+          .select($"src".as("vec_id"), $"m.l".as("maj"))
+        lab = lab.join(maj, Seq("vec_id"), "left")
+          .select($"vec_id", coalesce($"maj", $"cur").as("cur"))
+      }
+      Tables.embeddings(s, dir).select($"vec_id", $"label")
+        .join(lab, "vec_id")
+        .select($"vec_id", $"label", $"cur".as("label_2"),
+          ($"label" =!= $"cur").as("changed"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
-    annRandomHyperplane, knnGraph, graphDownsample, graphPagerank)
+    annRandomHyperplane, knnGraph, graphDownsample, graphPagerank, labelPropagation)
 }

@@ -165,8 +165,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e13's only BNLJs are the 1-ROW global-N broadcast (vtx ⨯ nn, the
       // t10 global-stats pattern, once per unrolled iteration) plus the
       // same cached index-build subtree as e11; every edge/inflow step
-      // is a keyed equi-join
-      "e13_graph_pagerank")
+      // is a keyed equi-join. e14 consumes the same memoized graph (its
+      // only BNLJ is that cached subtree); its vote/majority rounds are
+      // keyed equi-joins.
+      "e13_graph_pagerank", "e14_label_propagation")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
