@@ -116,11 +116,16 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
 
-  /** Footer-sniffed `ts` physical type per path — one footer read per path
-    * per JVM, so repeated loads (Bench runs 115 queries) stay cheap.
+  /** Footer-sniffed `ts` physical type, keyed by (path, dir fingerprint) —
+    * one footer read per path per layout per JVM, so repeated loads (Bench
+    * runs 120+ queries) stay cheap, yet an in-place regeneration of
+    * events.parquet with a different physical layout (the exact drift this
+    * adaptive loader exists to catch) re-sniffs instead of silently
+    * reusing the stale type. Superseded fingerprints of the same path are
+    * evicted so the map stays one entry per path.
     */
   private val tsPhysical =
-    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataType]()
 
   /** events with the `ts: TimestampType` contract, whatever the physical
     * layout. The driver has regenerated the testdata with a different ts
@@ -134,14 +139,18 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val path = s"$dir/events.parquet"
-    val phys = tsPhysical.computeIfAbsent(path, p =>
+    val fp = graft.queries.Memo.fingerprint(spark, path)
+    // drop sniffs of older layouts of this same path (in-place regen)
+    tsPhysical.keySet.removeIf(k => k._1 == path && k._2 != fp)
+    val phys = tsPhysical.computeIfAbsent((path, fp), { case (p, _) =>
       try spark.read.parquet(p).schema("ts").dataType
       catch {
         case e: Exception => throw new IllegalStateException(
           s"events.ts: cannot determine physical type of $p (TIMESTAMP(NANOS) " +
             "needs spark.sql.legacy.parquet.nanosAsLong=true to even load; " +
             "the expected layouts are timestamp[us] or int64 epoch-ns)", e)
-      })
+      }
+    })
     phys match {
       case TimestampType | TimestampNTZType =>
         // native µs timestamp — read through the pinned contract schema

@@ -160,9 +160,24 @@ object PartitionedIndex {
     // become visible to readers in the same atomic step
     writeManifest(fs, root,
       Some(Manifest(target.getName, folds.map(_.getPath.getName).toIndexedSeq)))
-    if (!fs.rename(tmp, target)) {
-      writeManifest(fs, root, None)
-      throw new IllegalStateException(s"index consolidation: could not publish $target")
+    // Two concurrent compacts list the same partitions → same freshId and
+    // an identical fold (same sources, same dedup). The loser must stand
+    // down WITHOUT clearing the winner's just-published manifest (that
+    // would re-expose the folded sources next to the consolidated
+    // partition). Two loss shapes: rename returns false, or Hadoop
+    // "succeeds" by nesting our tmp INSIDE the winner's existing target.
+    val renamed = fs.rename(tmp, target)
+    val nested = new Path(target, tmp.getName)
+    if (renamed && fs.exists(nested)) {
+      fs.delete(nested, true) // winner's content is identical; drop ours
+    } else if (!renamed) {
+      // do NOT clear the manifest here: if a winner published, the
+      // manifest is live and belongs to its fold; if nobody did, the
+      // manifest is inert (target absent → livePending ignores it) and
+      // the next compact's preamble clears and redoes it
+      fs.delete(tmp, true)
+      if (!fs.exists(target))
+        throw new IllegalStateException(s"index consolidation: could not publish $target")
     }
     (folds.length, filesBefore, files(target))
   }

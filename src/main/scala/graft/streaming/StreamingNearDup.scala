@@ -171,13 +171,15 @@ object StreamingNearDup {
     *    the `__batch =!= batchId` history filter still excludes exactly
     *    the live batch;
     *  - publish is one rename of a directory built outside the index
-    *    root; source partitions are marked pending-delete only after it
-    *    lands. A crash between publish and the manifest write leaves
-    *    DUPLICATE band rows visible — harmless for verdicts (candidates
-    *    aggregate per doc via min_by, so duplicate rows collapse) and
-    *    self-healing (dropDuplicates removes them at the next fold that
-    *    covers both copies — at latest the next FULL refold, for
-    *    leftovers that straddle a consolidated partition);
+    *    root; the pending-delete manifest is written BEFORE that rename
+    *    and is inert until the target lands, so the pending exclusion and
+    *    the consolidated partition become visible in the same atomic
+    *    step — no duplicate-read window. The residual hazards are a
+    *    crash between manifest write and publish (an inert manifest the
+    *    next fold clears and redoes) and a probe spanning two whole
+    *    compaction cycles; `dedupKeys` additionally heal any duplicate
+    *    band rows a refold may encounter (candidates also collapse them
+    *    per doc via min_by, so verdicts were never at risk);
     *  - an orphaned build dir from a crashed run is removed at entry.
     *
     * Returns (partitions folded, files before, files after).

@@ -63,8 +63,14 @@ object StreamingSemDedup {
       // a first batch smaller than k (or with < k distinct points) crashes
       // MLlib's aggregator — cap k; fewer cells just means larger ones,
       // verdicts stay exact (in-cell cosine is the decider, not the cells)
-      val kEff = math.max(1, math.min(k,
-        firstBatch.select(col("embedding")).distinct().count().toInt))
+      val nDistinct = firstBatch.select(col("embedding")).distinct().count().toInt
+      // an empty batch cannot train a codebook at all — callers must defer
+      // to the first non-empty batch (screenBatch does); fail loud here
+      // rather than let KMeans throw its opaque aggregator error
+      require(nDistinct >= 1,
+        s"cannot train the frozen codebook at $dir on an empty batch; " +
+          "defer centroid publication to the first non-empty batch")
+      val kEff = math.max(1, math.min(k, nDistinct))
       val model = new KMeans().setK(kEff).setSeed(seed).setMaxIter(8)
         .setFeaturesCol("features").fit(ds)
       val cents = spark.createDataFrame(
@@ -119,6 +125,13 @@ object StreamingSemDedup {
       k: Int = 16, tau: Double = 0.40, seed: Long = 42L): DataFrame = {
     val spark = batch.sparkSession
     FloatVecDot.register(spark)
+    // an empty trigger (common with ProcessingTime before data arrives)
+    // must not train the codebook on zero rows — defer centroid
+    // publication to the first non-empty batch and emit no verdicts
+    if (batch.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id bigint, is_near_dup boolean, matched_vec bigint, cosine double"))
     val centroids = centroidsFor(spark, indexDir, batch, k, seed)
     val fresh = assign(batch, centroids).cache()
 

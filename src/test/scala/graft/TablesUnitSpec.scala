@@ -86,6 +86,21 @@ class TablesUnitSpec extends AnyFunSuite with SparkTestKit {
     assert(watermarks(us).getLong(0) == 1706313600500000L)
   }
 
+  test("an in-place layout regeneration re-sniffs instead of reusing the stale type") {
+    // the exact drift the adaptive loader exists to catch, compressed into
+    // one JVM: the driver regenerates events.parquet AT THE SAME PATH with
+    // a different physical layout. A path-keyed sniff cache would silently
+    // reuse the old type (ns read as µs, 1000× off); the cache is keyed on
+    // the dir fingerprint, so the second load re-sniffs.
+    val dir = Files.createTempDirectory("graft-ts-regen").toString
+    writeMicros(dir)
+    val first = canonical(Tables.events(spark, dir))
+    writeNanosLong(dir) // in-place regeneration, different physical layout
+    val second = canonical(Tables.events(spark, dir))
+    assert(first == second,
+      "in-place regenerated layout was reinterpreted through a stale sniff cache")
+  }
+
   test("an unrecognized ts layout fails loudly, not silently skewed") {
     val dir = Files.createTempDirectory("graft-ts-bad").toString
     writeStringTs(dir)

@@ -119,6 +119,27 @@ class StreamingSemDedupSpec extends AnyFunSuite with SparkTestKit {
     assert(c1 == c2, "centroids must be frozen after first publish")
   }
 
+  test("an empty first trigger defers codebook training to the first non-empty batch") {
+    val indexDir = tmp("ssd-empty") + "/index"
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // empty first batch: no verdicts, no training, no index partition
+    val v = StreamingSemDedup.screenBatch(empty, indexDir, 0L, k = 4, tau = 0.9)
+    assert(v.count() == 0L)
+    assert(v.columns.toSeq == Seq("vec_id", "is_near_dup", "matched_vec", "cosine"))
+    val (fs, root) = PartitionedIndex.fsFor(spark, indexDir + ".centroids")
+    assert(!fs.exists(root), "empty batch must not publish a codebook")
+    // the first NON-empty batch trains as if it were first
+    val b = vecs(Seq((0L, 0, false), (1L, 1, false), (2L, 0, true)))
+    val v1 = StreamingSemDedup.screenBatch(b, indexDir, 1L, k = 2, tau = 0.9)
+      .select($"vec_id", $"is_near_dup").as[(Long, Boolean)].collect().toMap
+    assert(!v1(0L) && !v1(1L) && v1(2L))
+    // calling centroidsFor directly with an empty batch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      StreamingSemDedup.centroidsFor(spark, tmp("ssd-empty2") + "/index", empty, 4, 42L)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("soak: heavy-dup embedding batches against a growing index stay bounded") {
     // three 5k-vector batches, 50% exact re-sends of earlier vectors (the
     // re-crawl shape). Families are spread over a 64-cell codebook trained
