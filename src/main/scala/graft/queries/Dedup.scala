@@ -233,8 +233,146 @@ object Dedup {
         .filter($"est_jaccard" >= 0.5)
     }
 
-  val minhashLshFast = Q.noOracle("d3f_minhash_fast") {
-    (s, dir) => minhashPairsFast(s, dir)
+  /** Driver gate for the fast path — the a7 boolean-contract idiom
+    * (sketch encodings aren't cross-engine, so emit the CONTRACT as
+    * booleans the oracle asserts literally TRUE): one summary row with
+    * the md5 pair count (exact, oracle-recomputed) plus recall /
+    * precision / set-agreement ≥ 0.85 of the xxhash64 pair set against
+    * the md5 pair set. A fast-path regression (wrong seed plumbing, band
+    * mis-keying, threshold drift) flips a boolean and reds the hash gate;
+    * the tighter numeric assertions stay in DedupFastSpec. Cost note:
+    * both pair lists are session-memoized ([[minhashPairs]] /
+    * [[minhashPairsFast]]), so this gate reuses d3's work and adds one
+    * full-outer join over two ~|near-dup| pair lists — trivial at any
+    * scale (the pair lists are the small output, not the corpus).
+    */
+  val minhashLshFast = Q("d3f_minhash_fast",
+    s"""WITH $minhashCtes,
+       |pairs AS ($minhashSelect)
+       |SELECT CAST(count(*) AS BIGINT) AS n_md5_pairs,
+       |       TRUE AS fast_nonempty,
+       |       TRUE AS md5_recall_ge_85,
+       |       TRUE AS fast_precision_ge_85,
+       |       TRUE AS pair_agreement_ge_85
+       |FROM pairs""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val md5P = minhashPairs(s, dir)
+        .select($"doc_a", $"doc_b").withColumn("in_md5", lit(1))
+      val fastP = minhashPairsFast(s, dir)
+        .select($"doc_a", $"doc_b").withColumn("in_fast", lit(1))
+      md5P.join(fastP, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(coalesce($"in_md5", lit(0))).as("n_md5"),
+          sum(coalesce($"in_fast", lit(0))).as("n_fast"),
+          sum(when($"in_md5" === 1 && $"in_fast" === 1, 1).otherwise(0)).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(
+          $"n_md5".cast("long").as("n_md5_pairs"),
+          ($"n_fast" > 0).as("fast_nonempty"),
+          ($"n_both" >= $"n_md5" * 0.85).as("md5_recall_ge_85"),
+          ($"n_both" >= $"n_fast" * 0.85).as("fast_precision_ge_85"),
+          ($"n_both" >= $"n_union" * 0.85).as("pair_agreement_ge_85"))
+  }
+
+  /** The merged removable word spans behind `d11_exact_substr`:
+    * `(doc_id, span_start, span_end)` — every maximal word interval
+    * covered by cross-document duplicated 8-grams (1-based, inclusive).
+    * Exposed so LlmOpsSpec can actually REMOVE the spans and assert the
+    * post-removal corpus is duplicate-span-free.
+    *
+    * Shape: occurrence-level postings with positions (one explode), the
+    * duplicated-gram set (one hash-agg on the gram, as t19), an equi-join
+    * back to occurrences, then interval-merge per doc — one window sorted
+    * by position within each doc partition (the classic cumulative-max
+    * new-group trick) and one aggregate. Linear in corpus n-grams; no
+    * self-join; the per-doc sort is bounded by doc length.
+    */
+  def removableSpans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val g = Ngrams.postingsWithPos(Tables.documents(s, dir), n = 8, outCol = "g")
+    val du = g.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1).select($"g")
+    val hits = g.join(du, "g")
+      .select($"doc_id", $"pos".as("s"), ($"pos" + 7).as("e"))
+    val byPos = Window.partitionBy($"doc_id").orderBy($"s")
+    val pmax = max($"e").over(byPos.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_grp", when(pmax.isNull || $"s" > pmax, 1).otherwise(0))
+      .withColumn("gid", sum($"new_grp")
+        .over(byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"doc_id", $"gid")
+      .agg(min($"s").as("span_start"), max($"e").as("span_end"))
+      .select($"doc_id", $"span_start", $"span_end")
+  }
+
+  /** D11: exact-substring dedup (the ExactSubstr family of Lee et al.
+    * 2022, arXiv:2107.06499) — t19 *measures* the duplicated-span mass;
+    * this operator marks what to REMOVE: per doc, the merged word
+    * intervals covered by any cross-document duplicated 8-gram, as a
+    * canonical `start-end;…` span list plus exact removal counts. A
+    * maximal duplicated run of grams i…j covers words i…j+7; merging the
+    * per-occurrence intervals [i, i+7] yields exactly those maximal
+    * spans (adjacent duplicated grams overlap by 7 words, so runs fuse).
+    *
+    * No global suffix array anywhere — the duplicated-gram set is one
+    * aggregate, extension is the per-doc interval merge. All counts are
+    * integers, the span list is an integer-rendered string, and the
+    * fraction is one IEEE division — hash-exact across engines.
+    */
+  val exactSubstr = Q("d11_exact_substr",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, u['pos'] AS pos, u['g'] AS g
+      |      FROM (SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(w[i:i+7], ' ')}
+      |                   for i in generate_series(1, greatest(len(w) - 7, 0))]) AS u
+      |            FROM w)),
+      |du AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+      |       WHERE nd > 1),
+      |hits AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM g JOIN du USING (g)),
+      |m AS (SELECT doc_id, s, e,
+      |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |      FROM hits),
+      |grp AS (SELECT doc_id, s, e,
+      |          sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS gid
+      |        FROM m),
+      |spans AS (SELECT doc_id, gid, min(s) AS span_start, max(e) AS span_end
+      |          FROM grp GROUP BY doc_id, gid),
+      |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+      |          CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_removed_words,
+      |          string_agg(span_start || '-' || span_end, ';' ORDER BY span_start) AS spans
+      |        FROM spans GROUP BY doc_id),
+      |lens AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      |         FROM documents)
+      |SELECT l.doc_id, l.n_words,
+      |       coalesce(p.n_spans, 0) AS n_spans,
+      |       coalesce(p.n_removed_words, 0) AS n_removed_words,
+      |       coalesce(p.spans, '') AS spans,
+      |       CAST(coalesce(p.n_removed_words, 0) AS DOUBLE) / l.n_words AS removed_fraction
+      |FROM lens l LEFT JOIN per p USING (doc_id)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val per = removableSpans(s, dir)
+        .groupBy($"doc_id")
+        .agg(
+          count(lit(1)).as("n_spans"),
+          sum($"span_end" - $"span_start" + 1).as("n_removed_words"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct($"span_start", $"span_end"))),
+              x => concat(x.getField("span_start").cast("string"), lit("-"),
+                x.getField("span_end").cast("string"))), ";").as("spans"))
+      Tables.documents(s, dir)
+        .select($"doc_id", size(split($"text", " ")).cast("long").as("n_words"))
+        .join(per, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_words",
+          coalesce($"n_spans", lit(0L)).as("n_spans"),
+          coalesce($"n_removed_words", lit(0L)).as("n_removed_words"),
+          coalesce($"spans", lit("")).as("spans"),
+          (coalesce($"n_removed_words", lit(0L)).cast("double") / $"n_words")
+            .as("removed_fraction"))
   }
 
   /** D4: 32-bit SimHash from per-word md5 bits: fingerprint bit j is the
@@ -493,5 +631,5 @@ object Dedup {
 
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
-    sourceOverlap)
+    sourceOverlap, exactSubstr)
 }

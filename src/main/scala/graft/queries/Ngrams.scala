@@ -31,4 +31,23 @@ object Ngrams {
       .select($"doc_id", explode(expr(
         s"CASE WHEN size(w) >= $n THEN $arr ELSE cast(array() AS array<string>) END")).as(outCol))
   }
+
+  /** `(doc_id, pos, <outCol>)` postings with the n-gram's 1-based word
+    * position — the occurrence-level view span operators need (d11 exact
+    * substring dedup). `pos` matches DuckDB's `generate_series(1, …)`
+    * index: the gram at `pos` covers words `pos … pos+n−1`. Same
+    * short-doc guard as [[postings]]; no distinct variant (positions make
+    * every occurrence unique).
+    */
+  def postingsWithPos(df: DataFrame, n: Int, outCol: String): DataFrame = {
+    require(n >= 1)
+    val s = df.sparkSession
+    import s.implicits._
+    val terms = (0 until n).map(j => s"w[i-1+$j]").mkString(", ")
+    val core = s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $terms))"
+    df.select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", posexplode(expr(
+        s"CASE WHEN size(w) >= $n THEN $core ELSE cast(array() AS array<string>) END")))
+      .select($"doc_id", (col("pos") + 1).cast("long").as("pos"), col("col").as(outCol))
+  }
 }

@@ -49,6 +49,54 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(p1.collect().toSet == Dedup.simhash.run(spark, sfDir).collect().toSet)
   }
 
+  test("exact-substring dedup: removing d11's spans eliminates cross-doc duplicated spans") {
+    // the ExactSubstr closure property: every cross-doc duplicated 8-gram
+    // occurrence lies inside a removable span BY CONSTRUCTION, so pruning
+    // the spans and re-measuring t19's duplicated fraction must land at
+    // ~0 — the only possible residue is NEW 8-grams formed where a
+    // removal joins previously-distant words (junction grams).
+    val docs = Tables.documents(spark, sfDir)
+    val spans = Dedup.removableSpans(spark, sfDir)
+
+    // span sanity: 1-based, within doc bounds, disjoint after merge
+    val lens = docs.select($"doc_id", size(split($"text", " ")).as("n_words"))
+    assert(spans.join(lens, "doc_id")
+      .filter($"span_start" < 1 || $"span_end" > $"n_words" ||
+        $"span_start" > $"span_end").count() == 0, "span out of bounds")
+    val overlaps = spans.alias("a").join(spans.alias("b"),
+        $"a.doc_id" === $"b.doc_id" && $"a.span_start" < $"b.span_start" &&
+          $"b.span_start" <= $"a.span_end")
+      .count()
+    assert(overlaps == 0, s"merged spans must be disjoint, found $overlaps overlaps")
+
+    // prune: drop every word position covered by a span, rebuild texts
+    val words = docs
+      .select($"doc_id", posexplode(split($"text", " ")))
+      .select($"doc_id", (col("pos") + 1).as("pos"), col("col").as("word"))
+    val pruned = words.join(spans,
+        words("doc_id") === spans("doc_id") &&
+          $"pos" >= $"span_start" && $"pos" <= $"span_end", "left_anti")
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"word"))),
+        x => x.getField("word")), " ").as("text"))
+
+    def dupFraction(d: org.apache.spark.sql.DataFrame): Double = {
+      val g = graft.queries.Ngrams.postings(d, n = 8, distinct = false, outCol = "g")
+      val total = g.count()
+      if (total == 0) 0.0
+      else {
+        val dup = g.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
+          .filter($"nd" > 1).select($"g")
+        g.join(dup, "g").count().toDouble / total
+      }
+    }
+    val before = dupFraction(docs.select($"doc_id", $"text"))
+    val after = dupFraction(pruned)
+    assert(before >= 0.03, f"fixture too clean to exercise removal (before=$before%.4f)")
+    assert(after <= 0.005,
+      f"span removal left duplicated mass: before=$before%.4f after=$after%.4f")
+  }
+
   test("cosine top-k: k per query, ranks contiguous, cosine within [-1,1]") {
     val topk = Similarity.cosineTopK.run(spark, sfDir).collect()
     val byQuery = topk.groupBy(_.getAs[Long]("query_id"))
