@@ -24,6 +24,7 @@ object SparkEntry {
     CommerceKpi.queries ++
     TextAnalysis.queries ++
     TrainingPrep.queries ++
+    Bpe.queries ++
     Dedup.queries ++
     Similarity.queries ++
     Warehouse.queries ++
