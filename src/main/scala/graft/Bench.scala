@@ -97,6 +97,25 @@ object Bench {
       else wrapper.map(fromFile).getOrElse(Map.empty)
     }
 
+    // Baseline calibration: bench_prev.json carries the probe times of the
+    // run that produced it, so cross-round machine drift is measurable as
+    // calNow / prevCal. EVERY per-query comparison against prev below is
+    // normalized by this ratio (clamped at 1 from below — a FASTER machine
+    // must not absolve a real regression). r7 lesson: without this the
+    // rerun machinery fired on 63/124 queries and the tripwire cried wolf
+    // five times on a uniformly ~1.5×-slower box.
+    val prevCal: Double = try {
+      val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om2.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("bench_prev.json")))
+      val c = root.get("cal")
+      if (c == null) -1.0
+      else (c.get("start").asDouble(-1.0) + c.get("end").asDouble(-1.0)) / 2.0
+    } catch { case _: Throwable => -1.0 }
+    val calNow = (calStart + calEnd) / 2.0
+    val calRatio = if (prevCal > 0 && calNow > 0) calNow / prevCal else 1.0
+    val calNorm = math.max(1.0, calRatio)
+
     // re-run suspects once more and keep the min: a query far above its
     // previous-round time is overwhelmingly a load spike, not a regression
     // (a real regression reproduces in the third run; a spike doesn't).
@@ -106,7 +125,7 @@ object Bench {
     val suspects = registry.filter { q =>
       val v = firstPass(q.name)
       val p = prev.getOrElse(q.name, -1.0)
-      v > 0 && p > 0 && v > factor * p
+      v > 0 && p > 0 && v > factor * p * calNorm
     }
     // suspects get exactly ONE extra run (min of 3 total vs min of 2 for
     // everyone else — the "reruns" list in the artifact records who got
@@ -124,19 +143,9 @@ object Bench {
     // artifact AND on stderr. Exit stays 0 for the driver;
     // SPARK_GRAFT_BENCH_STRICT=1 turns trips into a nonzero exit for
     // local gating.
-    val prevCal: Double = try {
-      val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = om2.readTree(java.nio.file.Files.readString(
-        java.nio.file.Paths.get("bench_prev.json")))
-      val c = root.get("cal")
-      if (c == null) -1.0
-      else (c.get("start").asDouble(-1.0) + c.get("end").asDouble(-1.0)) / 2.0
-    } catch { case _: Throwable => -1.0 }
-    val calNow = (calStart + calEnd) / 2.0
-    val calRatio = if (prevCal > 0 && calNow > 0) calNow / prevCal else 1.0
     val regressions = results.collect {
       case (n, v) if v > 0 && prev.getOrElse(n, -1.0) > 0 &&
-        v > 2.0 * prev(n) * math.max(1.0, calRatio) => n
+        v > 2.0 * prev(n) * calNorm => n
     }
     if (regressions.nonEmpty)
       System.err.println(
@@ -157,7 +166,7 @@ object Bench {
     val errs = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rers = suspects.map("\"" + _.name + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val cal = s""""cal":{"start":${fmt(calStart, "%.2f")},"end":${fmt(calEnd, "%.2f")}}"""
+    val cal = s""""cal":{"start":${fmt(calStart, "%.2f")},"end":${fmt(calEnd, "%.2f")},"ratio_vs_prev":${fmt(calRatio, "%.2f")}}"""
 
     // Two outputs, one truth. The driver captures only the LAST ~2000
     // chars of the build log and front-truncates — at 112 queries the

@@ -1,6 +1,6 @@
 package graft.domain
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CM1 item-level margin marts (SURVEY §2.2 P6, reference
@@ -17,12 +17,21 @@ object Cm1 {
   /** Joor B2B wholesale item mart (`silver_to_gold.py:267-354`).
     * Per-unit cost model: unit_cost = 25.0 × qty.
     */
-  def joor(silver: DataFrame, cfg: DomainConfig): DataFrame = {
+  def joor(silver: DataFrame, cfg: DomainConfig): DataFrame =
+    joorAt(silver, cfg, to_date(lit(cfg.asOf)))
+
+  /** As [[joor]] but with the processing-date stamp taken from `dateCol`
+    * instead of the injected constant clock — the streaming face stamps
+    * each silver row with its micro-batch's ingest date, so a later
+    * partition recompute reproduces the stamps the original batches wrote
+    * (see `streaming/StreamingGold`).
+    */
+  def joorAt(silver: DataFrame, cfg: DomainConfig, dateCol: Column): DataFrame = {
     val c = Geography.country(col("buyer"), col("order_id"), cfg,
       Geography.joorPatterns, Geography.joorResidual, Geography.joorResidualDefault)
     silver.select(
-      date_format(to_date(lit(cfg.asOf)), "yyyyMMdd").as("date_key"),
-      to_date(lit(cfg.asOf)).as("date"),
+      date_format(dateCol, "yyyyMMdd").as("date_key"),
+      dateCol.as("date"),
       col("order_id").as("order_no"),
       col("sku").as("style_no"),
       col("sku").as("style_name"),
@@ -54,12 +63,16 @@ object Cm1 {
   /** Shopify DTC item mart (`silver_to_gold.py:358-428`).
     * Flat cost model: item_unit_cost = 20.0 per item row.
     */
-  def shopify(silver: DataFrame, cfg: DomainConfig): DataFrame = {
+  def shopify(silver: DataFrame, cfg: DomainConfig): DataFrame =
+    shopifyAt(silver, cfg, to_date(lit(cfg.asOf)))
+
+  /** Per-row-stamped variant; see [[joorAt]]. */
+  def shopifyAt(silver: DataFrame, cfg: DomainConfig, dateCol: Column): DataFrame = {
     val c = Geography.country(col("customer_name"), col("order_id"), cfg,
       Seq.empty, Geography.shopifyResidual, Geography.shopifyResidualDefault)
     silver.select(
-      date_format(to_date(lit(cfg.asOf)), "yyyyMMdd").as("date_key"),
-      to_date(lit(cfg.asOf)).as("date"),
+      date_format(dateCol, "yyyyMMdd").as("date_key"),
+      dateCol.as("date"),
       col("order_id").as("order_no"),
       col("sku").as("style_no"),
       col("sku").as("style_name"),
@@ -88,12 +101,16 @@ object Cm1 {
   /** TikTok livestream item mart (`silver_to_gold.py:432-497`).
     * Flat cost model: item_unit_cost = 18.0 per item row.
     */
-  def tiktok(silver: DataFrame, cfg: DomainConfig): DataFrame = {
+  def tiktok(silver: DataFrame, cfg: DomainConfig): DataFrame =
+    tiktokAt(silver, cfg, to_date(lit(cfg.asOf)))
+
+  /** Per-row-stamped variant; see [[joorAt]]. */
+  def tiktokAt(silver: DataFrame, cfg: DomainConfig, dateCol: Column): DataFrame = {
     val c = Geography.country(col("buyer_name"), col("order_id"), cfg,
       Seq.empty, Geography.tiktokResidual, Geography.tiktokResidualDefault)
     silver.select(
-      date_format(to_date(lit(cfg.asOf)), "yyyyMMdd").as("date_key"),
-      to_date(lit(cfg.asOf)).as("date"),
+      date_format(dateCol, "yyyyMMdd").as("date_key"),
+      dateCol.as("date"),
       col("order_id").as("order_no"),
       col("sku").as("style_no"),
       col("sku").as("style_name"),

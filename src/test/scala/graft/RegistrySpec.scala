@@ -34,7 +34,7 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
       .map("\"" + _.name + "\"") :+ "\"+109 more\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":99999.999,"unit":"sec","nq":${SparkEntry.registry.size},""" +
-        s""""errors":$worstErrs,"cal":{"start":99.99,"end":99.99},"reruns":112,""" +
+        s""""errors":$worstErrs,"cal":{"start":99.99,"end":99.99,"ratio_vs_prev":99.99},"reruns":112,""" +
         s""""detail":"/tmp/graft_bench.json","sf":"/root/testdata/sf0.1"}"""
     assert(line.length + 120 < 2000,
       s"bench compact line ${line.length} chars — too close to the 2000-char tail window")
