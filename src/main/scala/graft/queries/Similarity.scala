@@ -419,27 +419,44 @@ object Similarity {
     * `pr div outdeg`, damping `(15·(Q div N)) div 100 +
     * (85·inflow) div 100` — three unrolled iterations, identical in both
     * engines, hash-exact. Dangling mass (vectors with no out-edges —
-    * singleton cells) is dropped, the standard no-redistribution
-    * variant; deterministic either way.
+    * singleton cells): e13 drops it (the standard no-redistribution
+    * variant); e13b redistributes it uniformly — per iteration the
+    * dangling nodes' summed rank is divided `div N` and added to every
+    * node's inflow before damping, still all-integer (an integer sum
+    * is order-independent, so the gate stays hash-exact). e13b's total
+    * mass stays within integer-truncation loss of Q where e13's decays
+    * by the dangling fraction each step (PagerankMassSpec pins both).
     *
     * Scale: each iteration is one groupBy(dst) shuffle over the edge
     * list + a join back to the vertex roster — linear in |E| = 3N, the
-    * textbook BSP PageRank shape. The graph itself is the memoized e11
-    * build (Σ|cell|² bounded).
+    * textbook BSP PageRank shape; the redistribution adds one 1-row
+    * anti-join aggregate (broadcast). The graph itself is the memoized
+    * e11 build (Σ|cell|² bounded).
     */
-  val graphPagerank = Q("e13_graph_pagerank", {
+  private def pagerankSql(redistribute: Boolean): String = {
     val d = dotSql.format("a.embedding", "b.embedding")
     val nv = dotSql.format("embedding", "embedding")
     val base = "(15 * ((1073741824) // n.n)) // 100"
-    def iter(k: Int) =
-      s"""pr$k AS (
+    def dangCte(k: Int) =
+      s"""dang$k AS (
+         |  SELECT coalesce(sum(p.pr), 0) AS dm
+         |  FROM pr$k p LEFT JOIN od ON p.vec_id = od.src
+         |  WHERE od.src IS NULL)""".stripMargin
+    def iter(k: Int) = {
+      val inflow =
+        if (redistribute) s"coalesce(inf.s, 0) + dg.dm // n.n"
+        else "coalesce(inf.s, 0)"
+      val dangJoin = if (redistribute) s" CROSS JOIN dang${k - 1} dg" else ""
+      val prefix = if (redistribute) s"${dangCte(k - 1)},\n" else ""
+      s"""${prefix}pr$k AS (
          |  SELECT v.vec_id,
-         |         $base + (85 * coalesce(inf.s, 0)) // 100 AS pr
-         |  FROM vtx v CROSS JOIN nn n LEFT JOIN (
+         |         $base + (85 * ($inflow)) // 100 AS pr
+         |  FROM vtx v CROSS JOIN nn n$dangJoin LEFT JOIN (
          |    SELECT e.dst AS vec_id, sum(pr${k - 1}.pr // od.deg) AS s
          |    FROM e JOIN od ON e.src = od.src
          |           JOIN pr${k - 1} ON e.src = pr${k - 1}.vec_id
          |    GROUP BY e.dst) inf ON v.vec_id = inf.vec_id)""".stripMargin
+    }
     s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
        |members AS (
        |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
@@ -462,31 +479,56 @@ object Similarity {
        |${iter(2)},
        |${iter(3)}
        |SELECT vec_id, CAST(pr AS BIGINT) AS pr_q FROM pr3""".stripMargin
-  }) {
-    (s, dir) =>
-      import s.implicits._
-      val q = 1073741824L // 2^30 rank mass
-      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-      val od = e.groupBy($"src").agg(count(lit(1)).as("deg"))
-      val vtx = Tables.embeddings(s, dir).select($"vec_id")
-      val nn = vtx.agg(count(lit(1)).as("n"))
-      // 1-row global-N join (t10's crossJoin(broadcast) precedent)
-      def withBase(df: org.apache.spark.sql.DataFrame) =
-        df.crossJoin(broadcast(nn))
-      var pr = withBase(vtx).select($"vec_id", expr(s"$q div n").as("pr"))
-      for (_ <- 1 to 3) {
-        val inflow = e.join(od, "src")
-          .join(pr.select($"vec_id".as("src"), $"pr"), "src")
-          .select($"dst".as("vec_id"), expr("pr div deg").as("c"))
-          .groupBy($"vec_id").agg(sum($"c").as("s"))
-        pr = withBase(vtx)
-          .join(inflow, Seq("vec_id"), "left")
-          .select($"vec_id",
+  }
+
+  /** Spark side of e13/e13b; `redistribute` toggles uniform dangling-mass
+    * reallocation (see the scaladoc above).
+    */
+  def pagerankQuery(s: SparkSession, dir: String,
+      redistribute: Boolean): DataFrame = {
+    import s.implicits._
+    val q = 1073741824L // 2^30 rank mass
+    val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    val od = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val vtx = Tables.embeddings(s, dir).select($"vec_id")
+    val nn = vtx.agg(count(lit(1)).as("n"))
+    // 1-row global-N join (t10's crossJoin(broadcast) precedent)
+    def withBase(df: org.apache.spark.sql.DataFrame) =
+      df.crossJoin(broadcast(nn))
+    var pr = withBase(vtx).select($"vec_id", expr(s"$q div n").as("pr"))
+    for (_ <- 1 to 3) {
+      val inflow = e.join(od, "src")
+        .join(pr.select($"vec_id".as("src"), $"pr"), "src")
+        .select($"dst".as("vec_id"), expr("pr div deg").as("c"))
+        .groupBy($"vec_id").agg(sum($"c").as("s"))
+      val next = withBase(vtx).join(inflow, Seq("vec_id"), "left")
+      pr =
+        if (redistribute) {
+          // dangling mass: rank held by nodes with no out-edges, shared
+          // div N into every node's inflow — a 1-row broadcast aggregate
+          val dang = pr.join(od.select($"src".as("vec_id")), Seq("vec_id"), "left_anti")
+            .agg(coalesce(sum($"pr"), lit(0L)).as("dm"))
+          next.crossJoin(broadcast(dang))
+            .select($"vec_id",
+              (expr(s"(15 * ($q div n)) div 100")
+                + expr("(85 * (coalesce(s, 0L) + dm div n)) div 100")).as("pr"))
+        } else
+          next.select($"vec_id",
             (expr(s"(15 * ($q div n)) div 100")
               + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
-      }
-      pr.select($"vec_id", $"pr".cast("long").as("pr_q"))
+    }
+    pr.select($"vec_id", $"pr".cast("long").as("pr_q"))
   }
+
+  val graphPagerank = Q("e13_graph_pagerank", pagerankSql(redistribute = false)) {
+    (s, dir) => pagerankQuery(s, dir, redistribute = false)
+  }
+
+  /** E13b: the dangling-mass-conserving PageRank variant. */
+  val graphPagerankRedistributed =
+    Q("e13b_pagerank_redistribute", pagerankSql(redistribute = true)) {
+      (s, dir) => pagerankQuery(s, dir, redistribute = true)
+    }
 
   /** E14: LABEL PROPAGATION over the kNN graph — the weak-supervision
     * primitive: each vector adopts the MAJORITY label among its nearest
@@ -550,5 +592,6 @@ object Similarity {
   }
 
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
-    annRandomHyperplane, knnGraph, graphDownsample, graphPagerank, labelPropagation)
+    annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
+    graphPagerankRedistributed, labelPropagation)
 }

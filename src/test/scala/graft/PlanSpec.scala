@@ -168,7 +168,8 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // is a keyed equi-join. e14 consumes the same memoized graph (its
       // only BNLJ is that cached subtree); its vote/majority rounds are
       // keyed equi-joins.
-      "e13_graph_pagerank", "e14_label_propagation")
+      // e13b adds one more 1-row broadcast (the dangling-mass aggregate)
+      "e13_graph_pagerank", "e13b_pagerank_redistribute", "e14_label_propagation")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
