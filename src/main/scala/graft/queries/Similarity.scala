@@ -591,7 +591,101 @@ object Similarity {
           ($"label" =!= $"cur").as("changed"))
   }
 
+  /** E15: MAXIMAL MARGINAL RELEVANCE selection — the diverse-exemplar
+    * primitive (Carbonell & Goldstein 1998): greedily pick k=5 items
+    * maximizing `0.7·rel(c) − 0.3·max_{s∈S} sim(c,s)` — relevance to the
+    * probe traded against redundancy with what's already selected. This
+    * is the curation step that picks *diverse* high-quality exemplars
+    * (few-shot pools, eval panels), complementing e12's global diversity
+    * downsample.
+    *
+    * Shape: the distributed work is the corpus scan → per-row cosine to
+    * the probe → top-16 shortlist via TakeOrdered (no global sort). The
+    * greedy selection itself is inherently sequential and runs on the
+    * driver over the 16-row shortlist — a k-bounded collect, the same
+    * budget class as IvfIndex's k-centroid collect. At 100 TB the
+    * shortlist would come from the e10 index instead of brute force; the
+    * MMR stage is unchanged (it never sees more than `shortlist` rows).
+    *
+    * Exactness: rel/sim are the bit-exact left-fold cosines; MMR scores
+    * use the literal constants 0.7/0.3 (never `1−λ`, which is not 0.3 in
+    * binary); maxsim over selected is order-independent; argmax ties
+    * resolve by (score desc, vec_id) on both engines.
+    */
+  val mmrDiversify = Q("e15_mmr_diversify", {
+    val nv = dotSql.format("embedding", "embedding")
+    val dp = dotSql.format("b.embedding", "p.embedding")
+    val ds = dotSql.format("s.embedding", "t.embedding")
+    def pick(src: String, step: Int, scoreExpr: String) =
+      s"""sel$step AS (
+         |  SELECT $step AS step, m.v AS vec_id, m.r AS rel, m.sc AS score FROM (
+         |    SELECT min(struct_pack(neg := -($scoreExpr), v := vec_id,
+         |                           r := rel, sc := $scoreExpr)) AS m
+         |    FROM $src AS zz))""".stripMargin
+    val score = "CAST(0.7 AS DOUBLE)*rel - CAST(0.3 AS DOUBLE)*ms"
+    val rounds = (2 to 5).map { j =>
+      s"""acc${j - 1} AS (${(1 until j).map(i => s"SELECT vec_id FROM sel$i").mkString(" UNION ALL ")}),
+         |ms$j AS (
+         |  SELECT s.vec_id, s.rel, max($ds / (s.nrm * t.nrm)) AS ms
+         |  FROM shrt s CROSS JOIN (
+         |    SELECT x.embedding, x.nrm FROM shrt x JOIN acc${j - 1} a ON x.vec_id = a.vec_id) t
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM acc${j - 1})
+         |  GROUP BY s.vec_id, s.rel),
+         |${pick(s"ms$j", j, score)}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH base AS (SELECT vec_id, embedding, sqrt($nv) AS nrm FROM embeddings),
+       |p AS (SELECT embedding, nrm FROM base WHERE vec_id = 0),
+       |shrt AS (
+       |  SELECT vec_id, embedding, nrm, rel FROM (
+       |    SELECT b.vec_id, b.embedding, b.nrm, $dp / (b.nrm * p.nrm) AS rel,
+       |           row_number() OVER (ORDER BY $dp / (b.nrm * p.nrm) DESC, b.vec_id) AS rn
+       |    FROM base b CROSS JOIN p WHERE b.vec_id <> 0)
+       |  WHERE rn <= 16),
+       |${pick("(SELECT vec_id, rel, CAST(0 AS DOUBLE) AS ms FROM shrt)", 1, score)},
+       |$rounds
+       |${(1 to 5).map(i => s"SELECT step, vec_id, rel, score FROM sel$i").mkString(" UNION ALL ")}""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.FloatVecDot.register(s)
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"))
+      val p = e.filter($"vec_id" === 0)
+        .select($"embedding".as("p_emb"), $"nrm".as("p_nrm"))
+      val short = e.filter($"vec_id" =!= 0)
+        .crossJoin(broadcast(p))
+        .select($"vec_id", $"embedding", $"nrm",
+          (dot($"embedding", $"p_emb") / ($"nrm" * $"p_nrm")).as("rel"))
+        .orderBy($"rel".desc, $"vec_id")
+        .limit(16)
+      // k-bounded collect (≤16 rows, the shortlist constant)
+      val cand = short.collect().map { r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2), r.getDouble(3))
+      }
+      require(cand.length >= 5, s"MMR needs ≥5 candidates, got ${cand.length}")
+      // same left-fold order as FloatVecDot — bit-identical doubles
+      def dotD(a: Array[Float], b: Array[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val used = scala.collection.mutable.LinkedHashSet.empty[Long]
+      val chosen = scala.collection.mutable.ArrayBuffer.empty[(Array[Float], Double)]
+      val out = (1 to 5).map { step =>
+        val best = cand.iterator.filterNot(c => used(c._1)).map {
+          case (id, emb, nrm, rel) =>
+            val ms =
+              if (chosen.isEmpty) 0.0
+              else chosen.iterator.map { case (se, sn) => dotD(emb, se) / (nrm * sn) }.max
+            (id, emb, nrm, rel, 0.7 * rel - 0.3 * ms)
+        }.minBy { case (id, _, _, _, sc) => (-sc, id) }
+        used += best._1; chosen += ((best._2, best._3))
+        (step, best._1, best._4, best._5)
+      }
+      s.createDataFrame(out).toDF("step", "vec_id", "rel", "score")
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
-    graphPagerankRedistributed, labelPropagation)
+    graphPagerankRedistributed, labelPropagation, mmrDiversify)
 }

@@ -168,8 +168,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // is a keyed equi-join. e14 consumes the same memoized graph (its
       // only BNLJ is that cached subtree); its vote/majority rounds are
       // keyed equi-joins.
-      // e13b adds one more 1-row broadcast (the dangling-mass aggregate)
-      "e13_graph_pagerank", "e13b_pagerank_redistribute", "e14_label_propagation")
+      // e13b adds one more 1-row broadcast (the dangling-mass aggregate);
+      // e15's only BNLJ is the 1-row probe broadcast before the shortlist
+      "e13_graph_pagerank", "e13b_pagerank_redistribute", "e14_label_propagation",
+      "e15_mmr_diversify")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
