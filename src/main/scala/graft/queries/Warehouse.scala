@@ -901,9 +901,166 @@ object Warehouse {
         (sqrt(vy / nn1) / h).as("stddev_price"))
   }
 
+  /** Q4-shaped: EXISTS decorrelated to a LEFT SEMI join, then a count by
+    * priority (TPC-H Q4 with the missing commit/receipt dates replaced by
+    * the returned-flag predicate the schema does carry). Plan: both scans
+    * filter-pushed (the date window on orders, the flag on lineitem),
+    * lineitem projected to the single join column BEFORE the shuffle, one
+    * semi shuffle on orderkey, one partial-aggregated shuffle on
+    * priority. A semi join never fans out — at 100 TB this is the safe
+    * way to ask "has at least one matching line" (an inner join + distinct
+    * would shuffle the duplicated matches first).
+    */
+  val q4OrderPriority = Q("q4_order_priority",
+    """SELECT o.o_orderpriority AS priority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      |  AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-07-01").cast("timestamp")
+          && $"o_orderdate" < lit("1996-10-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderpriority")
+      val returned = Tables.lineitem(s, dir)
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      o.join(returned, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority".as("priority"))
+        .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** Q12-shaped: conditional counts over the orders⋈lineitem join (TPC-H
+    * Q12's shipmode split re-expressed over the carried columns: a
+    * ship-year window + non-returned lines, split by order priority).
+    * Plan: the fact-side predicates reach the lineitem scan, the
+    * conditional sums are ONE pass (no per-branch scans), partial
+    * aggregation runs map-side before the single group shuffle.
+    */
+  val q12PriorityShipping = Q("q12_priority_shipping",
+    """SELECT l.l_linestatus AS linestatus,
+      |       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_returnflag = 'N'
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+          && $"l_shipdate" < lit("1998-01-01").cast("timestamp")
+          && $"l_returnflag" === "N")
+        .select($"l_orderkey", $"l_linestatus")
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+      val isHigh = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_linestatus".as("linestatus"))
+        .agg(
+          sum(when(isHigh, 1).otherwise(0)).as("high_line_count"),
+          sum(when(!isHigh, 1).otherwise(0)).as("low_line_count"))
+  }
+
+  /** Q14-shaped: promo revenue share for one ship month (TPC-H Q14; the
+    * testdata's `p_type` is already the promo class token). The ratio
+    * follows the repo money discipline: both operands are exact decimal
+    * sums, converted to double for the single division; the conditional
+    * sum is one pass. Plan: month window pushed to the lineitem scan,
+    * part broadcast (small dim), no shuffle but the final 1-row aggregate.
+    */
+  val q14PromoRevenue = Q("q14_promo_revenue",
+    """SELECT CAST(100.0 AS DOUBLE)
+      |         * CAST(CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+      |             THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                  * CAST(1.0 - l.l_discount AS DECIMAL(18,4))
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |         / CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                  * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE)
+      |         AS promo_pct,
+      |       CAST(CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+      |           THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l.l_discount AS DECIMAL(18,4))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DECIMAL(18,2)) AS DOUBLE) AS promo_revenue,
+      |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_revenue
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l.l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val rev = Exact.dec2($"l_extendedprice") * Exact.dec4(lit(1.0) - $"l_discount")
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-09-01").cast("timestamp")
+          && $"l_shipdate" < lit("1997-10-01").cast("timestamp"))
+        .select($"l_partkey", $"l_extendedprice", $"l_discount")
+      val p = Tables.part(s, dir).select($"p_partkey", $"p_type")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .agg(
+          Exact.cents(sum(when($"p_type" === "PROMO", rev)
+            .otherwise(Exact.dec2(lit(0))))).as("promo_revenue"),
+          Exact.cents(sum(rev)).as("total_revenue"))
+        .select(
+          (lit(100.0) * $"promo_revenue" / $"total_revenue").as("promo_pct"),
+          $"promo_revenue", $"total_revenue")
+  }
+
+  /** Q19-shaped: revenue under an OR of per-brand conjunctive clauses
+    * (TPC-H Q19's disjunctive join predicate over the carried columns:
+    * brand × size band × quantity band). The q7 lesson applies again:
+    * Catalyst will not factor a cross-table OR into per-side scan
+    * predicates, so the DERIVABLE envelopes are pre-pushed by hand —
+    * part: brand ∈ {the three}, size ≤ the widest band; lineitem:
+    * quantity within the union of bands — and the exact disjunction
+    * filters after the broadcast join. At 100× the envelope is what
+    * keeps the fact scan from reading every row group.
+    */
+  val q19Disjunctive = Q("q19_disjunctive_pushdown",
+    """SELECT p.p_brand AS brand,
+      |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+      |       AND l.l_quantity BETWEEN 1 AND 11)
+      |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+      |       AND l.l_quantity BETWEEN 10 AND 20)
+      |   OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 35
+      |       AND l.l_quantity BETWEEN 20 AND 30)
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      // hand-pushed per-side envelopes of the disjunction (see scaladoc)
+      val p = Tables.part(s, dir)
+        .filter($"p_brand".isin("Brand#13", "Brand#23", "Brand#7")
+          && $"p_size".between(1, 35))
+        .select($"p_partkey", $"p_brand", $"p_size")
+      val l = Tables.lineitem(s, dir)
+        .filter($"l_quantity".between(1, 30))
+        .select($"l_partkey", $"l_quantity", $"l_extendedprice", $"l_discount")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .filter(
+          ($"p_brand" === "Brand#13" && $"p_size".between(1, 15)
+            && $"l_quantity".between(1, 11))
+            || ($"p_brand" === "Brand#23" && $"p_size".between(1, 25)
+              && $"l_quantity".between(10, 20))
+            || ($"p_brand" === "Brand#7" && $"p_size".between(1, 35)
+              && $"l_quantity".between(20, 30)))
+        .groupBy($"p_brand".as("brand"))
+        .agg(
+          sum(Exact.dec2($"l_extendedprice")
+            * Exact.dec4(lit(1.0) - $"l_discount")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
-    q18BigOrders, q7Volume, pctOfTotal, aggPack, weightedMix, temperatureMix,
-    winsorize, topKNative, zorderKey, gapFill, corrEvidence)
+    q18BigOrders, q7Volume, q4OrderPriority, q12PriorityShipping,
+    q14PromoRevenue, q19Disjunctive, pctOfTotal, aggPack, weightedMix,
+    temperatureMix, winsorize, topKNative, zorderKey, gapFill, corrEvidence)
 }

@@ -92,6 +92,53 @@ class WarehouseSpec extends AnyFunSuite with SparkTestKit {
     assert(p.contains("PushedFilters:") && p.contains("o_orderdate"), p)
   }
 
+  test("q4: EXISTS runs as a semi join with both filters pushed, no fanout") {
+    val df = Warehouse.q4OrderPriority.run(spark, sfDir)
+    val sp = simplePlanOf(df)
+    assert(sp.contains("LeftSemi"), sp)
+    val p = planOf(df)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+    assert(p.contains("o_orderdate"), p)
+  }
+
+  test("q12: fact-side predicates reach the lineitem scan, one group shuffle") {
+    val df = Warehouse.q12PriorityShipping.run(spark, sfDir)
+    val p = planOf(df)
+    assert(p.contains("EqualTo(l_returnflag,N)"), p)
+    assert(p.contains("l_shipdate"), p)
+    val sp = simplePlanOf(df)
+    assert(sp.linesIterator.count(_.contains("lineitem.parquet")) == 1, sp)
+  }
+
+  test("q14: part broadcasts, month window pushed, share recomputes from parts") {
+    val df = Warehouse.q14PromoRevenue.run(spark, sfDir)
+    val sp = simplePlanOf(df)
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    val p = planOf(df)
+    assert(p.contains("l_shipdate"), p)
+    val row = df.head
+    val (pct, promo, total) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+    assert(pct == 100.0 * promo / total)
+    assert(promo <= total && pct >= 0.0 && pct <= 100.0)
+  }
+
+  test("q19: per-side envelopes reach both scans despite the cross-table OR") {
+    val df = Warehouse.q19Disjunctive.run(spark, sfDir)
+    val p = planOf(df)
+    // the hand-pushed envelopes appear as scan-level pushed filters
+    assert(p.contains("In(p_brand"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,1.0)")
+      && p.contains("LessThanOrEqual(l_quantity,30.0)"), p)
+    val sp = simplePlanOf(df)
+    assert(sp.contains("BroadcastHashJoin"), sp)
+    // every surviving line satisfies its OWN brand's clause, not just the envelope
+    import org.apache.spark.sql.functions._
+    val viol = Warehouse.q19Disjunctive.run(spark, sfDir)
+      .filter(col("brand") === "Brand#13" && col("n_lines") <= 0)
+    assert(viol.isEmpty)
+  }
+
   test("p10 SCD2: one current version per key, contiguous half-open intervals") {
     val v = Warehouse.scd2.run(spark, sfDir).cache()
     try {
