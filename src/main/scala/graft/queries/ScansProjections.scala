@@ -190,7 +190,74 @@ object ScansProjections {
       Tables.orders(s, dir).select("o_orderkey", "o_orderstatus").limit(0)
   }
 
+  /** Deterministic evolved two-batch parquet layout derived from
+    * `documents`: batch 0 (even doc_ids) was written BEFORE the `lang`
+    * column existed; batch 1 (odd doc_ids) after. Memoized per source-dir
+    * fingerprint, rebuilt only when the testdata changes.
+    */
+  private def evolvedLayout(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "s5_evolved_layout") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s5_${Memo.fingerprint(s, dir)}"
+      val docs = Tables.documents(s, dir)
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/batch0")
+      docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("n_chars"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/batch1")
+      out
+    }
+
+  /** S5: SCHEMA-EVOLUTION scan — reading a table whose later files carry
+    * a column the earlier files lack (`mergeSchema`), with the missing
+    * column surfacing as NULL. The 100 TB reality this models: long-lived
+    * tables evolve, and a re-write-everything migration is off the table;
+    * the scan must reconcile footers instead. (Pay the footer-merge once:
+    * production would pin the merged schema in a catalog — the query
+    * demonstrates the read semantics.) The oracle recomputes the expected
+    * merge from `documents` alone, so the layout itself is under test.
+    */
+  val s5SchemaEvolution = Q("s5_schema_evolution",
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang ELSE '(pre-evolution)' END AS lang_read,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val out = evolvedLayout(s, dir)
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$out/batch0", s"$out/batch1")
+        .groupBy(coalesce($"lang", lit("(pre-evolution)")).as("lang_read"))
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
+  /** Hive-partitioned layout of `documents` by `lang`, memoized like s5. */
+  private def partitionedLayout(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "s6_partitioned_layout") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s6_${Memo.fingerprint(s, dir)}"
+      Tables.documents(s, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      out
+    }
+
+  /** S6: PARTITION-PRUNED scan over a Hive-partitioned layout — the
+    * single most important 100 TB scan feature: a predicate on the
+    * partition column eliminates whole directories at PLANNING time
+    * (`PartitionFilters` in the plan, pinned by ScanLayoutSpec), so the
+    * query reads 1/5th of the files here and 1/Nth in production. The
+    * oracle recomputes from the unpartitioned `documents`, proving the
+    * partitioned write+pruned read loses nothing.
+    */
+  val s6PartitionPruning = Q("s6_partition_pruning",
+    """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE lang = 'en' GROUP BY source""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      s.read.parquet(partitionedLayout(s, dir))
+        .filter($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
   val queries: Seq[Q] = Seq(
-    s1Json, s2Pushdown, s3Fallback, s4Literal,
-    p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
+    s1Json, s2Pushdown, s3Fallback, s4Literal, s5SchemaEvolution,
+    s6PartitionPruning, p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
 }
