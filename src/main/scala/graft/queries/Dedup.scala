@@ -629,7 +629,59 @@ object Dedup {
         .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** D13: n-gram CONTAINMENT — the asymmetric dup metric Jaccard misses:
+    * C = |A∩B| / min(|A|,|B|) is high whenever the smaller doc is
+    * (nearly) subsumed by the larger one, even when the size gap keeps
+    * Jaccard low (a paragraph quoted inside a long article: C ≈ 1,
+    * J ≈ |A|/|B| ≈ 0). The standard screen for quote/wrapper/boilerplate
+    * duplication in LLM corpora (Broder's containment, the metric behind
+    * "superset dedup"). Output marks which doc is the contained one
+    * (smaller side, ties to doc_a) and carries Jaccard alongside so the
+    * subsumption-only pairs are visible.
+    *
+    * Scale: identical shape to d2 — df-capped postings self-join, Σdf²
+    * bounded, never all-pairs; one extra broadcast-size join against the
+    * per-doc sizes.
+    */
+  val containment = Q("d13_ngram_containment",
+    s"""WITH sh AS ($shinglesSql),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 15),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+       |       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.inter, sa.sz AS sz_a, sb.sz AS sz_b,
+       |       CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
+       |       CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard,
+       |       CASE WHEN sa.sz <= sb.sz THEN p.doc_a ELSE p.doc_b END AS contained_doc
+       |FROM pairs p
+       |JOIN sizes sa ON p.doc_a = sa.doc_id
+       |JOIN sizes sb ON p.doc_b = sb.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val sh = shingles(s, dir).cache()
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+        .filter($"df" <= 15).select($"shingle")
+      val a = sh.join(rare, "shingle").select($"shingle", $"doc_id".as("doc_a"))
+      val b = sh.select($"shingle".as("shingle_b"), $"doc_id".as("doc_b"))
+      val pairs = a.join(b, $"shingle" === $"shingle_b" && $"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      val cont = $"inter".cast("double") / least($"sz_a", $"sz_b")
+      val jac = $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter")
+      pairs
+        .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
+        .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
+          cont.as("containment"), jac.as("jaccard"),
+          when($"sz_a" <= $"sz_b", $"doc_a").otherwise($"doc_b").as("contained_doc"))
+        .filter($"containment" >= 0.8)
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
-    sourceOverlap, exactSubstr)
+    sourceOverlap, exactSubstr, containment)
 }
