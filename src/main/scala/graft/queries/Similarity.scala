@@ -685,7 +685,80 @@ object Similarity {
       s.createDataFrame(out).toDF("step", "vec_id", "rel", "score")
   }
 
+  /** E16: SCALAR-QUANTIZATION (SQ8) ANN — the remaining member of the
+    * quantization family (e7 PQ, e9 IVFPQ, e10 residual IVFPQ): each
+    * dimension is independently mapped to an 8-bit code against the
+    * corpus's per-dimension [min, max] band, `q(x) = floor((x−mn)·255 /
+    * (mx−mn))`; distance is the integer Σ(qa−qc)² ADC — 4× memory
+    * reduction with no codebook training at all, the FAISS SQ8 shape.
+    * Exactness: the quantization is a fixed chain of IEEE double ops per
+    * element (no accumulation), so both engines produce identical codes,
+    * and the distance is an order-independent integer sum → hash-exact
+    * with no quantized-Lloyd machinery. Constant dimensions code to 0 on
+    * both sides. Scale: stats are one 64-row aggregate; encoding is a
+    * stateless map; the probe join broadcasts 8 rows against the corpus
+    * scan (at 100 TB the codes column is what you store, 16× smaller
+    * than the floats).
+    */
+  val sq8Ann = Q("e16_sq8_ann", {
+    val span = "(mxs[i] - mns[i])"
+    val qexpr = s"CASE WHEN $span = 0 THEN CAST(0 AS BIGINT) ELSE " +
+      s"CAST(floor(((CAST(embedding[i] AS DOUBLE) - mns[i]) * CAST(255 AS DOUBLE)) / $span) AS BIGINT) END"
+    s"""WITH stats AS (
+       |  SELECT i AS pos, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |         max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings, generate_series(1, 64) AS g(i)
+       |  GROUP BY i),
+       |s AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+       |      FROM stats),
+       |qv AS (SELECT vec_id, label,
+       |              [$qexpr for i in generate_series(1, 64)] AS qe
+       |       FROM embeddings, s),
+       |dists AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         c.label AS neighbor_label,
+       |         CAST(list_sum([(p.qe[i] - c.qe[i]) * (p.qe[i] - c.qe[i])
+       |                        for i in generate_series(1, 64)]) AS BIGINT) AS qdist
+       |  FROM (SELECT vec_id, qe FROM qv WHERE vec_id < 8) p
+       |       JOIN qv c ON p.vec_id <> c.vec_id)
+       |SELECT query_id, neighbor_id, neighbor_label, qdist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |                               ORDER BY qdist, neighbor_id) AS rank
+       |  FROM dists) WHERE rank <= 3""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      // per-dimension band: one 64-row aggregate, collected k-bounded
+      // (the SQ "codebook" — same budget class as PQ's codebooks)
+      val stats = e.select(posexplode($"embedding").as(Seq("pos", "v")))
+        .groupBy($"pos")
+        .agg(min($"v".cast("double")).as("mn"), max($"v".cast("double")).as("mx"))
+        .orderBy($"pos").collect()
+      val mns = array(stats.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+      val mxs = array(stats.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
+      def quantize(emb: Column): Column =
+        transform(emb, (x, i) => {
+          val mn = element_at(mns, i + 1)
+          val mx = element_at(mxs, i + 1)
+          when(mx - mn === 0.0, lit(0L))
+            .otherwise(floor(((x.cast("double") - mn) * lit(255.0).cast("double"))
+              / (mx - mn)).cast("long"))
+        })
+      val qv = e.select($"vec_id", $"label", quantize($"embedding").as("qe"))
+      val probes = qv.filter($"vec_id" < 8)
+        .select($"vec_id".as("query_id"), $"qe".as("p_qe"))
+      val dists = qv.join(broadcast(probes), $"query_id" =!= $"vec_id")
+        .select($"query_id", $"vec_id".as("neighbor_id"),
+          $"label".as("neighbor_label"),
+          aggregate(zip_with($"p_qe", $"qe", (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("qdist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"qdist", $"neighbor_id")
+      dists.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
-    graphPagerankRedistributed, labelPropagation, mmrDiversify)
+    graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann)
 }

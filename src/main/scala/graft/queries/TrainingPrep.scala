@@ -823,8 +823,52 @@ object TrainingPrep {
       .select(expr(s"stack(${flags.size}, $stackArgs) AS (stage, n_docs, n_chars)"))
   }
 
+  /** T24: CURRICULUM ORDERING — construct the first segment of a
+    * training order: quality-ranked within each language (cleanest docs
+    * first; quality = distinct-token ratio, the t2 signal that punishes
+    * repetition), then languages INTERLEAVED round-robin by rank so no
+    * early window is monolingual. The standard "curriculum + language
+    * mixing" order-construction step between curation and sharding.
+    *
+    * Scale: the per-language ranking window partitions by lang (parallel
+    * sort, no global exchange); the rank ≤ 100 prune caps the interleave
+    * input at 100·|langs| rows, and the final TakeOrdered + row_number
+    * run on that capped set — the only single-partition step touches
+    * ≤ 500 rows regardless of corpus size.
+    */
+  val curriculumOrder = Q("t24_curriculum_order",
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |           / len(string_split(text, ' ')) AS quality
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+      |                                   ORDER BY quality DESC, doc_id) AS lang_rank
+      |      FROM q),
+      |c AS (SELECT * FROM r WHERE lang_rank <= 100
+      |      ORDER BY lang_rank, lang, doc_id LIMIT 100)
+      |SELECT doc_id, lang, quality, lang_rank,
+      |       row_number() OVER (ORDER BY lang_rank, lang, doc_id) AS train_order
+      |FROM c""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val words = split($"text", " ")
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"quality".desc, $"doc_id")
+      val capped = Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          (size(array_distinct(words)).cast("double") / size(words)).as("quality"))
+        .withColumn("lang_rank", row_number().over(byLang))
+        .filter($"lang_rank" <= 100)
+        .orderBy($"lang_rank", $"lang", $"doc_id")
+        .limit(100)
+      capped.withColumn("train_order", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"lang_rank", $"lang", $"doc_id")))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
     importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
-    curationCanonical)
+    curationCanonical, curriculumOrder)
 }
