@@ -212,6 +212,37 @@ object Aggregations {
           ($"adev" > lit(3.0) * lit(1.4826) * $"mad").as("is_outlier"))
   }
 
+  /** A20: MERGEABLE-SKETCH union — the property that makes sketches the
+    * distributed answer to COUNT DISTINCT: per-group HLL sketches (built
+    * independently, as 1000 executors would) union into one sketch whose
+    * estimate tracks the exact global distinct. a7 checks one sketch's
+    * accuracy; this checks MERGEABILITY — keys shared across groups must
+    * not double-count through the union (Datasketches HLL, Spark 4
+    * `hll_sketch_agg`/`hll_union_agg`). Boolean-contract oracle (the a7
+    * idiom): DuckDB recomputes the exact side and asserts the ±6%
+    * agreement flag Spark derived.
+    */
+  val a20SketchUnion = Q("a20_sketch_union",
+    """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+      |       CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_groups,
+      |       TRUE AS merged_within_6pct
+      |FROM orders""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val merged = o
+        .groupBy($"o_orderpriority")
+        .agg(hll_sketch_agg($"o_custkey").as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("est"),
+          count(lit(1)).as("n_groups"))
+      val exact = o.agg(countDistinct($"o_custkey").as("exact_custs"))
+      // 1-row × 1-row global-stat join (t10 precedent)
+      exact.crossJoin(broadcast(merged))
+        .select($"exact_custs", $"n_groups",
+          (abs($"est" - $"exact_custs") <= $"exact_custs" * 0.06)
+            .as("merged_within_6pct"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
-    a17MultiDistinct, a18WeightedMedian, a19MadOutliers)
+    a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion)
 }

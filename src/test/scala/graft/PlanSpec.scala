@@ -171,8 +171,9 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e13b adds one more 1-row broadcast (the dangling-mass aggregate);
       // e15's only BNLJ is the 1-row probe broadcast before the shortlist
       "e13_graph_pagerank", "e13b_pagerank_redistribute", "e14_label_propagation",
-      // e15/e16: 1-row probe broadcast / 8-row probe broadcast (e1 shape)
-      "e15_mmr_diversify", "e16_sq8_ann")
+      // e15/e16: 1-row probe broadcast / 8-row probe broadcast (e1 shape);
+      // a20: 1-row × 1-row global-stat join
+      "e15_mmr_diversify", "e16_sq8_ann", "a20_sketch_union")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
