@@ -113,7 +113,10 @@ object Bpe {
       trainMerges(vocab, numMerges)
     }
 
-  private def oracleSql: String = {
+  /** The shared merge-training/application CTE chain; `finalSelect` runs
+    * over `docw (doc_id, lang, word) ⋈ fin (word, n_tok)`.
+    */
+  private def oracleSqlWith(finalSelect: String): String = {
     val ctes = Seq.newBuilder[String]
     ctes += "w0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
     ctes +=
@@ -143,8 +146,6 @@ object Bpe {
            |  replace(st, '|' || b.l || '|' || b.r || '|', '|' || b.l || b.r || '|') AS st
            |  FROM s$p, b$k b)""".stripMargin
     }
-    val mergeStr = (1 to numMerges)
-      .map(k => s"(SELECT l || '+' || r FROM b$k)").mkString(" || ';' || ")
     // application side: apply the learned merges to EVERY distinct word
     // (the capped vocab only bounds training), then count per doc
     val appChain = (1 to numMerges).foldLeft("st0") { (acc, k) =>
@@ -159,8 +160,14 @@ object Bpe {
        |fin AS (SELECT word,
        |  CAST(len(list_filter(string_split($appChain, '|'), x -> x <> '')) AS BIGINT) AS n_tok
        |  FROM app),
-       |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-       |SELECT d.doc_id,
+       |docw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+       |$finalSelect""".stripMargin
+  }
+
+  private def oracleSql: String = oracleSqlWith {
+    val mergeStr = (1 to numMerges)
+      .map(k => s"(SELECT l || '+' || r FROM b$k)").mkString(" || ';' || ")
+    s"""SELECT d.doc_id,
        |       CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(len(d.word)) AS BIGINT) AS n_chars,
        |       CAST(sum(f.n_tok) AS BIGINT) AS n_tokens_bpe,
@@ -169,6 +176,15 @@ object Bpe {
        |FROM docw d JOIN fin f USING (word)
        |GROUP BY d.doc_id""".stripMargin
   }
+
+  private def fertilityOracleSql: String = oracleSqlWith(
+    """SELECT d.lang,
+      |       CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(f.n_tok) AS BIGINT) AS n_tokens_bpe,
+      |       CAST(sum(f.n_tok) AS DOUBLE) / count(*) AS fertility,
+      |       CAST(sum(len(d.word)) AS DOUBLE) / sum(f.n_tok) AS chars_per_token
+      |FROM docw d JOIN fin f USING (word)
+      |GROUP BY d.lang""".stripMargin)
 
   val bpeTokenize = Q("t23_bpe_tokenize", oracleSql) {
     (s, dir) =>
@@ -201,5 +217,39 @@ object Bpe {
           lit(mergesStr).as("merges"))
   }
 
-  val queries: Seq[Q] = Seq(bpeTokenize)
+  /** T25: TOKENIZER FERTILITY per language — tokens-per-word (fertility)
+    * and chars-per-token under the t23-trained BPE. The standard
+    * multilingual-tokenizer diagnostic: a language whose fertility is 2×
+    * another's pays 2× the context budget per word, which is exactly what
+    * t21's temperature mix must correct for. Same merge list, same
+    * codegen replace-chain application; one extra groupBy(lang) —
+    * everything heavy is shared with (and memoized by) t23.
+    */
+  val tokenizerFertility = Q("t25_tokenizer_fertility", fertilityOracleSql) {
+    (s, dir) =>
+      import s.implicits._
+      val ms = merges(s, dir)
+      val st0 = concat(lit("|"),
+        array_join(filter(split($"word", ""), x => x =!= ""), "|"), lit("|"))
+      val stFinal = ms.foldLeft(st0) { case (acc, (l, r)) =>
+        if (l.isEmpty) acc
+        else call_function("replace", acc, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+      }
+      val words = Tables.documents(s, dir)
+        .select($"lang", explode(split($"text", " ")).as("word"))
+      val fin = words.select($"word").distinct()
+        .select($"word",
+          size(filter(split(stFinal, "\\|"), x => x =!= "")).cast("long").as("n_tok"))
+      words.join(broadcast(fin), "word")
+        .groupBy($"lang")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum($"n_tok").as("n_tokens_bpe"),
+          sum(length($"word")).as("n_chars"))
+        .select($"lang", $"n_words", $"n_tokens_bpe",
+          ($"n_tokens_bpe".cast("double") / $"n_words").as("fertility"),
+          ($"n_chars".cast("double") / $"n_tokens_bpe").as("chars_per_token"))
+  }
+
+  val queries: Seq[Q] = Seq(bpeTokenize, tokenizerFertility)
 }
