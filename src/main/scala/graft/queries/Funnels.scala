@@ -136,5 +136,47 @@ object Funnels {
           max(Exact.dec2($"o_totalprice")).cast("double").as("hi"))
   }
 
-  val queries: Seq[Q] = Seq(funnel, retention, topPaths, histogram)
+  private val burstGapUs = 86400L * 1000000 // 24 h
+
+  /** W14: GAPS-AND-ISLANDS run detection — maximal per-user bursts of
+    * consecutive `error` events with inter-event gap ≤ 24 h, keeping
+    * bursts of ≥ 3 (the MATCH_RECOGNIZE `ERROR{3,}` pattern without the
+    * operator: break-flag via `lag`, island id via running sum of breaks,
+    * one aggregate per island). Both windows share the (user_id; ts,
+    * event_id) sort, so the whole query is ONE shuffle + one sort, and
+    * the tie-break pins same-µs events identically on both engines.
+    */
+  val errorBursts = Q("w14_error_bursts",
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t
+       |           FROM events WHERE event_type = 'error'),
+       |d AS (SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+       |                       OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > $burstGapUs
+       |                     THEN 1 ELSE 0 END AS brk
+       |      FROM e),
+       |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+       |                               ROWS UNBOUNDED PRECEDING) AS grp
+       |      FROM d)
+       |SELECT user_id, CAST(grp AS BIGINT) AS burst_id,
+       |       min(t) AS start_us, max(t) AS end_us,
+       |       count(*) AS n_errors
+       |FROM g GROUP BY user_id, grp HAVING count(*) >= 3""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"t", $"event_id")
+      val wRun = w.rowsBetween(Long.MinValue, 0)
+      Tables.events(s, dir)
+        .filter($"event_type" === "error")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("t"))
+        .withColumn("brk",
+          when(lag($"t", 1).over(w).isNull
+            || $"t" - lag($"t", 1).over(w) > burstGapUs, 1).otherwise(0))
+        .withColumn("burst_id", sum($"brk").over(wRun).cast("long"))
+        .groupBy($"user_id", $"burst_id")
+        .agg(min($"t").as("start_us"), max($"t").as("end_us"),
+          count(lit(1)).as("n_errors"))
+        .filter($"n_errors" >= 3)
+  }
+
+  val queries: Seq[Q] = Seq(funnel, retention, topPaths, histogram, errorBursts)
 }

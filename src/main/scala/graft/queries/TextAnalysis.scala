@@ -188,6 +188,50 @@ object TextAnalysis {
         ($"ap99" >= $"p99_lo" && $"ap99" <= $"p99_hi").as("p99_within_1pct_rank"))
   }
 
+  /** T26: language-ID CONFUSION MATRIX — t3's prediction aggregated
+    * against the labeled language: per (labeled, predicted) cell count +
+    * the labeled language's share that lands in that cell. The standard
+    * classifier-eval artifact, here over the whole corpus in one
+    * aggregate after the stateless scoring projection (at 100 TB: one
+    * scan + one #langs²-cell hash aggregate — nothing else).
+    */
+  val langConfusion = Q("t26_lang_confusion", {
+    val scores = langMarkers.map { case (lang, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"CAST(len([w for w in string_split(text, ' ') if w IN ($list)]) AS DOUBLE) / len(string_split(text, ' '))"
+    }
+    val structs = langMarkers.zip(scores).map { case ((lang, _), sc) =>
+      s"{'score': $sc, 'lang': '$lang'}"
+    }.mkString(", ")
+    s"""WITH p AS (SELECT lang AS labeled_lang,
+       |                  list_max([$structs]).lang AS predicted_lang
+       |           FROM documents),
+       |tot AS (SELECT labeled_lang, count(*) AS n_labeled FROM p GROUP BY 1)
+       |SELECT p.labeled_lang, p.predicted_lang,
+       |       count(*) AS n_docs,
+       |       CAST(count(*) AS DOUBLE) / t.n_labeled AS row_share
+       |FROM p JOIN tot t USING (labeled_lang)
+       |GROUP BY p.labeled_lang, p.predicted_lang, t.n_labeled""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val n = size(words).cast("double")
+      val scored = langMarkers.map { case (lang, ms) =>
+        struct(
+          (size(filter(words, w => w.isin(ms: _*))).cast("double") / n).as("score"),
+          lit(lang).as("lang"))
+      }
+      val p = Tables.documents(s, dir).select(
+        $"lang".as("labeled_lang"),
+        array_max(array(scored: _*)).getField("lang").as("predicted_lang"))
+      val tot = p.groupBy($"labeled_lang").agg(count(lit(1)).as("n_labeled"))
+      p.join(broadcast(tot), "labeled_lang")
+        .groupBy($"labeled_lang", $"predicted_lang", $"n_labeled")
+        .agg(count(lit(1)).as("n_docs"))
+        .select($"labeled_lang", $"predicted_lang", $"n_docs",
+          ($"n_docs".cast("double") / $"n_labeled").as("row_share"))
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    ngramStats, sketchStats)
+    ngramStats, sketchStats, langConfusion)
 }

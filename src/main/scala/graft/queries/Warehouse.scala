@@ -1057,10 +1057,48 @@ object Warehouse {
           count(lit(1)).as("n_lines"))
   }
 
+  /** DQ2: CROSS-TABLE RECONCILIATION — the fact-vs-header control a
+    * warehouse runs after every load: per order status, how many orders
+    * have lines at all, and how many reconcile (Σ line extendedprice
+    * within ±1% of the header total). All comparisons in exact decimal
+    * (a double epsilon here would flap between engines); one join + two
+    * aggregates, header side grouped first so the join is key-to-key.
+    */
+  val dq2Reconciliation = Q("dq2_reconciliation",
+    """WITH l AS (SELECT l_orderkey,
+      |             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS line_total
+      |           FROM lineitem GROUP BY 1)
+      |SELECT o.o_orderstatus AS status,
+      |       count(*) AS n_orders,
+      |       CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_lines,
+      |       CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL
+      |                      AND abs(l.line_total - CAST(o.o_totalprice AS DECIMAL(18,2)))
+      |                          <= CAST(o.o_totalprice AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(18,4))
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled_1pct
+      |FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(Exact.dec2(sum(Exact.dec2($"l_extendedprice"))).as("line_total"))
+      val o = Tables.orders(s, dir).select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      val ok = $"l_orderkey".isNotNull &&
+        abs($"line_total" - Exact.dec2($"o_totalprice")) <=
+          Exact.dec2($"o_totalprice") * Exact.dec4(lit(0.01))
+      o.join(l, $"o_orderkey" === $"l_orderkey", "left")
+        .groupBy($"o_orderstatus".as("status"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when($"l_orderkey".isNotNull, 1).otherwise(0)).as("n_with_lines"),
+          sum(when(ok, 1).otherwise(0)).as("n_reconciled_1pct"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, q7Volume, q4OrderPriority, q12PriorityShipping,
-    q14PromoRevenue, q19Disjunctive, pctOfTotal, aggPack, weightedMix,
-    temperatureMix, winsorize, topKNative, zorderKey, gapFill, corrEvidence)
+    q14PromoRevenue, q19Disjunctive, dq2Reconciliation, pctOfTotal, aggPack,
+    weightedMix, temperatureMix, winsorize, topKNative, zorderKey, gapFill,
+    corrEvidence)
 }
