@@ -59,6 +59,14 @@ object SparkEntry {
       Q("e4_ivf_ann", graft.operators.IvfIndex.ivfOracleSql()) { (s, dir) =>
         graft.operators.IvfIndex.ivfQuery(s, dir)
       },
+      // e17: the same trained index PERSISTED as a parquet warehouse
+      // object (centroids + cell_id-partitioned postings) and probed
+      // through partition pruning — top-3 per probe; oracle = the e4
+      // replay extended to rank ≤ 3
+      Q("e17_ivf_persisted",
+        graft.operators.IvfIndex.ivfOracleSql(topK = 3)) { (s, dir) =>
+        graft.operators.IvfIndex.ivfPersistedQuery(s, dir, topK = 3)
+      },
       // product-quantization ANN: the per-subspace codebooks train with
       // the same quantized integer Lloyd as e4, so the oracle replays
       // train → encode → integer ADC shortlist → exact re-rank and the

@@ -352,7 +352,61 @@ object IvfIndex {
     * and floor-division update per iteration, same fold-dot cosine
     * rerank as e1.
     */
-  def ivfOracleSql(k: Int = 16, iters: Int = 3, nprobe: Int = 4, dims: Int = 64): String = {
+  /** Persisted-index layout (e17): the trained quantized index written as
+    * a parquet WAREHOUSE OBJECT — `centroids/` (k rows) plus `postings/`
+    * partitioned by `cell_id`, so a probe reads only its nprobe'd cells'
+    * directories. The "build once, query many" production shape: the
+    * index outlives the session, and at 100 TB the postings partitioning
+    * is what turns nprobe into an I/O bound, not just a compute bound.
+    * Memoized per source fingerprint like the in-memory index.
+    */
+  def persistedLayout(spark: SparkSession, dir: String, k: Int = 16): String =
+    graft.queries.Memo.cachedValue(spark, dir, s"e17_ivf_layout_$k") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_e17_" +
+        s"${graft.queries.Memo.fingerprint(spark, dir)}_$k"
+      val ivf = indexQFor(spark, dir, k)
+      ivf.centroids.write.mode("overwrite").parquet(s"$out/centroids")
+      ivf.assigned.write.mode("overwrite").partitionBy("cell_id")
+        .parquet(s"$out/postings")
+      out
+    }
+
+  /** E17: top-`topK` probe against the PERSISTED layout. The probed cell
+    * list is collected (≤ k rows — the same k-bounded budget as the
+    * centroid collect) and pushed as a LITERAL `isin`, so the postings
+    * scan partition-prunes at planning time (IvfPersistedSpec pins it).
+    * Results coincide with the in-memory e4 path at rank 1 by
+    * construction — same centroids, same postings, same re-rank.
+    */
+  def ivfPersistedQuery(spark: SparkSession, dir: String,
+      topK: Int = 3): DataFrame = {
+    FloatVecDot.register(spark)
+    val out = persistedLayout(spark, dir)
+    val cents = spark.read.parquet(s"$out/centroids")
+    val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < 16)
+    val cells = probeCells(probes, Ivf(cents, cents), nprobe = 4)
+    val cellIds = cells.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq // ≤ k rows
+    val members = spark.read.parquet(s"$out/postings")
+      .filter(col("cell_id").isin(cellIds: _*))
+    val withQ = cells.join(
+      broadcast(probes.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), Seq("query_id"))
+    val qNorm = sqrt(call_function("vec_dot", col("q_emb"), col("q_emb")))
+    val cNorm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+    withQ.join(members, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        (call_function("vec_dot", col("q_emb"), col("embedding"))
+          / (qNorm * cNorm)).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+  }
+
+  def ivfOracleSql(k: Int = 16, iters: Int = 3, nprobe: Int = 4,
+      dims: Int = 64, topK: Int = 1): String = {
     def qd2(a: String, b: String) = qd2Sql(a, b)
     def dot(a: String, b: String) = dotSql(a, b)
 
@@ -371,8 +425,15 @@ object IvfIndex {
        |         ${dot("p.q_emb", "m.embedding")}
        |           / (sqrt(${dot("p.q_emb", "p.q_emb")}) * sqrt(${dot("m.embedding", "m.embedding")})) AS cosine
        |  FROM probe_cells p JOIN members m ON p.cell_id = m.cell_id AND p.query_id <> m.vec_id)
-       |SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-       |  FROM sims) WHERE rank = 1""".stripMargin
+       |${
+        if (topK == 1)
+          """SELECT query_id, neighbor_id, neighbor_label, cosine FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            |  FROM sims) WHERE rank = 1""".stripMargin
+        else
+          s"""SELECT query_id, neighbor_id, neighbor_label, cosine, rank FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM sims) WHERE rank <= $topK""".stripMargin
+      }""".stripMargin
   }
 }

@@ -172,8 +172,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e15's only BNLJ is the 1-row probe broadcast before the shortlist
       "e13_graph_pagerank", "e13b_pagerank_redistribute", "e14_label_propagation",
       // e15/e16: 1-row probe broadcast / 8-row probe broadcast (e1 shape);
-      // a20: 1-row × 1-row global-stat join
-      "e15_mmr_diversify", "e16_sq8_ann", "a20_sketch_union")
+      // a20: 1-row × 1-row global-stat join; e17: k-centroid broadcast
+      // inside probeCells (the e4 shape over the persisted layout)
+      "e15_mmr_diversify", "e16_sq8_ann", "a20_sketch_union",
+      "e17_ivf_persisted")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
