@@ -758,7 +758,66 @@ object Similarity {
       dists.withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
   }
 
+  /** E18: TRIANGLE COUNTING over the kNN graph — the graph-cohesion
+    * primitive (a vector whose neighbors are each other's neighbors sits
+    * in a dense semantic pocket; triangle-rich regions are what SemDeDup
+    * prunes and diversity sampling caps). Exact and all-integer: the
+    * directed top-3 edges are symmetrized to canonical `u < v` pairs,
+    * triangles enumerated by the wedge join (a.u—a.v, a.v—b.v, closed by
+    * c), counted per vertex. Ties/floats never enter — the gate is
+    * trivially hash-exact given the memoized graph.
+    *
+    * Scale: the wedge join costs Σ deg(v)² over the undirected graph —
+    * out-degree is capped at 3 by construction, so the bound is set by
+    * the in-degree skew of hub vectors; the canonical u<v orientation
+    * halves the join and dedups each triangle to exactly one (x<y<z)
+    * witness. The textbook distributed triangle count (node-iterator
+    * with degree orientation).
+    */
+  val triangleCount = Q("e18_triangle_count", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |knn AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+       |tri AS (
+       |  SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM und a JOIN und b ON a.v = b.u
+       |       JOIN und c ON c.u = a.u AND c.v = b.v)
+       |SELECT vtx AS vec_id, count(*) AS n_triangles FROM (
+       |  SELECT x AS vtx FROM tri
+       |  UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |GROUP BY 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .distinct()
+      val tri = und.as("a")
+        .join(und.as("b"), col("a.v") === col("b.u"))
+        .join(und.as("c"), col("c.u") === col("a.u") && col("c.v") === col("b.v"))
+        .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+      tri.select($"x".as("vtx"))
+        .unionAll(tri.select($"y".as("vtx")))
+        .unionAll(tri.select($"z".as("vtx")))
+        .groupBy($"vtx".as("vec_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
-    graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann)
+    graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
+    triangleCount)
 }

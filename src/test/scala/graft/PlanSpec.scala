@@ -175,7 +175,8 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // a20: 1-row × 1-row global-stat join; e17: k-centroid broadcast
       // inside probeCells (the e4 shape over the persisted layout)
       "e15_mmr_diversify", "e16_sq8_ann", "a20_sketch_union",
-      "e17_ivf_persisted")
+      // e17/e18: the shared index-build subtree again (k-centroid bcast)
+      "e17_ivf_persisted", "e18_triangle_count")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
