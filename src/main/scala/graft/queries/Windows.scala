@@ -80,6 +80,42 @@ object Windows {
         .select($"o_orderkey", dec2($"o_totalprice").cast("double").as("total"))
   }
 
+  /** O2: KEYSET (seek-method) PAGINATION — page 2 of o1's ordering,
+    * fetched by composite-key anchor instead of OFFSET: the client-held
+    * last-seen `(total, orderkey)` becomes the literal predicate
+    * `total < a ∨ (total = a ∧ key > k)`, which PUSHES DOWN to the scan
+    * (PlanSpec pins the `Or(LessThan…)` in PushedFilters). OFFSET n
+    * re-ranks n rows on every page; the seek predicate makes every page
+    * the same O(scan-after-skipping) TakeOrdered — the only pagination
+    * that survives deep pages at 100 TB. The anchor here is derived by a
+    * 1-row k-bounded collect standing in for the client's cursor.
+    */
+  val keysetPagination = Q("o2_keyset_pagination",
+    """WITH p1 AS (SELECT o_totalprice AS p, o_orderkey AS k FROM orders
+      |            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10),
+      |anchor AS (SELECT p, k FROM p1 ORDER BY p ASC, k DESC LIMIT 1)
+      |SELECT o.o_orderkey, CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+      |FROM orders o, anchor a
+      |WHERE o.o_totalprice < a.p OR (o.o_totalprice = a.p AND o.o_orderkey > a.k)
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val page1Last = Tables.orders(s, dir)
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .orderBy($"o_totalprice".asc, $"o_orderkey".desc)
+        .limit(1)
+        .select($"o_totalprice", $"o_orderkey")
+        .head() // the client's cursor: 1 row
+      val (aP, aK) = (page1Last.getDouble(0), page1Last.getLong(1))
+      Tables.orders(s, dir)
+        .filter($"o_totalprice" < aP
+          || ($"o_totalprice" === aP && $"o_orderkey" > aK))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+        .select($"o_orderkey", dec2($"o_totalprice").cast("double").as("total"))
+  }
+
   /** W5: the ranking-function family in one query — rank / dense_rank /
     * percent_rank / cume_dist / ntile over each customer's order history.
     * percent_rank = (rank−1)/(n−1) and cume_dist = rank_max/n are single
@@ -135,6 +171,6 @@ object Windows {
           nth_value(dec2($"o_totalprice"), 2).over(w).cast("double").as("second_price"))
   }
 
-  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal, rankFamily,
-    valueFrames)
+  val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
+    keysetPagination, rankFamily, valueFrames)
 }

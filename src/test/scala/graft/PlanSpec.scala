@@ -144,6 +144,13 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
   }
 
+  test("o2: the keyset anchor predicate pushes down to the orders scan") {
+    val p = planOf(graft.queries.Windows.keysetPagination.run(spark, sfDir))
+    assert(p.contains("PushedFilters:") && p.contains("Or(LessThan(o_totalprice"),
+      p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("GLOBAL sweep: no registry query plans a cartesian/nested-loop join (whitelist excepted)") {
     // the only justified nested-loop joins: deliberate few-row broadcast
     // sides whose cardinality is a CONSTANT of the algorithm, not of the
