@@ -28,6 +28,7 @@ object SparkEntry {
     Dedup.queries ++
     Similarity.queries ++
     Warehouse.queries ++
+    Warehouse2.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

@@ -257,7 +257,44 @@ object ScansProjections {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
   }
 
+  /** S7: DYNAMIC partition pruning — the partition predicate is not in
+    * the query text (s6's static case); it is DERIVED at runtime from
+    * the join's dim side (majority languages: count×6 > corpus total),
+    * and Spark still prunes the partitioned scan by broadcasting the
+    * dim's keys into the scan's partition filter
+    * (`dynamicpruning#…` in PartitionFilters — pinned by
+    * ScanLayoutSpec). This is THE mechanism that saves star joins on a
+    * 100 TB date/tenant-partitioned fact when the filter sits on the
+    * dim: without DPP the fact scan reads every partition and the join
+    * discards 99% of it; with DPP the scan never opens them.
+    */
+  val s7DynamicPruning = Q("s7_dynamic_partition_pruning",
+    """WITH tot AS (SELECT count(*) AS n FROM documents),
+      |maj AS (SELECT lang FROM documents, tot GROUP BY lang, tot.n
+      |        HAVING count(*) * 6 > tot.n AND count(*) >= 30)
+      |SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+      |FROM documents d JOIN maj ON d.lang = maj.lang
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val tot = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val maj = Tables.documents(s, dir)
+        .groupBy($"lang".as("maj_lang"))
+        .agg(count(lit(1)).as("lang_n"))
+        .crossJoin(broadcast(tot))
+        // the min-support literal is ALSO what qualifies this side for
+        // DPP: PartitionPruning#hasSelectivePredicate requires a
+        // literal-bound comparison (the pure attribute-vs-attribute
+        // majority test alone is not "likely selective" to Catalyst)
+        .filter($"lang_n" * 6 > $"n" && $"lang_n" >= 30)
+        .select($"maj_lang")
+      s.read.parquet(partitionedLayout(s, dir))
+        .join(broadcast(maj), $"lang" === $"maj_lang")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1Json, s2Pushdown, s3Fallback, s4Literal, s5SchemaEvolution,
-    s6PartitionPruning, p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
+    s6PartitionPruning, s7DynamicPruning, p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
 }

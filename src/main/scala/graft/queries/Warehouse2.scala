@@ -1,0 +1,522 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** TPC-H completion pack — the remaining classic decision-support shapes
+  * (Q2, Q8, Q9, Q10, Q11, Q13, Q15, Q16, Q17, Q20, Q21, Q22) adapted to
+  * the carried columns (the testdata has no partsupp table and no
+  * commit/receipt dates; each adaptation keeps the ORIGINAL optimizer
+  * shape — correlated min, global-scalar HAVING, nested semi chains,
+  * exists + not-exists on the same fact — and swaps only the predicate
+  * columns). Money follows the repo Exact decimal discipline throughout.
+  *
+  * Scale notes (100 TB):
+  *  - every query's fact-side predicates reach the parquet scan; dims
+  *    (part 2k, supplier 100, customer 1.5k, nation, region) broadcast;
+  *  - correlated aggregates (q2 min, q17 avg) are decorrelated by hand
+  *    into grouped sub-aggregates joined back on the key — the fact
+  *    shuffles once per distinct key set, never per-row subquery;
+  *  - global scalars (q11 threshold, q15 max, q22 avg) are 1-row
+  *    broadcast cross joins off a cached sub-aggregate — the sub-agg is
+  *    computed ONCE (cache), not re-derived per consumer;
+  *  - q21's exists/not-exists pair folds into ONE per-order aggregate
+  *    (any/none flags) instead of two extra fact joins — at 100 TB that
+  *    is one shuffle of (orderkey, 2 bits) instead of two self-joins.
+  */
+object Warehouse2 {
+
+  /** Q10-shaped: top returned-revenue customers for one quarter.
+    * Join pyramid orders(quarter)⋈lineitem(R)⋈customer⋈nation; the
+    * customer+nation side broadcasts; deterministic top-20 via
+    * (revenue DESC, custkey) so the LIMIT is tie-stable cross-engine.
+    */
+  val q10Returned = Q("q10_returned_customers",
+    """SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation,
+      |       CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal,
+      |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |              * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l.l_returnflag = 'R'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, custkey
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp")
+        && $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal")
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(c), $"o_custkey" === $"c_custkey")
+      .groupBy(
+        $"c_custkey".as("custkey"), $"c_name".as("cust_name"),
+        $"n_name".as("nation"), Exact.cents($"c_acctbal").as("acctbal"))
+      .agg(Exact.cents(sum(Exact.dec2($"l_extendedprice")
+        * Exact.dec4(lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"custkey")
+      .limit(20)
+  }
+
+  /** Q13-shaped: customer order-count distribution. LEFT join with the
+    * filter INSIDE the join condition (the Q13 signature — moving it to
+    * WHERE would drop zero-order customers), then a two-level aggregate.
+    * Second shuffle is on the tiny (c_count) domain.
+    */
+  val q13CustDist = Q("q13_custdist",
+    """WITH co AS (
+      |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY 1)
+      |SELECT c_count, count(*) AS custdist
+      |FROM co GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val c = Tables.customer(s, dir).select($"c_custkey")
+    val o = Tables.orders(s, dir).select($"o_custkey", $"o_orderkey", $"o_orderpriority")
+    c.join(o, $"c_custkey" === $"o_custkey" && $"o_orderpriority" =!= "1-URGENT", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q15-shaped: supplier(s) achieving the maximum 3-month revenue.
+    * The revenue sub-aggregate is computed ONCE and cached; the global
+    * max is a 1-row broadcast; the equality re-join is EXACT because
+    * revenue stays DECIMAL until the final projection (a double equality
+    * here would flap cross-engine).
+    */
+  val q15TopSupplier = Q("q15_top_supplier",
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS suppkey,
+      |         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * CAST(1.0 - l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY 1)
+      |SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+      |       CAST(r.total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.suppkey
+      |WHERE r.total_rev = (SELECT max(total_rev) FROM revenue)""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1997-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey".as("suppkey"))
+      .agg(sum(Exact.dec2($"l_extendedprice")
+        * Exact.dec4(lit(1.0) - $"l_discount"))
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("total_rev"))
+      .cache()
+    val mx = rev.agg(max($"total_rev").as("max_rev"))
+    val sup = Tables.supplier(s, dir).select($"s_suppkey", $"s_name")
+    rev.crossJoin(broadcast(mx))
+      .filter($"total_rev" === $"max_rev")
+      .join(broadcast(sup), $"suppkey" === $"s_suppkey")
+      .select($"s_suppkey".as("suppkey"), $"s_name".as("supplier_name"),
+        $"total_rev".cast("double").as("total_revenue"))
+  }
+
+  /** Q11-shaped: parts whose shipped value (through suppliers of three
+    * nations) exceeds a fraction of the group's global total — the
+    * group-HAVING-vs-global-scalar shape. The per-part aggregate is
+    * cached and consumed twice (rows + global sum); the threshold
+    * comparison stays in exact decimal.
+    */
+  val q11ImportantParts = Q("q11_important_parts",
+    """WITH v AS (
+      |  SELECT l.l_partkey AS partkey,
+      |         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS part_value
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey IN (2, 7, 12)
+      |  GROUP BY 1)
+      |SELECT partkey, CAST(part_value AS DOUBLE) AS part_value
+      |FROM v
+      |WHERE part_value * 1000 > (SELECT sum(part_value) FROM v)""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .filter($"s_nationkey".isin(2, 7, 12)).select($"s_suppkey")
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey".as("partkey"))
+      .agg(sum(Exact.dec2($"l_extendedprice"))
+        .cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("part_value"))
+      .cache()
+    val tot = v.agg(sum($"part_value").as("total_value"))
+    v.crossJoin(broadcast(tot))
+      .filter($"part_value" * 1000 > $"total_value")
+      .select($"partkey", $"part_value".cast("double").as("part_value"))
+  }
+
+  /** Q17-shaped: revenue impact of small-quantity orders for one brand.
+    * The correlated per-part AVG is decorrelated into a grouped
+    * aggregate joined back on partkey. l_quantity is integer-valued, so
+    * the double avg (exact integer sum / exact count) is IEEE-identical
+    * cross-engine, and so is the 0.2× threshold compare.
+    */
+  val q17SmallQuantity = Q("q17_small_quantity",
+    """WITH pa AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY 1)
+      |SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+      |       count(*) AS n_lines
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |JOIN pa ON pa.l_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#13' AND l.l_quantity < 0.2 * pa.avg_qty""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pa = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("pa_partkey"))
+      .agg(avg($"l_quantity").as("avg_qty"))
+    val p = Tables.part(s, dir)
+      .filter($"p_brand" === "Brand#13").select($"p_partkey")
+    Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(pa, $"l_partkey" === $"pa_partkey")
+      .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+      .agg(
+        (sum(Exact.dec2($"l_extendedprice")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q2-shaped: for each mid-size LARGE part, the EUROPE supplier(s)
+    * with the minimal account balance among those who actually shipped
+    * it — the correlated-min shape, decorrelated into a per-part min
+    * joined back on (partkey, acctbal). Equality on acctbal is on the
+    * exact 2-dp decimal.
+    */
+  val q2MinSupplier = Q("q2_min_balance_supplier",
+    """WITH elig AS (
+      |  SELECT DISTINCT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+      |         CAST(s.s_acctbal AS DECIMAL(18,2)) AS bal, s.s_name, n.n_name
+      |  FROM lineitem l
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'EUROPE'),
+      |mins AS (SELECT partkey, min(bal) AS min_bal FROM elig GROUP BY 1)
+      |SELECT p.p_partkey AS partkey, p.p_name AS part_name, e.s_name AS supplier_name,
+      |       e.n_name AS nation, CAST(e.bal AS DOUBLE) AS acctbal
+      |FROM part p
+      |JOIN elig e ON e.partkey = p.p_partkey
+      |JOIN mins m ON m.partkey = p.p_partkey AND e.bal = m.min_bal
+      |WHERE p.p_size BETWEEN 10 AND 15 AND p.p_type = 'LARGE'""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val supEurope = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey", "left_semi")
+      .select($"s_suppkey", $"s_name", $"n_name", Exact.dec2($"s_acctbal").as("bal"))
+    val p = Tables.part(s, dir)
+      .filter($"p_size".between(10, 15) && $"p_type" === "LARGE")
+      .select($"p_partkey", $"p_name")
+    // only (part, supplier) pairs for qualifying parts reach the min
+    val elig = Tables.lineitem(s, dir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
+      .select($"l_partkey".as("partkey"), $"l_suppkey").distinct()
+      .join(broadcast(supEurope), $"l_suppkey" === $"s_suppkey")
+      .cache()
+    val mins = elig.groupBy($"partkey".as("m_partkey"))
+      .agg(min($"bal").as("min_bal"))
+    elig
+      .join(broadcast(mins), $"partkey" === $"m_partkey" && $"bal" === $"min_bal")
+      .join(broadcast(p), $"partkey" === $"p_partkey")
+      .select($"p_partkey".as("partkey"), $"p_name".as("part_name"),
+        $"s_name".as("supplier_name"), $"n_name".as("nation"),
+        $"bal".cast("double").as("acctbal"))
+  }
+
+  /** Q6-shaped: the forecast-revenue-change scan-aggregate — one year,
+    * a discount band, a quantity cap, no joins at all. The whole query
+    * is a single parquet scan with every predicate pushed and a 1-row
+    * decimal aggregate; at 100 TB it is purely scan-bandwidth-bound
+    * (the year predicate prunes row groups on l_shipdate statistics).
+    * Discounts are clean 2-dp factors, so the band is closed under the
+    * exact decimal cast.
+    */
+  val q6ForecastRevenue = Q("q6_forecast_revenue",
+    """SELECT CAST(CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |            * CAST(l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue_change,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(l_discount AS DECIMAL(18,4)) BETWEEN CAST(0.05 AS DECIMAL(18,4))
+      |                                            AND CAST(0.07 AS DECIMAL(18,4))
+      |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1998-01-01").cast("timestamp")
+        && Exact.dec4($"l_discount").between(
+          Exact.dec4(lit(0.05)), Exact.dec4(lit(0.07)))
+        && $"l_quantity" < 24)
+      .agg(
+        Exact.cents(sum(Exact.dec2($"l_extendedprice")
+          * Exact.dec4($"l_discount"))).as("revenue_change"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q8-shaped: per order-year market share of one supplying nation
+    * within ASIA-customer STANDARD-part volume. The widest join pyramid
+    * in the pack (fact ⋈ orders ⋈ customer-side geo ⋈ supplier-side geo
+    * ⋈ part); every dim broadcasts, the share is a conditional/total
+    * ratio of exact decimal sums.
+    */
+  val q8MarketShare = Q("q8_market_share",
+    """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |       CAST(CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
+      |              THEN CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                   * CAST(1.0 - l.l_discount AS DECIMAL(18,4))
+      |              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+      |         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                   * CAST(1.0 - l.l_discount AS DECIMAL(18,4))) AS DOUBLE) AS DOUBLE) AS mkt_share,
+      |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |              * CAST(1.0 - l.l_discount AS DECIMAL(18,4))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_volume
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp")
+        && $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    val custAsia = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey", "left_semi")
+      .select($"c_custkey")
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation"))
+    val p = Tables.part(s, dir)
+      .filter($"p_type" === "STANDARD").select($"p_partkey")
+    val vol = Exact.dec2($"l_extendedprice") * Exact.dec4(lit(1.0) - $"l_discount")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_partkey", $"l_extendedprice", $"l_discount")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(custAsia), $"o_custkey" === $"c_custkey", "left_semi")
+      .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"o_year".cast("int").as("o_year"))
+      .agg(
+        sum(when($"supp_nation" === "NATION_2", vol)
+          .otherwise(Exact.dec2(lit(0)))).cast("double").as("nation_volume"),
+        sum(vol).cast("double").as("denom"),
+        Exact.cents(sum(vol)).as("total_volume"))
+      .select($"o_year", ($"nation_volume" / $"denom").as("mkt_share"), $"total_volume")
+  }
+
+  /** Q9-shaped: profit by supplier nation × order year. No partsupp
+    * cost column exists, so cost is the deterministic proxy
+    * 0.6 × p_retailprice × l_quantity — all-decimal, so the profit sum
+    * is exact. One fact pass, every dim broadcast.
+    */
+  val q9Profit = Q("q9_profit",
+    """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+      |       CAST(CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+      |                * CAST(1.0 - l.l_discount AS DECIMAL(18,4))
+      |              - CAST(p.p_retailprice AS DECIMAL(18,2))
+      |                * CAST(0.6 AS DECIMAL(2,1))
+      |                * CAST(l.l_quantity AS DECIMAL(4,0))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS profit
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_name LIKE '%bolt%'
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .filter($"p_name".contains("bolt"))
+      .select($"p_partkey", $"p_retailprice")
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name")
+    val o = Tables.orders(s, dir)
+      .select($"o_orderkey", year($"o_orderdate").cast("int").as("o_year"))
+    val profit = Exact.dec2($"l_extendedprice") * Exact.dec4(lit(1.0) - $"l_discount") -
+      Exact.dec2($"p_retailprice")
+        .multiply(lit(BigDecimal("0.6")).cast(org.apache.spark.sql.types.DecimalType(2, 1)))
+        .multiply($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(4, 0)))
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_partkey",
+        $"l_extendedprice", $"l_discount", $"l_quantity")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .join(o, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"n_name".as("nation"), $"o_year")
+      .agg(Exact.cents(sum(profit)).as("profit"))
+  }
+
+  /** Q16-shaped: distinct supplier counts per (brand, size) for a part
+    * family, excluding a supplier deny-list (NOT IN → broadcast anti
+    * join). The distinct-count shuffles (partkey-pruned) fact keys only.
+    */
+  val q16SupplierCnt = Q("q16_supplier_cnt",
+    """SELECT p.p_brand AS brand, p.p_size AS psize,
+      |       count(DISTINCT l.l_suppkey) AS supplier_cnt
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .filter($"p_brand" =!= "Brand#13" && $"p_type" =!= "PROMO"
+        && $"p_size".isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val denied = Tables.supplier(s, dir)
+      .filter($"s_acctbal" < 0).select($"s_suppkey")
+    Tables.lineitem(s, dir).select($"l_partkey", $"l_suppkey")
+      .join(broadcast(denied), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_brand".as("brand"), $"p_size".as("psize"))
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+  }
+
+  /** Q20-shaped: suppliers who moved serious volume of a part-name
+    * family in one year — the nested IN chain (part-family IN → grouped
+    * HAVING IN → supplier semi). l_quantity sums are exact (integer-
+    * valued doubles).
+    */
+  val q20ExcessSuppliers = Q("q20_excess_suppliers",
+    """SELECT s.s_name AS supplier_name, n.n_name AS nation
+      |FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE s.s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small %')
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1 HAVING sum(l_quantity) > 300)""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val p = Tables.part(s, dir)
+      .filter($"p_name".startsWith("small ")).select($"p_partkey")
+    val movers = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp")
+        && $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(p), $"l_partkey" === $"p_partkey", "left_semi")
+      .groupBy($"l_suppkey")
+      .agg(sum($"l_quantity").as("qty"))
+      .filter($"qty" > 300)
+      .select($"l_suppkey")
+    Tables.supplier(s, dir)
+      .join(broadcast(movers), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name".as("supplier_name"), $"n_name".as("nation"))
+  }
+
+  /** Q21-shaped: suppliers who were the SOLE returning supplier on
+    * multi-supplier finished orders (returnflag stands in for the
+    * receipt>commit lateness). The classic formulation is
+    * EXISTS(other supplier) AND NOT EXISTS(other returning supplier);
+    * both collapse into ONE per-order aggregate — supplier count and
+    * returning-supplier set — so the fact self-joins ZERO times.
+    */
+  val q21SoleReturner = Q("q21_sole_returning_supplier",
+    """SELECT s.s_name AS supplier_name, count(*) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // per (order, supplier): did this supplier return anything; per
+    // order: #distinct suppliers, #distinct RETURNING suppliers. The
+    // exists pair is then pure arithmetic on those counts:
+    //   EXISTS other supplier        ⇔ n_supp >= 2
+    //   NOT EXISTS other returner    ⇔ n_ret_supp == 1 (and this one returns)
+    val f = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+      .select($"o_orderkey")
+    val lines = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_returnflag")
+      .join(f, $"l_orderkey" === $"o_orderkey", "left_semi")
+    val perOrderSupp = lines
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(
+        max(when($"l_returnflag" === "R", 1).otherwise(0)).as("did_return"),
+        sum(when($"l_returnflag" === "R", 1).otherwise(0)).as("n_ret_lines"))
+    // per-order rollup as a WINDOW over the per-(order,supplier) rows —
+    // not a second aggregate joined back: one extra shuffle of the
+    // already-reduced keys, zero re-scans of the fact
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"l_orderkey")
+    perOrderSupp
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_ret_supp", sum($"did_return").over(w))
+      .filter($"did_return" === 1 && $"n_supp" >= 2 && $"n_ret_supp" === 1)
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_name".as("supplier_name"))
+      // count one per RETURNING LINE (the SQL counts l1 rows)
+      .agg(sum($"n_ret_lines").cast("long").as("numwait"))
+  }
+
+  /** Q22-shaped: well-funded customers gone inactive — acctbal above the
+    * global positive average (cross-multiplied to stay in exact decimal:
+    * bal × n > Σbal avoids a cross-engine avg()) and no orders since
+    * 1999 (anti join). custkey%7 stands in for the phone country code.
+    */
+  val q22GlobalBalance = Q("q22_inactive_balance",
+    """WITH g AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS s,
+      |         count(*) AS n
+      |  FROM customer WHERE c_acctbal > 0)
+      |SELECT (c.c_custkey % 7) AS code, count(*) AS numcust,
+      |       CAST(CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS totacctbal
+      |FROM customer c, g
+      |WHERE c.c_acctbal > 0
+      |  AND CAST(c.c_acctbal AS DECIMAL(18,2)) * g.n > g.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pos = Tables.customer(s, dir).filter($"c_acctbal" > 0)
+      .select($"c_custkey", Exact.dec2($"c_acctbal").as("bal"))
+      .cache()
+    val g = pos.agg(
+      sum($"bal").cast(org.apache.spark.sql.types.DecimalType(28, 2)).as("g_sum"),
+      count(lit(1)).as("g_n"))
+    val recent = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    pos.crossJoin(broadcast(g))
+      .filter($"bal" * $"g_n" > $"g_sum")
+      .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy(($"c_custkey" % 7).as("code"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        Exact.cents(sum($"bal")).as("totacctbal"))
+  }
+
+  val queries: Seq[Q] = Seq(
+    q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
+    q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
+    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance)
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** Streaming curriculum/quota ADMISSION — the intake face of the batch
+  * curation stack: t21's temperature-smoothed language quotas enforced
+  * over a live document stream, with t24's quality ranking deciding WHO
+  * fills the remaining quota inside each micro-batch.
+  *
+  * Why this exists: a training-data pipeline does not get its corpus at
+  * rest — crawl shards arrive continuously, and the language mix must be
+  * controlled AT INTAKE (admitting everything and downsampling later
+  * pays storage + compute for documents that were never going to be
+  * trained on). The standard recipe (XLM/mT5): language l receives a
+  * budget share ∝ n_l^α with α = 0.5 over a frozen reference profile.
+  *
+  * Topology per micro-batch:
+  *  1. quality = |distinct words| / |words| per doc (t24's metric);
+  *  2. per language, rank batch docs (quality DESC, doc_id) — ties are
+  *     impossible past doc_id, so admission is deterministic under ANY
+  *     partitioning of the batch;
+  *  3. admit while prior_admitted(lang) + rank ≤ quota(lang), where
+  *     prior_admitted is the LEDGER sum over earlier batches — a
+  *     first-come-first-served quota across batches, quality-ordered
+  *     within a batch (a doc that arrives after the quota closed is
+  *     dropped no matter how good — that is the intake contract; the
+  *     batch curation pack re-balances at training time);
+  *  4. admitted docs land in `admitted/batch_id=N`, the per-language
+  *     admission counts in `ledger/batch_id=N` — both `overwrite` into
+  *     the batch-scoped directory, so an at-least-once replay rewrites
+  *     the same files (idempotent), and replaying batch k only needs the
+  *     ledgers of batches < k, which a replay never touches.
+  *
+  * Scale: the per-batch work is one window over the batch (shuffled by
+  * lang — bounded by batch size, not corpus size) plus a ≤|langs|-row
+  * broadcast of quotas and prior counts. The ledger read is
+  * partition-pruned to batch_id < N and aggregates |langs| rows per
+  * batch — at 1000 batches × 50 languages it is still a 50 k-row scan;
+  * past that, fold the ledger into a running-total file per K batches.
+  * Nothing here holds state proportional to the corpus.
+  */
+object StreamingAdmission {
+
+  /** t21's temperature quota table over a frozen reference profile:
+    * quota_l = floor(budget · √n_l / Σ√n). Deterministic: the denominator
+    * folds in lang order (the t21 discipline), and floor keeps the total
+    * ≤ budget.
+    */
+  def quotas(profile: DataFrame, budget: Long): DataFrame = {
+    val counts = profile
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("lang"), sqrt(col("n_docs")).as("weight"))
+    counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("weight")))).as("xs"))
+      .select(explode(col("xs")).as("x"),
+        expr("aggregate(xs, 0D, (acc, e) -> acc + e.weight)").as("denom"))
+      .select(col("x.lang").as("lang"),
+        floor(lit(budget.toDouble) * col("x.weight") / col("denom")).as("quota"))
+  }
+
+  /** t24's quality metric. */
+  private def quality = {
+    val words = split(col("text"), " ")
+    (size(array_distinct(words)).cast("double") / size(words)).as("quality")
+  }
+
+  private def ledgerBefore(spark: SparkSession, ledgerDir: String,
+      batchId: Long): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(ledgerDir)))
+      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+        .filter(col("batch_id") < batchId)
+        .groupBy(col("lang").as("prior_lang"))
+        .agg(sum(col("n_admitted")).as("prior"))
+    else
+      Seq.empty[(String, Long)].toDF("prior_lang", "prior")
+  }
+
+  /** One micro-batch of admission (also the replay entry point the spec
+    * drives directly to prove idempotence and stream≡sequential-batch).
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      quotaDf: DataFrame, admittedDir: String, ledgerDir: String): Unit = {
+    if (batch.isEmpty) return
+    val prior = ledgerBefore(spark, ledgerDir, batchId)
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val admitted = batch
+      .withColumn("quality", quality)
+      .withColumn("batch_rank", row_number().over(byLang))
+      .join(broadcast(quotaDf), Seq("lang"), "left")
+      .join(broadcast(prior), col("lang") === col("prior_lang"), "left")
+      // a language absent from the frozen profile has no quota: drop it
+      .filter(col("quota").isNotNull &&
+        coalesce(col("prior"), lit(0L)) + col("batch_rank") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("source"), col("quality"),
+        col("batch_rank"))
+    admitted.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
+    admitted
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+  }
+
+  /** The streaming sink: document stream → quota-admitted store. */
+  def admissionScreen(docs: DataFrame, quotaDf: DataFrame,
+      admittedDir: String, ledgerDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId,
+          quotaDf, admittedDir, ledgerDir)
+      }
+
+  /** Everything admitted so far (batch_id recovered from the layout). */
+  def admitted(spark: SparkSession, admittedDir: String): DataFrame =
+    spark.read.option("basePath", admittedDir).parquet(admittedDir)
+}

@@ -47,4 +47,27 @@ class ScanLayoutSpec extends AnyFunSuite with SparkTestKit {
     assert(files.nonEmpty && files.forall(_.contains("lang=en")),
       s"unpruned files: ${files.filterNot(_.contains("lang=en")).take(3).mkString(", ")}")
   }
+
+  test("s7: a runtime-derived dim key still prunes the partitioned scan (DPP)") {
+    val df = ScansProjections.s7DynamicPruning.run(spark, sfDir)
+    // the partition filter is a DYNAMIC subquery, not a literal — the
+    // predicate text nowhere mentions 'en'
+    val p = planOf(df)
+    assert(p.contains("dynamicpruning"), p)
+    // semantics: identical to the unpartitioned self-join computation
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    val maj = docs.groupBy($"lang").count()
+      .filter($"count" * 6 > total)
+      .select($"lang").collect().map(_.getString(0)).toSet
+    val expected = docs
+      .filter($"lang".isin(maj.toSeq: _*))
+      .groupBy($"source")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(got == expected)
+  }
 }
