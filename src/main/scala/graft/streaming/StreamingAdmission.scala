@@ -72,8 +72,13 @@ object StreamingAdmission {
   private def ledgerBefore(spark: SparkSession, ledgerDir: String,
       batchId: Long): DataFrame = {
     import spark.implicits._
-    val fs = new Path(ledgerDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(ledgerDir)))
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "exists" is not enough: the dir may pre-exist empty (first batch),
+    // and parquet schema inference fails on an empty directory
+    val hasLedger = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasLedger)
       spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
         .filter(col("batch_id") < batchId)
         .groupBy(col("lang").as("prior_lang"))
