@@ -160,7 +160,7 @@ object Bpe {
        |fin AS (SELECT word,
        |  CAST(len(list_filter(string_split($appChain, '|'), x -> x <> '')) AS BIGINT) AS n_tok
        |  FROM app),
-       |docw AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents)
+       |docw AS (SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS word FROM documents)
        |$finalSelect""".stripMargin
   }
 
@@ -251,5 +251,45 @@ object Bpe {
           ($"n_chars".cast("double") / $"n_tokens_bpe").as("chars_per_token"))
   }
 
-  val queries: Seq[Q] = Seq(bpeTokenize, tokenizerFertility)
+  private def fertilityDrilldownOracleSql: String = oracleSqlWith(
+    """SELECT d.source, d.lang,
+      |       CAST(count(*) AS BIGINT) AS n_words,
+      |       CAST(sum(f.n_tok) AS BIGINT) AS n_tokens_bpe,
+      |       CAST(sum(f.n_tok) AS DOUBLE) / count(*) AS fertility
+      |FROM docw d JOIN fin f USING (word)
+      |GROUP BY d.source, d.lang""".stripMargin)
+
+  /** T27: fertility drill-down per (source, lang) — t25's diagnostic at
+    * the grain where the fix is applied: a SINGLE source whose fertility
+    * is off for one language (bad OCR, encoding damage, markup bleed) is
+    * actionable (drop or re-extract the source), where t25's corpus-wide
+    * number only says something is wrong somewhere. Same memoized merge
+    * list, same codegen replace-chain; only the final grouping changes —
+    * the marginal cost over t25 is one different shuffle key.
+    */
+  val fertilityDrilldown = Q("t27_fertility_drilldown", fertilityDrilldownOracleSql) {
+    (s, dir) =>
+      import s.implicits._
+      val ms = merges(s, dir)
+      val st0 = concat(lit("|"),
+        array_join(filter(split($"word", ""), x => x =!= ""), "|"), lit("|"))
+      val stFinal = ms.foldLeft(st0) { case (acc, (l, r)) =>
+        if (l.isEmpty) acc
+        else call_function("replace", acc, lit(s"|$l|$r|"), lit(s"|$l$r|"))
+      }
+      val words = Tables.documents(s, dir)
+        .select($"source", $"lang", explode(split($"text", " ")).as("word"))
+      val fin = words.select($"word").distinct()
+        .select($"word",
+          size(filter(split(stFinal, "\\|"), x => x =!= "")).cast("long").as("n_tok"))
+      words.join(broadcast(fin), "word")
+        .groupBy($"source", $"lang")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum($"n_tok").as("n_tokens_bpe"))
+        .select($"source", $"lang", $"n_words", $"n_tokens_bpe",
+          ($"n_tokens_bpe".cast("double") / $"n_words").as("fertility"))
+  }
+
+  val queries: Seq[Q] = Seq(bpeTokenize, tokenizerFertility, fertilityDrilldown)
 }

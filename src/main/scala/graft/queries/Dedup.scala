@@ -681,7 +681,50 @@ object Dedup {
         .filter($"containment" >= 0.8)
   }
 
+  /** D12: INTRA-document repeated-span dedup — the C4/Gopher "drop
+    * repeated spans inside one document" rule (the cross-doc families
+    * d1–d13 never look within a doc; boilerplate and scraper glitches
+    * repeat INSIDE documents too). Text is cut into fixed-width
+    * non-overlapping word spans; occurrences of an identical span after
+    * its first (in reading order) are the removable repetition. The span
+    * width is 2 words here — deliberately small because the synthetic
+    * corpus draws from a 31-word vocabulary; at real scale the same
+    * operator runs with sentence-sized spans.
+    *
+    * Scale: explode is linear in corpus tokens; the dedup window
+    * partitions by (doc_id, span) — keys never cross documents, so the
+    * shuffle is uniform and no key exceeds a single doc's span count.
+    * Per-doc output, no global state.
+    */
+  val intraDocDedup = Q("d12_intradoc_dedup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |s AS (SELECT doc_id, i,
+      |             array_to_string(ws[(i*2+1):(i*2+2)], ' ') AS span
+      |      FROM w, UNNEST(generate_series(0, CAST(ceil(len(ws)/2.0) AS BIGINT) - 1)) AS t(i)),
+      |r AS (SELECT doc_id, span,
+      |             row_number() OVER (PARTITION BY doc_id, span ORDER BY i) AS rn
+      |      FROM s)
+      |SELECT doc_id, count(*) AS n_spans,
+      |       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+      |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val spanW = 2
+    val words = split($"text", " ")
+    val segs = transform(
+      sequence(lit(0), ceil(size(words) / lit(spanW.toDouble)).cast("int") - 1),
+      i => concat_ws(" ", slice(words, i * spanW + 1, lit(spanW))))
+    val byDocSpan = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id", $"span").orderBy($"i")
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(segs).as(Seq("i", "span")))
+      .withColumn("rn", row_number().over(byDocSpan))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(when($"rn" > 1, 1).otherwise(0)).as("n_dup_spans"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
-    sourceOverlap, exactSubstr, containment)
+    sourceOverlap, exactSubstr, intraDocDedup, containment)
 }

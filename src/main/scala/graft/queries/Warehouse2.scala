@@ -515,8 +515,70 @@ object Warehouse2 {
         Exact.cents(sum($"bal")).as("totacctbal"))
   }
 
+  /** DQ3: time-series anomaly detection on the daily revenue KPI — the
+    * monitoring control that pages a data team: each day's revenue
+    * z-scored against its own trailing 28-day window (frame excludes the
+    * current day, so an anomalous day cannot mask itself). The t22
+    * integer discipline makes the rolling moments exact cross-engine:
+    * daily revenue is exact cents (BIGINT), the frame's Σx and Σx² stay
+    * integer/decimal (accumulation-order-independent — at 1000 executors
+    * a double rolling sum is a nondeterministic result), and doubles
+    * appear only in the final fixed-order (x−s/n)/√var arithmetic. A
+    * zero-variance window yields NULL, not an engine-dependent ±inf/NaN.
+    * Scale: one shuffle to daily grain (the fact reduces to ~date-count
+    * rows), then a single-partition-per-key ordered window over days —
+    * thousands of rows regardless of corpus size.
+    */
+  val dq3KpiAnomaly = Q("dq3_kpi_anomaly",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)))
+      |              AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT day, rev_c,
+      |         count(*) OVER f AS n,
+      |         sum(rev_c) OVER f AS s,
+      |         sum(CAST(rev_c AS DECIMAL(38,0)) * rev_c) OVER f AS ss
+      |  FROM daily
+      |  WINDOW f AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+      |SELECT day, rev_c, n,
+      |       CASE WHEN CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s > 0 THEN
+      |         (CAST(rev_c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+      |                  / CAST(n * (n - 1) AS DOUBLE))
+      |       END AS z,
+      |       CASE WHEN CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s > 0
+      |             AND abs((CAST(rev_c AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+      |               / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+      |                      / CAST(n * (n - 1) AS DOUBLE))) > 3.0
+      |            THEN 1 ELSE 0 END AS is_anomaly
+      |FROM w WHERE n >= 14""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum((Exact.dec2($"o_totalprice") * 100).cast(DecimalType(18, 0)))
+        .cast("long").as("rev_c"))
+    val f = org.apache.spark.sql.expressions.Window
+      .orderBy($"day").rowsBetween(-28, -1)
+    val withMoments = daily
+      .withColumn("n", count(lit(1)).over(f))
+      .withColumn("s", sum($"rev_c").over(f))
+      .withColumn("ss", sum($"rev_c".cast(DecimalType(38, 0)) * $"rev_c").over(f))
+      .filter($"n" >= 14)
+    val varNum = $"n".cast(DecimalType(38, 0)) * $"ss" -
+      $"s".cast(DecimalType(38, 0)) * $"s"
+    val z = ($"rev_c".cast("double") - $"s".cast("double") / $"n".cast("double")) /
+      sqrt(varNum.cast("double") / ($"n" * ($"n" - 1)).cast("double"))
+    withMoments.select(
+      $"day", $"rev_c", $"n",
+      when(varNum > 0, z).as("z"),
+      when(varNum > 0 && abs(z) > 3.0, 1).otherwise(0).as("is_anomaly"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
-    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance)
+    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly)
 }
