@@ -188,6 +188,45 @@ object Scalars {
           count(lit(1)).as("n_nations"))
   }
 
+  /** F17: HIGHER-ORDER array functions — transform / filter / aggregate
+    * (fold) / zip_with / sort over the per-document word array, the
+    * lambda-function surface a modern engine carries for nested data.
+    * Every lambda here runs inside whole-stage codegen (no UDFs), so at
+    * 100 TB the per-row array work costs the same as built-in scalar
+    * functions. All outputs integer/string (the fold is an integer sum —
+    * accumulation order can't matter), so the row set hash-matches
+    * DuckDB's list_* equivalents exactly.
+    */
+  val higherOrder = Q("f17_higher_order",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+      |SELECT doc_id,
+      |       CAST(len(ws) AS INT) AS n_words,
+      |       CAST(len(list_filter(ws, x -> len(x) > 4)) AS INT) AS n_long,
+      |       CAST(list_reduce(list_prepend(0, list_transform(ws, x -> len(x))),
+      |                        (acc, x) -> acc + x) AS INT) AS total_chars,
+      |       array_to_string(list_transform(list_zip(
+      |           ws[1:2], generate_series(1, least(2, len(ws)))),
+      |         p -> CAST(p[2] AS VARCHAR) || ':' || p[1]), ',') AS tagged_head,
+      |       array_to_string(list_sort(list_distinct(ws))[1:3], ',') AS sorted_head
+      |FROM w""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ws = split($"text", " ")
+      Tables.documents(s, dir)
+        .select($"doc_id", ws.as("ws"))
+        .select(
+          $"doc_id",
+          size($"ws").as("n_words"),
+          size(filter($"ws", x => length(x) > 4)).as("n_long"),
+          aggregate($"ws", lit(0), (acc, x) => acc + length(x)).as("total_chars"),
+          array_join(zip_with(
+            slice($"ws", 1, 2),
+            sequence(lit(1), least(lit(2), size($"ws"))),
+            (w, i) => concat(i.cast("string"), lit(":"), w)), ",").as("tagged_head"),
+          array_join(slice(array_sort(array_distinct($"ws")), 1, 3), ",")
+            .as("sorted_head"))
+  }
+
   val queries: Seq[Q] = Seq(f1Classifier, f4DetRand, f10Dates, dimDate, stringPack,
-    listAgg)
+    listAgg, higherOrder)
 }

@@ -819,8 +819,87 @@ object Similarity {
         .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** E19: ANN RECALL EVALUATION AS A QUERY — per probe, recall@3 of the
+    * sign-bucket method (e2's index) against the exact brute-force top-3
+    * (e1's answer), computed entirely inside the engine. At 100 TB the
+    * evaluation itself is a distributed job: both top-k sets live across
+    * the cluster and can never be collected to a driver, so "how good is
+    * my index" must be a QUERY — exact side O(Q·N) per-probe ranked,
+    * approx side bucket-joined, one outer join on (probe, neighbor), a
+    * per-probe aggregate. The same composition evaluates any index in
+    * the e-family by swapping the candidate CTE.
+    */
+  val annRecall = Q("e19_ann_recall", {
+    def sig(t: String) = (0 until 4)
+      .map(i => s"(CASE WHEN $t.embedding[${i + 1}] >= 0 THEN 1 ELSE 0 END << $i)")
+      .mkString(" + ")
+    val d = dotSql.format("q.embedding", "c.embedding")
+    val nq = dotSql.format("embedding", "embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, sqrt($nq) AS nrm, ${sig("embeddings")} AS bucket
+       |           FROM embeddings WHERE vec_id < 32),
+       |c AS (SELECT vec_id, embedding, sqrt($nq) AS nrm, ${sig("embeddings")} AS bucket FROM embeddings),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $d / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |    FROM q, c WHERE q.vec_id <> c.vec_id) WHERE rank <= 3),
+       |approx AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY $d / (q.nrm * c.nrm) DESC, c.vec_id) AS rank
+       |    FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id) WHERE rank <= 3)
+       |SELECT e.query_id,
+       |       count(*) AS n_exact,
+       |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / count(*) AS recall_at_3
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.FloatVecDot.register(s)
+      val sigCol = (0 until 4)
+        .map(i => (when(element_at($"embedding", i + 1) >= 0, 1).otherwise(0)
+          * lit(1 << i)))
+        .reduce(_ + _)
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"embedding", norm($"embedding").as("nrm"),
+          sigCol.as("bucket"))
+      val q = e.filter($"vec_id" < 32)
+        .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"bucket".as("q_bucket"))
+      val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("c_emb"),
+        $"nrm".as("c_nrm"), $"bucket".as("c_bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cosine".desc, $"neighbor_id")
+      def top3(joined: DataFrame): DataFrame = joined
+        .select($"query_id", $"neighbor_id",
+          (dot($"q_emb", $"c_emb") / ($"q_nrm" * $"c_nrm")).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 3)
+        .select($"query_id", $"neighbor_id")
+      val exact = top3(c.join(broadcast(q), $"query_id" =!= $"neighbor_id"))
+      val approx = top3(c.join(broadcast(q),
+        $"q_bucket" === $"c_bucket" && $"query_id" =!= $"neighbor_id"))
+        .withColumnRenamed("query_id", "a_query_id")
+        .withColumnRenamed("neighbor_id", "a_neighbor_id")
+      exact
+        .join(approx, $"query_id" === $"a_query_id"
+          && $"neighbor_id" === $"a_neighbor_id", "left")
+        .groupBy($"query_id")
+        .agg(
+          count(lit(1)).as("n_exact"),
+          sum(when($"a_neighbor_id".isNotNull, 1).otherwise(0)).as("n_hit"))
+        .select($"query_id", $"n_exact", $"n_hit",
+          ($"n_hit".cast("double") / $"n_exact").as("recall_at_3"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
-    triangleCount)
+    triangleCount, annRecall)
 }

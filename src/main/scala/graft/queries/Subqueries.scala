@@ -80,5 +80,38 @@ object Subqueries {
         .distinct()
   }
 
-  val queries: Seq[Q] = Seq(corrSubquery, intersectQ, exceptQ, unionDistinctQ)
+  /** EXCEPT ALL: MULTISET difference — each occurrence counts, so a user
+    * with 5 purchase events and 2 orders keeps 3 rows (u3's set EXCEPT
+    * would drop them entirely the moment one order exists). Spark plans
+    * this as a count-bag anti-subtract (generate/replicate), not a
+    * distinct — the multiset semantics survive at any scale because the
+    * per-key counts partial-aggregate map-side first.
+    */
+  val exceptAllQ = Q("u5_except_all",
+    """SELECT user_id AS id FROM events WHERE event_type = 'purchase'
+      |EXCEPT ALL
+      |SELECT o_custkey AS id FROM orders""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("id"))
+        .exceptAll(Tables.orders(s, dir).select($"o_custkey".as("id")))
+  }
+
+  /** INTERSECT ALL: multiset intersection — min(multiplicity) copies per
+    * key survive.
+    */
+  val intersectAllQ = Q("u6_intersect_all",
+    """SELECT user_id AS id FROM events WHERE event_type = 'purchase'
+      |INTERSECT ALL
+      |SELECT o_custkey AS id FROM orders""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir).filter($"event_type" === "purchase")
+        .select($"user_id".as("id"))
+        .intersectAll(Tables.orders(s, dir).select($"o_custkey".as("id")))
+  }
+
+  val queries: Seq[Q] = Seq(corrSubquery, intersectQ, exceptQ, unionDistinctQ,
+    exceptAllQ, intersectAllQ)
 }
