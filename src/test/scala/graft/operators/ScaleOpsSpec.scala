@@ -80,6 +80,70 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("AQE demotes a sort-merge join to broadcast at runtime (stats were wrong)") {
+    // The static planner sees no stats for a derived build side and plans
+    // SMJ; AQE measures the materialized shuffle (a few KB) and converts
+    // to BroadcastHashJoin at runtime. This is the recovery path for the
+    // 100 TB case where a filter makes a "big" dim tiny and only runtime
+    // sizes can know — the complement of the DPP pin (ScanLayoutSpec s7).
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // static: never broadcast; adaptive: broadcast under 1 MB
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "1MB")
+      val fact = spark.range(100000)
+        .select(($"id" % 500).as("k"), concat(lit("p-"), $"id").as("payload"))
+      // aggregation blocks static size estimation; runtime size ~KB
+      val dim = spark.range(10000)
+        .select(($"id" % 500).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      val joined = fact.join(dim, "k")
+      val staticPlan = joined.queryExecution.executedPlan.toString
+      assert(staticPlan.contains("SortMergeJoin"),
+        s"precondition: static plan should be SMJ:\n$staticPlan")
+      assert(joined.collect().length == 100000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"AQE did not demote SMJ to broadcast:\n$finalPlan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("AQE coalesces over-provisioned shuffle partitions at runtime") {
+    // shuffle.partitions is a cluster-wide guess; AQE folds tiny
+    // post-shuffle partitions to the advisory size so a 32-partition
+    // config doesn't produce 32 near-empty tasks per small stage. At
+    // 100 TB the same mechanism keeps reducers right-sized per stage
+    // instead of per job.
+    val prev = Seq("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val agg = spark.range(10000)
+        .select(($"id" % 97).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("n"))
+      assert(agg.collect().length == 97)
+      val finalPlan = agg.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("AQEShuffleRead coalesced"),
+        s"AQE did not coalesce the shuffle read:\n$finalPlan")
+      assert(agg.rdd.getNumPartitions < 64,
+        s"still ${agg.rdd.getNumPartitions} partitions")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed silver layout: orders↔freight mart join is shuffle-free") {
     import graft.domain._
     val silver = Pipeline.toSilver(
