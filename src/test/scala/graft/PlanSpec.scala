@@ -183,7 +183,14 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // inside probeCells (the e4 shape over the persisted layout)
       "e15_mmr_diversify", "e16_sq8_ann", "a20_sketch_union",
       // e17/e18: the shared index-build subtree again (k-centroid bcast)
-      "e17_ivf_persisted", "e18_triangle_count")
+      "e17_ivf_persisted", "e18_triangle_count",
+      // e19: the exact-baseline side is e1's probe-broadcast shape (32
+      // constant probe rows × corpus); the approx side is equi-joined
+      "e19_ann_recall",
+      // s7/q11/q22: the 1-ROW global-scalar cross join (corpus total /
+      // Σ part_value / positive-average) — the t10 global-stats pattern
+      "s7_dynamic_partition_pruning", "q11_important_parts",
+      "q22_inactive_balance")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
