@@ -48,6 +48,15 @@ object ZOrder {
     * (xCol, yCol). `repartitionByRange` on the z-key gives contiguous,
     * balanced curve segments per file (a hash repartition would scatter
     * the curve and destroy the stats locality that makes this work).
+    *
+    * Operational note: range boundaries come from SAMPLING
+    * (`spark.sql.execution.rangeExchange.sampleSizePerPartition`,
+    * default 100/partition). For a layout rewrite that default is too
+    * noisy — one unlucky quantile makes one fat file whose z-range spans
+    * a query box and the pruning win evaporates. Production rewrites
+    * should raise it (2000/partition costs milliseconds at write time
+    * and buys stable file boundaries); ZOrderSpec pins the measured
+    * effect.
     */
   def writeZOrdered(df: DataFrame, xCol: String, yCol: String,
       path: String, nFiles: Int, bits: Int = 8): Unit =

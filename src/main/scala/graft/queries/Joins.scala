@@ -136,5 +136,39 @@ object Joins {
         .select($"c_custkey", $"c_name")
   }
 
-  val queries: Seq[Q] = Seq(j1LeftFill, j1bDedupeFanout, starJoin, semiJoin, antiJoin)
+  /** J8: LATERAL correlated subquery — per region, the two
+    * highest-balance customers, written as ANSI `, LATERAL (… ORDER BY
+    * … LIMIT 2)` and run through `spark.sql` (the SQL-surface face of
+    * w1's top-k-per-group). Catalyst DECORRELATES the per-row limit into
+    * one row_number window partitioned by the correlation key — verified
+    * in the plan — so the "subquery per outer row" never executes per
+    * row; at 100 TB it is the same single window pass w1 plans directly.
+    *
+    * Engine-bug note (pinned in NOTES): Spark 4.1.2 silently returns
+    * ZERO rows when a lateral subquery combines GROUP BY with ORDER BY
+    * … LIMIT (DuckDB returns the correct rows); this query deliberately
+    * uses the sort-limit-only shape, which decorrelates correctly.
+    */
+  val lateralTopK = Q("j8_lateral_topk",
+    """SELECT r.r_name, t.c_name, t.acctbal
+      |FROM region r, LATERAL (
+      |  SELECT c.c_name, CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+      |  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  ORDER BY CAST(c.c_acctbal AS DECIMAL(18,2)) DESC, c.c_name LIMIT 2) t""".stripMargin) {
+    (s, dir) =>
+      Tables.region(s, dir).createOrReplaceTempView("lat_region")
+      Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      s.sql(
+        """SELECT r.r_name, t.c_name, t.acctbal
+          |FROM lat_region r, LATERAL (
+          |  SELECT c.c_name, CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+          |  FROM lat_customer c JOIN lat_nation n ON c.c_nationkey = n.n_nationkey
+          |  WHERE n.n_regionkey = r.r_regionkey
+          |  ORDER BY CAST(c.c_acctbal AS DECIMAL(18,2)) DESC, c.c_name LIMIT 2) t""".stripMargin)
+  }
+
+  val queries: Seq[Q] = Seq(j1LeftFill, j1bDedupeFanout, starJoin, semiJoin, antiJoin,
+    lateralTopK)
 }

@@ -232,6 +232,47 @@ object TextAnalysis {
           ($"n_docs".cast("double") / $"n_labeled").as("row_share"))
   }
 
+  /** T28: N-GRAM NOVELTY scoring — per document, the fraction of its
+    * distinct 8-grams FIRST INTRODUCED by it (no lower-doc_id document
+    * contains them). The streaming-curation "contribution" score: a doc
+    * whose content is entirely old n-grams adds nothing to a corpus that
+    * already has the earlier docs, even when no single pair clears a
+    * near-dup threshold (d2/d3's pairwise view cannot see diffuse
+    * N-way redundancy; novelty can). doc_id order stands in for
+    * ingestion order.
+    *
+    * Scale: postings explode (linear in corpus tokens), ONE min-aggregate
+    * per distinct gram, one postings-to-owner equi-join, one per-doc
+    * aggregate — no pairwise anything; the gram-keyed shuffles are
+    * uniform under the same hash reasoning as d6.
+    */
+  val ngramNovelty = Q("t28_ngram_novelty",
+    """WITH g AS (
+      |  SELECT doc_id, g FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |             [array_to_string(w[i:i+7], ' ')
+      |              for i in generate_series(1, greatest(len(w) - 7, 0))])) AS g
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))),
+      |own AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+      |SELECT g.doc_id, count(*) AS n_grams,
+      |       CAST(sum(CASE WHEN own.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |       CAST(sum(CASE WHEN own.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |         / count(*) AS novelty
+      |FROM g JOIN own ON g.g = own.g
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val g = Ngrams.postings(graft.Tables.documents(s, dir), n = 8,
+      distinct = true, outCol = "g")
+    val own = g.groupBy($"g".as("own_g")).agg(min($"doc_id").as("first_doc"))
+    g.join(own, $"g" === $"own_g")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", 1).otherwise(0)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_novel".cast("double") / $"n_grams").as("novelty"))
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    ngramStats, sketchStats, langConfusion)
+    ngramStats, sketchStats, langConfusion, ngramNovelty)
 }

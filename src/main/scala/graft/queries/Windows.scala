@@ -171,6 +171,40 @@ object Windows {
           nth_value(dec2($"o_totalprice"), 2).over(w).cast("double").as("second_price"))
   }
 
+  /** W15: RUNNING DISTINCT COUNT — cumulative distinct customers by
+    * order month (the "total customers acquired" growth curve).
+    * `count(DISTINCT) OVER (ORDER BY …)` is unsupported (and would be
+    * quadratic anyway); the scalable idiom is first-occurrence
+    * reduction: min(first month) per customer (one fact aggregate),
+    * new-customer counts per month (tiny second aggregate), cumulative
+    * sum over months (window over ~month-count rows). The fact is
+    * touched once; the window input is the MONTH table, not the orders.
+    * Months acquiring zero new customers carry no row (the cumulative
+    * value is unchanged there by construction).
+    */
+  val runningDistinct = Q("w15_running_distinct",
+    """WITH f AS (SELECT o_custkey, CAST(min(date_trunc('month', o_orderdate)) AS DATE) AS first_month
+      |           FROM orders GROUP BY 1),
+      |d AS (SELECT first_month AS month, count(*) AS new_customers FROM f GROUP BY 1)
+      |SELECT month, new_customers,
+      |       CAST(sum(new_customers) OVER (ORDER BY month
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |         AS cum_distinct_customers
+      |FROM d""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val firstMonth = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(min(date_trunc("month", $"o_orderdate")).cast("date").as("first_month"))
+      val w = Window.orderBy($"month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      firstMonth
+        .groupBy($"first_month".as("month"))
+        .agg(count(lit(1)).as("new_customers"))
+        .select($"month", $"new_customers",
+          sum($"new_customers").over(w).cast("long").as("cum_distinct_customers"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
-    keysetPagination, rankFamily, valueFrames)
+    keysetPagination, rankFamily, valueFrames, runningDistinct)
 }

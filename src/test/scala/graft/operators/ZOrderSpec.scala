@@ -62,10 +62,24 @@ class ZOrderSpec extends AnyFunSuite with SparkTestKit {
     val df = randomPoints(n).toDF("id", "x", "y")
     val zDir = Files.createTempDirectory("graft-z2").resolve("z").toString
     val linDir = Files.createTempDirectory("graft-z3").resolve("lin").toString
-    ZOrder.writeZOrdered(df, "x", "y", zDir, nFiles = 32)
-    // the 1-D strawman: same file count, sorted on x only
-    df.repartitionByRange(32, $"x").sortWithinPartitions($"x")
-      .write.mode("overwrite").parquet(linDir)
+    // repartitionByRange samples only 100 rows/partition by default;
+    // noisy quantile boundaries occasionally produce one fat file whose
+    // z-range spans the query box, erasing the localization this test
+    // measures (observed once in a full-suite run: z read 12.7% like the
+    // 1-D layout). Layout writes should pin a real sample size — same
+    // note in ZOrder's scaladoc for production rewrites.
+    val sampleKey = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    val prevSample = spark.conf.getOption(sampleKey)
+    try {
+      spark.conf.set(sampleKey, "2000")
+      ZOrder.writeZOrdered(df, "x", "y", zDir, nFiles = 32)
+      // the 1-D strawman: same file count, sorted on x only
+      df.repartitionByRange(32, $"x").sortWithinPartitions($"x")
+        .write.mode("overwrite").parquet(linDir)
+    } finally prevSample match {
+      case Some(v) => spark.conf.set(sampleKey, v)
+      case None => spark.conf.unset(sampleKey)
+    }
 
     def scannedRows(path: String): Long = {
       val q = spark.read.parquet(path)
