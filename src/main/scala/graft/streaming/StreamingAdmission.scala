@@ -69,7 +69,26 @@ object StreamingAdmission {
     (size(array_distinct(words)).cast("double") / size(words)).as("quality")
   }
 
-  private def ledgerBefore(spark: SparkSession, ledgerDir: String,
+  /** The core admission decision over one batch of (doc_id, lang, text …)
+    * given the frozen quotas and the prior per-language counts: ranks the
+    * batch per language by (quality DESC, doc_id) and keeps rows while
+    * prior + rank ≤ quota. Pure — shared by the standalone screen and
+    * the composed-intake quota stage.
+    */
+  def admitWithin(batch: DataFrame, quotaDf: DataFrame, prior: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    batch
+      .withColumn("quality", quality)
+      .withColumn("batch_rank", row_number().over(byLang))
+      .join(broadcast(quotaDf), Seq("lang"), "left")
+      .join(broadcast(prior), col("lang") === col("prior_lang"), "left")
+      // a language absent from the frozen profile has no quota: drop it
+      .filter(col("quota").isNotNull &&
+        coalesce(col("prior"), lit(0L)) + col("batch_rank") <= col("quota"))
+  }
+
+  private[streaming] def ledgerBefore(spark: SparkSession, ledgerDir: String,
       batchId: Long): DataFrame = {
     import spark.implicits._
     val root = new Path(ledgerDir)
@@ -94,16 +113,7 @@ object StreamingAdmission {
       quotaDf: DataFrame, admittedDir: String, ledgerDir: String): Unit = {
     if (batch.isEmpty) return
     val prior = ledgerBefore(spark, ledgerDir, batchId)
-    val byLang = Window.partitionBy(col("lang"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    val admitted = batch
-      .withColumn("quality", quality)
-      .withColumn("batch_rank", row_number().over(byLang))
-      .join(broadcast(quotaDf), Seq("lang"), "left")
-      .join(broadcast(prior), col("lang") === col("prior_lang"), "left")
-      // a language absent from the frozen profile has no quota: drop it
-      .filter(col("quota").isNotNull &&
-        coalesce(col("prior"), lit(0L)) + col("batch_rank") <= col("quota"))
+    val admitted = admitWithin(batch, quotaDf, prior)
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
         col("batch_rank"))
     admitted.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")

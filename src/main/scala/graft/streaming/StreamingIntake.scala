@@ -79,6 +79,70 @@ object StreamingIntake {
         !col("is_near_dup") && !col("is_contaminated") && !col("is_sem_dup"))
   }
 
+  /** The FULL intake: both content screens PLUS the temperature-quota
+    * curriculum gate ([[StreamingAdmission]]) in one foreachBatch. The
+    * composition order is deliberate and semantic: quota slots are
+    * consumed ONLY by docs that are clean on both content screens — a
+    * near-dup or contaminated doc must never burn a language's budget
+    * (and, symmetrically, the content verdicts are computed for every
+    * doc, not just in-quota ones, so the verdict columns stay equal to
+    * the standalone screens'). Verdict row:
+    *
+    * `(doc_id, lang, is_near_dup, …, is_contaminated, …, clean,
+    *   in_quota, admitted = clean ∧ in_quota)`
+    *
+    * Replay idempotence composes the same way as the parts: the verdict
+    * write and ledger write are batch-scoped overwrites, the quota
+    * decision for batch k reads only ledgers < k, which replays never
+    * touch.
+    */
+  def screenBatchWithQuota(batch: DataFrame, indexDir: String, batchId: Long,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String): DataFrame = {
+    val spark = batch.sparkSession
+    val content = screenBatch(batch.select(col("doc_id"), col("text")),
+      indexDir, batchId, screen)
+      .withColumnRenamed("admitted", "clean")
+    val withLang = content.join(
+      batch.select(col("doc_id").as("b_doc_id"), col("lang")),
+      col("doc_id") === col("b_doc_id")).drop("b_doc_id")
+    val prior = StreamingAdmission.ledgerBefore(spark, ledgerDir, batchId)
+    val cleanDocs = withLang.filter(col("clean"))
+      .join(batch.select(col("doc_id").as("t_doc_id"), col("text")),
+        col("doc_id") === col("t_doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val inQuota = StreamingAdmission.admitWithin(cleanDocs, quotaDf, prior)
+      .select(col("doc_id").as("q_doc_id"))
+    val verdicts = withLang
+      .join(inQuota, col("doc_id") === col("q_doc_id"), "left")
+      .withColumn("in_quota", col("q_doc_id").isNotNull)
+      .drop("q_doc_id")
+      .withColumn("admitted", col("clean") && col("in_quota"))
+    // ledger: quota consumption this batch (admitted docs only)
+    verdicts.filter(col("admitted"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+    verdicts
+  }
+
+  /** Streaming sink for the full intake (content screens + quota). */
+  def sinkWithQuota(docs: DataFrame, indexDir: String,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
+      verdictDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          verdictWriter(verdictDir)(
+            screenBatchWithQuota(batch, indexDir, batchId, screen, quotaDf, ledgerDir),
+            batchId)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
   private def verdictWriter(verdictDir: String)(verdicts: DataFrame, batchId: Long): Unit =
     verdicts
       .withColumn("__batch", lit(batchId))

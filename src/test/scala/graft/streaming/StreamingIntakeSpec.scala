@@ -195,6 +195,54 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     assert(spark.read.parquet(embIndexDir).count() == beforeEmb)
   }
 
+  test("quota composition: rejected docs never burn quota; ledger spans batches; replay converges") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("q-index") + "/index"
+    val ledgerDir = tmp("q-ledger") + "/ledger"
+    // frozen profile: one language, budget 2 → quota(en) = 2
+    val quota = StreamingAdmission.quotas(Seq("en", "en").toDF("lang"), budget = 2L)
+
+    // batch 1, all lang=en, all quality 1.0 (ties broken by doc_id):
+    // doc 0 clean, doc 1 = near-copy of 0 (rejected), docs 2 and 3 clean.
+    // With quota 2, the slots must go to docs 0 and 2 — if the REJECTED
+    // doc 1 consumed a slot, doc 2 would miss out.
+    val b1 = Seq(
+      (0L, sentence(20), "en"), (1L, mutate(sentence(20)), "en"),
+      (2L, sentence(21), "en"), (3L, sentence(22), "en"))
+    val v1 = StreamingIntake.screenBatchWithQuota(
+      b1.toDF("doc_id", "text", "lang"), indexDir, 0L, screen, quota, ledgerDir)
+      .select($"doc_id", $"clean", $"in_quota", $"admitted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(v1(0L) == ((true, true, true)))
+    assert(v1(1L) == ((false, false, false)), s"near-copy must be excluded: ${v1(1L)}")
+    assert(v1(2L) == ((true, true, true)),
+      s"rejected doc 1 must not have burned doc 2's slot: ${v1(2L)}")
+    assert(v1(3L) == ((true, false, false)), s"over-quota clean doc: ${v1(3L)}")
+
+    // batch 2: a clean doc arrives after the quota closed → clean but not
+    // admitted (the ledger carries batch 1's consumption)
+    val b2 = Seq((10L, sentence(23), "en"))
+    val v2 = StreamingIntake.screenBatchWithQuota(
+      b2.toDF("doc_id", "text", "lang"), indexDir, 1L, screen, quota, ledgerDir)
+      .select($"doc_id", $"clean", $"in_quota", $"admitted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(v2(10L) == ((true, false, false)), s"quota must persist across batches: ${v2(10L)}")
+
+    // replaying batch 1 converges to the identical verdicts and ledger
+    val again = StreamingIntake.screenBatchWithQuota(
+      b1.toDF("doc_id", "text", "lang"), indexDir, 0L, screen, quota, ledgerDir)
+      .select($"doc_id", $"admitted")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(again == Map(0L -> true, 1L -> false, 2L -> true, 3L -> false),
+      s"replay drifted: $again")
+    val ledger = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+      .groupBy($"lang").sum("n_admitted").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger == Map("en" -> 2L), s"ledger after replay: $ledger")
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"
