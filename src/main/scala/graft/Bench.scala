@@ -100,8 +100,12 @@ object Bench {
     // Baseline calibration: bench_prev.json carries the probe times of the
     // run that produced it, so cross-round machine drift is measurable as
     // calNow / prevCal. EVERY per-query comparison against prev below is
-    // normalized by this ratio (clamped at 1 from below — a FASTER machine
-    // must not absolve a real regression). r7 lesson: without this the
+    // normalized by this ratio, clamped at 1 from below: on a FASTER
+    // machine the threshold stays at 2×prev rather than tightening — a
+    // deliberate trade-off that accepts a machine speedup can mask a
+    // same-size regression, in exchange for not false-tripping on queries
+    // dominated by fixed per-query overheads that don't scale with CPU
+    // speed. r7 lesson: without this the
     // rerun machinery fired on 63/124 queries and the tripwire cried wolf
     // five times on a uniformly ~1.5×-slower box.
     val prevCal: Double = try {

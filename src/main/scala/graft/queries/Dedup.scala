@@ -636,8 +636,17 @@ object Dedup {
     * J ≈ |A|/|B| ≈ 0). The standard screen for quote/wrapper/boilerplate
     * duplication in LLM corpora (Broder's containment, the metric behind
     * "superset dedup"). Output marks which doc is the contained one
-    * (smaller side, ties to doc_a) and carries Jaccard alongside so the
-    * subsumption-only pairs are visible.
+    * (smaller side, ties to doc_a) and carries the Jaccard bound
+    * alongside so the subsumption-only pairs are visible.
+    *
+    * APPROXIMATION (same df cap as d2, stated so the columns aren't
+    * over-read): the intersection counts only RARE shingles (df ≤ 15)
+    * while the denominators count ALL shingles, so the emitted scores
+    * are LOWER BOUNDS on Broder's C and J, not the exact metrics — a
+    * pair overlapping mainly via corpus-common shingles is under-scored.
+    * The columns are named `containment_lb` / `jaccard_lb` to carry
+    * that. The df cap is what keeps the join Σdf²-bounded at 100 TB; an
+    * exact variant would need the full postings self-join d2 rejects.
     *
     * Scale: identical shape to d2 — df-capped postings self-join, Σdf²
     * bounded, never all-pairs; one extra broadcast-size join against the
@@ -653,8 +662,8 @@ object Dedup {
        |       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT p.doc_a, p.doc_b, p.inter, sa.sz AS sz_a, sb.sz AS sz_b,
-       |       CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment,
-       |       CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard,
+       |       CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment_lb,
+       |       CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) AS jaccard_lb,
        |       CASE WHEN sa.sz <= sb.sz THEN p.doc_a ELSE p.doc_b END AS contained_doc
        |FROM pairs p
        |JOIN sizes sa ON p.doc_a = sa.doc_id
@@ -676,9 +685,9 @@ object Dedup {
         .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
         .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
         .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
-          cont.as("containment"), jac.as("jaccard"),
+          cont.as("containment_lb"), jac.as("jaccard_lb"),
           when($"sz_a" <= $"sz_b", $"doc_a").otherwise($"doc_b").as("contained_doc"))
-        .filter($"containment" >= 0.8)
+        .filter($"containment_lb" >= 0.8)
   }
 
   /** D12: INTRA-document repeated-span dedup — the C4/Gopher "drop

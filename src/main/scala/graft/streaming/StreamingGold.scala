@@ -60,6 +60,67 @@ object StreamingGold {
       .partitionBy("month_key")
       .parquet(dir)
 
+  /** Replay-drift guard: the whole idempotence story assumes
+    * `cfgForBatch` is a PURE function of batchId — a caller wiring a
+    * wall-clock-based config would stamp a replayed batch with a
+    * different date, leaving the first attempt's
+    * `month_key=OLD/batch_id=N` directory in place and double-counting
+    * the batch across two month partitions. Rather than trust the
+    * scaladoc contract, enforce it: a `batch_id=N` dir found
+    * under a month OTHER than the one about to be written is a replay
+    * under a drifted clock — delete it and return its month so the
+    * caller recomputes that month's marts too (converging both months to
+    * the replayed truth instead of failing a pipeline that can be
+    * healed).
+    */
+  private def evictDriftedReplays(spark: SparkSession, silverDir: String,
+      batchId: Long, mk: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(silverDir)
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(base)) return Nil
+    fs.listStatus(base).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("month_key="))
+      .filter(_.getPath.getName != s"month_key=$mk")
+      .flatMap { st =>
+        val batchDir = new Path(st.getPath, s"batch_id=$batchId")
+        if (fs.exists(batchDir)) {
+          fs.delete(batchDir, true)
+          Some(st.getPath.getName.stripPrefix("month_key="))
+        } else None
+      }
+  }
+
+  /** Recompute one month's CM1/CM2 mart partitions from the silver store.
+    * A month left EMPTY by a drifted-replay eviction gets its mart
+    * partitions (and the hollow silver month dir) removed outright —
+    * dynamic overwrite can't retract a partition the recompute emits zero
+    * rows for.
+    */
+  private def recomputeMonth(spark: SparkSession, silverDir: String,
+      goldDir: String, freightSilver: DataFrame, cfg: DomainConfig,
+      mk: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(silverDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val monthDir = new Path(s"$silverDir/month_key=$mk")
+    val hasData = fs.exists(monthDir) &&
+      fs.listStatus(monthDir).exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasData) {
+      fs.delete(monthDir, true)
+      fs.delete(new Path(s"$goldDir/wholesale_cm1/month_key=$mk"), true)
+      fs.delete(new Path(s"$goldDir/wholesale_cm2/month_key=$mk"), true)
+      return
+    }
+    val silverMonth = spark.read
+      .option("basePath", silverDir)
+      .parquet(silverDir)
+      .where(col("month_key") === lit(mk))
+    val cm1 = Cm1.joorAt(silverMonth, cfg, col("ingest_date"))
+    val cm2 = Cm2.joor(cm1, freightSilver, cfg)
+    writeMonthly(cm1, s"$goldDir/wholesale_cm1")
+    writeMonthly(cm2, s"$goldDir/wholesale_cm2")
+  }
+
   /** One micro-batch of gold maintenance (also the replay entry point the
     * spec drives directly to prove idempotence).
     */
@@ -72,20 +133,18 @@ object StreamingGold {
     // the store read below)
     if (batch.isEmpty) return
     val mk = monthKeyOf(cfg)
+    val driftedMonths = evictDriftedReplays(spark, silverDir, batchId, mk)
     stamp(batch, cfg)
       .write.mode("overwrite")
       .parquet(s"$silverDir/month_key=$mk/batch_id=$batchId")
 
-    // recompute ONLY this month's marts from the silver store; the
-    // month_key partition directory prunes the scan to this month's files
-    val silverMonth = spark.read
-      .option("basePath", silverDir)
-      .parquet(silverDir)
-      .where(col("month_key") === lit(mk))
-    val cm1 = Cm1.joorAt(silverMonth, cfg, col("ingest_date"))
-    val cm2 = Cm2.joor(cm1, freightSilver, cfg)
-    writeMonthly(cm1, s"$goldDir/wholesale_cm1")
-    writeMonthly(cm2, s"$goldDir/wholesale_cm2")
+    // recompute ONLY the touched months' marts from the silver store
+    // (normally just this batch's month; plus any month a drifted replay
+    // was evicted from); the month_key partition directory prunes each
+    // scan to that month's files
+    (driftedMonths :+ mk).distinct.foreach { m =>
+      recomputeMonth(spark, silverDir, goldDir, freightSilver, cfg, m)
+    }
   }
 
   /** The streaming sink: cleansed joor stream → maintained CM1/CM2 mart

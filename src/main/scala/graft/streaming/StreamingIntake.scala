@@ -118,6 +118,14 @@ object StreamingIntake {
       .withColumn("in_quota", col("q_doc_id").isNotNull)
       .drop("q_doc_id")
       .withColumn("admitted", col("clean") && col("in_quota"))
+    // Persist before the first action: the composed verdict pipeline
+    // (band join + decontam screen + two roster joins + quota window) is
+    // consumed TWICE — by the ledger write below and by the caller's
+    // verdict write — and without the persist the whole thing re-executes
+    // per write (deterministic, so cost not drift; but double cost).
+    // Caller contract: unpersist after the verdict write (sinkWithQuota
+    // does; direct spec callers leak at worst one small cached batch).
+    verdicts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ledger: quota consumption this batch (admitted docs only)
     verdicts.filter(col("admitted"))
       .groupBy(col("lang"))
@@ -134,9 +142,10 @@ object StreamingIntake {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          verdictWriter(verdictDir)(
-            screenBatchWithQuota(batch, indexDir, batchId, screen, quotaDf, ledgerDir),
-            batchId)
+          val verdicts =
+            screenBatchWithQuota(batch, indexDir, batchId, screen, quotaDf, ledgerDir)
+          try verdictWriter(verdictDir)(verdicts, batchId)
+          finally verdicts.unpersist()
         }
       }
       .option("checkpointLocation", checkpointDir)

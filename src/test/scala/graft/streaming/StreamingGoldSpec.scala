@@ -112,6 +112,53 @@ class StreamingGoldSpec extends AnyFunSuite with SparkTestKit {
     assert(new java.io.File(s"$goldDir/wholesale_cm2/month_key=202508").exists())
   }
 
+  test("replay under a drifted clock evicts the old month's batch dir (no double count)") {
+    val silverDir = tmp("sg5-silver"); val goldDir = tmp("sg5-gold")
+    val freight = freightSilver
+    val b0 = Cleanse.joor(Cleanse.flatten(
+      DataGen.bronzeJoor(spark, GenSpec(joor = 20), cfgJul)))
+    val b1 = Cleanse.joor(Cleanse.flatten(
+      DataGen.bronzeJoor(spark, GenSpec(joor = 15, seed = 7), cfgJul)))
+
+    StreamingGold.processBatch(spark, b0, 0L, silverDir, goldDir, freight, cfgJul)
+    // first attempt of batch 1 stamps July...
+    StreamingGold.processBatch(spark, b1, 1L, silverDir, goldDir, freight, cfgJul)
+    // ...then a caller violating the pure-cfgForBatch contract replays
+    // batch 1 under an August clock. Without the guard the July
+    // batch_id=1 dir survives and the 15 rows are counted in BOTH months.
+    StreamingGold.processBatch(spark, b1, 1L, silverDir, goldDir, freight, cfgAug)
+
+    assert(!new java.io.File(s"$silverDir/month_key=202507/batch_id=1").exists(),
+      "drifted replay must evict the old month's batch dir")
+    assert(new java.io.File(s"$silverDir/month_key=202508/batch_id=1").exists())
+    assert(spark.read.parquet(silverDir).count() == 35, "no double count")
+
+    // end state ≡ batch 1 having always been August: July marts reflect
+    // batch 0 only, August marts reflect batch 1 only
+    val cleanSilver = tmp("sg5-clean-silver"); val cleanGold = tmp("sg5-clean-gold")
+    StreamingGold.processBatch(spark, b0, 0L, cleanSilver, cleanGold, freight, cfgJul)
+    StreamingGold.processBatch(spark, b1, 1L, cleanSilver, cleanGold, freight, cfgAug)
+    assert(sortedRows(spark.read.parquet(s"$goldDir/wholesale_cm2")) ==
+      sortedRows(spark.read.parquet(s"$cleanGold/wholesale_cm2")))
+  }
+
+  test("drifted replay that empties a month removes its mart partitions") {
+    val silverDir = tmp("sg6-silver"); val goldDir = tmp("sg6-gold")
+    val freight = freightSilver
+    val b0 = Cleanse.joor(Cleanse.flatten(
+      DataGen.bronzeJoor(spark, GenSpec(joor = 12), cfgJul)))
+    // batch 0 is the ONLY July batch; replaying it under August must
+    // retract July entirely — silver month dir and both mart partitions
+    StreamingGold.processBatch(spark, b0, 0L, silverDir, goldDir, freight, cfgJul)
+    assert(new java.io.File(s"$goldDir/wholesale_cm2/month_key=202507").exists())
+    StreamingGold.processBatch(spark, b0, 0L, silverDir, goldDir, freight, cfgAug)
+    assert(!new java.io.File(s"$silverDir/month_key=202507").exists())
+    assert(!new java.io.File(s"$goldDir/wholesale_cm1/month_key=202507").exists())
+    assert(!new java.io.File(s"$goldDir/wholesale_cm2/month_key=202507").exists())
+    assert(spark.read.parquet(silverDir).count() == 12)
+    assert(new java.io.File(s"$goldDir/wholesale_cm2/month_key=202508").exists())
+  }
+
   test("empty first batch is skipped without poisoning the store") {
     val silverDir = tmp("sg4-silver"); val goldDir = tmp("sg4-gold")
     val freight = freightSilver
