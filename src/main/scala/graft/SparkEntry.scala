@@ -29,6 +29,7 @@ object SparkEntry {
     Similarity.queries ++
     Warehouse.queries ++
     Warehouse2.queries ++
+    Manifest.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot / manifest — the reproducibility contract of a
+  * training-data pipeline. A corpus "version" is a set of components
+  * (input tables at a watermark, screen-verdict roots, quota-ledger
+  * totals, mart partitions, persisted index versions); the manifest is
+  * ONE small table — one row per component — that lets any later reader
+  * prove it sees the same corpus the version was cut from:
+  *
+  *   (version, component, n_rows, xor_hash, sum_hash, watermark)
+  *
+  * Reference analog: the bronze envelope's per-record provenance fields
+  * (`kafka_fashion_consumer.py:60-69`) writ corpus-large — instead of
+  * stamping each record with where it came from, stamp the corpus with
+  * what exactly is in it.
+  *
+  * Content fingerprint (the design constraint is ORDER-INDEPENDENCE —
+  * a 100 TB component's row order is a function of partitioning and
+  * scheduling, so any order-sensitive digest is non-reproducible by
+  * construction):
+  *
+  *  - each row is canonicalized to a string: the caller-chosen columns
+  *    in the caller-given order, joined with ``, nulls coded as a
+  *    `` sentinel (concat_ws silently DROPS nulls, which would
+  *    alias (null,"x") with ("x",null));
+  *  - `h = low 60 bits of md5(canonical)` as bigint — md5 because it is
+  *    hex-identical in every SQL engine (the repo-wide portability rule,
+  *    Dedup.scala:11);
+  *  - component fingerprint = (bit_xor(h), sum(h mod 2^30), count(*)).
+  *    bit_xor is commutative (shuffle-proof) but blind to even
+  *    multiplicities — a row appearing twice cancels out; the modular
+  *    sum catches multiplicity (each term < 2^30, so the bigint sum is
+  *    overflow-safe past 2^33 rows — ANSI mode would throw, not wrap,
+  *    before that); the count pins cardinality. All three are
+  *    map-side-combinable single-pass aggregates: fingerprinting a
+  *    component costs one scan and a 1-row reduce, no shuffle of data.
+  *
+  * Everything is integer-exact, so a manifest is replayable bit-for-bit
+  * by any engine (the mf1/mf2 oracles replay it in DuckDB).
+  */
+object CorpusManifest {
+
+  /** One component of a corpus version. `canonicalCols` must be
+    * cross-engine-stable strings (ints, strings, dates; quantize floats
+    * first — see `quantizedVec`); `watermark` is the component's
+    * freshness marker (max ingest key/date), rendered as a string.
+    */
+  final case class Component(name: String, df: DataFrame,
+      canonicalCols: Seq[Column], watermark: Column)
+
+  private val FieldSep = ""
+  private val NullCode = ""
+
+  /** Canonical per-row string: fixed column order, null-sentinel-coded. */
+  def canonical(cols: Seq[Column]): Column =
+    concat_ws(FieldSep, cols.map(c => coalesce(c.cast("string"), lit(NullCode))): _*)
+
+  /** Low 60 bits of md5(canonical) as bigint (15 hex chars < 2^63). */
+  def rowHash(canon: Column): Column =
+    conv(substring(md5(canon), 1, 15), 16, 10).cast("long")
+
+  /** Float-vector column → cross-engine-stable string: per-element
+    * floor(x·2^20) (the e4 quantized-Lloyd idiom — ·2^20 is exact in
+    * binary FP, floor is deterministic), comma-joined.
+    */
+  def quantizedVec(vec: Column): Column =
+    concat_ws(",",
+      transform(vec, x =>
+        floor(x.cast("double") * lit(1048576.0d)).cast("long").cast("string")))
+
+  /** Fingerprint one component: exactly one output row. */
+  def fingerprint(c: Component): DataFrame = {
+    val h = rowHash(canonical(c.canonicalCols))
+    // max over the TYPED watermark, cast to string after — a string max
+    // over numeric keys would be lexicographic ("9" > "10")
+    c.df.select(h.as("h"), c.watermark.as("wm"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+        coalesce(sum(col("h") % lit(1073741824L)), lit(0L)).as("sum_hash"),
+        max(col("wm")).cast("string").as("watermark"))
+      .select(lit(c.name).as("component"), col("n_rows"), col("xor_hash"),
+        col("sum_hash"), col("watermark"))
+  }
+
+  /** Build the manifest for one corpus version: one row per component,
+    * sorted by component name (determinism is the whole point).
+    */
+  def build(version: Long, components: Seq[Component]): DataFrame = {
+    require(components.nonEmpty, "manifest of zero components")
+    require(components.map(_.name).distinct.size == components.size,
+      "duplicate component names")
+    components.map(fingerprint)
+      .reduce(_.unionAll(_))
+      .withColumn("version", lit(version))
+      .select("version", "component", "n_rows", "xor_hash", "sum_hash", "watermark")
+      .orderBy("component")
+  }
+
+  /** Persist a manifest under `dir/version=N` — byte-deterministic: one
+    * file, rows in component order, so two builds from the same inputs
+    * emit identical bytes (ManifestSpec pins this). The tiny coalesce(1)
+    * is correct at any corpus scale: the manifest has one row per
+    * component, never per datum.
+    */
+  def write(manifest: DataFrame, dir: String): Unit = {
+    val version = manifest.select(col("version")).limit(1)
+      .collect().headOption.map(_.getLong(0))
+      .getOrElse(throw new IllegalArgumentException("empty manifest"))
+    manifest.coalesce(1).sortWithinPartitions("component")
+      .write.mode("overwrite").parquet(s"$dir/version=$version")
+  }
+
+  def read(spark: SparkSession, dir: String, version: Long): DataFrame =
+    spark.read.parquet(s"$dir/version=$version")
+
+  /** Verify a manifest against live components: recompute every
+    * fingerprint and compare field by field. One row per component with
+    * per-field booleans and `ok` = their conjunction; a component in the
+    * manifest but missing from `components` (or vice versa) surfaces as
+    * a row with `present = false` rather than silently passing — a
+    * verification that can't see a component must fail loudly.
+    */
+  def verify(manifest: DataFrame, components: Seq[Component]): DataFrame = {
+    val recomputed = components.map(fingerprint).reduce(_.unionAll(_))
+    val m = manifest.select(col("component"),
+      col("n_rows").as("m_rows"), col("xor_hash").as("m_xor"),
+      col("sum_hash").as("m_sum"), col("watermark").as("m_wm"))
+    m.join(recomputed, Seq("component"), "full_outer")
+      .select(
+        col("component"),
+        (col("m_rows").isNotNull && col("n_rows").isNotNull).as("present"),
+        coalesce(col("m_rows") === col("n_rows"), lit(false)).as("rows_ok"),
+        coalesce(col("m_xor") === col("xor_hash"), lit(false)).as("xor_ok"),
+        coalesce(col("m_sum") === col("sum_hash"), lit(false)).as("sum_ok"),
+        coalesce(col("m_wm") <=> col("watermark"), lit(false)).as("wm_ok"))
+      .withColumn("ok",
+        col("present") && col("rows_ok") && col("xor_ok") && col("sum_ok") && col("wm_ok"))
+      .orderBy("component")
+  }
+
+  /** Snapshot a full intake run (the composed StreamingIntake outputs)
+    * as one corpus version: the verdict root, the quota-ledger totals
+    * (per-lang admitted counts — the number a mixture rebalance reads),
+    * and the band-index postings. The caller adds input-table components
+    * via [[Component]] directly. Returns the manifest it wrote.
+    */
+  def snapshotIntakeRun(spark: SparkSession, version: Long,
+      verdictDir: String, ledgerDir: String, indexDir: String,
+      manifestDir: String): DataFrame = {
+    val verdicts = spark.read.parquet(verdictDir)
+    val ledger = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+      .groupBy(col("lang")).agg(sum(col("n_admitted")).as("n_admitted"))
+    val postings = spark.read.option("basePath", indexDir).parquet(indexDir)
+    val components = Seq(
+      Component("intake_verdicts", verdicts,
+        Seq(col("doc_id"), col("admitted")), col("doc_id")),
+      Component("quota_ledger_totals", ledger,
+        Seq(col("lang"), col("n_admitted")), col("lang")),
+      Component("band_index", postings,
+        Seq(col("doc_id"), col("band_idx"), col("band_key")), col("doc_id")))
+    val manifest = build(version, components)
+    write(manifest, manifestDir)
+    read(spark, manifestDir, version)
+  }
+}
