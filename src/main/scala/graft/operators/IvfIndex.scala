@@ -230,14 +230,40 @@ object IvfIndex {
     Ivf(finalCents, assign(finalCents).drop("q"))
   }
 
+  /** Assign vectors to their nearest FROZEN centroid by the same exact
+    * integer-L2² argmin as [[buildQuantized]]'s training assignment — the
+    * incremental-append entry point ([[graft.streaming.StreamingIvf]]):
+    * a frozen codebook makes per-batch assignment deterministic and keeps
+    * every existing posting valid (retraining would move cell boundaries
+    * under the at-rest index).
+    */
+  def assignTo(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"), col("embedding"), col("label"),
+        quantize(col("embedding")).as("q"))
+      .join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("label"), col("cell_id"),
+        qd2(col("q"), col("cq")).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cell_id"), struct(col("d2"), col("cell_id"))).as("cell_id"),
+        first(col("embedding")).as("embedding"),
+        first(col("label")).as("label"))
+
   /** The `nprobe` nearest cells per probe by exact integer centroid
     * distance: `(query_id, cell_id)`. Shared by [[queryQuantized]] and
     * the IVF×PQ composition ([[IvfPq]]).
     */
   def probeCells(probes: DataFrame, ivf: Ivf, nprobe: Int): DataFrame =
+    probeCells(probes, ivf.centroids, nprobe)
+
+  /** Centroid-only variant (the persisted/streaming indexes have no
+    * in-memory `Ivf` handle).
+    */
+  def probeCells(probes: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame =
     probes
       .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("pq"))
-      .join(broadcast(ivf.centroids))
+      .join(broadcast(centroids))
       .select(col("query_id"), col("cell_id"), qd2(col("pq"), col("cq")).as("d2"))
       .withColumn("cell_rank",
         row_number().over(Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell_id"))))

@@ -114,7 +114,8 @@ object PartitionedIndex {
   def compact(spark: SparkSession, indexDir: String, liveBatchId: Long,
       dedupKeys: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
-      fullRefoldAt: Int = 16): (Int, Int, Int) = {
+      fullRefoldAt: Int = 16,
+      partitionCols: Seq[String] = Nil): (Int, Int, Int) = {
     val (fs, root) = fsFor(spark, indexDir)
     if (!fs.exists(root)) return (0, 0, 0)
     val tmp = new Path(indexDir + ".consolidate.tmp")
@@ -133,8 +134,14 @@ object PartitionedIndex {
 
     def partDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("__batch="))
-    def files(p: Path): Int =
-      fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    // recursive: indexes that keep a secondary partition layout
+    // (`partitionCols`, e.g. cell_id=X subdirs) nest their files
+    def files(p: Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
     val nonLive = partDirs.filter(_.getPath.getName != s"__batch=$liveBatchId")
     def id(s: org.apache.hadoop.fs.FileStatus): Long =
       s.getPath.getName.stripPrefix("__batch=").toLong
@@ -150,10 +157,24 @@ object PartitionedIndex {
     // consolidated partitions can never collide with the new one
     val freshId = math.min(nonLive.map(id).min, 0L) - 1L
 
-    spark.read.parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
+    // with partitionCols (e.g. cell_id): the nested `cell_id=X` layout
+    // makes multi-root partition discovery conflict, so anchor it with
+    // basePath (then drop the __batch dir column — the consolidated
+    // partition gets its batch id from its own dir name); the repartition
+    // keys on the partition cols so each value's rows land in few files,
+    // and partitionBy preserves the directory layout probes prune on
+    val deduped = (if (partitionCols.isEmpty)
+        spark.read.parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
+      else spark.read.option("basePath", root.toString)
+        .parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
+        .drop("__batch"))
       .dropDuplicates(dedupKeys)
-      .repartition(n)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val shaped =
+      if (partitionCols.isEmpty) deduped.repartition(n)
+      else deduped.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+    val writer = shaped.write.mode("overwrite")
+    (if (partitionCols.isEmpty) writer else writer.partitionBy(partitionCols: _*))
+      .parquet(tmp.toString)
     val target = new Path(root, s"__batch=$freshId")
     // manifest FIRST (inert until the target lands), then the publish
     // rename — the pending exclusion and the consolidated partition

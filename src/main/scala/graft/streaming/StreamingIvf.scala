@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import graft.functions.FloatVecDot
+import graft.operators.IvfIndex
+
+/** Incremental maintenance of the PERSISTED IVF index (e17 → streaming;
+  * VERDICT r8 item 3). e17 builds the at-rest index once and probes it;
+  * this operator keeps that index CURRENT as vectors stream in, without
+  * ever rebuilding:
+  *
+  *  - **Frozen centroids.** The codebook is published once (from an
+  *    offline [[IvfIndex.buildQuantized]] train, or trained on the first
+  *    batch) and never retrained — the production IVF arrangement:
+  *    retraining would move cell boundaries under the at-rest postings,
+  *    forcing a full re-assign. Every batch assigns through the SAME
+  *    exact integer-L2² argmin as the batch builder
+  *    ([[IvfIndex.assignTo]]), which is what makes stream-maintained ≡
+  *    batch-rebuilt provable row-for-row (StreamingIvfSpec).
+  *  - **Postings layout** `postings/__batch=N/cell_id=X/` — the batch
+  *    grain on top gives dynamic-overwrite replay idempotence and plugs
+  *    into [[PartitionedIndex]]'s scan/compact machinery unchanged; the
+  *    cell grain below is what probes prune on (a probe plans `cell_id
+  *    IN (...)` and reads only its nprobe'd cells' directories in every
+  *    batch partition).
+  *  - **Compaction** folds the per-batch partitions with
+  *    `partitionCols = cell_id`, so the consolidated partition keeps the
+  *    `cell_id=X` layout — steady state is one consolidated partition
+  *    (few files per cell) plus the newest batches. Deferred-deletion
+  *    manifest semantics are inherited: a probe planned before a fold
+  *    drains without error, probes planned after skip pending partitions
+  *    (no duplicate rows), proven mid-compaction in StreamingIvfSpec.
+  *
+  * Scale: per batch, one broadcast join against k centroids and one
+  * partitioned append — nothing scans history; probe cost is bounded by
+  * nprobe × cell size × live partition count, and compaction bounds the
+  * partition count. At 10⁹ vectors/day this is the only index-maintenance
+  * shape that doesn't periodically reprocess the corpus.
+  */
+object StreamingIvf {
+
+  private def postingsDir(indexDir: String) = s"$indexDir/postings"
+  private def centroidsDir(indexDir: String) = s"$indexDir/centroids"
+
+  /** Publish the frozen codebook (idempotent; write-then-rename, losers
+    * of a concurrent race read the winner — same discipline as
+    * [[StreamingSemDedup.centroidsFor]]). `centroids` must be the
+    * quantized-Lloyd shape `(cell_id int, cq array<bigint>)`.
+    */
+  def publishCentroids(spark: SparkSession, indexDir: String,
+      centroids: DataFrame): Unit = {
+    val dir = centroidsDir(indexDir)
+    val (fs, root) = PartitionedIndex.fsFor(spark, dir)
+    if (fs.exists(root)) return
+    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString)
+    centroids.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val renamed = fs.rename(tmp, root)
+    val nested = new Path(root, tmp.getName)
+    if (!renamed || fs.exists(nested)) {
+      fs.delete(nested, true)
+      fs.delete(tmp, true)
+    }
+  }
+
+  def centroids(spark: SparkSession, indexDir: String): DataFrame = {
+    val (fs, root) = PartitionedIndex.fsFor(spark, centroidsDir(indexDir))
+    require(fs.exists(root),
+      s"no frozen centroids at $root — publishCentroids (or ingest a " +
+        "first batch with trainOnFirstBatch) before ingesting")
+    spark.read.parquet(root.toString)
+  }
+
+  /** Ingest one micro-batch of `(vec_id, embedding, label)` rows: assign
+    * to the frozen centroids, append to `postings/__batch=N/cell_id=X`
+    * (dynamic overwrite of only this batch → replay-idempotent). If no
+    * codebook exists yet and `trainOnFirstBatch` is set, the quantized
+    * Lloyd trains on this batch and publishes — deterministic, so a
+    * replayed first batch converges.
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, batchId: Long,
+      trainOnFirstBatch: Boolean = false, k: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    FloatVecDot.register(spark)
+    if (batch.isEmpty) return
+    val (fs, cRoot) = PartitionedIndex.fsFor(spark, centroidsDir(indexDir))
+    if (!fs.exists(cRoot)) {
+      require(trainOnFirstBatch,
+        s"no frozen centroids at $cRoot and trainOnFirstBatch=false")
+      publishCentroids(spark, indexDir,
+        IvfIndex.buildQuantized(spark, batch, k = k).centroids)
+    }
+    IvfIndex.assignTo(batch, centroids(spark, indexDir))
+      .withColumn("__batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__batch", "cell_id")
+      .parquet(postingsDir(indexDir))
+  }
+
+  /** Pending-aware scan of the live postings (all cells). */
+  def scanPostings(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    PartitionedIndex.scan(spark, postingsDir(indexDir))
+
+  /** Top-`topK` cosine neighbors per probe against the maintained index —
+    * the e17 probe shape over the streaming layout: rank cells by exact
+    * integer centroid distance, push the probed cell set as a literal
+    * `isin` (planning-time pruning of the `cell_id=X` dirs), exact cosine
+    * rerank in-cell. `excludeBatch` lets a caller screen a batch against
+    * history only (the SemDeDup-style intake shape).
+    */
+  def probe(spark: SparkSession, indexDir: String, probes: DataFrame,
+      nprobe: Int = 4, topK: Int = 3, excludeBatch: Option[Long] = None): DataFrame = {
+    FloatVecDot.register(spark)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "query_id bigint, neighbor_id bigint, neighbor_label int, " +
+          "cosine double, rank int"))
+    scanPostings(spark, indexDir) match {
+      case None => empty
+      case Some(all) =>
+        val cents = centroids(spark, indexDir)
+        val cells = IvfIndex.probeCells(probes, cents, nprobe)
+        val cellIds = cells.select(col("cell_id")).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq // ≤ k rows — bounded collect
+        val postings = all.filter(col("cell_id").isin(cellIds: _*))
+        val hist = excludeBatch.fold(postings)(b =>
+          postings.filter(col("__batch") =!= b))
+        val withQ = cells.join(
+          broadcast(probes.select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"))), Seq("query_id"))
+        val qNorm = sqrt(call_function("vec_dot", col("q_emb"), col("q_emb")))
+        val cNorm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+        withQ.join(hist, Seq("cell_id"))
+          .filter(col("query_id") =!= col("vec_id"))
+          .select(col("query_id"),
+            col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+            (call_function("vec_dot", col("q_emb"), col("embedding"))
+              / (qNorm * cNorm)).as("cosine"))
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))))
+          .filter(col("rank") <= topK)
+    }
+  }
+
+  /** Maintenance fold: consolidate historical `__batch=N` partitions,
+    * PRESERVING the `cell_id=X` layout inside the consolidated partition
+    * (the probe's pruning key). Safe concurrently with a probe — deferred
+    * deletion, see [[PartitionedIndex.compact]].
+    */
+  def compactIndex(spark: SparkSession, indexDir: String, liveBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fullRefoldAt: Int = 16): (Int, Int, Int) =
+    PartitionedIndex.compact(spark, postingsDir(indexDir), liveBatchId,
+      dedupKeys = Seq("vec_id"),
+      targetFileBytes = targetFileBytes, fullRefoldAt = fullRefoldAt,
+      partitionCols = Seq("cell_id"))
+
+  /** Streaming sink: maintain the index from a `(vec_id, embedding,
+    * label)` stream, compacting every `compactEvery` batches.
+    */
+  def sink(vectors: DataFrame, indexDir: String, checkpointDir: String,
+      trainOnFirstBatch: Boolean = true, k: Int = 16, compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, indexDir, batchId, trainOnFirstBatch, k)
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+          compactIndex(batch.sparkSession, indexDir, batchId)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+}

@@ -1,0 +1,150 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkTestKit, Tables}
+import graft.operators.IvfIndex
+
+/** StreamingIvf: incremental maintenance of the persisted IVF index
+  * (VERDICT r8 item 3). The two "done =" contracts:
+  *
+  *  - stream-maintained index ≡ batch rebuild under the SAME frozen
+  *    centroids (postings row-for-row, probes result-for-result);
+  *  - probe results unchanged mid-compaction (deferred deletion), and
+  *    the consolidated partition keeps the cell_id layout probes prune on.
+  */
+class StreamingIvfSpec extends AnyFunSuite with SparkTestKit {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def vectors: DataFrame = Tables.embeddings(spark, sfDir)
+
+  private def slices(n: Int): Seq[DataFrame] = {
+    val total = vectors.count()
+    val per = math.ceil(total.toDouble / n).toLong
+    (0 until n).map(i =>
+      vectors.filter(col("vec_id") >= i * per && col("vec_id") < (i + 1) * per))
+  }
+
+  private def postingsSet(indexDir: String): Set[(Long, Int)] =
+    StreamingIvf.scanPostings(spark, indexDir).get
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+
+  private def probeSet(df: DataFrame): Set[String] =
+    df.select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(_.mkString("|")).toSet
+
+  test("stream-maintained index == batch rebuild under the same frozen centroids") {
+    val dir = tmp("sivf")
+    val batchIvf = IvfIndex.buildQuantized(spark, vectors, k = 8)
+    StreamingIvf.publishCentroids(spark, dir, batchIvf.centroids)
+
+    slices(3).zipWithIndex.foreach { case (s, i) =>
+      StreamingIvf.ingestBatch(s, dir, i.toLong)
+    }
+
+    // postings row-for-row: same vectors in the same cells
+    val batchSet = batchIvf.assigned.select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postingsSet(dir) == batchSet)
+
+    // probes result-for-result against a one-shot streaming index (same
+    // probe code path, history built in a single batch)
+    val oneShot = tmp("sivf-oneshot")
+    StreamingIvf.publishCentroids(spark, oneShot, batchIvf.centroids)
+    StreamingIvf.ingestBatch(vectors, oneShot, 0L)
+    val probes = vectors.filter(col("vec_id") < 8)
+    assert(probeSet(StreamingIvf.probe(spark, dir, probes)) ==
+      probeSet(StreamingIvf.probe(spark, oneShot, probes)))
+
+    // and rank-1 coincides with the in-memory quantized query (e4 path)
+    val mem = IvfIndex.queryQuantized(spark, batchIvf, probes, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(_.mkString("|")).toSet
+    val streamed = StreamingIvf.probe(spark, dir, probes, nprobe = 4, topK = 1)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(_.mkString("|")).toSet
+    assert(streamed == mem)
+  }
+
+  test("replaying a batch converges (at-least-once ingest, exactly-once index)") {
+    val dir = tmp("sivf-replay")
+    val ss = slices(3)
+    StreamingIvf.ingestBatch(ss(0), dir, 0L, trainOnFirstBatch = true, k = 8)
+    StreamingIvf.ingestBatch(ss(1), dir, 1L)
+    val before = postingsSet(dir)
+    val rowsBefore = StreamingIvf.scanPostings(spark, dir).get.count()
+    StreamingIvf.ingestBatch(ss(1), dir, 1L) // crash-replay of batch 1
+    assert(postingsSet(dir) == before)
+    assert(StreamingIvf.scanPostings(spark, dir).get.count() == rowsBefore)
+  }
+
+  test("trainOnFirstBatch publishes once; later batches reuse the frozen codebook") {
+    val dir = tmp("sivf-train")
+    val ss = slices(3)
+    StreamingIvf.ingestBatch(ss(0), dir, 0L, trainOnFirstBatch = true, k = 8)
+    val frozen = StreamingIvf.centroids(spark, dir)
+      .collect().map(_.mkString(",")).toSet
+    StreamingIvf.ingestBatch(ss(1), dir, 1L)
+    StreamingIvf.ingestBatch(ss(2), dir, 2L)
+    assert(StreamingIvf.centroids(spark, dir)
+      .collect().map(_.mkString(",")).toSet == frozen)
+    // and every posting's assignment is to those centroids: re-assigning
+    // the full corpus to the frozen codebook reproduces the index
+    val expect = IvfIndex.assignTo(vectors, StreamingIvf.centroids(spark, dir))
+      .select(col("vec_id"), col("cell_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(postingsSet(dir) == expect)
+  }
+
+  test("probe planned before compaction drains; results unchanged across the fold") {
+    val dir = tmp("sivf-compact")
+    val batchIvf = IvfIndex.buildQuantized(spark, vectors, k = 8)
+    StreamingIvf.publishCentroids(spark, dir, batchIvf.centroids)
+    val ss = slices(5)
+    ss.take(4).zipWithIndex.foreach { case (s, i) =>
+      StreamingIvf.ingestBatch(s, dir, i.toLong)
+    }
+    val probes = vectors.filter(col("vec_id") < 8)
+
+    // plan a probe BEFORE the fold (file list resolved now)
+    val planned = StreamingIvf.probe(spark, dir, probes)
+    val expected = probeSet(planned)
+
+    val (folded, _, _) = StreamingIvf.compactIndex(spark, dir, liveBatchId = 3L)
+    assert(folded == 3, s"expected batches 0..2 folded, got $folded")
+
+    // pre-fold plan drains without FileNotFound (deferred deletion)
+    assert(probeSet(planned) == expected)
+    // post-fold probe sees the identical index
+    assert(probeSet(StreamingIvf.probe(spark, dir, probes)) == expected)
+
+    // the consolidated partition preserves the cell_id layout
+    val cons = new java.io.File(s"$dir/postings/__batch=-1")
+    assert(cons.isDirectory)
+    assert(cons.listFiles().exists(_.getName.startsWith("cell_id=")),
+      "consolidated partition must keep cell_id=X subdirs")
+
+    // a probe plans only the probed cells' directories (pruning is real)
+    val pruned = StreamingIvf.probe(spark, dir, probes, nprobe = 2)
+    val cells = IvfIndex.probeCells(probes,
+      StreamingIvf.centroids(spark, dir), nprobe = 2)
+      .select(col("cell_id")).distinct().collect().map(_.getInt(0)).toSet
+    val readDirs = pruned.inputFiles.filter(_.contains("cell_id="))
+      .map(p => p.split("cell_id=")(1).split("/")(0).toInt).toSet
+    assert(readDirs.nonEmpty && readDirs.subsetOf(cells),
+      s"probe read cells $readDirs outside the probed set $cells")
+
+    // one more (disjoint) ingest + fold physically retires the pending
+    // partitions; the fold itself never changes probe results
+    StreamingIvf.ingestBatch(ss(4), dir, 4L)
+    val afterIngest = probeSet(StreamingIvf.probe(spark, dir, probes))
+    StreamingIvf.compactIndex(spark, dir, liveBatchId = 4L)
+    assert(!new java.io.File(s"$dir/postings/__batch=0").exists(),
+      "second fold must physically delete the first fold's sources")
+    assert(probeSet(StreamingIvf.probe(spark, dir, probes)) == afterIngest)
+  }
+}
