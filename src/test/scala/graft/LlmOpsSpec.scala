@@ -186,19 +186,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(rows.length == Tables.documents(spark, sfDir).count())
     rows.foreach { f =>
       assert(f.feature.length == 8)
-      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+      assert(f.feature.forall(_ >= 0L))
       f.fmt match {
         case "bmp" =>
           // decoded dims come from the REAL BMP header, in the synth range
           assert(f.decoded_w >= 8 && f.decoded_w <= 32 && f.decoded_w % 8 == 0)
           assert(f.decoded_h >= 8 && f.decoded_h <= 24 && f.decoded_h % 8 == 0)
+          // features are REAL pixel statistics: channel sums bounded by
+          // 255·(pixel count), f6 = pixel count, min ≤ max
+          val px = f.decoded_w.toLong * f.decoded_h
+          assert(f.feature(6) == px)
+          assert(Seq(0, 1, 2).forall(c => f.feature(c) <= 255L * px))
+          assert(f.feature(4) <= f.feature(5))
         case "wav" =>
           assert(f.sample_rate == 16000)
           // 100..499 samples at 16kHz → 6..31 ms
           assert(f.duration_ms >= 6 && f.duration_ms <= 31)
+          // f4 = sample count; crossings < n; max|s| ≤ 32768
+          assert(f.feature(4) >= 100 && f.feature(4) < 500)
+          assert(f.feature(1) < f.feature(4))
+          assert(f.feature(3) <= 32768L)
         case "mp4" =>
           assert(f.frames_sampled == 16 || f.duration_ms / 33 < 16)
           assert(f.duration_ms > 0)
+          // f4 = frame count; per-frame sums bounded by 32·255
+          assert(f.feature(4) == f.duration_ms / 33)
+          assert(f.feature(1) <= 32L * 255 && f.feature(2) <= f.feature(1))
       }
     }
     // deterministic across runs
@@ -208,8 +221,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
   }
 
   test("BMP resize: header rewritten, pixels nearest-neighbor exact, padding correct") {
-    val seed = Array.tabulate(32)(_.toByte)
-    val src = Multimodal.synthBmp(seed, 16, 24)
+    val src = Multimodal.synthBmp(7L, 16, 24)
     val dst = Multimodal.resizeBmp(src, 8, 8)
     def le32(b: Array[Byte], o: Int) =
       java.nio.ByteBuffer.wrap(b, o, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
@@ -226,8 +238,7 @@ class LlmOpsSpec extends AnyFunSuite with SparkTestKit {
   }
 
   test("WAV decimation: headers consistent, samples are every k-th of the source") {
-    val seed = Array.tabulate(32)(i => (i * 7).toByte)
-    val src = Multimodal.synthWav(seed, 16000, 400)
+    val src = Multimodal.synthWav(9L, 16000, 400)
     val dst = Multimodal.downsampleWav(src, 8000)
     def le32(b: Array[Byte], o: Int) =
       java.nio.ByteBuffer.wrap(b, o, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
