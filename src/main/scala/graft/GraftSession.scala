@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.domain.{DomainConfig, GenSpec, Pipeline}
+import graft.operators.CorpusManifest
+
+/** The library's front door — one object that opens (or attaches to) a
+  * Spark session with every graft extension installed and gives a user
+  * the three things the engine is for, without knowing the module map:
+  *
+  *  1. **the commerce medallion pipeline** (bronze → silver → gold marts
+  *     → `exec_daily_kpi` view over a warehouse directory);
+  *  2. **the curation / training-data stack** (near-dup pairs, dup
+  *     clusters, ANN probes, corpus manifests) over a data directory's
+  *     tables;
+  *  3. **the full driver-gated query registry by name** — all 170+
+  *     oracle-verified operator queries, runnable individually.
+  *
+  * ```scala
+  * val g = GraftSession.open("/data/tables")           // or .attach(spark, dir)
+  * g.run("q1_agg").show()                              // any registry query
+  * val kpi = g.runCommercePipeline("/data/warehouse")  // writes marts + views
+  * g.sql("SELECT * FROM exec_daily_kpi").show()
+  * val pairs = g.nearDupPairs()                        // MinHash LSH candidates
+  * g.snapshot(version = 1, manifestDir = "/data/manifests")
+  * ```
+  *
+  * Everything here is a thin, discoverable veneer — each method delegates
+  * to the module that owns the logic (and is oracle- or spec-gated
+  * there); the facade itself is smoke-tested by GraftSessionSpec.
+  */
+final class GraftSession private (val spark: SparkSession, val dataDir: String) {
+
+  // ── query registry ───────────────────────────────────────────────────
+
+  /** All driver-gated query names (SURVEY §2 operators + extensions). */
+  def queryNames: Seq[String] = SparkEntry.registry.map(_.name)
+
+  /** Run one registry query by name against this session's data dir. */
+  def run(name: String): DataFrame =
+    SparkEntry.queries.getOrElse(name,
+      throw new NoSuchElementException(
+        s"unknown query '$name' — see queryNames (${queryNames.size} available)"))(
+      spark, dataDir)
+
+  def sql(q: String): DataFrame = spark.sql(q)
+
+  /** A testdata table by name (pinned schema, unit-adaptive for events). */
+  def table(name: String): DataFrame = Tables.load(spark, dataDir, name)
+
+  // ── the commerce medallion pipeline ──────────────────────────────────
+
+  /** Run the full bronze → silver → gold pipeline, write the
+    * monthly-partitioned warehouse to `warehouseDir`, register the
+    * `exec_daily_kpi` (and mart) SQL views, and return the KPI frame.
+    */
+  def runCommercePipeline(warehouseDir: String,
+      spec: GenSpec = GenSpec(),
+      cfg: DomainConfig = DomainConfig(dedupeFreight = true)): DataFrame = {
+    val (_, gold, kpi) = Pipeline.runInMemory(spark, spec, cfg)
+    Pipeline.writeWarehouse(gold, warehouseDir)
+    Pipeline.registerViews(spark, warehouseDir)
+    kpi
+  }
+
+  /** The flagship KPI query over this data dir's testdata tables. */
+  def execDailyKpi(): DataFrame = queries.CommerceKpi.execDailyKpi(spark, dataDir)
+
+  // ── the curation / training-data stack ───────────────────────────────
+
+  /** MinHash-LSH near-duplicate candidate pairs over `documents`
+    * (banded, never all-pairs): `(doc_a, doc_b, est_jaccard)`.
+    */
+  def nearDupPairs(): DataFrame = queries.Dedup.minhashPairs(spark, dataDir)
+
+  /** Connected-component duplicate clusters over the LSH pairs:
+    * `(doc_id, cluster_id)` for every clustered doc.
+    */
+  def dupClusters(): DataFrame = operators.DupClusters.dupClustersQuery(spark, dataDir)
+
+  /** Top-`topK` ANN neighbors for `probes` `(vec_id, embedding)` against
+    * the build-once persisted IVF index over `embeddings`.
+    */
+  def annTopK(probes: DataFrame, nprobe: Int = 4, topK: Int = 3): DataFrame = {
+    // the persisted layout is built (memoized) on first use
+    val out = operators.IvfIndex.persistedLayout(spark, dataDir)
+    val cents = spark.read.parquet(s"$out/centroids")
+    val cells = operators.IvfIndex.probeCells(probes, cents, nprobe)
+    import org.apache.spark.sql.functions._
+    val cellIds = cells.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val members = spark.read.parquet(s"$out/postings")
+      .filter(col("cell_id").isin(cellIds: _*))
+    val withQ = cells.join(broadcast(probes.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))), Seq("query_id"))
+    val qNorm = sqrt(call_function("vec_dot", col("q_emb"), col("q_emb")))
+    val cNorm = sqrt(call_function("vec_dot", col("embedding"), col("embedding")))
+    withQ.join(members, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (call_function("vec_dot", col("q_emb"), col("embedding"))
+          / (qNorm * cNorm)).as("cosine"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Cut a versioned, reproducible corpus manifest of this data dir's
+    * `documents` + `embeddings` under `manifestDir/version=N` and return
+    * it — see [[operators.CorpusManifest]] (verify with
+    * [[verifySnapshot]]).
+    */
+  def snapshot(version: Long, manifestDir: String): DataFrame = {
+    val m = CorpusManifest.build(version, snapshotComponents)
+    CorpusManifest.write(m, manifestDir)
+    CorpusManifest.read(spark, manifestDir, version)
+  }
+
+  /** Recompute a written snapshot's fingerprints against the live tables:
+    * one row per component with `ok` booleans.
+    */
+  def verifySnapshot(version: Long, manifestDir: String): DataFrame =
+    CorpusManifest.verify(
+      CorpusManifest.read(spark, manifestDir, version), snapshotComponents)
+
+  private def snapshotComponents: Seq[CorpusManifest.Component] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      CorpusManifest.Component("documents", Tables.documents(spark, dataDir),
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")),
+      CorpusManifest.Component("embeddings", Tables.embeddings(spark, dataDir),
+        Seq(col("vec_id"), CorpusManifest.quantizedVec(col("embedding")), col("label")),
+        col("vec_id")))
+  }
+}
+
+object GraftSession {
+
+  /** Attach to an existing session: installs every graft extension
+    * (idempotent) and scopes the facade to `dataDir`'s tables.
+    */
+  def attach(spark: SparkSession, dataDir: String): GraftSession = {
+    Graft.install(spark)
+    new GraftSession(spark, dataDir)
+  }
+
+  /** Open a new local session (the Verify/Bench config) over `dataDir`. */
+  def open(dataDir: String, cpus: Int = 4): GraftSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    attach(spark, dataDir)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke test for the [[GraftSession]] facade (VERDICT r8 item 7): one
+  * object drives the registry, the commerce pipeline, and the curation
+  * stack — each delegate is oracle-/spec-gated in its own module, so
+  * this spec checks wiring, not semantics.
+  */
+class GraftSessionSpec extends AnyFunSuite with SparkTestKit {
+
+  private lazy val g = GraftSession.attach(spark, sfDir)
+
+  test("registry: names resolve, queries run, unknown names fail loudly") {
+    assert(g.queryNames.size >= 170)
+    assert(g.run("q1_agg").count() > 0)
+    assert(g.table("documents").count() > 0)
+    val e = intercept[NoSuchElementException](g.run("nope"))
+    assert(e.getMessage.contains("queryNames"))
+  }
+
+  test("commerce pipeline: warehouse written, views queryable, KPI non-empty") {
+    val dir = Files.createTempDirectory("gs-wh").toString
+    val kpi = g.runCommercePipeline(dir)
+    assert(kpi.count() > 0)
+    assert(g.sql("SELECT count(*) AS n FROM exec_daily_kpi").collect().head.getLong(0) > 0)
+    assert(new java.io.File(s"$dir/wholesale_cm2").exists())
+    assert(g.execDailyKpi().count() > 0)
+  }
+
+  test("curation stack: near-dup pairs, clusters, ANN, snapshot round trip") {
+    assert(g.nearDupPairs().columns.toSet ==
+      Set("doc_a", "doc_b", "est_jaccard"))
+    assert(g.dupClusters().count() > 0)
+    val probes = g.table("embeddings").filter(col("vec_id") < 4)
+    val ann = g.annTopK(probes, topK = 2).collect()
+    assert(ann.nonEmpty && ann.forall(_.getAs[Int]("rank") <= 2))
+    val mdir = Files.createTempDirectory("gs-manifest").toString
+    val m = g.snapshot(1L, mdir)
+    assert(m.count() == 2)
+    val v = g.verifySnapshot(1L, mdir).collect()
+    assert(v.length == 2 && v.forall(_.getAs[Boolean]("ok")))
+  }
+}
