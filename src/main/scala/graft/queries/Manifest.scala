@@ -30,8 +30,18 @@ object Manifest {
   private def duckCol(c: String) = s"coalesce(CAST($c AS VARCHAR), $nul)"
   private def duckCanon(cols: Seq[String]) =
     cols.map(duckCol).mkString(s" || $sep || ")
-  private def duckHash(canon: String) =
+
+  /** The CorpusManifest row-hash in DuckDB — shared with c4's release
+    * fingerprint (one definition, no drift).
+    */
+  private[queries] def duckHash(canon: String) =
     s"CAST('0x' || substr(md5($canon), 1, 15) AS BIGINT)"
+
+  /** `duckHash` over a canonicalized column list (the engine's
+    * [[CorpusManifest.canonical]] + [[CorpusManifest.rowHash]]).
+    */
+  private[queries] def duckRowHash(cols: Seq[String]): String =
+    duckHash(duckCanon(cols))
   private val duckVecQ =
     "array_to_string(list_transform(embedding, " +
       "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)), ',')"

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -730,8 +730,11 @@ object TrainingPrep {
     * only), so the funnel chains rather than single-pass-flags — the
     * heavy input (clusters) is not recomputed, only re-joined.
     */
-  val curationCanonical = Q("c3_curation_canonical", {
-    val budget = 300
+  /** The c3 funnel as DuckDB CTEs, through the s3 survivors (doc_id,
+    * lang, n_chars) — ONE definition shared by c3's stage counts and
+    * c4's release fingerprint.
+    */
+  private def curationCtes(budget: Int): String =
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),
        |${graft.operators.DupClusters.ccCtes},
@@ -758,26 +761,19 @@ object TrainingPrep {
        |             row_number() OVER (PARTITION BY s2.lang
        |                ORDER BY md5(CAST(s2.doc_id AS VARCHAR)), s2.doc_id) AS rn
        |      FROM s2),
-       |s3 AS (SELECT r.doc_id, r.n_chars FROM r JOIN cap ON r.lang = cap.lang
-       |       WHERE r.rn <= cap.cap)
-       |SELECT 's0_raw' AS stage, count(*) AS n_docs,
-       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM lab
-       |UNION ALL SELECT 's1_canonical', count(*),
-       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1
-       |UNION ALL SELECT 's2_length_band', count(*),
-       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
-       |UNION ALL SELECT 's3_lang_quota', count(*),
-       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3""".stripMargin
-  }) { (s, dir) =>
+       |s3 AS (SELECT r.doc_id, r.lang, r.n_chars FROM r JOIN cap ON r.lang = cap.lang
+       |       WHERE r.rn <= cap.cap)""".stripMargin
+
+  /** The c3 funnel's engine side: every doc labeled with its stage
+    * membership flags (in_s1 canonical / in_s2 length band / in_s3 lang
+    * quota). Single-pass (the c1 discipline): the memoized canonical
+    * table carries in_s1; band and quota stats are small broadcast
+    * aggregates over its survivors; the quota rank is a conditional
+    * running count over one total order (≡ row_number among s2 rows —
+    * no tie hazard). Shared by c3 (stage rollup) and c4 (release cut).
+    */
+  private def curationStaged(s: SparkSession, dir: String, budget: Int): DataFrame = {
     import s.implicits._
-    val budget = 300
-    // single-pass stage counting, the c1 discipline: the memoized
-    // canonical table (fixed-width columns) carries the in_s1 flag; the
-    // band and quota stats are small aggregates over its survivors
-    // (broadcast back); the quota rank is a conditional running count
-    // over the SAME frame (sum of in_s2 over the md5 order ≡ row_number
-    // among s2 rows — the order is a total order, so no tie hazard); the
-    // four stage rows then come from ONE aggregate, unpivoted with stack.
     val lab = graft.operators.DupClusters.canonicalQuery(s, dir)
       .join(Tables.documents(s, dir).select($"doc_id", $"source", $"lang"), "doc_id")
       .select($"doc_id", $"source", $"lang", $"n_chars", $"keep".as("in_s1"))
@@ -800,13 +796,31 @@ object TrainingPrep {
     // cross-source clusters has no s1 survivors and hence no band row —
     // its docs must still count in s0_raw (the oracle counts all of lab);
     // null band edges make in_s2 false via the null-safe coalesce
-    val staged = lab
+    lab
       .join(broadcast(p), Seq("source"), "left")
       .withColumn("in_s2", $"in_s1" &&
         coalesce($"n_chars" >= $"p05" && $"n_chars" <= $"p95", lit(false)))
       .join(broadcast(caps), Seq("lang"), "left")
       .withColumn("rn", sum(when($"in_s2", 1L).otherwise(0L)).over(rw))
       .withColumn("in_s3", $"in_s2" && $"rn" <= coalesce($"cap", lit(0L)))
+  }
+
+  val curationCanonical = Q("c3_curation_canonical", {
+    val budget = 300
+    s"""${curationCtes(budget)}
+       |SELECT 's0_raw' AS stage, count(*) AS n_docs,
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM lab
+       |UNION ALL SELECT 's1_canonical', count(*),
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s1
+       |UNION ALL SELECT 's2_length_band', count(*),
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s2
+       |UNION ALL SELECT 's3_lang_quota', count(*),
+       |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM s3""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    // four stage rows from ONE aggregate over the staged flags,
+    // unpivoted with stack
+    val staged = curationStaged(s, dir, 300)
     def cnt(f: org.apache.spark.sql.Column) =
       coalesce(sum(when(f, 1L).otherwise(0L)), lit(0L))
     def chars(f: org.apache.spark.sql.Column) =
@@ -821,6 +835,43 @@ object TrainingPrep {
       .map { case ((n, _), i) => s"'$n', c$i, t$i" }.mkString(", ")
     staged.agg(aggExprs.head, aggExprs.tail: _*)
       .select(expr(s"stack(${flags.size}, $stackArgs) AS (stage, n_docs, n_chars)"))
+  }
+
+  /** C4: CORPUS RELEASE — the version cut a corpus build emits after
+    * curation: the c3 funnel's s3 survivors fingerprinted per language
+    * with the [[graft.operators.CorpusManifest]] arithmetic (count,
+    * char total, order-independent bit_xor content hash, doc_id
+    * watermark). This is the row a training run pins and a later audit
+    * recomputes — c3 proves the funnel's attrition, c4 proves WHICH
+    * corpus came out of it. Composes the round's two capstones (funnel +
+    * manifest) under one hash gate.
+    *
+    * Scale: the staged flags are the memoized c3 computation; the
+    * release cut adds one map-side-combinable aggregate over the
+    * survivor rows — no new shuffle beyond the per-lang reduce.
+    */
+  val corpusRelease = Q("c4_corpus_release", {
+    val budget = 300
+    val h = Manifest.duckRowHash(Seq("doc_id", "lang", "n_chars"))
+    s"""${curationCtes(budget)}
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |       coalesce(bit_xor($h), 0) AS xor_hash,
+       |       CAST(max(doc_id) AS BIGINT) AS watermark
+       |FROM s3 GROUP BY lang""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.CorpusManifest
+    val h = CorpusManifest.rowHash(
+      CorpusManifest.canonical(Seq($"doc_id", $"lang", $"n_chars")))
+    curationStaged(s, dir, 300)
+      .filter($"in_s3")
+      .select($"lang", $"doc_id", $"n_chars", h.as("h"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("n_chars"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).as("xor_hash"),
+        max($"doc_id").as("watermark"))
   }
 
   /** T24: CURRICULUM ORDERING — construct the first segment of a
@@ -870,5 +921,5 @@ object TrainingPrep {
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
     importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
-    curationCanonical, curriculumOrder)
+    curationCanonical, corpusRelease, curriculumOrder)
 }
