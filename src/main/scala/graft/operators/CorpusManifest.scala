@@ -142,6 +142,38 @@ object CorpusManifest {
       .orderBy("component")
   }
 
+  /** Diff two manifests (old version → new version): one row per
+    * component with its transition status — the "what changed between
+    * corpus v(N−1) and vN" audit every retraining decision starts from.
+    * `rows_delta` is signed (added components contribute +n_rows,
+    * removed ones −n_rows); `content_changed` means the fingerprint
+    * moved even if the row count did not (in-place edits);
+    * `watermark_advanced` distinguishes append-style growth from
+    * rewrites. Manifest-sized inputs → a broadcast-trivial full-outer
+    * join, regardless of corpus scale.
+    */
+  def diff(oldM: DataFrame, newM: DataFrame): DataFrame = {
+    def side(df: DataFrame, tag: String) = df.select(
+      col("component"),
+      col("n_rows").as(s"${tag}_rows"), col("xor_hash").as(s"${tag}_xor"),
+      col("sum_hash").as(s"${tag}_sum"), col("watermark").as(s"${tag}_wm"))
+    side(oldM, "o").join(side(newM, "n"), Seq("component"), "full_outer")
+      .select(
+        col("component"),
+        when(col("o_rows").isNull, lit("added"))
+          .when(col("n_rows").isNull, lit("removed"))
+          .when(col("o_xor") === col("n_xor") && col("o_sum") === col("n_sum") &&
+            col("o_rows") === col("n_rows") && col("o_wm") <=> col("n_wm"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        (coalesce(col("n_rows"), lit(0L)) - coalesce(col("o_rows"), lit(0L)))
+          .as("rows_delta"),
+        (!(col("o_xor") <=> col("n_xor")) || !(col("o_sum") <=> col("n_sum")))
+          .as("content_changed"),
+        coalesce(col("n_wm") > col("o_wm"), lit(false)).as("watermark_advanced"))
+      .orderBy("component")
+  }
+
   /** Snapshot a full intake run (the composed StreamingIntake outputs)
     * as one corpus version: the verdict root, the quota-ledger totals
     * (per-lang admitted counts — the number a mixture rebalance reads),

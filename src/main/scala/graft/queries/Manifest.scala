@@ -114,5 +114,77 @@ object Manifest {
         "sum_ok", "wm_ok", "ok")
   }
 
-  val queries: Seq[Q] = Seq(corpusManifest, manifestVerify)
+  /** MF3: manifest DIFF — the audit a retraining decision starts from:
+    * what changed between corpus v1 and v2? The fixture covers every
+    * transition in one result: documents CHANGED (v2 drops doc_id % 7 ==
+    * 0 — content hash and count both move), embeddings UNCHANGED, orders
+    * REMOVED, events ADDED. The oracle replays both versions' fingerprints
+    * and the same status derivation. (At 100 TB the diff itself is a
+    * |components|-row join — corpus size only enters through the
+    * fingerprint scans, one per live component.)
+    */
+  val manifestDiff = Q("mf3_manifest_diff", {
+    val docsV2 = "(SELECT * FROM documents WHERE doc_id % 7 <> 0) AS t"
+    val eventsCanon = Seq("event_id", "user_id", "event_type")
+    def union(cs: Seq[String]) =
+      cs.map(c => s"SELECT * FROM ($c)").mkString("\nUNION ALL\n")
+    val oldSql = union(Seq(
+      duckComponent("documents", "documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars"), "doc_id"),
+      duckComponent("embeddings", "embeddings",
+        Seq("vec_id", duckVecQ, "label"), "vec_id"),
+      duckComponent("orders", "orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "CAST(floor(o_totalprice * 100) AS BIGINT)",
+          "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')", "o_orderpriority"),
+        "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')")))
+    val newSql = union(Seq(
+      duckComponent("documents", docsV2,
+        Seq("doc_id", "text", "lang", "source", "n_chars"), "doc_id"),
+      duckComponent("embeddings", "embeddings",
+        Seq("vec_id", duckVecQ, "label"), "vec_id"),
+      duckComponent("events", "events", eventsCanon, "event_id")))
+    s"""WITH o AS ($oldSql),
+       |n AS ($newSql)
+       |SELECT coalesce(o.component, n.component) AS component,
+       |  CASE WHEN o.component IS NULL THEN 'added'
+       |       WHEN n.component IS NULL THEN 'removed'
+       |       WHEN o.xor_hash = n.xor_hash AND o.sum_hash = n.sum_hash
+       |            AND o.n_rows = n.n_rows AND o.watermark = n.watermark
+       |         THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  coalesce(n.n_rows, 0) - coalesce(o.n_rows, 0) AS rows_delta,
+       |  (o.component IS NULL OR n.component IS NULL
+       |   OR o.xor_hash <> n.xor_hash OR o.sum_hash <> n.sum_hash)
+       |    AS content_changed,
+       |  coalesce(n.watermark > o.watermark, FALSE) AS watermark_advanced
+       |FROM o FULL OUTER JOIN n ON o.component = n.component""".stripMargin
+  }) { (s, dir) =>
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(s, dir)
+    val emb = Component("embeddings", Tables.embeddings(s, dir),
+      Seq(col("vec_id"), CorpusManifest.quantizedVec(col("embedding")), col("label")),
+      col("vec_id"))
+    val v1 = CorpusManifest.build(1L, Seq(
+      Component("documents", docs,
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")),
+      emb,
+      Component("orders", Tables.orders(s, dir),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * lit(100.0d)).cast("long"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+          col("o_orderpriority")),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"))))
+    val v2 = CorpusManifest.build(2L, Seq(
+      Component("documents", docs.filter(col("doc_id") % 7 =!= 0),
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")),
+      emb,
+      Component("events", Tables.events(s, dir),
+        Seq(col("event_id"), col("user_id"), col("event_type")), col("event_id"))))
+    CorpusManifest.diff(v1, v2)
+  }
+
+  val queries: Seq[Q] = Seq(corpusManifest, manifestVerify, manifestDiff)
 }

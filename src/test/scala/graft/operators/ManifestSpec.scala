@@ -102,6 +102,27 @@ class ManifestSpec extends AnyFunSuite with SparkTestKit {
     assert(rows("docs") && rows("extra") && !rows("unknown"))
   }
 
+  test("diff classifies every transition and signs the row deltas") {
+    val emb = Component("keep", docs, Seq(col("doc_id")), col("doc_id"))
+    val v1 = CorpusManifest.build(1L, Seq(
+      comps(docs).head, // "docs", 3 rows
+      emb,
+      Component("gone", docs.limit(2), Seq(col("doc_id")), col("doc_id"))))
+    val v2 = CorpusManifest.build(2L, Seq(
+      Component("docs", docs.filter(col("doc_id") =!= 2L),
+        Seq(col("doc_id"), col("text"), col("lang")), col("doc_id")),
+      emb,
+      Component("fresh", docs.union(docs), Seq(col("doc_id")), col("doc_id"))))
+    val d = CorpusManifest.diff(v1, v2).collect()
+      .map(r => r.getAs[String]("component") ->
+        (r.getAs[String]("status"), r.getAs[Long]("rows_delta"),
+          r.getAs[Boolean]("content_changed"))).toMap
+    assert(d("docs") == (("changed", -1L, true)))
+    assert(d("keep") == (("unchanged", 0L, false)))
+    assert(d("gone") == (("removed", -2L, true)))
+    assert(d("fresh") == (("added", 6L, true)))
+  }
+
   test("snapshotIntakeRun manifests a composed-intake output tree") {
     import graft.streaming.{StreamingDecontam, StreamingIntake}
     val indexDir = tmp("mf-idx"); val ledgerDir = tmp("mf-led")
