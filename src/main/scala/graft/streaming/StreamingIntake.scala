@@ -134,6 +134,43 @@ object StreamingIntake {
     verdicts
   }
 
+  /** The full intake PLUS the incremental release cut: after the quota
+    * gate, the batch's admitted docs are fingerprinted per language and
+    * appended to the release ledger ([[StreamingRelease]]) — so "what
+    * corpus have we admitted so far" is always one metadata-sized rollup
+    * away, with no corpus rescan. The admitted join rides the verdict
+    * cache [[screenBatchWithQuota]] installs.
+    */
+  def screenBatchWithQuotaAndRelease(batch: DataFrame, indexDir: String,
+      batchId: Long, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String): DataFrame = {
+    val verdicts = screenBatchWithQuota(batch, indexDir, batchId, screen,
+      quotaDf, ledgerDir)
+    val admitted = verdicts.filter(col("admitted"))
+      .select(col("doc_id"), col("lang"))
+      .join(batch.select(col("doc_id"), col("text")), "doc_id")
+    StreamingRelease.appendBatch(admitted, releaseDir, batchId)
+    verdicts
+  }
+
+  /** Streaming sink for the full intake + release ledger. */
+  def sinkWithQuotaAndRelease(docs: DataFrame, indexDir: String,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
+      releaseDir: String, verdictDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = screenBatchWithQuotaAndRelease(batch, indexDir,
+            batchId, screen, quotaDf, ledgerDir, releaseDir)
+          try verdictWriter(verdictDir)(verdicts, batchId)
+          finally verdicts.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
   /** Streaming sink for the full intake (content screens + quota). */
   def sinkWithQuota(docs: DataFrame, indexDir: String,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
