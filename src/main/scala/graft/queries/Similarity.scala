@@ -898,8 +898,49 @@ object Similarity {
           ($"n_hit".cast("double") / $"n_exact").as("recall_at_3"))
   }
 
+  /** E20: CENTROID DRIFT — the embedding-distribution monitor between
+    * two corpus versions ("crawls"): assign BOTH halves of the corpus to
+    * ONE frozen codebook (the memoized e4 quantized index — drift is
+    * only meaningful against a fixed reference frame) and compare each
+    * cell's population share. drift_ppm is the integer-scaled absolute
+    * share delta (⌊n·10⁶/total⌋ per side — exact in both engines), the
+    * per-cell number a retraining alarm thresholds on. Fixture versions:
+    * vec_id ≤ ⌊max/2⌋ vs the rest.
+    *
+    * Scale: assignment is the index's own broadcast-centroid pass; the
+    * drift table is k rows. At 100 TB this runs as two manifest-style
+    * scans + a k-cell aggregate — no pairwise anything.
+    */
+  val centroidDrift = Q("e20_centroid_drift", {
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |m AS (SELECT max(vec_id) // 2 AS mid FROM embeddings),
+       |c AS (SELECT cell_id,
+       |        CAST(sum(CASE WHEN a.vec_id <= m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+       |        CAST(sum(CASE WHEN a.vec_id >  m.mid THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+       |      FROM assign4 a, m GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_v1) AS BIGINT) AS t1, CAST(sum(n_v2) AS BIGINT) AS t2 FROM c)
+       |SELECT cell_id, n_v1, n_v2,
+       |       abs(n_v1 * 1000000 // t.t1 - n_v2 * 1000000 // t.t2) AS drift_ppm
+       |FROM c, t""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val ivf = graft.operators.IvfIndex.indexQFor(s, dir)
+    val mid = broadcast(Tables.embeddings(s, dir)
+      .agg(expr("max(vec_id) div 2").as("mid")))
+    val cells = ivf.assigned.crossJoin(mid)
+      .groupBy($"cell_id")
+      .agg(sum(when($"vec_id" <= $"mid", 1L).otherwise(0L)).as("n_v1"),
+        sum(when($"vec_id" > $"mid", 1L).otherwise(0L)).as("n_v2"))
+    val totals = broadcast(cells.agg(
+      sum($"n_v1").as("t1"), sum($"n_v2").as("t2")))
+    cells.crossJoin(totals)
+      .select($"cell_id", $"n_v1", $"n_v2",
+        abs(expr("n_v1 * 1000000 div t1") - expr("n_v2 * 1000000 div t2"))
+          .as("drift_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
-    triangleCount, annRecall)
+    triangleCount, annRecall, centroidDrift)
 }

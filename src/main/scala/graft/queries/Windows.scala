@@ -205,6 +205,42 @@ object Windows {
           sum($"new_customers").over(w).cast("long").as("cum_distinct_customers"))
   }
 
+  /** W16: HOPPING time windows — Spark's native `window(ts, size, slide)`
+    * generator (the batch face of the streaming windowed-agg surface,
+    * §2.8): every event lands in size/slide = 2 overlapping 10-minute
+    * windows, aggregated per (window start, event_type). The oracle
+    * replays Spark's epoch-aligned window assignment arithmetic
+    * (start = slide·⌊t/slide⌋ − k·slide) per event. Money-free exactness:
+    * the double `value` is floored to cents per row before the sum (the
+    * same IEEE ops in both engines), so the aggregate is integer.
+    *
+    * Scale: window() is a generator projection (2 rows per event — no
+    * join, no state) feeding one hash aggregate; this is exactly the
+    * shape Structured Streaming runs incrementally with a watermark, so
+    * the batch gate here pins the semantics the stream inherits.
+    */
+  val hoppingWindow = Q("w16_hopping_window",
+    """WITH e AS (SELECT epoch_us(ts) AS tus, event_type,
+      |                  CAST(floor(value * 100) AS BIGINT) AS cents
+      |           FROM events),
+      |x AS (SELECT (tus // 300000000) * 300000000 - k.k * 300000000 AS win_start_us,
+      |             event_type, cents
+      |      FROM e, (VALUES (0), (1)) k(k)
+      |      WHERE (tus // 300000000) * 300000000 - k.k * 300000000 + 600000000 > tus)
+      |SELECT win_start_us, event_type,
+      |       CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(cents) AS BIGINT) AS cents_sum
+      |FROM x GROUP BY 1, 2""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor($"value" * 100).cast("long")).as("cents_sum"))
+        .select(unix_micros($"window.start").as("win_start_us"),
+          $"event_type", $"n_events", $"cents_sum")
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
-    keysetPagination, rankFamily, valueFrames, runningDistinct)
+    keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow)
 }
