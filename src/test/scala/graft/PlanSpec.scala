@@ -190,7 +190,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // s7/q11/q22: the 1-ROW global-scalar cross join (corpus total /
       // Σ part_value / positive-average) — the t10 global-stats pattern
       "s7_dynamic_partition_pruning", "q11_important_parts",
-      "q22_inactive_balance")
+      "q22_inactive_balance",
+      // e20: the shared cached index-build subtree (k-centroid bcast)
+      // plus TWO 1-row global-stat broadcasts (the mid split point and
+      // the version totals) — all algorithm-constant cardinalities
+      "e20_centroid_drift")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
