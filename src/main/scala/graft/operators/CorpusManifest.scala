@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus snapshot / manifest — the reproducibility contract of a
@@ -197,5 +197,29 @@ object CorpusManifest {
     val manifest = build(version, components)
     write(manifest, manifestDir)
     read(spark, manifestDir, version)
+  }
+
+  /** The components of a stream-maintained IVF index
+    * ([[graft.streaming.StreamingIvf]]'s layout): the frozen codebook
+    * (its fingerprint IS the "index version" — any retrain shows as a
+    * changed centroids component) and the live postings (pending-aware
+    * scan, so a manifest cut mid-compaction fingerprints exactly the
+    * rows a probe would see). Feed these to [[build]]/[[verify]] to pin
+    * an index version inside a corpus snapshot.
+    */
+  def ivfIndexComponents(spark: SparkSession, indexDir: String): Seq[Component] = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val postings = graft.streaming.PartitionedIndex
+      .scan(spark, s"$indexDir/postings")
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id bigint, cell_id int")))
+    Seq(
+      Component("ivf_centroids", cents,
+        Seq(col("cell_id"), concat_ws(",", transform(col("cq"), _.cast("string")))),
+        col("cell_id")),
+      Component("ivf_postings", postings,
+        Seq(col("vec_id"), col("cell_id")), col("vec_id")))
   }
 }

@@ -33,6 +33,19 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
     assert(!readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("w16: the hopping-window generator prunes the events scan to 3 of 6 columns") {
+    val p = planOf(Windows.hoppingWindow.run(spark, sfDir))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema:")).mkString
+    assert(readSchema.contains("ts") && readSchema.contains("event_type")
+      && readSchema.contains("value"), readSchema)
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"), readSchema)
+    // window() must plan as a generator/projection + ONE hash aggregate —
+    // no join, no extra shuffle beyond the aggregate's
+    val sp = simplePlanOf(Windows.hoppingWindow.run(spark, sfDir))
+    assert(!sp.contains("Join"), sp)
+    assert(sp.linesIterator.count(_.contains("Exchange")) <= 1, sp)
+  }
+
   test("star join: every dimension joins as broadcast, fact scanned once") {
     val p = simplePlanOf(Joins.starJoin.run(spark, sfDir))
     val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))

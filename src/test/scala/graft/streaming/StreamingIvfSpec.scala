@@ -100,6 +100,38 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestKit {
     assert(postingsSet(dir) == expect)
   }
 
+  test("manifest pins the index version; compaction leaves the fingerprint unchanged") {
+    import graft.operators.CorpusManifest
+    val dir = tmp("sivf-manifest"); val mdir = tmp("sivf-mdir")
+    val ss = slices(3)
+    ss.zipWithIndex.foreach { case (s, i) =>
+      StreamingIvf.ingestBatch(s, dir, i.toLong, trainOnFirstBatch = true, k = 8)
+    }
+    val m = CorpusManifest.build(1L,
+      CorpusManifest.ivfIndexComponents(spark, dir))
+    CorpusManifest.write(m, mdir)
+    val persisted = CorpusManifest.read(spark, mdir, 1L)
+
+    // compaction rewrites the physical layout but must not move the
+    // fingerprint — the manifest sees exactly what a probe sees
+    StreamingIvf.compactIndex(spark, dir, liveBatchId = 2L)
+    val v = CorpusManifest.verify(persisted,
+      CorpusManifest.ivfIndexComponents(spark, dir)).collect()
+    assert(v.length == 2 && v.forall(_.getAs[Boolean]("ok")),
+      v.map(_.mkString(",")).mkString("; "))
+
+    // a changed index (one more batch) fails the old manifest's postings
+    // component but not the frozen centroids
+    StreamingIvf.ingestBatch(
+      vectors.filter(col("vec_id") === 0L)
+        .select(col("vec_id") + 100000L as "vec_id", col("embedding"), col("label")),
+      dir, 3L)
+    val v2 = CorpusManifest.verify(persisted,
+      CorpusManifest.ivfIndexComponents(spark, dir)).collect()
+      .map(r => r.getAs[String]("component") -> r.getAs[Boolean]("ok")).toMap
+    assert(v2("ivf_centroids") && !v2("ivf_postings"))
+  }
+
   test("probe planned before compaction drains; results unchanged across the fold") {
     val dir = tmp("sivf-compact")
     val batchIvf = IvfIndex.buildQuantized(spark, vectors, k = 8)
