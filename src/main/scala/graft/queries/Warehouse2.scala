@@ -577,8 +577,53 @@ object Warehouse2 {
       when(varNum > 0 && abs(z) > 3.0, 1).otherwise(0).as("is_anomaly"))
   }
 
+  /** DQ4: REFERENTIAL-INTEGRITY expectations — the orphan screens every
+    * warehouse load gate runs: facts without their parent (lineitem →
+    * orders, orders → customer) and parents without any child (orders
+    * with zero lineitems). Three anti-join counts in one result; a clean
+    * load is all-zeros except childless orders (TPC-H generates none,
+    * but the check must COUNT, not assume).
+    *
+    * Scale: each check is one null-producing join on the key — the
+    * fact side shuffles once per check on its own key (or broadcasts
+    * the parent when it fits, as customer does here); no check ever
+    * materializes the violation rows, only counts them.
+    */
+  val dq4Orphans = Q("dq4_orphan_check",
+    """SELECT 'lineitem_without_order' AS chk, CAST(count(*) AS BIGINT) AS n_violations
+      |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderkey IS NULL
+      |UNION ALL
+      |SELECT 'order_without_customer', CAST(count(*) AS BIGINT)
+      |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_custkey IS NULL
+      |UNION ALL
+      |SELECT 'order_without_lineitem', CAST(count(*) AS BIGINT)
+      |FROM orders o LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+      |  ON o.o_orderkey = l.l_orderkey
+      |WHERE l.l_orderkey IS NULL""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      def row(name: String,
+          n: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        n.agg(count(lit(1)).as("n_violations"))
+          .select(lit(name).as("chk"), $"n_violations")
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      row("lineitem_without_order",
+        li.select($"l_orderkey").join(o.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti"))
+        .unionAll(row("order_without_customer",
+          o.select($"o_custkey").join(broadcast(c.select($"c_custkey")),
+            $"o_custkey" === $"c_custkey", "left_anti")))
+        .unionAll(row("order_without_lineitem",
+          o.select($"o_orderkey").join(li.select($"l_orderkey"),
+            $"o_orderkey" === $"l_orderkey", "left_anti")))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
-    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly)
+    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans)
 }
