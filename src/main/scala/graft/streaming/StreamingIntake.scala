@@ -99,10 +99,21 @@ object StreamingIntake {
   def screenBatchWithQuota(batch: DataFrame, indexDir: String, batchId: Long,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame,
       ledgerDir: String): DataFrame = {
-    val spark = batch.sparkSession
     val content = screenBatch(batch.select(col("doc_id"), col("text")),
       indexDir, batchId, screen)
       .withColumnRenamed("admitted", "clean")
+    gateWithQuota(content, batch, batchId, quotaDf, ledgerDir)
+  }
+
+  /** The quota-gate composition step shared by [[screenBatchWithQuota]]
+    * and [[screenBatchFull]]: take per-doc content verdicts (with a
+    * `clean` bit), spend quota slots on clean docs only, write the
+    * batch's consumption ledger, and return the full verdict rows
+    * (`…, clean, in_quota, admitted`).
+    */
+  private def gateWithQuota(content: DataFrame, batch: DataFrame,
+      batchId: Long, quotaDf: DataFrame, ledgerDir: String): DataFrame = {
+    val spark = batch.sparkSession
     val withLang = content.join(
       batch.select(col("doc_id").as("b_doc_id"), col("lang")),
       col("doc_id") === col("b_doc_id")).drop("b_doc_id")
@@ -123,8 +134,8 @@ object StreamingIntake {
     // consumed TWICE — by the ledger write below and by the caller's
     // verdict write — and without the persist the whole thing re-executes
     // per write (deterministic, so cost not drift; but double cost).
-    // Caller contract: unpersist after the verdict write (sinkWithQuota
-    // does; direct spec callers leak at worst one small cached batch).
+    // Caller contract: unpersist after the verdict write (the sinks do;
+    // direct spec callers leak at worst one small cached batch).
     verdicts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ledger: quota consumption this batch (admitted docs only)
     verdicts.filter(col("admitted"))
@@ -133,6 +144,50 @@ object StreamingIntake {
       .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
     verdicts
   }
+
+  /** THE FULL INTAKE: all three content screens (text near-dup, eval
+    * decontam, embedding SemDeDup) + the temperature-quota gate + the
+    * incremental release ledger, over one `(doc_id, text, lang,
+    * embedding)` batch in one foreachBatch. The composition contracts
+    * are the union of the parts': every screen sees the raw batch, both
+    * history indexes ingest every doc, quota slots are spent only on
+    * three-way-clean docs, the release fingerprints only admitted docs,
+    * and every write is batch-scoped so replay converges.
+    */
+  def screenBatchFull(batch: DataFrame, indexDir: String, embIndexDir: String,
+      batchId: Long, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String,
+      k: Int = 16, tau: Double = 0.40): DataFrame = {
+    val content = screenBatchMultimodal(
+      batch.select(col("doc_id"), col("text"), col("embedding")),
+      indexDir, embIndexDir, batchId, screen, k, tau)
+      .withColumnRenamed("admitted", "clean")
+    val verdicts = gateWithQuota(content, batch, batchId, quotaDf, ledgerDir)
+    val admitted = verdicts.filter(col("admitted"))
+      .select(col("doc_id"), col("lang"))
+      .join(batch.select(col("doc_id"), col("text")), "doc_id")
+    StreamingRelease.appendBatch(admitted, releaseDir, batchId)
+    verdicts
+  }
+
+  /** Streaming sink for the full intake (3 screens + quota + release). */
+  def sinkFull(docs: DataFrame, indexDir: String, embIndexDir: String,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
+      releaseDir: String, verdictDir: String, checkpointDir: String,
+      k: Int = 16, tau: Double = 0.40,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = screenBatchFull(batch, indexDir, embIndexDir,
+            batchId, screen, quotaDf, ledgerDir, releaseDir, k, tau)
+          try verdictWriter(verdictDir)(verdicts, batchId)
+          finally verdicts.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
 
   /** The full intake PLUS the incremental release cut: after the quota
     * gate, the batch's admitted docs are fingerprinted per language and

@@ -243,6 +243,68 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     assert(ledger == Map("en" -> 2L), s"ledger after replay: $ledger")
   }
 
+  test("FULL intake: three screens + quota + release in one pass, all contracts hold") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("full-index") + "/index"
+    val embIndexDir = tmp("full-emb") + "/index"
+    val ledgerDir = tmp("full-ledger"); val releaseDir = tmp("full-release")
+    // en quota 2 binds; de quota generous
+    val quota = Seq(("en", 2L), ("de", 10L)).toDF("lang", "quota")
+
+    //   0: clean en  → admitted (slot 1)
+    //   1: clean en  → admitted (slot 2)
+    //   2: TEXT near-copy of 0 → rejected, must NOT burn an en slot
+    //   3: eval copy → rejected (contaminated)
+    //   4: EMBEDDING near-copy of 0 → rejected (sem dup)
+    //   5: clean de  → admitted
+    val b1 = Seq(
+      (0L, sentence(30), "en", emb(0)),
+      (1L, sentence(31), "en", emb(1)),
+      (2L, mutate(sentence(30)), "en", emb(2)),
+      (3L, sentence(1), "en", emb(3)),
+      (4L, sentence(32), "en", embCopy(0)),
+      (5L, sentence(33), "de", emb(4)))
+    // batch 2: one more clean en doc — quota exhausted, clean but cut
+    val b2 = Seq((10L, sentence(34), "en", emb(5)))
+    def df(rows: Seq[(Long, String, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "lang", "embedding")
+
+    val v1 = StreamingIntake.screenBatchFull(df(b1), indexDir, embIndexDir, 0L,
+      screen, quota, ledgerDir, releaseDir, k = 3, tau = 0.9)
+    val v2 = StreamingIntake.screenBatchFull(df(b2), indexDir, embIndexDir, 1L,
+      screen, quota, ledgerDir, releaseDir, k = 3, tau = 0.9)
+    val v = (v1.collect() ++ v2.collect()).map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("clean"),
+        r.getAs[Boolean]("in_quota"), r.getAs[Boolean]("admitted")))
+    }.toMap
+    assert(v(0L) == ((true, true, true)))
+    assert(v(1L) == ((true, true, true)))
+    assert(v(2L)._1 == false && v(2L)._3 == false)
+    assert(v(3L)._1 == false && v(4L)._1 == false)
+    assert(v(5L) == ((true, true, true)))
+    // batch 2's clean en doc finds the quota spent — clean but not admitted
+    assert(v(10L) == ((true, false, false)), s"quota must bind: ${v(10L)}")
+
+    // release ledger == one-shot cut over exactly the admitted docs
+    val admitted = df(b1 ++ b2).filter(col("doc_id").isin(0L, 1L, 5L))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val folded = StreamingRelease.currentRelease(spark, releaseDir)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val oneShot = StreamingRelease.releaseBatch(admitted)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(folded == oneShot)
+
+    // replay of batch 0 converges everywhere (verdicts, ledger, release)
+    val r = StreamingIntake.screenBatchFull(df(b1), indexDir, embIndexDir, 0L,
+      screen, quota, ledgerDir, releaseDir, k = 3, tau = 0.9)
+    assert(r.collect().map(_.mkString("|")).sorted.toSeq ==
+      v1.collect().map(_.mkString("|")).sorted.toSeq)
+    r.unpersist()
+    assert(StreamingRelease.currentRelease(spark, releaseDir)
+      .collect().map(_.mkString("|")).sorted.toSeq == folded)
+    v1.unpersist(); v2.unpersist()
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"
