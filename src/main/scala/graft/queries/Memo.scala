@@ -62,7 +62,21 @@ object Memo {
         it.remove()
       }
     }
-    cache.computeIfAbsent((s, dir, fp, key), _ => build.persist())
+    // get → build OUTSIDE the map → putIfAbsent, NOT computeIfAbsent:
+    // builds are re-entrant (d10's canonical table builds the d3 pair
+    // list, c3 builds d10's), and a computeIfAbsent whose mapping
+    // function touches the same map throws "Recursive update". The race
+    // window this opens is benign: builds are deterministic, and a loser
+    // unpersists its duplicate before returning the winner.
+    val k = (s, dir, fp, key)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      val built = build.persist()
+      val prev = cache.putIfAbsent(k, built)
+      if (prev == null) built
+      else { built.unpersist(); prev }
+    }
   }
 
   /** Same contract as [[cached]] for plain (non-DataFrame) values — e.g.
@@ -80,7 +94,16 @@ object Memo {
       val (es, ed, efp, ek) = e.getKey
       if ((es eq s) && ed == dir && ek == key && efp != fp) it.remove()
     }
-    valCache.computeIfAbsent((s, dir, fp, key), _ => build).asInstanceOf[T]
+    // same re-entrancy-safe pattern as cached() (values hold no executor
+    // blocks, so the losing duplicate needs no cleanup)
+    val k = (s, dir, fp, key)
+    val hit = valCache.get(k)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val built = build
+      val prev = valCache.putIfAbsent(k, built)
+      (if (prev == null) built else prev).asInstanceOf[T]
+    }
   }
 
   /** Unpersist and drop every memo of one session (long-lived sessions
