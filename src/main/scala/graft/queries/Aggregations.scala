@@ -243,6 +243,62 @@ object Aggregations {
             .as("merged_within_6pct"))
   }
 
+  /** A21: MERGEABLE QUANTILE SKETCH — the distributed answer to
+    * percentiles at 100 TB, where a12's exact `percentile_disc` needs a
+    * per-group sort of the full data. A KMV-style bottom-k sketch
+    * ([[graft.functions.BottomKSample]], k = 256 per group) is a uniform
+    * sample selected by md5 rank — min-k by key is commutative and
+    * associative, so 1000 executors' partial sketches merge to the SAME
+    * sample in any order (the property reservoir sampling lacks), state
+    * is bounded by 256 × |groups|, and quantiles over the sample estimate
+    * the true quantiles with O(1/√k) error. Everything after the sketch
+    * is driver-free: sort_array over ≤256 elements per group.
+    *
+    * Hash-exact (not boolean-contract): the md5 selection rule makes the
+    * sample itself reproducible in DuckDB (`row_number() OVER (ORDER BY
+    * md5(seed || ':' || v), v)` — the t6 idiom), and money rides the
+    * Exact.dec2 cents discipline, so the emitted quantiles are
+    * bit-identical integers. Index rule: element at
+    * `floor((n-1)·q) + 1` (1-based) of the sorted sample.
+    */
+  val a21QuantileSketch = Q("a21_quantile_sketch",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) AS v
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, CAST(v AS BIGINT) AS vc,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY md5('7:' || v), v) AS rn
+      |  FROM s),
+      |o AS (
+      |  SELECT l_returnflag, vc,
+      |         row_number() OVER (PARTITION BY l_returnflag ORDER BY vc) AS p,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM r WHERE rn <= 256)
+      |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_sample,
+      |  max(CASE WHEN p = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN vc END) AS p25_cents,
+      |  max(CASE WHEN p = CAST(floor((n-1)*0.5)  AS BIGINT)+1 THEN vc END) AS p50_cents,
+      |  max(CASE WHEN p = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN vc END) AS p75_cents,
+      |  max(CASE WHEN p = CAST(floor((n-1)*0.9)  AS BIGINT)+1 THEN vc END) AS p90_cents
+      |FROM o GROUP BY l_returnflag""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.BottomKSample.register(s)
+      val centsStr = (Exact.dec2($"l_extendedprice") * 100).cast("bigint").cast("string")
+      val samp = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(call_function("bottom_k_sample", centsStr, lit(256), lit(7)).as("sample"))
+        .withColumn("vs", sort_array(expr("transform(sample, x -> CAST(x AS BIGINT))")))
+      def qAt(q: Double): org.apache.spark.sql.Column =
+        element_at($"vs", (floor((size($"vs") - 1) * lit(q)) + 1).cast("int"))
+      samp.select($"l_returnflag",
+        size($"vs").cast("bigint").as("n_sample"),
+        qAt(0.25).as("p25_cents"), qAt(0.5).as("p50_cents"),
+        qAt(0.75).as("p75_cents"), qAt(0.9).as("p90_cents"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
-    a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion)
+    a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
+    a21QuantileSketch)
 }

@@ -66,11 +66,36 @@ object StreamingIntake {
     */
   def screenBatchMultimodal(batch: DataFrame, indexDir: String, embIndexDir: String,
       batchId: Long, screen: StreamingDecontam.Screen,
-      k: Int = 16, tau: Double = 0.40): DataFrame = {
+      k: Int = 16, tau: Double = 0.40): DataFrame =
+    composeMultimodal(batch, indexDir, batchId, screen,
+      vecs => StreamingSemDedup.screenBatch(vecs, embIndexDir, batchId, k = k, tau = tau))
+
+  /** [[screenBatchMultimodal]] with the embedding screen running over the
+    * IVF postings layout ([[StreamingIvf.screenBatch]]) instead of
+    * [[StreamingSemDedup]]'s flat per-batch index: same verdict columns,
+    * same composition contracts, but the embedding history is the SAME
+    * versioned, `cell_id=X`-partitioned index ad-hoc probes and the
+    * manifest use — one at-rest artifact, not a screen-private copy — and
+    * the screen's history read prunes to the probed cells instead of
+    * scanning every batch partition.
+    */
+  def screenBatchMultimodalIvf(batch: DataFrame, indexDir: String, embIndexDir: String,
+      batchId: Long, screen: StreamingDecontam.Screen,
+      k: Int = 16, tau: Double = 0.40, nprobe: Int = 2): DataFrame =
+    composeMultimodal(batch, indexDir, batchId, screen,
+      vecs => StreamingIvf.screenBatch(vecs, embIndexDir, batchId,
+        nprobe = nprobe, tau = tau, trainOnFirstBatch = true, k = k))
+
+  /** Shared three-screen composition: text near-dup + eval decontam +
+    * a pluggable embedding screen (both implementations emit the same
+    * `(vec_id, is_near_dup, matched_vec, cosine)` contract).
+    */
+  private def composeMultimodal(batch: DataFrame, indexDir: String, batchId: Long,
+      screen: StreamingDecontam.Screen,
+      embScreen: DataFrame => DataFrame): DataFrame = {
     val textVerdicts = screenBatch(batch.select("doc_id", "text"), indexDir, batchId, screen)
-    val semVerdicts = StreamingSemDedup.screenBatch(
-        batch.select(col("doc_id").as("vec_id"), col("embedding")),
-        embIndexDir, batchId, k = k, tau = tau)
+    val semVerdicts = embScreen(
+        batch.select(col("doc_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("doc_id"), col("is_near_dup").as("is_sem_dup"),
         col("matched_vec").as("matched_sem_doc"), col("cosine"))
     textVerdicts.drop("admitted")
@@ -157,11 +182,30 @@ object StreamingIntake {
   def screenBatchFull(batch: DataFrame, indexDir: String, embIndexDir: String,
       batchId: Long, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
       ledgerDir: String, releaseDir: String,
-      k: Int = 16, tau: Double = 0.40): DataFrame = {
-    val content = screenBatchMultimodal(
-      batch.select(col("doc_id"), col("text"), col("embedding")),
-      indexDir, embIndexDir, batchId, screen, k, tau)
-      .withColumnRenamed("admitted", "clean")
+      k: Int = 16, tau: Double = 0.40): DataFrame =
+    fullWith(batch, batchId, quotaDf, ledgerDir, releaseDir,
+      screenBatchMultimodal(
+        batch.select(col("doc_id"), col("text"), col("embedding")),
+        indexDir, embIndexDir, batchId, screen, k, tau))
+
+  /** [[screenBatchFull]] with the IVF-layout embedding screen
+    * ([[screenBatchMultimodalIvf]]): the full production intake where the
+    * embedding history index is the shared, prunable, compactable
+    * [[StreamingIvf]] artifact rather than a screen-private layout.
+    */
+  def screenBatchFullIvf(batch: DataFrame, indexDir: String, embIndexDir: String,
+      batchId: Long, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String,
+      k: Int = 16, tau: Double = 0.40, nprobe: Int = 2): DataFrame =
+    fullWith(batch, batchId, quotaDf, ledgerDir, releaseDir,
+      screenBatchMultimodalIvf(
+        batch.select(col("doc_id"), col("text"), col("embedding")),
+        indexDir, embIndexDir, batchId, screen, k, tau, nprobe))
+
+  /** Shared quota + release composition over three-screen content verdicts. */
+  private def fullWith(batch: DataFrame, batchId: Long, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String, content0: DataFrame): DataFrame = {
+    val content = content0.withColumnRenamed("admitted", "clean")
     val verdicts = gateWithQuota(content, batch, batchId, quotaDf, ledgerDir)
     val admitted = verdicts.filter(col("admitted"))
       .select(col("doc_id"), col("lang"))
@@ -183,6 +227,32 @@ object StreamingIntake {
             batchId, screen, quotaDf, ledgerDir, releaseDir, k, tau)
           try verdictWriter(verdictDir)(verdicts, batchId)
           finally verdicts.unpersist()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
+  /** Streaming sink for the IVF-indexed full intake, compacting the
+    * embedding index every `compactEvery` batches (the [[StreamingIvf]]
+    * maintenance fold — safe concurrently with probes).
+    */
+  def sinkFullIvf(docs: DataFrame, indexDir: String, embIndexDir: String,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
+      releaseDir: String, verdictDir: String, checkpointDir: String,
+      k: Int = 16, tau: Double = 0.40, nprobe: Int = 2, compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = screenBatchFullIvf(batch, indexDir, embIndexDir,
+            batchId, screen, quotaDf, ledgerDir, releaseDir, k, tau, nprobe)
+          try verdictWriter(verdictDir)(verdicts, batchId)
+          finally verdicts.unpersist()
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            StreamingIvf.compactIndex(batch.sparkSession, embIndexDir, batchId)
+            ()
+          }
         }
       }
       .option("checkpointLocation", checkpointDir)

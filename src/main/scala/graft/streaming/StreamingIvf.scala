@@ -148,6 +148,113 @@ object StreamingIvf {
     }
   }
 
+  /** Screen one batch of `(vec_id, embedding)` rows against the
+    * maintained index plus lower-id batchmates, then ingest the batch —
+    * the [[StreamingSemDedup]] admission verdict re-expressed over the
+    * IVF postings layout, which is what a 100 TB intake actually wants:
+    * the history side of the screen reads ONLY the probed `cell_id=X`
+    * directories (planning-time pruning via a literal `isin` over ≤ k
+    * cell ids), not the whole index, and the same at-rest index serves
+    * both the intake screen and ad-hoc [[probe]]s.
+    *
+    * Candidate rule (spec-pinned in StreamingIvfSpec): vector `b` is a
+    * candidate for `a` iff `b`'s ASSIGNED cell is among `a`'s `nprobe`
+    * nearest cells (by the exact integer centroid distance both the
+    * assigner and [[IvfIndex.probeCells]] use, identical tie-break) and
+    * `b` precedes `a` — history, or a lower-id batchmate. The verdict is
+    * exact cosine within candidates: `is_near_dup = ∃ b: cos ≥ τ`,
+    * `matched_vec` the smallest qualifying id (batch-SemDeDup's
+    * lower-id-survives rule). With `nprobe = k` this is exactly the
+    * brute-force screen; smaller `nprobe` trades recall for probe cost,
+    * never precision (every flagged pair's cosine is exact).
+    *
+    * Replay-idempotent like [[ingestBatch]]: the postings append is a
+    * dynamic overwrite of `__batch=N` and the history scan reads only
+    * STRICTLY EARLIER batches, so a crashed-and-replayed batch converges
+    * to its original verdicts even after later batches have landed.
+    */
+  def screenBatch(batch: DataFrame, indexDir: String, batchId: Long,
+      nprobe: Int = 2, tau: Double = 0.40,
+      trainOnFirstBatch: Boolean = true, k: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    FloatVecDot.register(spark)
+    if (batch.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id bigint, is_near_dup boolean, matched_vec bigint, cosine double"))
+    val withLabel =
+      if (batch.columns.contains("label")) batch.select("vec_id", "embedding", "label")
+      else batch.select(col("vec_id"), col("embedding")).withColumn("label", lit(0))
+    val (fs, cRoot) = PartitionedIndex.fsFor(spark, centroidsDir(indexDir))
+    if (!fs.exists(cRoot)) {
+      require(trainOnFirstBatch,
+        s"no frozen centroids at $cRoot and trainOnFirstBatch=false")
+      publishCentroids(spark, indexDir,
+        IvfIndex.buildQuantized(spark, withLabel, k = k).centroids)
+    }
+    val cents = centroids(spark, indexDir)
+    val fresh = IvfIndex.assignTo(withLabel, cents).cache()
+
+    // a's probe cells (≤ nprobe per vector; rank-1 == a's assigned cell —
+    // probeCells and assignTo share the (d2, cell_id) tie-break)
+    val cells = IvfIndex.probeCells(withLabel, cents, nprobe)
+    val cellIds = cells.select(col("cell_id")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq // ≤ k rows — bounded collect
+    // history restricted to probed cells: the literal isin prunes the
+    // cell_id=X directories at planning time. History is STRICTLY EARLIER
+    // batches — a replayed batch sees neither its own half-appended rows
+    // nor later batches' (consolidated partitions carry negative ids)
+    val hist = scanPostings(spark, indexDir)
+      .map(_.filter(col("__batch") < batchId && col("cell_id").isin(cellIds: _*)))
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id bigint, cell_id int, embedding array<float>, label int, __batch bigint")))
+
+    val q = cells.join(
+      fresh.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("q_n")),
+      Seq("query_id"))
+    def bSide(df: DataFrame): DataFrame =
+      df.select(col("cell_id"), col("vec_id").as("b_id"), col("embedding").as("b_e"),
+        sqrt(call_function("vec_dot", col("embedding"), col("embedding"))).as("b_n"))
+    // each (a, b) pair appears at most once per source: b carries exactly
+    // one assigned cell, and hist/self are disjoint (hist excludes batchId)
+    val candHist = q.join(bSide(hist), Seq("cell_id"))
+    val candSelf = q.join(bSide(fresh), Seq("cell_id"))
+      .filter(col("b_id") < col("query_id"))
+    // the zero-norm guard keeps 0/0 = NaN (which Spark orders above every
+    // double) from matching τ — same rule as StreamingSemDedup
+    val matches = candHist.unionByName(candSelf)
+      .filter(col("q_n") > 0 && col("b_n") > 0)
+      .select(col("query_id"),
+        col("b_id"), (call_function("vec_dot", col("q_emb"), col("b_e"))
+          / (col("q_n") * col("b_n"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("query_id"))
+      .agg(min_by(struct(col("b_id").as("matched_vec"), col("cos")), col("b_id")).as("m"))
+      .select(col("query_id").as("vec_id"), col("m.matched_vec").as("matched_vec"),
+        col("m.cos").as("cosine"))
+
+    // publish this batch's postings (dynamic overwrite of ONLY this batch),
+    // reusing the cached assignment
+    fresh.withColumn("__batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__batch", "cell_id")
+      .parquet(postingsDir(indexDir))
+
+    // one verdict per input vector; localCheckpoint materializes while the
+    // assignment cache is hot
+    val verdicts = batch.select(col("vec_id")).distinct()
+      .join(matches, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("matched_vec").isNotNull.as("is_near_dup"),
+        col("matched_vec"), col("cosine"))
+      .localCheckpoint(true)
+    fresh.unpersist()
+    verdicts
+  }
+
   /** Maintenance fold: consolidate historical `__batch=N` partitions,
     * PRESERVING the `cell_id=X` layout inside the consolidated partition
     * (the probe's pruning key). Safe concurrently with a probe — deferred

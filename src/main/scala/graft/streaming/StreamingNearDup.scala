@@ -87,8 +87,12 @@ object StreamingNearDup {
     val sigs = signatures(batch).cache()
     val fresh = bandRows(sigs)
 
-    // a replayed batch must not see its own half-appended rows
-    val hist = historyScan(spark, indexDir).filter(col("__batch") =!= batchId)
+    // history is STRICTLY EARLIER batches: a replayed batch must not see
+    // its own half-appended rows, and — after later batches have already
+    // landed (checkpoint recovery mid-stream) — must not see the FUTURE
+    // either, or the replay would flag docs their original run admitted.
+    // Consolidated partitions carry fresh negative ids, so they stay.
+    val hist = historyScan(spark, indexDir).filter(col("__batch") < batchId)
 
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(col("doc_id").as(s"${tag}_id") +: col("band_idx") +: col("band_key") +:
@@ -168,8 +172,8 @@ object StreamingNearDup {
     *    dynamic-overwrite contract;
     *  - the consolidated partition gets a FRESH NEGATIVE id (below any
     *    previous one), so it can never collide with a real batchId and
-    *    the `__batch =!= batchId` history filter still excludes exactly
-    *    the live batch;
+    *    the `__batch < batchId` history filter still includes it for
+    *    every live batch while excluding the live batch itself;
     *  - publish is one rename of a directory built outside the index
     *    root; the pending-delete manifest is written BEFORE that rename
     *    and is inert until the target lands, so the pending exclusion and

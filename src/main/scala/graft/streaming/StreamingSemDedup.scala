@@ -135,9 +135,12 @@ object StreamingSemDedup {
     val centroids = centroidsFor(spark, indexDir, batch, k, seed)
     val fresh = assign(batch, centroids).cache()
 
-    // a replayed batch must not see its own half-appended rows
+    // history is STRICTLY EARLIER batches: a replayed batch must not see
+    // its own half-appended rows, nor later batches' (replay-after-
+    // progress would otherwise drift); consolidated partitions carry
+    // fresh negative ids, so they stay
     val hist = PartitionedIndex.scan(spark, indexDir).getOrElse(emptyIndex(spark))
-      .filter(col("__batch") =!= batchId)
+      .filter(col("__batch") < batchId)
 
     def side(df: DataFrame, tag: String): DataFrame =
       df.select(col("cell_id"), col("vec_id").as(s"${tag}_id"),

@@ -305,6 +305,96 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     v1.unpersist(); v2.unpersist()
   }
 
+  test("FULL intake over the IVF embedding index: same contracts, shared prunable index") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("ivf-index") + "/index"
+    val embIndexDir = tmp("ivf-emb") + "/index"
+    val ledgerDir = tmp("ivf-ledger"); val releaseDir = tmp("ivf-release")
+    val quota = Seq(("en", 2L), ("de", 10L)).toDF("lang", "quota")
+
+    // same engineered shape as the SemDedup-backed FULL intake test
+    val b1 = Seq(
+      (0L, sentence(40), "en", emb(0)),
+      (1L, sentence(41), "en", emb(1)),
+      (2L, mutate(sentence(40)), "en", emb(2)),
+      (3L, sentence(1), "en", emb(3)),
+      (4L, sentence(42), "en", embCopy(0)),
+      (5L, sentence(43), "de", emb(4)))
+    val b2 = Seq((10L, sentence(44), "en", embCopy(1)))
+    def df(rows: Seq[(Long, String, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "lang", "embedding")
+
+    val v1 = StreamingIntake.screenBatchFullIvf(df(b1), indexDir, embIndexDir, 0L,
+      screen, quota, ledgerDir, releaseDir, k = 3, tau = 0.9, nprobe = 3)
+    val v2 = StreamingIntake.screenBatchFullIvf(df(b2), indexDir, embIndexDir, 1L,
+      screen, quota, ledgerDir, releaseDir, k = 3, tau = 0.9, nprobe = 3)
+    val v = (v1.collect() ++ v2.collect()).map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_near_dup"),
+        r.getAs[Boolean]("is_contaminated"), r.getAs[Boolean]("is_sem_dup"),
+        r.getAs[Boolean]("clean"), r.getAs[Boolean]("admitted")))
+    }.toMap
+    assert(v(0L) == ((false, false, false, true, true)))
+    assert(v(1L) == ((false, false, false, true, true)))
+    assert(v(2L)._1 && !v(2L)._5, s"text near-copy: ${v(2L)}")
+    assert(v(3L)._2 && !v(3L)._5, s"eval copy: ${v(3L)}")
+    assert(v(4L)._3 && !v(4L)._5, s"embedding near-copy via IVF screen: ${v(4L)}")
+    assert(v(5L) == ((false, false, false, true, true)))
+    // batch 2's CROSS-BATCH embedding copy is caught by the persisted
+    // index (and the en quota is irrelevant — it's not clean)
+    assert(v(10L)._3 && !v(10L)._5, s"cross-batch sem copy via IVF history: ${v(10L)}")
+
+    // the semantic column equals the standalone IVF screen batch-by-batch
+    // into a SEPARATE index (same frozen-on-first-batch codebook — the
+    // quantized Lloyd is deterministic)
+    val soloEmb = tmp("ivf-solo") + "/index"
+    val solo = Seq(b1 -> 0L, b2 -> 1L).map { case (rows, bid) =>
+      StreamingIvf.screenBatch(
+        df(rows).select($"doc_id".as("vec_id"), $"embedding"), soloEmb, bid,
+        nprobe = 3, tau = 0.9, trainOnFirstBatch = true, k = 3)
+    }.reduce(_ unionByName _)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    val composedSem = (v1.collect() ++ v2.collect()).map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_sem_dup"),
+        if (r.isNullAt(r.fieldIndex("matched_sem_doc"))) -1L
+        else r.getAs[Long]("matched_sem_doc")))
+    }.toMap
+    assert(composedSem == solo,
+      s"composition changed the IVF semantic verdict:\n composed=$composedSem\n solo=$solo")
+
+    // the embedding index is the SHARED StreamingIvf artifact: cell_id
+    // layout on disk, every screened doc ingested (including rejected
+    // ones), and ad-hoc probes work against it directly
+    val postings = StreamingIvf.scanPostings(spark, embIndexDir).get
+    assert(postings.select($"vec_id").collect().map(_.getLong(0)).toSet ==
+      (b1 ++ b2).map(_._1).toSet,
+      "index must ingest every screened doc, rejected ones included")
+    val batchDir = new java.io.File(s"$embIndexDir/postings/__batch=0")
+    assert(batchDir.isDirectory &&
+      batchDir.listFiles().exists(_.getName.startsWith("cell_id=")),
+      "intake-maintained index must keep the prunable cell_id=X layout")
+    // doc 4's embedding IS embCopy(0) — the exact match (cosine 1.0)
+    // outranks doc 0's 0.999
+    val hit = StreamingIvf.probe(spark, embIndexDir,
+      Seq((99L, embCopy(0))).toDF("vec_id", "embedding"), nprobe = 1, topK = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(hit == Seq(4L), s"ad-hoc probe against the intake's index: $hit")
+
+    // replay of batch 0 converges (verdicts + ledger + postings)
+    val rowsBefore = StreamingIvf.scanPostings(spark, embIndexDir).get.count()
+    val r = StreamingIntake.screenBatchFullIvf(df(b1), indexDir, embIndexDir, 0L,
+      screen, quota, ledgerDir, releaseDir, k = 3, tau = 0.9, nprobe = 3)
+    assert(r.collect().map(_.mkString("|")).sorted.toSeq ==
+      v1.collect().map(_.mkString("|")).sorted.toSeq)
+    r.unpersist()
+    assert(StreamingIvf.scanPostings(spark, embIndexDir).get.count() == rowsBefore)
+    val ledger = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+      .groupBy($"lang").sum("n_admitted").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(ledger == Map("en" -> 2L, "de" -> 1L), s"ledger after replay: $ledger")
+    v1.unpersist(); v2.unpersist()
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"

@@ -179,4 +179,114 @@ class StreamingIvfSpec extends AnyFunSuite with SparkTestKit {
       "second fold must physically delete the first fold's sources")
     assert(probeSet(StreamingIvf.probe(spark, dir, probes)) == afterIngest)
   }
+
+  // ---- the admission screen over the IVF layout --------------------------
+
+  // engineered 8-dim families: near-orthogonal across families, copies at
+  // cos ≈ 0.999 — every engineered cosine is far from τ = 0.9, so float-vs-
+  // driver-double rounding cannot flip a verdict
+  private def emb(f: Int): Array[Float] = {
+    val v = Array.fill(8)(0.0f); v(f % 8) = 10.0f; v((f + 3) % 8) += 1.0f; v
+  }
+  private def embCopy(f: Int): Array[Float] = {
+    val v = emb(f); v((f + 5) % 8) += 0.3f; v
+  }
+
+  /** Ordered screen batches: ids are globally unique and increase with
+    * batch index, so "earlier" is exactly "lower id OR earlier batch".
+    */
+  private def screenBatches: Seq[Seq[(Long, Array[Float])]] = Seq(
+    Seq(0L -> emb(0), 1L -> emb(1), 2L -> embCopy(0), 3L -> emb(2)),
+    Seq(10L -> embCopy(1), 11L -> emb(3), 12L -> emb(4)),
+    Seq(20L -> embCopy(4), 21L -> emb(5), 22L -> embCopy(0)))
+
+  private def screenDf(rows: Seq[(Long, Array[Float])]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  /** Independent driver-side oracle: brute-force cosine over all earlier
+    * vectors (history of prior batches + lower-id batchmates), min
+    * qualifying id wins — pure Scala, no engine code path shared.
+    */
+  private def bruteForce(batches: Seq[Seq[(Long, Array[Float])]], tau: Double)
+      : Map[Long, (Boolean, Option[Long])] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) -1.0 else dot / (na * nb)
+    }
+    val flat = batches.zipWithIndex.flatMap { case (rows, bi) =>
+      rows.map { case (id, e) => (bi, id, e) }
+    }
+    flat.map { case (bi, id, e) =>
+      val earlier = flat.filter { case (bj, jd, _) => bj < bi || (bj == bi && jd < id) }
+      val hits = earlier.filter { case (_, _, f) => cos(e, f) >= tau }.map(_._2)
+      id -> ((hits.nonEmpty, if (hits.nonEmpty) Some(hits.min) else None))
+    }.toMap
+  }
+
+  private def verdictMap(df: DataFrame): Map[Long, (Boolean, Option[Long])] =
+    df.collect().map { r =>
+      r.getAs[Long]("vec_id") -> ((r.getAs[Boolean]("is_near_dup"),
+        if (r.isNullAt(r.fieldIndex("matched_vec"))) None
+        else Some(r.getAs[Long]("matched_vec"))))
+    }.toMap
+
+  test("screenBatch with nprobe = k IS the brute-force screen (driver-side oracle)") {
+    val dir = tmp("sivf-screen")
+    val k = 3; val tau = 0.9
+    val got = screenBatches.zipWithIndex.map { case (rows, bi) =>
+      verdictMap(StreamingIvf.screenBatch(screenDf(rows), dir, bi.toLong,
+        nprobe = k, tau = tau, trainOnFirstBatch = true, k = k))
+    }.reduce(_ ++ _)
+    val want = bruteForce(screenBatches, tau)
+    assert(got == want, s"\n got=$got\nwant=$want")
+    // the engineered shape, stated directly: copies flag their original
+    assert(got(2L) == ((true, Some(0L))))
+    assert(got(10L) == ((true, Some(1L))))
+    assert(got(20L) == ((true, Some(12L))))
+    assert(got(22L) == ((true, Some(0L))), "cross-batch history must reach batch 0")
+    assert(!got(0L)._1 && !got(11L)._1 && !got(21L)._1)
+  }
+
+  test("screenBatch with nprobe = 1 flags a subset of brute force; copies still caught") {
+    val dir = tmp("sivf-screen1")
+    val tau = 0.9
+    val got = screenBatches.zipWithIndex.map { case (rows, bi) =>
+      verdictMap(StreamingIvf.screenBatch(screenDf(rows), dir, bi.toLong,
+        nprobe = 1, tau = tau, trainOnFirstBatch = true, k = 3))
+    }.reduce(_ ++ _)
+    val want = bruteForce(screenBatches, tau)
+    got.foreach { case (id, (flag, m)) =>
+      if (flag) assert(want(id)._1, s"vec $id flagged but brute force disagrees")
+      // exactness: any emitted match must be a true τ-qualifying pair
+      m.foreach(_ => assert(want(id)._1))
+    }
+    // a copy probes its original's cell at rank 1 — still caught
+    assert(got(2L)._1 && got(22L)._1)
+  }
+
+  test("screenBatch replay converges: identical verdicts, no posting growth") {
+    val dir = tmp("sivf-screen-replay")
+    val ss = screenBatches
+    StreamingIvf.screenBatch(screenDf(ss(0)), dir, 0L,
+      nprobe = 3, tau = 0.9, trainOnFirstBatch = true, k = 3)
+    val v1 = verdictMap(StreamingIvf.screenBatch(screenDf(ss(1)), dir, 1L,
+      nprobe = 3, tau = 0.9))
+    val rows = StreamingIvf.scanPostings(spark, dir).get.count()
+    val again = verdictMap(StreamingIvf.screenBatch(screenDf(ss(1)), dir, 1L,
+      nprobe = 3, tau = 0.9))
+    assert(again == v1, s"replayed verdicts drifted: $again vs $v1")
+    assert(StreamingIvf.scanPostings(spark, dir).get.count() == rows,
+      "replay must dynamic-overwrite its own partition, not append")
+    // the screen-maintained index serves ad-hoc probes: layout is the same
+    val cons = new java.io.File(s"$dir/postings")
+    assert(cons.isDirectory)
+    // vec 2 IS embCopy(0) — the exact match (cosine 1.0) outranks vec 0
+    val p = StreamingIvf.probe(spark, dir,
+      screenDf(Seq(99L -> embCopy(0))), nprobe = 1, topK = 1)
+    assert(p.collect().map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L))
+  }
 }

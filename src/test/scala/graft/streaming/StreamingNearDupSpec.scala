@@ -113,6 +113,26 @@ class StreamingNearDupSpec extends AnyFunSuite with SparkTestKit {
       s"near-dup probe degenerated to a cartesian:\n$p")
   }
 
+  test("replay after later batches landed must not see the future") {
+    val indexDir = tmp("nd-future") + "/index"
+    // batch 0: a clean original; batch 1: its near-copy (flagged).
+    // Replaying batch 0 AFTER batch 1 landed (checkpoint recovery
+    // mid-stream) must reproduce batch 0's original verdict — doc 0 clean —
+    // not flag it against its own future copy.
+    val b0 = Seq((0L, sentence(1))).toDF("doc_id", "text")
+    val b1 = Seq((10L, mutate(sentence(1)))).toDF("doc_id", "text")
+    val v0 = StreamingNearDup.screenBatch(b0, indexDir, 0L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v0 == Map(0L -> false))
+    val v1 = StreamingNearDup.screenBatch(b1, indexDir, 1L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v1 == Map(10L -> true))
+    val replayed = StreamingNearDup.screenBatch(b0, indexDir, 0L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(replayed == v0,
+      s"replayed batch 0 saw the future: $replayed (history must be __batch < batchId)")
+  }
+
   test("docs too short to shingle still get an explicit false verdict") {
     // <3 whitespace tokens → zero 3-gram shingles → no signature row.
     // The contract is one verdict row PER INPUT DOC, so these must come

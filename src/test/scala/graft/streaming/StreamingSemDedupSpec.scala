@@ -107,6 +107,24 @@ class StreamingSemDedupSpec extends AnyFunSuite with SparkTestKit {
       s"semdedup probe degenerated to a cartesian:\n$p")
   }
 
+  test("replay after later batches landed must not see the future") {
+    val indexDir = tmp("sd-future") + "/index"
+    val b0 = vecs(Seq((0L, 0, false), (1L, 1, false), (2L, 2, false)))
+    val b1 = vecs(Seq((10L, 0, true)))
+    val v0 = StreamingSemDedup.screenBatch(b0, indexDir, 0L, k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v0 == Map(0L -> false, 1L -> false, 2L -> false))
+    val v1 = StreamingSemDedup.screenBatch(b1, indexDir, 1L, k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(v1 == Map(10L -> true))
+    // replaying batch 0 after batch 1 landed must reproduce the original
+    // verdicts — vec 0 clean — not flag it against its own future copy
+    val replayed = StreamingSemDedup.screenBatch(b0, indexDir, 0L, k = 2, tau = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(replayed == v0,
+      s"replayed batch 0 saw the future: $replayed (history must be __batch < batchId)")
+  }
+
   test("centroids are frozen at first ingest and reused verbatim") {
     val indexDir = tmp("ssd-frozen") + "/index"
     val b0 = vecs(Seq((0L, 0, false), (1L, 1, false), (2L, 2, false), (3L, 3, false)))
