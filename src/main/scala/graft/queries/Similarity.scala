@@ -939,8 +939,86 @@ object Similarity {
           .as("drift_ppm"))
   }
 
+  /** E21: LOCAL CLUSTERING COEFFICIENT over the kNN graph — the per-node
+    * community-density signal (how interconnected is a vector's
+    * neighborhood): `lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`, triangles
+    * over possible wedges. On a dedup/curation graph this separates tight
+    * duplicate clusters (lcc → 1) from hub-like boilerplate connectors
+    * (high degree, low lcc) — the signal diversity-aware downsampling
+    * (e12) and cluster auditing want next after the raw triangle count.
+    *
+    * Composition, not new machinery: e18's canonical u<v edge list
+    * (cached across its three join instances) supplies both the triangle
+    * witnesses and — via one unionAll aggregate — exact degrees; the
+    * division is the only double and both engines do the same
+    * exact-int → IEEE divide. All-integer until that last step, so the
+    * oracle replays it hash-exactly. Scale: one extra linear aggregate
+    * over the same edge list the triangle count already shuffles —
+    * nothing new grows with corpus size.
+    */
+  val clusteringCoefficient = Q("e21_clustering_coefficient", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |knn AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+       |deg AS (
+       |  SELECT vtx AS vec_id, count(*) AS degree FROM (
+       |    SELECT u AS vtx FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY 1),
+       |tri AS (
+       |  SELECT a.u AS x, a.v AS y, b.v AS z
+       |  FROM und a JOIN und b ON a.v = b.u
+       |       JOIN und c ON c.u = a.u AND c.v = b.v),
+       |tcnt AS (
+       |  SELECT vtx AS vec_id, count(*) AS n_triangles FROM (
+       |    SELECT x AS vtx FROM tri
+       |    UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri)
+       |  GROUP BY 1)
+       |SELECT d.vec_id, d.degree,
+       |       COALESCE(t.n_triangles, 0) AS n_triangles,
+       |       CASE WHEN d.degree >= 2
+       |            THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+       |                 / (d.degree * (d.degree - 1)) END AS lcc
+       |FROM deg d LEFT JOIN tcnt t ON d.vec_id = t.vec_id""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .distinct().cache()
+      val deg = und.select($"u".as("vec_id")).unionAll(und.select($"v".as("vec_id")))
+        .groupBy($"vec_id").agg(count(lit(1)).as("degree"))
+      val tri = und.as("a")
+        .join(und.as("b"), col("a.v") === col("b.u"))
+        .join(und.as("c"), col("c.u") === col("a.u") && col("c.v") === col("b.v"))
+        .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
+      val tcnt = tri.select($"x".as("vtx"))
+        .unionAll(tri.select($"y".as("vtx")))
+        .unionAll(tri.select($"z".as("vtx")))
+        .groupBy($"vtx".as("vec_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+      deg.join(tcnt, Seq("vec_id"), "left")
+        .select($"vec_id", $"degree",
+          coalesce($"n_triangles", lit(0L)).as("n_triangles"),
+          when($"degree" >= 2,
+            (lit(2L) * coalesce($"n_triangles", lit(0L))).cast("double")
+              / ($"degree" * ($"degree" - 1))).as("lcc"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
-    triangleCount, annRecall, centroidDrift)
+    triangleCount, annRecall, centroidDrift, clusteringCoefficient)
 }

@@ -88,6 +88,96 @@ object StreamingAdmission {
         coalesce(col("prior"), lit(0L)) + col("batch_rank") <= col("quota"))
   }
 
+  /** TOKEN-budget variant of [[quotas]]: language l's share of a TOKEN
+    * budget ∝ √(tokens_l) over the frozen profile — the unit training
+    * mixes are actually planned in (a 100-word doc and a 10k-word doc are
+    * not the same spend). Same t21 determinism discipline.
+    */
+  def quotasTokens(profile: DataFrame, budgetTokens: Long): DataFrame = {
+    val counts = profile
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " "))).as("n_tokens"))
+      .select(col("lang"), sqrt(col("n_tokens")).as("weight"))
+    counts
+      .agg(sort_array(collect_list(struct(col("lang"), col("weight")))).as("xs"))
+      .select(explode(col("xs")).as("x"),
+        expr("aggregate(xs, 0D, (acc, e) -> acc + e.weight)").as("denom"))
+      .select(col("x.lang").as("lang"),
+        floor(lit(budgetTokens.toDouble) * col("x.weight") / col("denom"))
+          .as("token_quota"))
+  }
+
+  /** Token-budget admission: each doc consumes its whitespace token count
+    * (t1's metric) against the language's token quota. Per language the
+    * batch is ranked (quality DESC, doc_id) and a doc is admitted iff the
+    * PREFIX through it fits: `prior_tokens + cum_tokens(rank ≤ mine) ≤
+    * token_quota`. Prefix admission is deliberate: the first doc that
+    * overflows closes the language for the batch (no knapsack
+    * backfilling with later smaller docs) — that keeps the decision a
+    * single running-sum window, deterministic under any partitioning,
+    * and means a doc's admission never depends on LOWER-ranked docs.
+    * Same ledger/replay contract as [[admitWithin]], with the ledger
+    * additionally carrying `n_tokens_admitted`.
+    */
+  def admitWithinTokens(batch: DataFrame, quotaDf: DataFrame,
+      prior: DataFrame): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    batch
+      .withColumn("quality", quality)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(byLang.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(quotaDf), Seq("lang"), "left")
+      .join(broadcast(prior), col("lang") === col("prior_lang"), "left")
+      .filter(col("token_quota").isNotNull &&
+        coalesce(col("prior_tokens"), lit(0L)) + col("cum_tokens") <= col("token_quota"))
+  }
+
+  private[streaming] def tokenLedgerBefore(spark: SparkSession, ledgerDir: String,
+      batchId: Long): DataFrame = {
+    import spark.implicits._
+    val root = new Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasLedger = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
+    if (hasLedger)
+      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+        .filter(col("batch_id") < batchId)
+        .groupBy(col("lang").as("prior_lang"))
+        .agg(sum(col("n_tokens_admitted")).as("prior_tokens"))
+    else
+      Seq.empty[(String, Long)].toDF("prior_lang", "prior_tokens")
+  }
+
+  /** One micro-batch of token-budget admission (replay entry point). */
+  def processBatchTokens(spark: SparkSession, batch: DataFrame, batchId: Long,
+      quotaDf: DataFrame, admittedDir: String, ledgerDir: String): Unit = {
+    if (batch.isEmpty) return
+    val prior = tokenLedgerBefore(spark, ledgerDir, batchId)
+    val admitted = admitWithinTokens(batch, quotaDf, prior)
+      .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+    admitted.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
+    admitted
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_admitted"), sum(col("n_tokens")).as("n_tokens_admitted"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+  }
+
+  /** The streaming sink for token-budget admission. */
+  def tokenAdmissionScreen(docs: DataFrame, quotaDf: DataFrame,
+      admittedDir: String, ledgerDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchTokens(batch.sparkSession, batch, batchId,
+          quotaDf, admittedDir, ledgerDir)
+      }
+
   private[streaming] def ledgerBefore(spark: SparkSession, ledgerDir: String,
       batchId: Long): DataFrame = {
     import spark.implicits._

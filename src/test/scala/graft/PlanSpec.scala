@@ -207,7 +207,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e20: the shared cached index-build subtree (k-centroid bcast)
       // plus TWO 1-row global-stat broadcasts (the mid split point and
       // the version totals) — all algorithm-constant cardinalities
-      "e20_centroid_drift")
+      "e20_centroid_drift",
+      // e21 composes e18's edge list — the only BNLJ is the same cached
+      // k-centroid index-build subtree; degree/triangle joins are keyed
+      "e21_clustering_coefficient")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>

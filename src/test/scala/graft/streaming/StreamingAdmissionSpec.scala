@@ -127,6 +127,70 @@ class StreamingAdmissionSpec extends AnyFunSuite with SparkTestKit {
     assert(admittedKeys(adm) == before)
   }
 
+  test("token quota: greedy-prefix admission, quality-ranked, cross-batch ledger, replay") {
+    val admittedDir = tmp("tok-admitted"); val ledgerDir = tmp("tok-ledger")
+    // frozen quota: en = 10 tokens, de = 4 tokens
+    val quota = Seq(("en", 10L), ("de", 4L)).toDF("lang", "token_quota")
+
+    // en, all distinct words (quality 1.0 → rank by doc_id):
+    //   doc 0: 4 tokens (cum 4  ≤ 10 → in)
+    //   doc 1: 7 tokens (cum 11 > 10 → out, closes the prefix)
+    //   doc 2: 2 tokens (cum 13 → out DESPITE fitting 4+2 ≤ 10: prefix rule)
+    // de: doc 5 has quality 0.25 (repeated word), doc 6 quality 1.0 —
+    //   doc 6 outranks doc 5 despite the higher doc_id; 4-token quota
+    //   admits exactly doc 6
+    val b1 = Seq(
+      (0L, "a b c d", "en"), (1L, "e f g h i j k", "en"), (2L, "l m", "en"),
+      (5L, "x x x x", "de"), (6L, "p q r s", "de")
+    ).toDF("doc_id", "text", "lang")
+    StreamingAdmission.processBatchTokens(spark, b1, 0L, quota, admittedDir, ledgerDir)
+    def ids() = StreamingAdmission.admitted(spark, admittedDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ids() == Set(0L, 6L), s"greedy-prefix + quality rank: ${ids()}")
+
+    // batch 2: en has 10 − 4 = 6 tokens left; a 5-token doc fits, the
+    // next 2-token doc overflows (cum 7 > 6) and is cut
+    val b2 = Seq((10L, "aa bb cc dd ee", "en"), (11L, "ff gg", "en"))
+      .toDF("doc_id", "text", "lang")
+    StreamingAdmission.processBatchTokens(spark, b2, 1L, quota, admittedDir, ledgerDir)
+    assert(ids() == Set(0L, 6L, 10L), s"ledger must carry token spend: ${ids()}")
+
+    // replaying batch 1 converges: same admissions, same ledger totals
+    StreamingAdmission.processBatchTokens(spark, b1, 0L, quota, admittedDir, ledgerDir)
+    assert(ids() == Set(0L, 6L, 10L))
+    val ledger = spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
+      .groupBy($"lang").agg(sum($"n_tokens_admitted").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger == Map("en" -> 9L, "de" -> 4L), s"token ledger: $ledger")
+  }
+
+  test("quotasTokens splits a token budget by sqrt of profile token mass") {
+    // profile: en has 9 tokens, de has 1 → weights 3 and 1, denom 4;
+    // budget 100 → en floor(75), de floor(25)
+    val profile = Seq(("en", "a b c d e f g h i"), ("de", "x"))
+      .toDF("lang", "text")
+    val q = StreamingAdmission.quotasTokens(profile, budgetTokens = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q == Map("en" -> 75L, "de" -> 25L), s"token quotas: $q")
+  }
+
+  test("token admission via the streaming sink equals sequential processBatchTokens") {
+    val quota = Seq(("en", 10L)).toDF("lang", "token_quota")
+    val srcDir = tmp("tok-src")
+    val admittedDir = tmp("tok-sink-admitted"); val ledgerDir = tmp("tok-sink-ledger")
+    Seq((0L, "a b c d", "en"), (1L, "e f g h i j k", "en"), (2L, "l m", "en"))
+      .toDF("doc_id", "text", "lang").write.mode("append").json(srcDir)
+    val q = StreamingAdmission.tokenAdmissionScreen(
+      spark.readStream
+        .schema(StructType.fromDDL("doc_id bigint, text string, lang string"))
+        .json(srcDir),
+      quota, admittedDir, ledgerDir, tmp("tok-ckpt")).start()
+    q.awaitTermination()
+    val got = StreamingAdmission.admitted(spark, admittedDir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == Set(0L), s"sink admission: $got")
+  }
+
   test("an empty batch writes nothing and does not throw") {
     val adm = tmp("sa-adm4"); val led = tmp("sa-led4")
     StreamingAdmission.processBatch(spark,
