@@ -241,6 +241,51 @@ object Windows {
           $"event_type", $"n_events", $"cents_sum")
   }
 
+  /** W17: NATIVE SESSION WINDOWS — `session_window(ts, gap)`, the
+    * streaming-capable session operator (in Structured Streaming the same
+    * call merges sessions in state), pinned in batch against a manual
+    * gap-island replay; the session companion to w16's hopping-window pin
+    * (§2.8 batch pins of streaming window semantics). Complements
+    * w4: that query builds sessions BY HAND (lag → flag → running sum);
+    * this one delegates to Spark's operator and proves the engine's merge
+    * rule — a new session starts iff the gap to the previous event is
+    * ≥ the gap duration (session end = last event + gap, end-exclusive) —
+    * with integer microsecond arithmetic on both sides. One shuffle on
+    * user_id, merge cost linear per user — the 100 TB shape.
+    */
+  val sessionWindow = Q("w17_session_window",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, value,
+      |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              OR epoch_us(ts) - lag(epoch_us(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |       epoch_us(min(ts)) AS session_start_us,
+      |       epoch_us(max(ts)) + 1800000000 AS session_end_us,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions
+      |GROUP BY user_id, sid""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(Exact.dec2($"value")).cast("double").as("session_value"))
+        .select($"user_id",
+          unix_micros($"sw.start").as("session_start_us"),
+          unix_micros($"sw.end").as("session_end_us"),
+          $"n_events", $"session_value")
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
-    keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow)
+    keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
+    sessionWindow)
 }
