@@ -77,7 +77,8 @@ object ScaleSoak {
     // the customer table, so their cost scales with customer rows, not
     // this corpus — soaking them here would measure nothing.
     val excluded = Set("d7_fuzzy_match", "t13_pii_scrub")
-    val fam = "^(d\\d|e\\d|t\\d|c\\d)".r
+    // optional arg: regex narrowing the soak to specific queries
+    val fam = args.headOption.getOrElse("^(d\\d|e\\d|t\\d|c\\d)").r
     val qs = graft.SparkEntry.registry.filter(q =>
       fam.findFirstIn(q.name).isDefined && !excluded(q.name))
     println(s"soaking ${qs.size} queries at 1x (5k docs / 2k vecs) and 10x; " +
