@@ -222,4 +222,26 @@ object CorpusManifest {
       Component("ivf_postings", postings,
         Seq(col("vec_id"), col("cell_id")), col("vec_id")))
   }
+
+  /** SCHEMA drift surveillance: a component whose ROWS are another
+    * component's schema fields `(ordinal, name, ddl_type, nullable)` —
+    * one row per column. No new manifest machinery: [[build]] fingerprints
+    * the field rows like any data, so a column added, dropped, renamed,
+    * retyped, or re-nullabled between two versions surfaces as a
+    * `changed`/`rows_delta` row in [[diff]] — and a training run can pin
+    * "same schema I trained against" in [[verify]]. (The row-content
+    * hashes catch VALUE drift; without this, a lossless cast — e.g. int →
+    * string of the same digits — could slip through, since canonical
+    * strings erase types.)
+    */
+  def schemaComponent(name: String, df: DataFrame): Component = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = df.schema.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      (i, f.name, f.dataType.sql, f.nullable)
+    }
+    Component(name, fields.toDF("ordinal", "col_name", "ddl_type", "nullable"),
+      Seq(col("ordinal"), col("col_name"), col("ddl_type"), col("nullable")),
+      col("ordinal"))
+  }
 }

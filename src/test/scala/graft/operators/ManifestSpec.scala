@@ -123,6 +123,40 @@ class ManifestSpec extends AnyFunSuite with SparkTestKit {
     assert(d("fresh") == (("added", 6L, true)))
   }
 
+  test("schemaComponent surfaces every schema-drift class through the standard diff") {
+    def mf(df: DataFrame, v: Long) =
+      CorpusManifest.build(v, Seq(CorpusManifest.schemaComponent("docs_schema", df)))
+    def diffOf(a: DataFrame, b: DataFrame) =
+      CorpusManifest.diff(mf(a, 1L), mf(b, 2L)).collect().map(r =>
+        (r.getAs[String]("status"), r.getAs[Long]("rows_delta"),
+          r.getAs[Boolean]("content_changed"))).head
+
+    // identical schema (different DATA) → unchanged: this component
+    // watches shape, not content
+    assert(diffOf(docs, docs.filter(col("doc_id") === 1L)) ==
+      (("unchanged", 0L, false)))
+    // added column
+    assert(diffOf(docs, docs.withColumn("extra", lit(1))) == (("changed", 1L, true)))
+    // dropped column
+    assert(diffOf(docs, docs.drop("lang")) == (("changed", -1L, true)))
+    // renamed column (same count, content moved)
+    assert(diffOf(docs, docs.withColumnRenamed("lang", "language")) ==
+      (("changed", 0L, true)))
+    // retyped column — the drift class the VALUE hashes can miss when the
+    // cast is lossless on the canonical string
+    assert(diffOf(docs, docs.withColumn("doc_id", col("doc_id").cast("string"))) ==
+      (("changed", 0L, true)))
+    // and verify() pins "the schema I trained against": truth passes,
+    // drifted schema fails
+    val m = mf(docs, 1L)
+    assert(CorpusManifest.verify(m,
+      Seq(CorpusManifest.schemaComponent("docs_schema", docs)))
+      .collect().forall(_.getAs[Boolean]("ok")))
+    assert(!CorpusManifest.verify(m,
+      Seq(CorpusManifest.schemaComponent("docs_schema", docs.drop("lang"))))
+      .collect().forall(_.getAs[Boolean]("ok")))
+  }
+
   test("snapshotIntakeRun manifests a composed-intake output tree") {
     import graft.streaming.{StreamingDecontam, StreamingIntake}
     val indexDir = tmp("mf-idx"); val ledgerDir = tmp("mf-led")
