@@ -733,7 +733,84 @@ object Dedup {
         sum(when($"rn" > 1, 1).otherwise(0)).as("n_dup_spans"))
   }
 
+  /** D14: LSH RECALL/PRECISION EVALUATION AS A QUERY — e19's
+    * index-quality discipline applied to the dedup stack: how much of the
+    * TRUE near-dup set (exact Jaccard ≥ 0.5, no df cap, no banding) does
+    * the shipped d3 pair list catch, and how much of what it ships is
+    * real? At 100 TB "is my band config right" must itself be a
+    * distributed query: ground truth is computed on a PROBE PREFIX
+    * (doc_id < 256 — a constant of the evaluation, like e19's 32 probes,
+    * so the uncapped exact-pair join is bounded by the prefix, never the
+    * corpus), the candidate side reuses the memoized d3 pairs restricted
+    * to the same prefix, and the verdict is one summary row. Integer
+    * counts; recall/precision are exact-int IEEE divisions (NULL when a
+    * denominator is zero — both engines agree).
+    */
+  val lshRecall = Q("d14_lsh_recall", {
+    s"""WITH $minhashCtes,
+       |lsh AS (
+       |  SELECT doc_a, doc_b FROM ($minhashSelect)
+       |  WHERE doc_a < 256 AND doc_b < 256),
+       |psh AS (SELECT doc_id, shingle FROM sh WHERE doc_id < 256),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM psh GROUP BY 1),
+       |ip AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM psh a JOIN psh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT p.doc_a, p.doc_b
+       |  FROM ip p JOIN sizes sa ON p.doc_a = sa.doc_id
+       |            JOIN sizes sb ON p.doc_b = sb.doc_id
+       |  WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.5),
+       |j AS (
+       |  SELECT coalesce(e.in_exact, FALSE) AS in_exact,
+       |         coalesce(l.in_lsh, FALSE) AS in_lsh
+       |  FROM (SELECT doc_a, doc_b, TRUE AS in_exact FROM exact) e
+       |  FULL OUTER JOIN (SELECT doc_a, doc_b, TRUE AS in_lsh FROM lsh) l
+       |    USING (doc_a, doc_b))
+       |SELECT
+       |  CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       |  CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+       |  CAST(sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       |  CASE WHEN sum(CASE WHEN in_exact THEN 1 ELSE 0 END) > 0
+       |       THEN CAST(sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+       |            / sum(CASE WHEN in_exact THEN 1 ELSE 0 END) END AS recall,
+       |  CASE WHEN sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) > 0
+       |       THEN CAST(sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS DOUBLE)
+       |            / sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) END AS precision
+       |FROM j""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val P = 256
+      val psh = shingles(s, dir).filter($"doc_id" < P).cache()
+      val sizes = psh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val ip = psh.select($"shingle", $"doc_id".as("doc_a"))
+        .join(psh.select($"shingle", $"doc_id".as("doc_b")),
+          Seq("shingle"))
+        .filter($"doc_a" < $"doc_b")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+      val exactPairs = ip
+        .join(sizes.toDF("doc_a", "sza"), "doc_a")
+        .join(sizes.toDF("doc_b", "szb"), "doc_b")
+        .filter($"inter".cast("double") / ($"sza" + $"szb" - $"inter") >= 0.5)
+        .select($"doc_a", $"doc_b", lit(true).as("in_exact"))
+      val lsh = minhashPairs(s, dir)
+        .filter($"doc_a" < P && $"doc_b" < P)
+        .select($"doc_a", $"doc_b", lit(true).as("in_lsh"))
+      exactPairs.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+        .select(coalesce($"in_exact", lit(false)).as("in_exact"),
+          coalesce($"in_lsh", lit(false)).as("in_lsh"))
+        .agg(
+          sum(when($"in_exact", 1L).otherwise(0L)).as("n_exact"),
+          sum(when($"in_lsh", 1L).otherwise(0L)).as("n_lsh"),
+          sum(when($"in_exact" && $"in_lsh", 1L).otherwise(0L)).as("n_hit"))
+        .select($"n_exact", $"n_lsh", $"n_hit",
+          when($"n_exact" > 0, $"n_hit".cast("double") / $"n_exact").as("recall"),
+          when($"n_lsh" > 0, $"n_hit".cast("double") / $"n_lsh").as("precision"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
-    sourceOverlap, exactSubstr, intraDocDedup, containment)
+    sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall)
 }
