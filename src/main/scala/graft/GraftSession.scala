@@ -106,6 +106,30 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       .filter(col("rank") <= topK)
   }
 
+  /** Run the FULL streaming intake (text near-dup + eval decontam +
+    * IVF-indexed embedding SemDeDup screens, token-free quota gate,
+    * release ledger) over a `(doc_id, text, lang, embedding)` stream into
+    * `workDir/{index,embindex,ledger,release,verdicts,ckpt}`. Returns the
+    * started query; read verdicts from `workDir/verdicts` when done.
+    */
+  def runIntake(docs: DataFrame, evalDocs: DataFrame, quota: DataFrame,
+      workDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingIntake.sinkFullIvf(docs,
+      s"$workDir/index", s"$workDir/embindex",
+      streaming.StreamingDecontam.prepare(evalDocs), quota,
+      s"$workDir/ledger", s"$workDir/release",
+      s"$workDir/verdicts", s"$workDir/ckpt").start()
+
+  /** Gate a stream into a serving table through write-audit-publish:
+    * batches that violate any expectation quarantine instead of landing.
+    * Table at `workDir/table`, quarantine + audit trail beside it.
+    */
+  def runWapLoad(rows: DataFrame,
+      expectations: Seq[streaming.StreamingWap.Expectation],
+      workDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingWap.sink(rows, expectations, s"$workDir/table",
+      s"$workDir/quarantine", s"$workDir/audit", s"$workDir/ckpt").start()
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with

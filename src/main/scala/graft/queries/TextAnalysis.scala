@@ -273,6 +273,43 @@ object TextAnalysis {
         ($"n_novel".cast("double") / $"n_grams").as("novelty"))
   }
 
+  /** T29: CORPUS-RELATIVE LEXICAL RARITY — per doc, the fraction of its
+    * distinct tokens that are rare in the whole corpus (document
+    * frequency ≤ 2). Complements t2 (intra-doc stats: a doc can be
+    * internally diverse yet made of boilerplate vocabulary) and t28
+    * (8-gram novelty: phrase-level, first-occurrence): this is the
+    * token-level global signal quality filters use to separate
+    * generic/templated text (rare_ratio → 0) from specific content.
+    * Shape at 100 TB: one distinct-token explode, one df aggregate, one
+    * postings join back — the d2/t28 postings family, linear in corpus
+    * tokens; all integers until one IEEE division.
+    */
+  val rareTokenRatio = Q("t29_rare_token_ratio",
+    """WITH toks AS (
+      |  SELECT doc_id, tok
+      |  FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents),
+      |       unnest(ws) AS t(tok)),
+      |dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1)
+      |SELECT doc_id,
+      |       count(*) AS n_distinct_tokens,
+      |       CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |       CAST(sum(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |         AS rare_ratio
+      |FROM toks JOIN dfreq USING (tok)
+      |GROUP BY doc_id""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val toks = Tables.documents(s, dir)
+        .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
+      val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+      toks.join(dfreq, "tok")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_distinct_tokens"),
+          sum(when($"df" <= 2, 1L).otherwise(0L)).as("n_rare"))
+        .select($"doc_id", $"n_distinct_tokens", $"n_rare",
+          ($"n_rare".cast("double") / $"n_distinct_tokens").as("rare_ratio"))
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    ngramStats, sketchStats, langConfusion, ngramNovelty)
+    ngramStats, sketchStats, langConfusion, ngramNovelty, rareTokenRatio)
 }

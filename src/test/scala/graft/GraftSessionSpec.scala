@@ -43,4 +43,35 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestKit {
     val v = g.verifySnapshot(1L, mdir).collect()
     assert(v.length == 2 && v.forall(_.getAs[Boolean]("ok")))
   }
+
+  test("streaming entry points: full intake and WAP load drive end to end") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("gs-intake").toString
+    val src = Files.createTempDirectory("gs-src").toString
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta theta", "en",
+        Array(1.0f, 0.0f)),
+      (2L, "iota kappa lambda mu nu xi omicron pi", "en", Array(0.0f, 1.0f)))
+      .toDF("doc_id", "text", "lang", "embedding")
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream
+      .schema("doc_id bigint, text string, lang string, embedding array<float>")
+      .parquet(src)
+    val evalDocs = Seq((900L, "rho sigma tau upsilon phi chi psi omega"))
+      .toDF("doc_id", "text")
+    val quota = Seq(("en", 10L)).toDF("lang", "quota")
+    g.runIntake(stream, evalDocs, quota, work).awaitTermination()
+    val verdicts = spark.read.parquet(s"$work/verdicts")
+    assert(verdicts.count() == 2 &&
+      verdicts.filter(col("admitted")).count() == 2)
+
+    val wapWork = Files.createTempDirectory("gs-wap").toString
+    val wapSrc = Files.createTempDirectory("gs-wapsrc").toString
+    Seq((1L, 5.0), (2L, 7.0)).toDF("id", "value")
+      .write.mode("append").parquet(wapSrc)
+    val rows = spark.readStream.schema("id bigint, value double").parquet(wapSrc)
+    g.runWapLoad(rows,
+      Seq(streaming.StreamingWap.Expectation("value_positive", col("value") > 0)),
+      wapWork).awaitTermination()
+    assert(streaming.StreamingWap.table(spark, s"$wapWork/table").count() == 2)
+  }
 }
