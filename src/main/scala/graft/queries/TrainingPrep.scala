@@ -918,8 +918,121 @@ object TrainingPrep {
           .orderBy($"lang_rank", $"lang", $"doc_id")))
   }
 
+  /** DuckDB CTEs for the leakage-safe split: cluster labels (the d5
+    * recursive closure) + the md5-of-cluster split assignment. Shared by
+    * c5 (the assignment itself) and c6 (the cross-split overlap audit).
+    *
+    * The split key is `md5(cluster_id)` — NOT `md5(doc_id)` — so every
+    * member of a near-dup cluster lands in the same split by
+    * construction; thresholds 'e6'/'f3' cut the uniform hex space at
+    * ≈ 0xe6/0x100 = 89.8% and 0xf3/0x100 = 94.9% (train/val/test).
+    * Lexicographic compare of the lowercase-hex md5 string is identical
+    * in Spark and DuckDB, so the assignment is cross-engine exact.
+    */
+  private val splitCtes: String =
+    s"""WITH RECURSIVE ${Dedup.minhashCtes},
+       |pairs AS (${Dedup.minhashSelect}),
+       |${graft.operators.DupClusters.ccCtes},
+       |lab AS (SELECT d.doc_id,
+       |               coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |               CASE WHEN md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)) < 'e6' THEN 'train'
+       |                    WHEN md5(CAST(coalesce(l.cluster_id, d.doc_id) AS VARCHAR)) < 'f3' THEN 'val'
+       |                    ELSE 'test' END AS split
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)""".stripMargin
+
+  /** The engine-side split labels `(doc_id, cluster_id, split)` —
+    * session-memoized (fixed-width key columns only, the Memo
+    * discipline) because c5 emits it and c6 joins postings against it.
+    */
+  private def splitLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Memo.cached(s, dir, "c5_split_labels") {
+      graft.operators.DupClusters.canonicalQuery(s, dir)
+        .select($"doc_id", $"cluster_id")
+        .withColumn("split_key", md5($"cluster_id".cast("string")))
+        .select($"doc_id", $"cluster_id",
+          when($"split_key" < "e6", "train")
+            .when($"split_key" < "f3", "val")
+            .otherwise("test").as("split"))
+    }
+  }
+
+  /** C5: LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT — the assignment step an
+    * eval-honest corpus build runs after near-dup clustering: the split
+    * is a deterministic hash of the CLUSTER id, not the document id, so
+    * two near-duplicate documents can never straddle the train/eval
+    * boundary (the classic eval-leakage failure of per-doc random
+    * splits). Train/val/test ≈ 89.8/5.1/5.1% by hex-threshold cut of
+    * the uniform md5 space.
+    *
+    * Scale: cluster labels are the memoized d5/d10 computation; the
+    * assignment itself is a stateless per-row projection — no shuffle
+    * beyond what clustering already paid, and the same holds at 100 TB
+    * (the hash needs no global coordination, unlike a percent_rank
+    * split, which would need a full sort).
+    */
+  val leakageSafeSplit = Q("c5_leakage_safe_split",
+    s"""$splitCtes
+       |SELECT doc_id, cluster_id, split FROM lab""".stripMargin) {
+    (s, dir) => splitLabels(s, dir)
+  }
+
+  /** C6: SPLIT-LEAKAGE AUDIT — the residual-contamination report run
+    * AFTER c5: even with cluster-coherent assignment, eval docs can
+    * share verbatim 8-grams with train docs the near-dup screen never
+    * paired (below-threshold Jaccard, boilerplate phrases). Per eval
+    * split: doc count, docs sharing ≥1 8-gram with ANY train doc,
+    * the contamination rate, and the distinct shared-gram count — the
+    * numbers a team reports next to its eval scores.
+    *
+    * Scale: d6's decontamination shape generalized — one distinct over
+    * train postings, one hash equi-join on the gram key (linear in
+    * postings, never pairwise in docs), then a two-distinct aggregate
+    * over the hit set, which is bounded by eval-side postings (~10% of
+    * the corpus). No broadcast of the train side (it is corpus-sized).
+    */
+  val splitLeakageAudit = Q("c6_split_leakage_audit",
+    s"""$splitCtes,
+       |grams AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+       |            for i in generate_series(1, greatest(len(w) - 7, 0))])) AS g
+       |          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |sg AS (SELECT grams.doc_id, g, split FROM grams JOIN lab ON grams.doc_id = lab.doc_id),
+       |train_g AS (SELECT DISTINCT g FROM sg WHERE split = 'train'),
+       |hit AS (SELECT s.split, s.doc_id, s.g
+       |        FROM sg s JOIN train_g t ON s.g = t.g WHERE s.split <> 'train'),
+       |agg AS (SELECT split, count(DISTINCT doc_id) AS n_contaminated,
+       |               count(DISTINCT g) AS n_shared_grams
+       |        FROM hit GROUP BY split),
+       |ev AS (SELECT split, count(*) AS n_docs FROM lab
+       |       WHERE split <> 'train' GROUP BY split)
+       |SELECT ev.split, ev.n_docs,
+       |       coalesce(a.n_contaminated, 0) AS n_contaminated,
+       |       CAST(coalesce(a.n_contaminated, 0) AS DOUBLE) / ev.n_docs AS contamination_rate,
+       |       coalesce(a.n_shared_grams, 0) AS n_shared_grams
+       |FROM ev LEFT JOIN agg a ON ev.split = a.split""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val labels = splitLabels(s, dir).select($"doc_id", $"split")
+      val grams = Ngrams.postings(
+        Tables.documents(s, dir), n = 8, distinct = true, outCol = "g")
+      val sg = grams.join(labels, "doc_id")
+      val trainG = sg.filter($"split" === "train").select($"g").distinct()
+      val hits = sg.filter($"split" =!= "train").join(trainG, "g")
+      val agg = hits.groupBy($"split")
+        .agg(countDistinct($"doc_id").as("n_contaminated"),
+          countDistinct($"g").as("n_shared_grams"))
+      labels.filter($"split" =!= "train")
+        .groupBy($"split").agg(count(lit(1)).as("n_docs"))
+        .join(agg, Seq("split"), "left")
+        .select($"split", $"n_docs",
+          coalesce($"n_contaminated", lit(0L)).as("n_contaminated"),
+          (coalesce($"n_contaminated", lit(0L)).cast("double") / $"n_docs")
+            .as("contamination_rate"),
+          coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
     importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
-    curationCanonical, corpusRelease, curriculumOrder)
+    curationCanonical, corpusRelease, curriculumOrder, leakageSafeSplit, splitLeakageAudit)
 }

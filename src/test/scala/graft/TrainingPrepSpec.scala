@@ -200,4 +200,36 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     assert(p.contains("InMemoryTableScan"),
       s"c2 is not reading the memoized survivor sets:\n${p.take(2000)}")
   }
+
+  test("c5 split: cluster-coherent (no near-dup pair straddles splits), total, deterministic") {
+    val split = TrainingPrep.leakageSafeSplit.run(spark, sfDir)
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(split.length == docs, "every doc is assigned exactly one split")
+    assert(split.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // the leakage invariant: split is a function of cluster_id, so any
+    // two docs in the same near-dup cluster share a split BY CONSTRUCTION
+    split.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // deterministic: re-run yields the identical assignment
+    val again = TrainingPrep.leakageSafeSplit.run(spark, sfDir)
+      .select($"doc_id", $"cluster_id", $"split")
+      .as[(Long, Long, String)].collect()
+    assert(split.sortBy(_._1).sameElements(again.sortBy(_._1)))
+  }
+
+  test("c6 audit: one row per eval split, rate = contaminated/docs within [0,1]") {
+    val rows = TrainingPrep.splitLeakageAudit.run(spark, sfDir)
+      .select($"split", $"n_docs", $"n_contaminated", $"contamination_rate",
+        $"n_shared_grams")
+      .as[(String, Long, Long, Double, Long)].collect()
+    assert(rows.map(_._1).sorted.sameElements(Array("test", "val")))
+    rows.foreach { case (s, n, c, r, g) =>
+      assert(n > 0 && c >= 0 && c <= n, s"split $s counts")
+      assert(r == c.toDouble / n && r >= 0.0 && r <= 1.0, s"split $s rate")
+      assert((c == 0) == (g == 0), s"split $s gram/doc consistency")
+    }
+  }
 }
