@@ -810,7 +810,40 @@ object Dedup {
           when($"n_lsh" > 0, $"n_hit".cast("double") / $"n_lsh").as("precision"))
   }
 
+  /** D16: DUPLICATION PROFILE — the cluster-size histogram over the d5
+    * connected components: for each cluster size k, how many clusters
+    * and how many documents live at that size (singletons = the
+    * never-duplicated mass). This is the one-table diagnostic every
+    * dedup writeup reports ("X% of the corpus sits in clusters ≥ 3")
+    * and the input to choosing a survivor policy. All integers —
+    * hash-exact by construction.
+    *
+    * Scale: two hash aggregates over the memoized cluster labels
+    * (corpus → |clusters| → |distinct sizes|), each map-side
+    * combinable; nothing is ever broadcast or collected.
+    */
+  val clusterSizeHistogram = Q("d16_cluster_size_histogram",
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS ($minhashSelect),
+       |${graft.operators.DupClusters.ccCtes},
+       |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       count(*) AS n_clusters,
+       |       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY cluster_size""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      graft.operators.DupClusters.canonicalQuery(s, dir)
+        .groupBy($"cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
-    sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall)
+    sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall,
+    clusterSizeHistogram)
 }

@@ -1031,8 +1031,53 @@ object TrainingPrep {
           coalesce($"n_shared_grams", lit(0L)).as("n_shared_grams"))
   }
 
+  /** T30: EPOCH UPSAMPLING — materialize the training MULTISET from
+    * fractional per-source epoch weights ("2.5 epochs of wiki"): every
+    * doc is emitted floor(w) times, plus one more for the
+    * deterministically-chosen frac(w) share of docs. t17 decides how
+    * much of each source to take; this is the companion step that
+    * actually emits the repeats a sequence-packing / sharding stage
+    * consumes. The fractional draw is `(doc_id % 1000)/1000 < frac(w)`
+    * — integer arithmetic, cross-engine exact, and stable under
+    * re-partitioning (a rand() draw would make the multiset
+    * partition-count-dependent). The weight table is a stand-in for the
+    * externally-supplied mixture config (the c3 budget pattern).
+    *
+    * Scale: stateless per-row arithmetic + a bounded explode (≤ ⌈w_max⌉
+    * replicas per doc) — no shuffle at all; output size is exactly the
+    * token-weighted corpus the mixture asks for. The n_rep ≥ 1 CASE
+    * guard matters: Spark's `sequence(1, 0)` is the DESCENDING [1, 0],
+    * not empty (the Ngrams guard), so weightless docs must short-circuit.
+    */
+  val epochUpsample = Q("t30_epoch_upsample",
+    """WITH w AS (SELECT doc_id, source,
+      |             1.0 + CAST(CAST(substr(source, 4) AS INTEGER) % 4 AS DOUBLE) * 0.5 AS w
+      |           FROM documents),
+      |r AS (SELECT doc_id, source, w,
+      |             CAST(floor(w) AS BIGINT)
+      |               + CASE WHEN CAST(doc_id % 1000 AS DOUBLE) / 1000.0 < w - floor(w)
+      |                      THEN 1 ELSE 0 END AS n_rep
+      |      FROM w)
+      |SELECT doc_id, source, w, n_rep,
+      |       CAST(unnest(generate_series(1, CAST(n_rep AS INTEGER))) AS BIGINT) AS epoch
+      |FROM r""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          (lit(1.0) + (substring($"source", 4, 10).cast("int") % 4).cast("double") * 0.5).as("w"))
+        .withColumn("n_rep", floor($"w").cast("long") +
+          when(($"doc_id" % 1000).cast("double") / 1000.0 < $"w" - floor($"w"), 1L)
+            .otherwise(0L))
+        .select($"doc_id", $"source", $"w", $"n_rep",
+          explode(expr(
+            "CASE WHEN n_rep >= 1 THEN sequence(1L, n_rep) ELSE cast(array() AS array<bigint>) END"))
+            .as("epoch"))
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
     importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
-    curationCanonical, corpusRelease, curriculumOrder, leakageSafeSplit, splitLeakageAudit)
+    curationCanonical, corpusRelease, curriculumOrder, leakageSafeSplit, splitLeakageAudit,
+    epochUpsample)
 }

@@ -220,6 +220,30 @@ class TrainingPrepSpec extends AnyFunSuite with SparkTestKit {
     assert(split.sortBy(_._1).sameElements(again.sortBy(_._1)))
   }
 
+  test("t30 upsample: every doc emits exactly n_rep contiguous epochs, n_rep within [floor(w), ceil(w)]") {
+    val rows = TrainingPrep.epochUpsample.run(spark, sfDir)
+      .select($"doc_id", $"w", $"n_rep", $"epoch")
+      .as[(Long, Double, Long, Long)].collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._1).distinct.length == docs, "no doc is silently dropped")
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val n = rs.head._3
+      val w = rs.head._2
+      assert(n >= math.floor(w).toLong && n <= math.ceil(w).toLong, s"doc $id n_rep")
+      assert(rs.map(_._4).sorted.sameElements(1L to n), s"doc $id epochs not 1..$n")
+    }
+  }
+
+  test("d16 histogram: cluster mass conserves the corpus") {
+    val hist = queries.Dedup.clusterSizeHistogram.run(spark, sfDir)
+      .select($"cluster_size", $"n_clusters", $"n_docs")
+      .as[(Long, Long, Long)].collect()
+    val docs = Tables.documents(spark, sfDir).count()
+    assert(hist.map(_._3).sum == docs, "sum of n_docs = corpus size")
+    hist.foreach { case (k, c, d) => assert(d == k * c) }
+    assert(hist.map(_._1).distinct.length == hist.length, "one row per size")
+  }
+
   test("c6 audit: one row per eval split, rate = contaminated/docs within [0,1]") {
     val rows = TrainingPrep.splitLeakageAudit.run(spark, sfDir)
       .select($"split", $"n_docs", $"n_contaminated", $"contamination_rate",
