@@ -82,7 +82,19 @@ object StreamingNearDup {
     * `(doc_id, is_near_dup, matched_doc, est_jaccard)` where matched_doc
     * is the smallest matching earlier doc and est_jaccard its agreement.
     */
-  def screenBatch(batch: DataFrame, indexDir: String, batchId: Long): DataFrame = {
+  def screenBatch(batch: DataFrame, indexDir: String, batchId: Long): DataFrame =
+    screenBatchWithPairs(batch, indexDir, batchId)._1
+
+  /** [[screenBatch]] plus the UN-COLLAPSED verified match pairs
+    * `(doc_a, doc_b, est_jaccard)` (doc_a = the new doc; doc_b may be a
+    * history doc or an earlier doc of the same batch). The verdict keeps
+    * only the smallest match per doc; consumers that need the full match
+    * graph — [[StreamingSplit]]'s bridge detection — read the pairs.
+    * The pairs are materialized once (localCheckpoint) and the verdicts
+    * derive from them, so exposing both costs no second probe.
+    */
+  def screenBatchWithPairs(batch: DataFrame, indexDir: String,
+      batchId: Long): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val sigs = signatures(batch).cache()
     val fresh = bandRows(sigs)
@@ -108,9 +120,17 @@ object StreamingNearDup {
       Seq("band_idx", "band_key"))
     val candSelf = side(fresh, "a").join(side(fresh, "b"),
       Seq("band_idx", "band_key")).filter(col("b_id") < col("a_id"))
-    val matches = candHist.unionByName(candSelf)
-      .select(col("a_id"), col("b_id"), agree.as("est_jaccard"))
+    // verified pairs, materialized ONCE: the distinct-candidate dedupe,
+    // the verdict min_by, and the caller's pair consumers all read this
+    // checkpoint instead of re-running the band joins
+    val pairs = candHist.unionByName(candSelf)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        agree.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
+      .distinct()
+      .localCheckpoint(true)
+    val matches = pairs
+      .select(col("doc_a").as("a_id"), col("doc_b").as("b_id"), col("est_jaccard"))
       .groupBy(col("a_id"))
       .agg(min_by(struct(col("b_id").as("matched_doc"), col("est_jaccard")),
         col("b_id")).as("m"))
@@ -140,7 +160,7 @@ object StreamingNearDup {
         col("matched_doc"), col("est_jaccard"))
       .localCheckpoint(true)
     sigs.unpersist()
-    verdicts
+    (verdicts, pairs)
   }
 
   /** Fold historical `__batch=N` partitions into one consolidated
