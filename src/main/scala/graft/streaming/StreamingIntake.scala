@@ -214,6 +214,92 @@ object StreamingIntake {
     verdicts
   }
 
+  /** THE FULL INTAKE WITH SPLIT-AT-ADMISSION: the three content screens
+    * (text near-dup + eval decontam + IVF embedding screen), the
+    * temperature-quota gate, the release ledger, AND leakage-safe
+    * train/val/test labels ([[StreamingSplit]]) — one batch, one pass,
+    * one verdict row per doc:
+    *
+    * `(doc_id, lang, is_near_dup, matched_doc, est_jaccard,
+    *   is_contaminated, n_shared_ngrams, is_sem_dup, matched_sem_doc,
+    *   cosine, clean, in_quota, admitted, root_id, split, split_conflict)`
+    *
+    * Split semantics on top of the intake contracts:
+    *  - the split graph is the UNION of both near-dup screens' full
+    *    verified pair lists (text shingle matches AND embedding cosine
+    *    matches) — a doc whose only tie to an earlier doc is semantic
+    *    still inherits that doc's split, so paraphrase leakage across
+    *    the train/eval boundary is blocked by the same rule as textual
+    *    leakage;
+    *  - EVERY screened doc gets a label, not just admitted ones: the
+    *    label store is the component-root memory, and a rejected dup's
+    *    label records which side its component lives on (the doc itself
+    *    never enters the corpus — `admitted` stays the gate);
+    *  - a doc bridging two components already assigned different splits
+    *    is flagged `split_conflict` (first-assignment-wins keeps the
+    *    smaller root's split; released history is never relabeled).
+    */
+  def screenBatchFullIvfSplit(batch: DataFrame, indexDir: String, embIndexDir: String,
+      batchId: Long, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String, labelDir: String,
+      k: Int = 16, tau: Double = 0.40, nprobe: Int = 2): DataFrame = {
+    val textBatch = batch.select(col("doc_id"), col("text"))
+    val (nd, textPairs) =
+      StreamingNearDup.screenBatchWithPairs(textBatch, indexDir, batchId)
+    val dc = StreamingDecontam.screenBatch(textBatch, screen)
+    val (sem0, embPairs) = StreamingIvf.screenBatchWithPairs(
+      batch.select(col("doc_id").as("vec_id"), col("embedding")),
+      embIndexDir, batchId, nprobe = nprobe, tau = tau,
+      trainOnFirstBatch = true, k = k)
+    val sem = sem0.select(col("vec_id").as("doc_id"),
+      col("is_near_dup").as("is_sem_dup"),
+      col("matched_vec").as("matched_sem_doc"), col("cosine"))
+    val content = nd.join(dc, Seq("doc_id")).join(sem, Seq("doc_id"))
+      .withColumn("clean",
+        !col("is_near_dup") && !col("is_contaminated") && !col("is_sem_dup"))
+    val verdicts = gateWithQuota(content, batch, batchId, quotaDf, ledgerDir)
+    val admitted = verdicts.filter(col("admitted"))
+      .select(col("doc_id"), col("lang"))
+      .join(batch.select(col("doc_id"), col("text")), "doc_id")
+    StreamingRelease.appendBatch(admitted, releaseDir, batchId)
+    // split labels over the union match graph (both pair lists are
+    // already-materialized checkpoints — no screen re-execution)
+    val edges = textPairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(embPairs.select(col("doc_a"), col("doc_b")))
+    val labels = StreamingSplit.assignBatch(textBatch, edges, labelDir, batchId)
+    val out = verdicts.join(labels, Seq("doc_id")).localCheckpoint(true)
+    verdicts.unpersist()
+    out
+  }
+
+  /** Streaming sink for the split-labeled full intake: three screens +
+    * quota + release + split labels, one foreachBatch, one verdict table
+    * (per-`__batch` dynamic-overwrite partitions), compacting the
+    * embedding index every `compactEvery` batches.
+    */
+  def sinkFullIvfSplit(docs: DataFrame, indexDir: String, embIndexDir: String,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
+      releaseDir: String, labelDir: String, verdictDir: String,
+      checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
+      compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val verdicts = screenBatchFullIvfSplit(batch, indexDir, embIndexDir,
+            batchId, screen, quotaDf, ledgerDir, releaseDir, labelDir,
+            k, tau, nprobe)
+          verdictWriter(verdictDir)(verdicts, batchId)
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            StreamingIvf.compactIndex(batch.sparkSession, embIndexDir, batchId)
+            ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
   /** Streaming sink for the full intake (3 screens + quota + release). */
   def sinkFull(docs: DataFrame, indexDir: String, embIndexDir: String,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,

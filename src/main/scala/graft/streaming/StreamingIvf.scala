@@ -175,13 +175,31 @@ object StreamingIvf {
     */
   def screenBatch(batch: DataFrame, indexDir: String, batchId: Long,
       nprobe: Int = 2, tau: Double = 0.40,
-      trainOnFirstBatch: Boolean = true, k: Int = 16): DataFrame = {
+      trainOnFirstBatch: Boolean = true, k: Int = 16): DataFrame =
+    screenBatchWithPairs(batch, indexDir, batchId, nprobe, tau,
+      trainOnFirstBatch, k)._1
+
+  /** [[screenBatch]] plus the UN-COLLAPSED qualifying pairs
+    * `(doc_a, doc_b, cosine)` (doc_a = the new vector; doc_b a history
+    * vector or an earlier batchmate). The verdict keeps only the smallest
+    * match per vector; consumers that need the full match graph —
+    * [[StreamingSplit]]'s bridge detection in the composed intake — read
+    * the pairs. Same single-materialization discipline as
+    * [[StreamingNearDup.screenBatchWithPairs]]: the pairs are
+    * localCheckpointed once and the verdicts derive from them.
+    */
+  def screenBatchWithPairs(batch: DataFrame, indexDir: String, batchId: Long,
+      nprobe: Int = 2, tau: Double = 0.40,
+      trainOnFirstBatch: Boolean = true, k: Int = 16): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     FloatVecDot.register(spark)
     if (batch.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "vec_id bigint, is_near_dup boolean, matched_vec bigint, cosine double"))
+          "vec_id bigint, is_near_dup boolean, matched_vec bigint, cosine double")),
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_a bigint, doc_b bigint, cosine double")))
     val withLabel =
       if (batch.columns.contains("label")) batch.select("vec_id", "embedding", "label")
       else batch.select(col("vec_id"), col("embedding")).withColumn("label", lit(0))
@@ -224,12 +242,19 @@ object StreamingIvf {
       .filter(col("b_id") < col("query_id"))
     // the zero-norm guard keeps 0/0 = NaN (which Spark orders above every
     // double) from matching τ — same rule as StreamingSemDedup
-    val matches = candHist.unionByName(candSelf)
+    // qualifying pairs, materialized ONCE: the verdict min_by and any
+    // pair consumer (split bridge detection) read this checkpoint
+    // instead of re-running the probe joins
+    val pairs = candHist.unionByName(candSelf)
       .filter(col("q_n") > 0 && col("b_n") > 0)
-      .select(col("query_id"),
-        col("b_id"), (call_function("vec_dot", col("q_emb"), col("b_e"))
-          / (col("q_n") * col("b_n"))).as("cos"))
-      .filter(col("cos") >= tau)
+      .select(col("query_id").as("doc_a"),
+        col("b_id").as("doc_b"), (call_function("vec_dot", col("q_emb"), col("b_e"))
+          / (col("q_n") * col("b_n"))).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .localCheckpoint(true)
+    val matches = pairs
+      .select(col("doc_a").as("query_id"), col("doc_b").as("b_id"),
+        col("cosine").as("cos"))
       .groupBy(col("query_id"))
       .agg(min_by(struct(col("b_id").as("matched_vec"), col("cos")), col("b_id")).as("m"))
       .select(col("query_id").as("vec_id"), col("m.matched_vec").as("matched_vec"),
@@ -252,7 +277,7 @@ object StreamingIvf {
         col("matched_vec"), col("cosine"))
       .localCheckpoint(true)
     fresh.unpersist()
-    verdicts
+    (verdicts, pairs)
   }
 
   /** Maintenance fold: consolidate historical `__batch=N` partitions,

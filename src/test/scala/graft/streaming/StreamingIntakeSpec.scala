@@ -395,6 +395,82 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     v1.unpersist(); v2.unpersist()
   }
 
+  test("FULL intake with split-at-admission: union match graph, semantic bridges flagged") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("sp-index") + "/index"
+    val embIndexDir = tmp("sp-emb") + "/index"
+    val ledgerDir = tmp("sp-ledger"); val releaseDir = tmp("sp-release")
+    val labelDir = tmp("sp-labels") + "/labels"
+    val quota = Seq(("en", 10L)).toDF("lang", "quota")
+    def df(rows: Seq[(Long, String, String, Array[Float])]) =
+      rows.toDF("doc_id", "text", "lang", "embedding")
+
+    // fixture ids pinned to DIFFERENT md5 splits (same as
+    // StreamingSplitSpec): splitOf(0)=train, splitOf(3)=val
+    //   0: clean                          → root 0, split train
+    //   1: TEXT near-copy of 0            → joins 0's component
+    //   3: clean                          → root 3, split val
+    //   4: EMBEDDING near-copy of 0       → joins 0's component via the
+    //      SEMANTIC edge (text shares nothing with anything)
+    val b1 = Seq(
+      (0L, sentence(50), "en", emb(0)),
+      (1L, mutate(sentence(50)), "en", emb(2)),
+      (3L, sentence(51), "en", emb(1)),
+      (4L, sentence(53), "en", embCopy(0)))
+    // 12: text-matches 0's component AND embedding-matches 3's — a
+    //     bridge across components holding DIFFERENT splits
+    // 13: fresh clean doc
+    val b2 = Seq(
+      (12L, mutate(mutate(sentence(50))), "en", embCopy(1)),
+      (13L, sentence(54), "en", emb(4)))
+
+    val v1 = StreamingIntake.screenBatchFullIvfSplit(df(b1), indexDir, embIndexDir,
+      0L, screen, quota, ledgerDir, releaseDir, labelDir, k = 3, tau = 0.9, nprobe = 3)
+    val m1 = v1.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("admitted"),
+        r.getAs[Long]("root_id"), r.getAs[String]("split"),
+        r.getAs[Boolean]("split_conflict")))
+    }.toMap
+    assert(m1(0L) == ((true, 0L, "train", false)))
+    assert(m1(1L) == ((false, 0L, "train", false)), s"text edge: ${m1(1L)}")
+    assert(m1(3L) == ((true, 3L, "val", false)))
+    assert(m1(4L) == ((false, 0L, "train", false)),
+      s"semantic edge must join the split component: ${m1(4L)}")
+
+    val v2 = StreamingIntake.screenBatchFullIvfSplit(df(b2), indexDir, embIndexDir,
+      1L, screen, quota, ledgerDir, releaseDir, labelDir, k = 3, tau = 0.9, nprobe = 3)
+    val m2 = v2.collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Boolean]("is_near_dup"),
+        r.getAs[Boolean]("is_sem_dup"), r.getAs[Boolean]("admitted"),
+        r.getAs[Long]("root_id"), r.getAs[String]("split"),
+        r.getAs[Boolean]("split_conflict")))
+    }.toMap
+    // the bridge: text near-dup of 0's component, sem near-dup of 3's;
+    // first-assignment-wins takes the smaller root (0, train), flags it
+    assert(m2(12L) == ((true, true, false, 0L, "train", true)),
+      s"cross-screen bridge: ${m2(12L)}")
+    assert(m2(13L)._3 && m2(13L)._4 == 13L && !m2(13L)._6, s"fresh doc: ${m2(13L)}")
+
+    // history labels are never rewritten by the bridge
+    val stored = spark.read.parquet(labelDir)
+      .select($"doc_id", $"root_id", $"split", $"split_conflict")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(stored.keySet == Set(0L, 1L, 3L, 4L, 12L, 13L))
+    assert(stored(0L) == ((0L, "train", false)) && stored(3L) == ((3L, "val", false)))
+
+    // replay of batch 2 converges (verdicts + labels)
+    val labelsBefore = spark.read.parquet(labelDir).collect()
+      .map(_.mkString("|")).sorted.toSeq
+    val r = StreamingIntake.screenBatchFullIvfSplit(df(b2), indexDir, embIndexDir,
+      1L, screen, quota, ledgerDir, releaseDir, labelDir, k = 3, tau = 0.9, nprobe = 3)
+    assert(r.collect().map(_.mkString("|")).sorted.toSeq ==
+      v2.collect().map(_.mkString("|")).sorted.toSeq)
+    val labelsAfter = spark.read.parquet(labelDir).collect()
+      .map(_.mkString("|")).sorted.toSeq
+    assert(labelsAfter == labelsBefore && labelsAfter.size == 6)
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"
