@@ -30,6 +30,7 @@ object SparkEntry {
     Warehouse.queries ++
     Warehouse2.queries ++
     Manifest.queries ++
+    MaterializedViews.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

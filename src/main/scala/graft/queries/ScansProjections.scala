@@ -294,7 +294,77 @@ object ScansProjections {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
   }
 
+  /** CSV + ORC copies of `documents`, memoized like s5/s6. CSV is written
+    * with quoteAll + explicit escape so content round-trips byte-exactly;
+    * ORC is self-describing.
+    */
+  private def formatsLayout(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "s9_formats_layout") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_${Memo.fingerprint(s, dir)}"
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+        // the CSV writer TRIMS field whitespace by default — a silent
+        // content mutation the fingerprint would catch; disable explicitly
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(s"$out/csv")
+      docs.write.mode("overwrite").orc(s"$out/orc")
+      out
+    }
+
+  /** S9: FORMAT-FIDELITY round trip — the same table written to CSV (the
+    * interchange format every upstream system still emits) and ORC (the
+    * other columnar at-rest format), read back, and content-fingerprinted
+    * against the parquet original with the manifest's order-independent
+    * xor-of-md5 digest. What this pins beyond "it parses": CSV's typed
+    * re-read (explicit schema — header inference is banned at scale),
+    * quote/escape fidelity of free text, and ORC's value-exact columnar
+    * round trip. The emitted numbers come from the parquet side; the
+    * booleans assert both copies fingerprint identically per source (d3f
+    * boolean-contract idiom — the oracle recomputes the fingerprint, so
+    * the row is not vacuous).
+    */
+  val s9FormatRoundtrip = Q("s9_format_roundtrip",
+    """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |       coalesce(bit_xor(CAST('0x' || substr(md5(
+      |           CAST(doc_id AS VARCHAR) || chr(1) || text || chr(1) || lang
+      |           || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15) AS BIGINT)), 0) AS xor_hash,
+      |       TRUE AS csv_ok, TRUE AS orc_ok
+      |FROM documents GROUP BY source""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import graft.operators.CorpusManifest
+      val out = formatsLayout(s, dir)
+      val parquetDocs = Tables.documents(s, dir)
+      def fp(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.select($"source",
+          CorpusManifest.rowHash(CorpusManifest.canonical(
+            Seq($"doc_id", $"text", $"lang", $"n_chars"))).as("h"),
+          $"n_chars")
+          .groupBy($"source")
+          .agg(count(lit(1)).as(s"${tag}_n"),
+            sum($"n_chars").cast("long").as(s"${tag}_chars"),
+            coalesce(expr("bit_xor(h)"), lit(0L)).as(s"${tag}_xor"))
+      val csv = s.read.schema(parquetDocs.schema)
+        .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+        .csv(s"$out/csv")
+      val orc = s.read.orc(s"$out/orc")
+      fp(parquetDocs, "pq")
+        .join(fp(csv, "csv"), Seq("source"))
+        .join(fp(orc, "orc"), Seq("source"))
+        .select($"source",
+          $"pq_n".as("n_docs"), $"pq_chars".as("total_chars"),
+          $"pq_xor".as("xor_hash"),
+          ($"csv_n" === $"pq_n" && $"csv_chars" === $"pq_chars" &&
+            $"csv_xor" === $"pq_xor").as("csv_ok"),
+          ($"orc_n" === $"pq_n" && $"orc_chars" === $"pq_chars" &&
+            $"orc_xor" === $"pq_xor").as("orc_ok"))
+  }
+
   val queries: Seq[Q] = Seq(
     s1Json, s2Pushdown, s3Fallback, s4Literal, s5SchemaEvolution,
-    s6PartitionPruning, s7DynamicPruning, p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
+    s6PartitionPruning, s7DynamicPruning, s9FormatRoundtrip,
+    p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
 }
