@@ -31,6 +31,7 @@ object SparkEntry {
     Warehouse2.queries ++
     Manifest.queries ++
     MaterializedViews.queries ++
+    Ml.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

@@ -210,7 +210,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e20_centroid_drift",
       // e21 composes e18's edge list — the only BNLJ is the same cached
       // k-centroid index-build subtree; degree/triangle joins are keyed
-      "e21_clustering_coefficient")
+      "e21_clustering_coefficient",
+      // ml2: the 1-ROW solved-weights broadcast joined to every doc for
+      // the exact-SSE pass (the t10 global-stats pattern)
+      "ml2_ridge")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
