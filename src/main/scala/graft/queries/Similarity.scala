@@ -1017,8 +1017,79 @@ object Similarity {
               / ($"degree" * ($"degree" - 1))).as("lcc"))
   }
 
+  /** E22: BOUNDED-HOP BFS over the kNN graph — multi-hop reachability
+    * from a deterministic seed set (`vec_id % 50 = 0`), the graph
+    * traversal primitive the e-family still lacked (PageRank ranks,
+    * label propagation clusters, triangles count — none answers "how far
+    * is every vector from a curated seed pocket?", the expansion query
+    * behind seed-based corpus growing / contamination-radius audits).
+    *
+    * Spark has no recursive CTE, so the traversal is the textbook BSP
+    * unroll: 4 fixed relaxation rounds, each one equi-join of the
+    * current distance table with the bidirectional edge list + a
+    * min-aggregate — dist_{r+1}(v) = min(dist_r(v), 1 + min dist_r(u)
+    * over in-edges). All-integer, so the DuckDB oracle replays the same
+    * 4 rounds as unrolled CTEs and the gate is hash-exact (a recursive
+    * CTE would work too, but the unroll keeps both sides literally the
+    * same algebra).
+    *
+    * Scale: per round one keyed equi-join + one combine-enabled min —
+    * frontier-bounded work, degree capped by the kNN construction (≤3
+    * out, in-degree bounded by hub skew), rounds a CONSTANT of the
+    * algorithm. The classic BSP shortest-path shape (Pregel's hello
+    * world) with no driver-side state at all.
+    */
+  val bfsHops = Q("e22_bfs_hops", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    val relax = (r: Int) =>
+      s"""d$r AS (
+         |  SELECT vec_id, min(hops) AS hops FROM (
+         |    SELECT vec_id, hops FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT b.dst AS vec_id, d.hops + 1 AS hops
+         |    FROM d${r - 1} d JOIN bi b ON d.vec_id = b.src)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |knn AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+       |bi AS (SELECT u AS src, v AS dst FROM und
+       |       UNION ALL SELECT v AS src, u AS dst FROM und),
+       |d0 AS (SELECT vec_id, 0 AS hops FROM qv WHERE vec_id % 50 = 0),
+       |${relax(1)}, ${relax(2)}, ${relax(3)}, ${relax(4)}
+       |SELECT vec_id, CAST(hops AS BIGINT) AS n_hops FROM d4""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .distinct()
+      // cache: the edge list feeds all 4 relaxation rounds
+      val bi = und.select($"u".as("src"), $"v".as("dst"))
+        .unionAll(und.select($"v".as("src"), $"u".as("dst"))).cache()
+      val seeds = graft.Tables.embeddings(s, dir)
+        .filter($"vec_id" % 50 === 0)
+        .select($"vec_id", lit(0L).as("hops"))
+      val dist = (1 to 4).foldLeft(seeds.toDF()) { (d, _) =>
+        val prop = d.as("d").join(bi.as("b"), col("d.vec_id") === col("b.src"))
+          .select(col("b.dst").as("vec_id"), (col("d.hops") + 1).as("hops"))
+        d.unionAll(prop).groupBy($"vec_id").agg(min($"hops").as("hops"))
+      }
+      dist.select($"vec_id", $"hops".cast("long").as("n_hops"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
-    triangleCount, annRecall, centroidDrift, clusteringCoefficient)
+    triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops)
 }

@@ -213,7 +213,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e21_clustering_coefficient",
       // ml2: the 1-ROW solved-weights broadcast joined to every doc for
       // the exact-SSE pass (the t10 global-stats pattern)
-      "ml2_ridge")
+      "ml2_ridge",
+      // e22 consumes the same memoized kNN graph as e18/e21 — the only
+      // BNLJ is the cached k-centroid index-build subtree; every BFS
+      // relaxation round is a keyed equi-join + min-aggregate
+      "e22_bfs_hops")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
