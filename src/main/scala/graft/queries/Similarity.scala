@@ -1088,8 +1088,100 @@ object Similarity {
       dist.select($"vec_id", $"hops".cast("long").as("n_hops"))
   }
 
+  /** The e23 quantized power-iteration build: `rounds` steps of
+    * v ← normalize(M·v) against the second-moment matrix M = Σ qqᵀ of the
+    * nonneg-quantized embeddings, WITHOUT ever materializing M — each
+    * step is two data passes fused into one aggregation: s_doc = ⟨q, v⟩
+    * per vector (map side), then u = Σ_docs (s_doc >> 16)·q per dimension
+    * (one 64-group combine). Returns (v, u) after the last round.
+    *
+    * All arithmetic is integer: q ∈ [0, 2²¹] (the IVF quantization), v is
+    * renormalized to [0, 2048] each round by nonneg floor division
+    * (u·2048 div (max u + 1) — truncation ≡ floor on nonnegatives in
+    * BOTH engines, the sign regime that makes Spark's `div` and DuckDB's
+    * `//` agree), and the only collect is the 64-element u vector per
+    * round — the k-bounded centroid-collect precedent. Nonnegativity is
+    * load-bearing twice: it keeps every division floor-consistent AND
+    * (Perron–Frobenius) guarantees the dominant eigenvector of the
+    * entrywise-positive M is itself nonnegative, so iterates never need
+    * signed normalization.
+    */
+  private[graft] def powerIterate(
+      s: SparkSession, dir: String, rounds: Int): (IndexedSeq[BigInt], IndexedSeq[BigInt]) =
+    Memo.cachedValue(s, dir, s"e23_power_$rounds") {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val q = graft.Tables.embeddings(s, dir).select(
+        transform($"embedding",
+          x => floor(x.cast("double") * lit(1048576.0)).cast("long") + lit(1048576L)).as("q"))
+      var v: IndexedSeq[BigInt] = IndexedSeq.fill(64)(BigInt(1024))
+      var u: IndexedSeq[BigInt] = IndexedSeq.empty
+      for (_ <- 1 to rounds) {
+        val vlit = array(v.map(b => lit(b.toLong)): _*)
+        val sdoc = aggregate(zip_with($"q", vlit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)
+        val us = q.select(shiftright(sdoc, 16).as("ss"),
+            posexplode($"q").as(Seq("pos", "qj")))
+          .groupBy($"pos")
+          .agg(sum(($"qj" * $"ss").cast(DecimalType(19, 0))).as("u"))
+          .orderBy($"pos").collect()
+        u = us.map(r => BigInt(r.getDecimal(1).toBigInteger)).toIndexedSeq
+        val mx = u.max + 1
+        v = u.map(x => x * 2048 / mx)
+      }
+      (v, u)
+    }
+
+  /** E23: DOMINANT COMPONENT by distributed power iteration — the top
+    * singular direction of the (nonneg-quantized) embedding matrix,
+    * extracted with 3 rounds of v ← M·v where M = Σ qqᵀ is NEVER
+    * materialized: each round is one linear pass (per-doc dot product +
+    * per-dimension combine), the d×d work that would shuffle d² values
+    * reduced to d values per partition. This is the dimensionality-
+    * reduction / drift-direction primitive of the e-family (project onto
+    * v for a 1-D corpus layout; compare v across corpus versions for
+    * drift), and the building block centered PCA adds one mean-vector
+    * subtraction to.
+    *
+    * Hash-exact like the Lloyd family: quantized integer recurrence, the
+    * oracle replays the identical 3 rounds as unrolled CTEs (sums land in
+    * DuckDB HUGEINT ≡ Spark DECIMAL int128, divisions are nonneg floor).
+    */
+  val powerIteration = Q("e23_power_iteration", {
+    val dot = "list_reduce(list_transform(list_zip(s.q, v.v), x -> x[1] * x[2]), (a, b) -> a + b)"
+    def round(r: Int): String =
+      s"""s$r AS MATERIALIZED (
+         |  SELECT q, $dot // 65536 AS ss
+         |  FROM (SELECT q FROM qv) s CROSS JOIN v${r - 1} v),
+         |u$r AS MATERIALIZED (
+         |  SELECT i.idx, sum(s.q[i.idx] * s.ss) AS u
+         |  FROM s$r s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS idx) i
+         |  GROUP BY 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT list((u * 2048) // (SELECT max(u) + 1 FROM u$r) ORDER BY idx) AS v
+         |  FROM u$r)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
+       |  FROM embeddings),
+       |v0 AS (SELECT list_transform(generate_series(1, 64), i -> CAST(1024 AS BIGINT)) AS v),
+       |${round(1)}, ${round(2)}, ${round(3)}
+       |SELECT idx AS dim_idx,
+       |       CAST((u * 2048) // (SELECT max(u) + 1 FROM u3) AS BIGINT) AS v,
+       |       CAST(u AS DOUBLE) AS u
+       |FROM u3""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val (v, u) = powerIterate(s, dir, 3)
+      s.createDataFrame(
+        (1 to 64).map(i => (i.toLong, v(i - 1).toLong, u(i - 1).toDouble)))
+        .toDF("dim_idx", "v", "u")
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
-    triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops)
+    triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
+    powerIteration)
 }
