@@ -130,6 +130,23 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
     streaming.StreamingWap.sink(rows, expectations, s"$workDir/table",
       s"$workDir/quarantine", s"$workDir/audit", s"$workDir/ckpt").start()
 
+  /** Cross the batch→streaming migration seam: one-time historical load
+    * below `cutoff`, after which [[resumeLive]] streams the `ts >= cutoff`
+    * side exactly-once into the same serving root — see
+    * [[streaming.StreamingBackfill]] for the seam contract.
+    */
+  def backfill(historical: DataFrame, tsCol: String,
+      cutoff: java.sql.Timestamp, root: String): Unit =
+    streaming.StreamingBackfill.backfill(historical, tsCol, cutoff, root)
+
+  /** The live half of a published seam (refuses to start before
+    * [[backfill]] has run). Serve both sides with
+    * [[streaming.StreamingBackfill.serve]].
+    */
+  def resumeLive(stream: DataFrame, tsCol: String, root: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingBackfill.liveSink(stream, tsCol, root, checkpoint).start()
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with
