@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import Exact._
 
@@ -169,6 +170,70 @@ object Joins {
           |  ORDER BY CAST(c.c_acctbal AS DECIMAL(18,2)) DESC, c.c_name LIMIT 2) t""".stripMargin)
   }
 
+  /** J9: POINT-IN-TIME (temporal) join — each lineitem looks up the
+    * customer's priority VERSION that was valid at its ship date from the
+    * p10 SCD2 dimension: `valid_from ≤ ship < valid_to` (half-open, NULL
+    * valid_to = current). The as-of-a-dimension sibling of j5's as-of on
+    * a fact: THE query shape SCD2 exists for, and the one naive users get
+    * wrong by joining `is_current` (which backdates today's attribute
+    * onto historical facts).
+    *
+    * Scale shape: the interval predicate rides ON TOP of the custkey
+    * equi-join — versions-per-key is small, so Spark plans a keyed
+    * SortMergeJoin/broadcast with a post-filter, never an inequality
+    * nested loop (PlanSpec global sweep). Every lineitem matches exactly
+    * ONE version by construction (intervals partition each key's
+    * timeline from its first order date, and ship ≥ its own order's
+    * date ≥ that key's first valid_from) — EXCEPT the fixture's
+    * early-arriving facts: ~8% of lineitems ship BEFORE the customer's
+    * first order date, i.e. before any dimension history exists. The
+    * Kimball answer is applied: LEFT join + the UNKNOWN member, so the
+    * join stays lossless and fanout-free (TemporalJoinSpec pins
+    * Σ n_items = |lineitem| and the early-fact bucket size).
+    */
+  val temporalJoin = Q("j9_temporal_join",
+    """WITH dim AS (
+      |  SELECT o_custkey AS custkey,
+      |         o_orderpriority AS priority,
+      |         epoch_us(o_orderdate) AS valid_from_us,
+      |         lead(epoch_us(o_orderdate)) OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate, o_orderkey) AS valid_to_us
+      |  FROM orders),
+      |fact AS (
+      |  SELECT o.o_custkey AS custkey, epoch_us(l.l_shipdate) AS ship_us,
+      |         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT coalesce(d.priority, 'UNKNOWN (early fact)') AS priority_at_ship,
+      |       CAST(count(*) AS BIGINT) AS n_items,
+      |       CAST(sum(CAST(f.price * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM fact f LEFT JOIN dim d
+      |  ON f.custkey = d.custkey
+      | AND d.valid_from_us <= f.ship_us
+      | AND (d.valid_to_us IS NULL OR f.ship_us < d.valid_to_us)
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val dim = Tables.orders(s, dir).select(
+        $"o_custkey".as("custkey"), $"o_orderpriority".as("priority"),
+        unix_micros($"o_orderdate").as("valid_from_us"),
+        lead(unix_micros($"o_orderdate"), 1).over(w).as("valid_to_us"))
+      val fact = Tables.lineitem(s, dir)
+        .select($"l_orderkey", unix_micros($"l_shipdate").as("ship_us"),
+          dec2($"l_extendedprice").as("price"))
+        .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey".as("custkey")),
+          $"l_orderkey" === $"o_orderkey")
+      fact.join(dim,
+          fact("custkey") === dim("custkey") &&
+            dim("valid_from_us") <= fact("ship_us") &&
+            (dim("valid_to_us").isNull || fact("ship_us") < dim("valid_to_us")),
+          "left")
+        .groupBy(coalesce(dim("priority"), lit("UNKNOWN (early fact)"))
+          .as("priority_at_ship"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(($"price" * 100).cast("long")).cast("long").as("revenue_cents"))
+  }
+
   val queries: Seq[Q] = Seq(j1LeftFill, j1bDedupeFanout, starJoin, semiJoin, antiJoin,
-    lateralTopK)
+    lateralTopK, temporalJoin)
 }
