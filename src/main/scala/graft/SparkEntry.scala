@@ -32,6 +32,7 @@ object SparkEntry {
     Manifest.queries ++
     MaterializedViews.queries ++
     Ml.queries ++
+    Cdc.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** ROW-LEVEL CHANGE-DATA-CAPTURE between two table snapshots — the
+  * changelog/CDF primitive (Delta's table_changes, Iceberg's changelog
+  * scan) that turns "version N−1 vs version N" into an applyable change
+  * feed. The mf3 manifest diff answers WHICH components changed at
+  * fingerprint grain; this answers WHAT changed at row grain — the feed
+  * a downstream incremental consumer (or an mv1-style maintained view)
+  * actually ingests.
+  *
+  * Snapshot derivation (both sides deterministic projections of
+  * `orders`, so the oracle rebuilds them exactly):
+  *   previous = orders minus keys ≡ 0 (mod 97)   (those become INSERTs)
+  *              with o_totalprice bumped +1.00 on keys ≡ 0 (mod 89)
+  *              (those become UPDATEs)
+  *   current  = orders minus keys ≡ 0 (mod 101)  (those become DELETEs)
+  *
+  * The diff itself is ONE full-outer equi-join on the key with typed
+  * column comparisons (no string fingerprints — formatting-free, so
+  * cross-engine exact), classifying insert / delete / update and
+  * dropping unchanged rows map-side after the join.
+  *
+  * Scale: the single shuffle is the key join; at 100 TB both snapshots
+  * would be bucketed on the key and the join co-located. Unchanged rows
+  * (the overwhelming majority) never leave the join stage. Emits the
+  * change feed ordered by key — |changes| rows, not |table| rows.
+  */
+object Cdc {
+
+  private def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val o = Tables.orders(s, dir).select(
+      $"o_orderkey", $"o_custkey",
+      Exact.dec2($"o_totalprice").as("price"), $"o_orderpriority".as("priority"))
+    val previous = o.filter($"o_orderkey" % 97 =!= 0)
+      .withColumn("price",
+        when($"o_orderkey" % 89 === 0, $"price" + lit(1).cast("decimal(18,2)"))
+          .otherwise($"price"))
+    val current = o.filter($"o_orderkey" % 101 =!= 0)
+    (previous, current)
+  }
+
+  val cdc1SnapshotDiff = Q("cdc1_snapshot_diff",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |         o_orderpriority AS priority
+      |  FROM orders),
+      |previous AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 89 = 0
+      |              THEN CAST(price + 1 AS DECIMAL(18,2)) ELSE price END AS price,
+      |         priority
+      |  FROM base WHERE o_orderkey % 97 <> 0),
+      |current AS (
+      |  SELECT * FROM base WHERE o_orderkey % 101 <> 0)
+      |SELECT coalesce(p.o_orderkey, c.o_orderkey) AS o_orderkey,
+      |       CASE WHEN p.o_orderkey IS NULL THEN 'insert'
+      |            WHEN c.o_orderkey IS NULL THEN 'delete'
+      |            ELSE 'update' END AS change_type,
+      |       CAST(p.price AS DOUBLE) AS old_price,
+      |       CAST(c.price AS DOUBLE) AS new_price
+      |FROM previous p FULL OUTER JOIN current c ON p.o_orderkey = c.o_orderkey
+      |WHERE p.o_orderkey IS NULL OR c.o_orderkey IS NULL
+      |   OR p.price <> c.price OR p.priority <> c.priority
+      |   OR p.o_custkey <> c.o_custkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val (previous, current) = snapshots(s, dir)
+      val p = previous.as("p")
+      val c = current.as("c")
+      p.join(c, col("p.o_orderkey") === col("c.o_orderkey"), "full_outer")
+        .filter(col("p.o_orderkey").isNull || col("c.o_orderkey").isNull ||
+          col("p.price") =!= col("c.price") ||
+          col("p.priority") =!= col("c.priority") ||
+          col("p.o_custkey") =!= col("c.o_custkey"))
+        .select(
+          coalesce(col("p.o_orderkey"), col("c.o_orderkey")).as("o_orderkey"),
+          when(col("p.o_orderkey").isNull, "insert")
+            .when(col("c.o_orderkey").isNull, "delete")
+            .otherwise("update").as("change_type"),
+          col("p.price").cast("double").as("old_price"),
+          col("c.price").cast("double").as("new_price"))
+  }
+
+  /** cdc2: APPLYING the feed — previous + change feed ≡ current, proven
+    * as a query: merge the cdc1 deltas onto the previous snapshot
+    * (delete, upsert) and emit per-priority counts/revenue of the result,
+    * which the oracle computes DIRECTLY from the current snapshot. The
+    * round trip is the contract that makes a change feed trustworthy;
+    * any classification or loss bug in cdc1 breaks the equality loudly.
+    */
+  val cdc2ApplyFeed = Q("cdc2_apply_feed",
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |         o_orderpriority AS priority
+      |  FROM orders),
+      |current AS (
+      |  SELECT * FROM base WHERE o_orderkey % 101 <> 0)
+      |SELECT priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(price * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM current GROUP BY priority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val (previous, _) = snapshots(s, dir)
+      val feed = cdc1SnapshotDiff.run(s, dir)
+      val deletesAndUpdates = feed.filter($"change_type".isin("delete", "update"))
+        .select($"o_orderkey".as("k"))
+      // merge = (previous minus deleted/updated keys) ∪ (insert/update images)
+      val kept = previous.join(deletesAndUpdates, $"o_orderkey" === $"k", "left_anti")
+      val upserts = feed.filter($"change_type".isin("insert", "update"))
+        .select($"o_orderkey".as("k2"))
+      val images = Tables.orders(s, dir).select(
+          $"o_orderkey", $"o_custkey",
+          Exact.dec2($"o_totalprice").as("price"), $"o_orderpriority".as("priority"))
+        .join(upserts, $"o_orderkey" === $"k2", "left_semi")
+      kept.unionByName(images)
+        .groupBy($"priority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(($"price" * 100).cast("long")).cast("long").as("revenue_cents"))
+  }
+
+  val queries: Seq[Q] = Seq(cdc1SnapshotDiff, cdc2ApplyFeed)
+}
