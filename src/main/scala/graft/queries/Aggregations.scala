@@ -298,7 +298,45 @@ object Aggregations {
         qAt(0.75).as("p75_cents"), qAt(0.9).as("p90_cents"))
   }
 
+  /** A22: JOIN-KEY SKEW PROFILE — the pre-flight diagnostic for "will
+    * this join melt an executor at 1000 nodes": per-key cardinality of
+    * the lineitem⋈orders key rolled into a power-of-two frequency histogram (bucket =
+    * bit length − 1, an exact integer — floor(log2) via IEEE log would
+    * flip at exact powers of two between engines)
+    * (freq-bucket → n_keys, n_rows), plus each bucket's share of total
+    * rows in ppm (exact integer arithmetic — the per-bucket row mass is
+    * what a skewed shuffle partition inherits). Two aggregates, both
+    * map-side combinable: count per key, then histogram over counts —
+    * the j7 salting / AQE-skew-split decision feeds directly off the top
+    * bucket. The same two-pass shape profiles ANY key at any scale
+    * (state = |distinct keys| then |buckets|).
+    */
+  val a22JoinSkewProfile = Q("a22_join_skew_profile",
+    """WITH per_key AS (
+      |  SELECT l_orderkey AS k, count(*) AS freq FROM lineitem GROUP BY 1),
+      |bucketed AS (
+      |  SELECT CAST(length(bin(freq)) - 1 AS BIGINT) AS freq_bucket,
+      |         count(*) AS n_keys, CAST(sum(freq) AS BIGINT) AS n_rows,
+      |         max(freq) AS max_freq
+      |  FROM per_key GROUP BY 1)
+      |SELECT freq_bucket, n_keys, n_rows, max_freq,
+      |       CAST(floor(n_rows * 1000000 / (SELECT sum(freq) FROM per_key)) AS BIGINT) AS row_share_ppm
+      |FROM bucketed""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val perKey = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey".as("k")).agg(count(lit(1)).as("freq"))
+      val total = perKey.agg(sum($"freq").as("total"))
+      val bucketed = perKey
+        .groupBy((length(bin($"freq")) - 1).cast("long").as("freq_bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum($"freq").cast("long").as("n_rows"),
+          max($"freq").as("max_freq"))
+      bucketed.join(broadcast(total))
+        .select($"freq_bucket", $"n_keys", $"n_rows", $"max_freq",
+          floor($"n_rows" * 1000000L / $"total").cast("long").as("row_share_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
     a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
-    a21QuantileSketch)
+    a21QuantileSketch, a22JoinSkewProfile)
 }
