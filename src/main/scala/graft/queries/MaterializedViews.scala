@@ -166,5 +166,80 @@ object MaterializedViews {
         concat_ws(",", expr("transform(kept, x -> x.v)")).as("sketch_ids"))
   }
 
-  val queries: Seq[Q] = Seq(mv1IncrementalMv, mv2SketchMv)
+  /** mv3: RETRACTABLE MV maintenance from a row-level CHANGE FEED — the
+    * deletes-and-updates completion of mv1 (whose merge only ever ADDS
+    * partials). Count and sum are group aggregates with inverses, so the
+    * cdc1 feed applies directly as signed deltas: delete/update retract
+    * the OLD image from its group, insert/update add the NEW image to
+    * its group (two keyed joins back to the snapshots for group
+    * columns — the feed stays row-grain). min/max have NO inverse; the
+    * standard answer is bounded recompute: ONLY the groups the feed
+    * touched re-derive min/max from the current snapshot, untouched
+    * groups keep their standing values (valid because untouched means
+    * row-identical). Refresh cost: |feed| + |touched groups' rows| +
+    * |groups| — never |table|.
+    *
+    * Oracle: a single GROUP BY over the current snapshot — proving
+    * retraction arithmetic + bounded recompute land exactly where a full
+    * rebuild would.
+    */
+  val mv3RetractableMv = Q("mv3_retractable_mv",
+    """WITH base AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |         o_orderpriority AS priority
+      |  FROM orders),
+      |current AS (
+      |  SELECT * FROM base WHERE o_orderkey % 101 <> 0)
+      |SELECT priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(price * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+      |       min(CAST(price * 100 AS BIGINT)) AS min_cents,
+      |       max(CAST(price * 100 AS BIGINT)) AS max_cents
+      |FROM current GROUP BY priority""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val (previous, current) = Cdc.snapshots(s, dir)
+    def cents(df: DataFrame) = df.select($"o_orderkey", $"priority",
+      ($"price" * 100).cast("long").as("cents"))
+    val feed = Cdc.cdc1SnapshotDiff.run(s, dir).select($"o_orderkey", $"change_type")
+    maintainFromFeed(cents(previous), cents(current), feed)
+  }
+
+  /** The mv3 maintenance algebra over `(o_orderkey, priority, cents)`
+    * snapshots and a `(o_orderkey, change_type)` feed — factored out so
+    * MvSpec can drive the untouched-group path (empty feed) directly.
+    */
+  private[graft] def maintainFromFeed(
+      prevC: DataFrame, curC: DataFrame, feed: DataFrame): DataFrame = {
+    // the standing MV state (count/sum/min/max per group)
+    val standing = prevC.groupBy(col("priority")).agg(
+      count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"),
+      min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    // feed → signed deltas, group columns recovered by keyed joins
+    val retract = feed.filter(col("change_type").isin("delete", "update"))
+      .join(prevC, "o_orderkey")
+      .select(col("priority"), lit(-1L).as("dn"), (-col("cents")).as("dsum"))
+    val add = feed.filter(col("change_type").isin("insert", "update"))
+      .join(curC, "o_orderkey")
+      .select(col("priority"), lit(1L).as("dn"), col("cents").as("dsum"))
+    val deltas = retract.unionByName(add).groupBy(col("priority"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dsum")).as("dsum"))
+    // bounded min/max recompute over touched groups only
+    val touched = deltas.select(col("priority"))
+    val recomputed = curC.join(touched, Seq("priority"), "left_semi")
+      .groupBy(col("priority"))
+      .agg(min(col("cents")).as("new_min"), max(col("cents")).as("new_max"))
+    standing.join(deltas, Seq("priority"), "full_outer")
+      .join(recomputed, Seq("priority"), "left")
+      .select(col("priority"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("rev_cents"), lit(0L)) + coalesce(col("dsum"), lit(0L))).as("rev_cents"),
+        coalesce(col("new_min"), col("min_cents")).as("min_cents"),
+        coalesce(col("new_max"), col("max_cents")).as("max_cents"))
+      .filter(col("n_orders") > 0)
+      .select(col("priority"), col("n_orders").cast("long").as("n_orders"),
+        col("rev_cents").cast("long").as("rev_cents"),
+        col("min_cents"), col("max_cents"))
+  }
+
+  val queries: Seq[Q] = Seq(mv1IncrementalMv, mv2SketchMv, mv3RetractableMv)
 }

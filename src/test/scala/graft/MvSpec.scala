@@ -60,6 +60,28 @@ class MvSpec extends AnyFunSuite with SparkTestKit {
     assert(canon(merged) == canon(oneShot))
   }
 
+  test("mv3: an empty feed leaves every group on the standing (untouched) path") {
+    import org.apache.spark.sql.types._
+    val snap = Seq((1L, "A", 100L), (2L, "A", 300L), (3L, "B", 50L))
+      .toDF("o_orderkey", "priority", "cents")
+    val feed = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("o_orderkey", LongType),
+        StructField("change_type", StringType))))
+    val out = MaterializedViews.maintainFromFeed(snap, snap, feed)
+      .orderBy($"priority").collect().map(_.mkString("|")).toSeq
+    assert(out == Seq("A|2|400|100|300", "B|1|50|50|50"))
+  }
+
+  test("mv3: a delete draining a group removes it; inserts create new groups") {
+    val prev = Seq((1L, "A", 100L), (2L, "B", 50L)).toDF("o_orderkey", "priority", "cents")
+    val cur = Seq((1L, "A", 100L), (9L, "C", 70L)).toDF("o_orderkey", "priority", "cents")
+    val feed = Seq((2L, "delete"), (9L, "insert")).toDF("o_orderkey", "change_type")
+    val out = MaterializedViews.maintainFromFeed(prev, cur, feed)
+      .orderBy($"priority").collect().map(_.mkString("|")).toSeq
+    assert(out == Seq("A|1|100|100|100", "C|1|70|70|70"))
+  }
+
   test("mv2 sketch merge: standing ∪ delta re-ranked equals whole-data sketch") {
     val out = MaterializedViews.mv2SketchMv.run(spark, sfDir).cache()
     // whole-data sketch computed directly (no split) via the same aggregate
