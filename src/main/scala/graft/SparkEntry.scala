@@ -33,6 +33,7 @@ object SparkEntry {
     MaterializedViews.queries ++
     Ml.queries ++
     Cdc.queries ++
+    Basket.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

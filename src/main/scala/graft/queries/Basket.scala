@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MARKET-BASKET analysis — pairwise association rules (support /
+  * confidence / lift) over order baskets, the classic cross-sell query a
+  * commerce warehouse answers from the same lineitem fact the reference's
+  * marts aggregate (provenance: the reference's order-item grain,
+  * `models/silver/stg_joor_order_items.sql`-family, whose marts only ever
+  * roll up — co-occurrence is the completion).
+  *
+  * Shape and scale:
+  *  - baskets = DISTINCT (order, part): one hash aggregate.
+  *  - A-PRIORI PRUNE: items in < minSupport baskets cannot appear in any
+  *    pair with pair count ≥ minSupport, so they are dropped BEFORE pair
+  *    generation (the downward-closure step that makes candidate
+  *    generation tractable — at 100 TB the long tail of once-bought parts
+  *    is the bulk of the catalog and never reaches the self-join).
+  *  - pair generation = self-equi-join on the basket key with `pa < pb`:
+  *    fanout is Σ k_i² bounded by the max basket size (13 here, small in
+  *    any real order fact), never |parts|².
+  *  - per-item counts ride INTO the join (carried columns, folded with
+  *    max() in the pair aggregate) so no second join back to item stats.
+  *  - all metrics are integer ppm (floor of an IEEE-exact int64-over-
+  *    int64 division — both engines round-correctly, so hashes match).
+  *    lift's numerator pair_n·n_baskets·10⁶ fits int64 through ~sf100;
+  *    beyond that promote to decimal(38,0).
+  */
+object Basket {
+
+  val mb1MarketBasket = Q("mb1_market_basket",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |tot AS (SELECT count(DISTINCT o) AS n_baskets FROM b),
+      |item AS (SELECT p, count(*) AS n_item FROM b GROUP BY 1),
+      |freq AS (SELECT * FROM item WHERE n_item >= 2),
+      |fb AS (SELECT b.o, b.p, f.n_item FROM b JOIN freq f ON b.p = f.p),
+      |pairs AS (
+      |  SELECT a.p AS part_a, c.p AS part_b, count(*) AS pair_n,
+      |         max(a.n_item) AS n_a, max(c.n_item) AS n_b
+      |  FROM fb a JOIN fb c ON a.o = c.o AND a.p < c.p
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, CAST(pair_n AS BIGINT) AS pair_n,
+      |       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |       CAST(floor(pair_n * 1000000 / (SELECT n_baskets FROM tot)) AS BIGINT) AS support_ppm,
+      |       CAST(floor(pair_n * 1000000 / n_a) AS BIGINT) AS conf_ab_ppm,
+      |       CAST(floor(pair_n * 1000000 / n_b) AS BIGINT) AS conf_ba_ppm,
+      |       CAST(floor(pair_n * (SELECT n_baskets FROM tot) * 1000000 / (n_a * n_b)) AS BIGINT) AS lift_ppm
+      |FROM pairs WHERE pair_n >= 2""".stripMargin) { (s, dir) =>
+    pairRules(baskets(s, dir), minSupport = 2)
+  }
+
+  /** DISTINCT (order, part) baskets from the lineitem fact. */
+  private[graft] def baskets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+  }
+
+  /** The rule mill over any `(o, p)` basket table — factored out so
+    * BasketSpec can drive the A-priori losslessness pin (pruned ≡
+    * unpruned output) directly.
+    */
+  private[graft] def pairRules(b: DataFrame, minSupport: Int): DataFrame = {
+    val nBaskets = b.agg(countDistinct(col("o")).as("n_baskets"))
+    val itemN = b.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+    // A-priori downward closure: pair support ≥ s ⇒ both item supports ≥ s
+    val frequent = itemN.filter(col("n_item") >= minSupport)
+    val fb = b.join(frequent, "p")
+    val fa = fb.select(col("o"), col("p").as("part_a"), col("n_item").as("na"))
+    val fc = fb.select(col("o"), col("p").as("part_b"), col("n_item").as("nb"))
+    val pairs = fa.join(fc, fa("o") === fc("o") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("pair_n"), max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      .filter(col("pair_n") >= minSupport)
+    pairs.join(broadcast(nBaskets))
+      .select(col("part_a"), col("part_b"), col("pair_n"), col("n_a"), col("n_b"),
+        floor(col("pair_n") * 1000000L / col("n_baskets")).cast("long").as("support_ppm"),
+        floor(col("pair_n") * 1000000L / col("n_a")).cast("long").as("conf_ab_ppm"),
+        floor(col("pair_n") * 1000000L / col("n_b")).cast("long").as("conf_ba_ppm"),
+        floor(col("pair_n") * col("n_baskets") * 1000000L / (col("n_a") * col("n_b")))
+          .cast("long").as("lift_ppm"))
+  }
+
+  val queries: Seq[Q] = Seq(mb1MarketBasket)
+}

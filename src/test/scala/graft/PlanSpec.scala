@@ -217,7 +217,15 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e22 consumes the same memoized kNN graph as e18/e21 — the only
       // BNLJ is the cached k-centroid index-build subtree; every BFS
       // relaxation round is a keyed equi-join + min-aggregate
-      "e22_bfs_hops")
+      "e22_bfs_hops",
+      // mb1: the 1-ROW n_baskets broadcast onto the pair rules (the t10
+      // global-stats pattern); pair generation itself is the basket-key
+      // equi-join, asserted in BasketSpec's fanout bound
+      "mb1_market_basket",
+      // a22: the 1-ROW Σfreq total broadcast onto the |buckets|-row
+      // histogram (the t10 global-stats pattern); the per-key count and
+      // bucket rollup are plain hash aggregates
+      "a22_join_skew_profile")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
