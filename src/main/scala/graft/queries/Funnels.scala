@@ -178,5 +178,85 @@ object Funnels {
         .filter($"n_errors" >= 3)
   }
 
-  val queries: Seq[Q] = Seq(funnel, retention, topPaths, histogram, errorBursts)
+  /** W18: LAST-TOUCH marketing attribution — each purchase's revenue is
+    * credited to the most recent view/click touch by the same user
+    * strictly before it and within a 7-day lookback; purchases with no
+    * in-window touch credit `direct`. The touch channel derives
+    * deterministically from the event payload (`k % 5` — the f4
+    * deterministic-assignment idiom, since the synthetic feed carries no
+    * channel column).
+    *
+    * Shape and scale: candidates come from ONE user_id equi-join with the
+    * lookback band as a residual predicate (never a time-only range
+    * join), the winner is a per-purchase rank-1 window with the
+    * (t_us, event_id) tie-break pinned on both engines, and the rollup is
+    * a |channels|-row aggregate. Per-user touch volume bounds the join
+    * fanout; everything shuffles on user_id / purchase id only. Revenue
+    * stays integer cents end-to-end (Exact.dec2 discipline).
+    */
+  val attribution = Q("w18_attribution",
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_id AS tid,
+      |         CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
+      |           WHEN 0 THEN 'email' WHEN 1 THEN 'search' WHEN 2 THEN 'social'
+      |           WHEN 3 THEN 'ads' ELSE 'organic' END AS channel
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |p AS (
+      |  SELECT event_id AS pid, user_id, epoch_us(ts) AS p_us,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT p.pid, p.cents, t.channel, t.t_us, t.tid
+      |  FROM p LEFT JOIN t ON p.user_id = t.user_id
+      |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+      |ranked AS (
+      |  SELECT pid, cents, coalesce(channel, 'direct') AS channel,
+      |         row_number() OVER (PARTITION BY pid
+      |           ORDER BY t_us DESC NULLS LAST, tid DESC NULLS LAST) AS rn
+      |  FROM cand)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+      |       CAST(sum(cents) AS BIGINT) AS attributed_cents
+      |FROM ranked WHERE rn = 1 GROUP BY channel""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val touches = ev.filter($"event_type".isin("view", "click"))
+        .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id".as("tid"),
+          (get_json_object($"props", "$.k").cast("long") % 5).as("k5"))
+        .select($"user_id", $"t_us", $"tid",
+          when($"k5" === 0, "email").when($"k5" === 1, "search")
+            .when($"k5" === 2, "social").when($"k5" === 3, "ads")
+            .otherwise("organic").as("channel"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id".as("pid"), $"user_id", unix_micros($"ts").as("p_us"),
+          (Exact.dec2($"value") * 100).cast("long").as("cents"))
+      lastTouch(touches, purchases)
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("attributed_cents"))
+  }
+
+  /** The attribution core over any `(user_id, t_us, tid, channel)` touch
+    * frame and `(pid, user_id, p_us, cents)` purchase frame — one row per
+    * purchase with its winning channel (`direct` when no touch lies in
+    * the strict-before 7-day window). Factored out so AttributionSpec can
+    * pin the boundary semantics on synthetic frames.
+    */
+  private[graft] def lastTouch(
+      touches: org.apache.spark.sql.DataFrame,
+      purchases: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = purchases.join(touches,
+      purchases("user_id") === touches("user_id")
+        && col("t_us") < col("p_us")
+        && col("t_us") >= col("p_us") - 604800000000L, "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+      .orderBy(col("t_us").desc_nulls_last, col("tid").desc_nulls_last)
+    cand.select(col("pid"), col("cents"),
+        coalesce(col("channel"), lit("direct")).as("channel"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("pid"), col("cents"), col("channel"))
+  }
+
+  val queries: Seq[Q] =
+    Seq(funnel, retention, topPaths, histogram, errorBursts, attribution)
 }
