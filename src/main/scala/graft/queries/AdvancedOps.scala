@@ -227,6 +227,79 @@ object AdvancedOps {
         .select($"event_id", coalesce($"n_errors", lit(0L)).as("n_errors"))
   }
 
+  /** W19: PEAK CONCURRENT SESSIONS per day — the sweep-line interval
+    * counter: every w4 gap-session contributes +1 at its start and −1
+    * one µs after its last event (half-open activity), and concurrency
+    * at any change point is the global running sum of deltas.
+    *
+    * The global running sum is THE single-partition-window trap (`OVER
+    * (ORDER BY …)` with no partition collapses to one task); here it
+    * runs through `operators/PrefixScan` — per-day bucket totals →
+    * exclusive prefix offsets (|days| rows) → broadcast back + parallel
+    * within-day windows. The day bucket is monotone in t_us, so
+    * offset + local prefix ≡ the global prefix exactly.
+    *
+    * Tie order at the same µs is pinned (delta ASC: an ending session
+    * frees its slot before a starting one claims; then user/session id)
+    * so the running value — not just the final sum — is deterministic
+    * on both engines.
+    */
+  val peakConcurrency = Q("w19_peak_concurrency",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess_events AS (
+      |  SELECT user_id, ts,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, session_id,
+      |         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      |  FROM sess_events GROUP BY user_id, session_id),
+      |deltas AS (
+      |  SELECT s_us AS t_us, 1 AS delta, user_id, session_id FROM sess
+      |  UNION ALL
+      |  SELECT e_us + 1 AS t_us, -1 AS delta, user_id, session_id FROM sess),
+      |run AS (
+      |  SELECT t_us, sum(delta) OVER (ORDER BY t_us, delta, user_id, session_id
+      |                                ROWS UNBOUNDED PRECEDING) AS conc
+      |  FROM deltas)
+      |SELECT strftime(make_timestamp(t_us), '%Y-%m-%d') AS day,
+      |       CAST(max(conc) AS BIGINT) AS peak_concurrency,
+      |       count(*) AS n_changes
+      |FROM run GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val gapUs = 30L * 60 * 1000000
+      val sess = Tables.events(s, dir)
+        .select($"user_id", $"ts", $"event_id", unix_micros($"ts").as("ts_us"))
+        .withColumn("new_session",
+          when(lag($"ts_us", 1).over(byUser).isNull
+            || $"ts_us" - lag($"ts_us", 1).over(byUser) > gapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum($"new_session").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"ts_us").as("s_us"), max($"ts_us").as("e_us"))
+      val deltas = sess.select($"s_us".as("t_us"), lit(1L).as("delta"),
+          $"user_id", $"session_id")
+        .unionByName(sess.select(($"e_us" + 1).as("t_us"), lit(-1L).as("delta"),
+          $"user_id", $"session_id"))
+      val run = graft.operators.PrefixScan.runningSum(deltas,
+        bucket = expr("t_us div 86400000000"),
+        order = Seq($"t_us", $"delta", $"user_id", $"session_id"),
+        value = $"delta", out = "conc")
+      run.groupBy(date_format(timestamp_micros($"t_us"), "yyyy-MM-dd").as("day"))
+        .agg(max($"conc").cast("long").as("peak_concurrency"),
+          count(lit(1)).as("n_changes"))
+  }
+
   val queries: Seq[Q] = Seq(sessionize, rollupAgg, cubeAgg, pivotRevenue, asofJoin,
-    rangeJoin)
+    rangeJoin, peakConcurrency)
 }
