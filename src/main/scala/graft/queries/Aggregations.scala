@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -336,7 +337,90 @@ object Aggregations {
           floor($"n_rows" * 1000000L / $"total").cast("long").as("row_share_ppm"))
   }
 
+  /** A23: RFM customer segmentation — the classic commerce scoring
+    * (recency / frequency / monetary) with EXACT quintile cuts: each
+    * dimension's thresholds come from `percentile_disc` (actual data
+    * members — cross-engine exact, the a12 discipline), scores are the
+    * 1–5 threshold ladder (recency inverted: fresher = higher), and the
+    * output is the ≤125-cell segment grid with population and revenue.
+    *
+    * Shape: one customer rollup (single shuffle on custkey), a 1-row
+    * threshold aggregate broadcast back (the t10 global-stats pattern),
+    * a stateless scoring projection, and a ≤125-group aggregate. Ties on
+    * a threshold value all land on the same side (`>` ladder), so heavy
+    * tie mass skews the quintile populations rather than splitting
+    * nondeterministically — the deterministic choice.
+    */
+  val a23RfmSegments = Q("a23_rfm_segments",
+    """WITH cust AS (
+      |  SELECT o_custkey,
+      |         max(epoch_us(o_orderdate) // 86400000000) AS last_day,
+      |         count(*) AS f,
+      |         sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS m
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(last_day) AS max_day FROM cust),
+      |rfm AS (SELECT o_custkey, (SELECT max_day FROM mx) - last_day AS rec, f, m
+      |        FROM cust),
+      |th AS (SELECT
+      |  percentile_disc(0.2) WITHIN GROUP (ORDER BY rec) AS r20,
+      |  percentile_disc(0.4) WITHIN GROUP (ORDER BY rec) AS r40,
+      |  percentile_disc(0.6) WITHIN GROUP (ORDER BY rec) AS r60,
+      |  percentile_disc(0.8) WITHIN GROUP (ORDER BY rec) AS r80,
+      |  percentile_disc(0.2) WITHIN GROUP (ORDER BY f) AS f20,
+      |  percentile_disc(0.4) WITHIN GROUP (ORDER BY f) AS f40,
+      |  percentile_disc(0.6) WITHIN GROUP (ORDER BY f) AS f60,
+      |  percentile_disc(0.8) WITHIN GROUP (ORDER BY f) AS f80,
+      |  percentile_disc(0.2) WITHIN GROUP (ORDER BY m) AS m20,
+      |  percentile_disc(0.4) WITHIN GROUP (ORDER BY m) AS m40,
+      |  percentile_disc(0.6) WITHIN GROUP (ORDER BY m) AS m60,
+      |  percentile_disc(0.8) WITHIN GROUP (ORDER BY m) AS m80
+      |  FROM rfm),
+      |scored AS (
+      |  SELECT o_custkey, m,
+      |    6 - (1 + CAST(rec > r20 AS INT) + CAST(rec > r40 AS INT)
+      |           + CAST(rec > r60 AS INT) + CAST(rec > r80 AS INT)) AS r_score,
+      |    1 + CAST(f > f20 AS INT) + CAST(f > f40 AS INT)
+      |      + CAST(f > f60 AS INT) + CAST(f > f80 AS INT) AS f_score,
+      |    1 + CAST(m > m20 AS INT) + CAST(m > m40 AS INT)
+      |      + CAST(m > m60 AS INT) + CAST(m > m80 AS INT) AS m_score
+      |  FROM rfm, th)
+      |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+      |       CAST(m_score AS BIGINT) AS m_score,
+      |       count(*) AS n_customers, CAST(sum(m) AS BIGINT) AS total_cents
+      |FROM scored GROUP BY 1, 2, 3""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val cust = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(max(expr("unix_micros(o_orderdate) div 86400000000")).as("last_day"),
+          count(lit(1)).as("f"),
+          sum((Exact.dec2($"o_totalprice") * 100).cast("long")).as("m"))
+      val mx = cust.agg(max($"last_day").as("max_day"))
+      val rfm = cust.join(broadcast(mx))
+        .select($"o_custkey", ($"max_day" - $"last_day").as("rec"), $"f", $"m")
+      def disc(c: String, p: Double) =
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $c)")
+      val th = rfm.agg(
+        disc("rec", 0.2).as("r20"), disc("rec", 0.4).as("r40"),
+        disc("rec", 0.6).as("r60"), disc("rec", 0.8).as("r80"),
+        disc("f", 0.2).as("f20"), disc("f", 0.4).as("f40"),
+        disc("f", 0.6).as("f60"), disc("f", 0.8).as("f80"),
+        disc("m", 0.2).as("m20"), disc("m", 0.4).as("m40"),
+        disc("m", 0.6).as("m60"), disc("m", 0.8).as("m80"))
+      def ladder(v: Column, q: Seq[String]): Column =
+        q.map(t => (v > col(t)).cast("int")).reduce(_ + _) + 1
+      rfm.join(broadcast(th))
+        .select($"o_custkey", $"m",
+          (lit(6) - ladder($"rec", Seq("r20", "r40", "r60", "r80"))).as("r_score"),
+          ladder($"f", Seq("f20", "f40", "f60", "f80")).as("f_score"),
+          ladder($"m", Seq("m20", "m40", "m60", "m80")).as("m_score"))
+        .groupBy($"r_score".cast("long").as("r_score"),
+          $"f_score".cast("long").as("f_score"),
+          $"m_score".cast("long").as("m_score"))
+        .agg(count(lit(1)).as("n_customers"), sum($"m").cast("long").as("total_cents"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
     a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
-    a21QuantileSketch, a22JoinSkewProfile)
+    a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments)
 }

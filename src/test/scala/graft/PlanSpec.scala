@@ -225,7 +225,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // a22: the 1-ROW Σfreq total broadcast onto the |buckets|-row
       // histogram (the t10 global-stats pattern); the per-key count and
       // bucket rollup are plain hash aggregates
-      "a22_join_skew_profile")
+      "a22_join_skew_profile",
+      // a23: TWO 1-row broadcasts (global max day, the 12-threshold
+      // percentile row) onto the customer rollup — both algorithm-
+      // constant cardinalities; the rollup itself is one hash aggregate
+      "a23_rfm_segments")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
