@@ -420,7 +420,65 @@ object Aggregations {
         .agg(count(lit(1)).as("n_customers"), sum($"m").cast("long").as("total_cents"))
   }
 
+  /** A24: ABC / PARETO revenue classification — parts ranked by revenue,
+    * class A while cumulative share ≤ 80%, B to 95%, C beyond: the
+    * classic 80/20 assortment analysis.
+    *
+    * The cumulative share is a GLOBAL running sum over the value-ordered
+    * part list — the same single-partition-window trap as w19, solved by
+    * the same `operators/PrefixScan`, here with a VALUE-band bucket
+    * (`(-rev) div 2²²` — trunc division is monotone in −rev, which is
+    * all the scan needs) instead of a time bucket: the operator is
+    * order-agnostic. Revenue-uniform corpora concentrate buckets; the
+    * band is the dial.
+    *
+    * Class cuts compare `cum·10⁶ ≤ cut·total` in decimal(38) int128 —
+    * never a double division whose rounding could flip a boundary part
+    * between engines; the emitted share is an exact integral `div`.
+    */
+  val a24AbcPareto = Q("a24_abc_pareto",
+    """WITH pr AS (
+      |  SELECT l_partkey AS p,
+      |         CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev) AS HUGEINT) AS t FROM pr),
+      |run AS (
+      |  SELECT p, rev,
+      |         CAST(sum(rev) OVER (ORDER BY rev DESC, p
+      |                             ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+      |  FROM pr),
+      |cls AS (
+      |  SELECT p, rev,
+      |         CASE WHEN cum * 1000000 <= 800000 * (SELECT t FROM tot) THEN 'A'
+      |              WHEN cum * 1000000 <= 950000 * (SELECT t FROM tot) THEN 'B'
+      |              ELSE 'C' END AS abc_class
+      |  FROM run)
+      |SELECT abc_class, count(*) AS n_parts,
+      |       CAST(sum(rev) AS BIGINT) AS class_cents,
+      |       CAST((CAST(sum(rev) AS HUGEINT) * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+      |FROM cls GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pr = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("p"))
+      .agg(sum((Exact.dec2($"l_extendedprice") * 100).cast("long")).as("rev"))
+    val tot = pr.agg(sum($"rev").cast("decimal(38,0)").as("t"))
+    val run = graft.operators.PrefixScan.runningSum(pr,
+      bucket = expr("(-rev) div 4194304"),
+      order = Seq($"rev".desc, $"p"),
+      value = $"rev", out = "cum")
+    run.join(broadcast(tot))
+      .select($"p", $"rev",
+        when($"cum".cast("decimal(38,0)") * 1000000 <= lit(800000) * $"t", "A")
+          .when($"cum".cast("decimal(38,0)") * 1000000 <= lit(950000) * $"t", "B")
+          .otherwise("C").as("abc_class"), $"t")
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"rev").cast("long").as("class_cents"),
+        expr("CAST((CAST(sum(rev) AS DECIMAL(38,0)) * 1000000) div max(t) AS BIGINT)")
+          .as("share_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
     a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
-    a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments)
+    a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments, a24AbcPareto)
 }

@@ -229,7 +229,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // a23: TWO 1-row broadcasts (global max day, the 12-threshold
       // percentile row) onto the customer rollup — both algorithm-
       // constant cardinalities; the rollup itself is one hash aggregate
-      "a23_rfm_segments")
+      "a23_rfm_segments",
+      // a24: the 1-row revenue-total broadcast onto the classified part
+      // list (t10 pattern); the scan itself is PrefixScan's bucketed
+      // windows — no global sort, no cartesian
+      "a24_abc_pareto")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>

@@ -47,6 +47,31 @@ class PrefixScanSpec extends AnyFunSuite with SparkTestKit {
     assert(canon(fine) == canon(coarse) && canon(coarse) == canon(one))
   }
 
+  test("a24 ABC classes: conservation + A-parts outrank B-parts outrank C-parts") {
+    val out = graft.queries.Aggregations.a24AbcPareto.run(spark, sfDir).cache()
+    val classes = out.collect().map(r => r.getAs[String]("abc_class") ->
+      (r.getAs[Long]("n_parts"), r.getAs[Long]("class_cents"))).toMap
+    // conservation against the raw fact
+    val raw = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey").agg(sum((graft.queries.Exact.dec2($"l_extendedprice") * 100)
+        .cast("long")).as("rev"))
+      .agg(count(lit(1)).as("n"), sum($"rev").as("c")).collect().head
+    assert(classes.values.map(_._1).sum == raw.getAs[Long]("n"))
+    assert(classes.values.map(_._2).sum == raw.getAs[Long]("c"))
+    // class A is a PREFIX of the revenue-sorted list: every A part's
+    // revenue >= every B part's, and every B's >= every C's
+    val pr = Tables.lineitem(spark, sfDir)
+      .groupBy($"l_partkey".as("p"))
+      .agg(sum((graft.queries.Exact.dec2($"l_extendedprice") * 100).cast("long")).as("rev"))
+    val sorted = pr.orderBy($"rev".desc, $"p").select($"rev").as[Long].collect()
+    val nA = classes.get("A").map(_._1).getOrElse(0L).toInt
+    val nB = classes.get("B").map(_._1).getOrElse(0L).toInt
+    if (nA > 0 && nB > 0) assert(sorted(nA - 1) >= sorted(nA))
+    if (nB > 0 && nA + nB < sorted.length) assert(sorted(nA + nB - 1) >= sorted(nA + nB))
+    // and the A prefix really carries >= 80% only once C is nonempty
+    assert(classes.contains("A") && classes.contains("C"))
+  }
+
   test("w19 peaks match a brute-force single-window sweep on the same sessions") {
     val out = graft.queries.AdvancedOps.peakConcurrency.run(spark, sfDir)
     // independent recompute: sessions → deltas → ONE global window (fine
