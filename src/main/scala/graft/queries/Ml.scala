@@ -224,5 +224,68 @@ object Ml {
         col("wq2").as("wq_distinct_tokens"), col("mse_chars2"))
   }
 
-  val queries: Seq[Q] = Seq(ml1NormalEq, ml2Ridge)
+  /** ml3: GROUPED trend regression — an independent simple OLS
+    * (daily revenue ~ day) PER GROUP in one aggregation pass: the
+    * "fit a trend line per segment" query every forecasting dashboard
+    * runs, and the grouped generalization of ml1's global fit.
+    *
+    * Shape: daily rollup (one shuffle) → per-group 2×2 sufficient
+    * statistics (second shuffle on the 5-row group key, map-side
+    * combined) → closed-form slope/intercept per group. No iteration;
+    * at 100 TB the work is the daily rollup's scan, and the statistics
+    * row per group is 5 numbers regardless of history length.
+    *
+    * Exactness: x is the epoch day minus a constant origin (keeps the
+    * integer magnitudes small), all five statistics are exact decimals
+    * with the a16/ml1 widening discipline (every product carries a
+    * DECIMAL(19) operand — int128 in DuckDB), and slope/intercept are
+    * IEEE divisions of identical exact operands on both engines.
+    */
+  val ml3GroupTrend = Q("ml3_group_trend",
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority,
+      |         epoch_us(o_orderdate) // 86400000000 - 8000 AS x,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1, 2),
+      |st AS (
+      |  SELECT priority,
+      |         CAST(count(*) AS DECIMAL(10,0)) AS n,
+      |         CAST(sum(x) AS DECIMAL(12,0)) AS sx,
+      |         CAST(sum(y) AS DECIMAL(16,0)) AS sy,
+      |         CAST(sum(x * x) AS DECIMAL(14,0)) AS sxx,
+      |         CAST(sum(x * y) AS DECIMAL(19,0)) AS sxy
+      |  FROM daily GROUP BY 1),
+      |cr AS (
+      |  SELECT priority, n, sx, sy,
+      |         CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS num,
+      |         CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS den
+      |  FROM st)
+      |SELECT priority, CAST(n AS BIGINT) AS n_days,
+      |       CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope_cents_per_day,
+      |       (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+      |         / CAST(n AS DOUBLE) AS intercept_cents
+      |FROM cr""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"),
+        (expr("unix_micros(o_orderdate) div 86400000000") - 8000).as("x"))
+      .agg(sum((Exact.dec2($"o_totalprice") * 100).cast("long")).as("y"))
+    val st = daily.groupBy($"priority").agg(
+      count(lit(1)).cast(DecimalType(10, 0)).as("n"),
+      sum($"x").cast(DecimalType(12, 0)).as("sx"),
+      sum($"y").cast(DecimalType(16, 0)).as("sy"),
+      sum($"x" * $"x").cast(DecimalType(14, 0)).as("sxx"),
+      sum($"x" * $"y").cast(DecimalType(19, 0)).as("sxy"))
+    def w19(c: Column) = c.cast(DecimalType(19, 0))
+    val cr = st.select($"priority", $"n", $"sx", $"sy",
+      (w19($"n") * $"sxy" - w19($"sx") * $"sy").as("num"),
+      (w19($"n") * $"sxx" - w19($"sx") * $"sx").as("den"))
+    val slope = $"num".cast("double") / $"den".cast("double")
+    cr.select($"priority", $"n".cast("long").as("n_days"),
+      slope.as("slope_cents_per_day"),
+      (($"sy".cast("double") - slope * $"sx".cast("double")) / $"n".cast("double"))
+        .as("intercept_cents"))
+  }
+
+  val queries: Seq[Q] = Seq(ml1NormalEq, ml2Ridge, ml3GroupTrend)
 }

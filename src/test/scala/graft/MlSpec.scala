@@ -69,4 +69,30 @@ class MlSpec extends AnyFunSuite with SparkTestKit {
     // and it should still be in the same ballpark (quantization is 2^-20)
     assert(ridgeMse < olsMse * 2 + 1.0, s"ridge MSE $ridgeMse is wildly off OLS $olsMse")
   }
+
+  test("ml3 per-group slopes match an exact BigInt recompute of the daily rollup") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Ml.ml3GroupTrend.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("priority") ->
+        (r.getAs[Long]("n_days"), r.getAs[Double]("slope_cents_per_day"))).toMap
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy($"o_orderpriority".as("priority"),
+        (expr("unix_micros(o_orderdate) div 86400000000") - 8000).as("x"))
+      .agg(sum((graft.queries.Exact.dec2($"o_totalprice") * 100).cast("long")).as("y"))
+      .collect().map(r => (r.getAs[String]("priority"), r.getAs[Long]("x"), r.getAs[Long]("y")))
+    daily.groupBy(_._1).foreach { case (p, rows) =>
+      val n = BigInt(rows.size)
+      val sx = rows.map(r => BigInt(r._2)).sum
+      val sy = rows.map(r => BigInt(r._3)).sum
+      val sxx = rows.map(r => BigInt(r._2) * r._2).sum
+      val sxy = rows.map(r => BigInt(r._2) * r._3).sum
+      val (num, den) = (n * sxy - sx * sy, n * sxx - sx * sx)
+      val want = num.toDouble / den.toDouble
+      val (nDays, slope) = got(p)
+      assert(nDays == rows.size.toLong)
+      assert(math.abs(slope - want) <= math.abs(want) * 1e-12 + 1e-12,
+        s"group $p slope $slope != BigInt recompute $want")
+    }
+  }
 }
