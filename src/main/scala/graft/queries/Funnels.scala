@@ -257,6 +257,61 @@ object Funnels {
       .select(col("pid"), col("cents"), col("channel"))
   }
 
+  /** W20: LTV COHORT TRIANGLE — w7's revenue sibling: customers grouped
+    * by ACQUISITION month (first order), each cohort's revenue tracked by
+    * month offset with the cumulative LTV curve and per-customer LTV.
+    *
+    * Shape: one custkey aggregate for the cohort assignment, one
+    * (cohort, offset) rollup, then windows PARTITIONED BY COHORT — the
+    * partitions are |offsets| ≤ the calendar span, so the cumulative
+    * curve never creates a single-partition window. Per-customer LTV is
+    * an integral division (`div`/`//` — floor on positives in both
+    * engines), not a double ratio.
+    */
+  val ltvCohort = Q("w20_ltv_cohort",
+    """WITH o AS (
+      |  SELECT o_custkey AS c,
+      |         year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM orders),
+      |coh AS (SELECT c, min(m) AS m0 FROM o GROUP BY 1),
+      |cell AS (
+      |  SELECT coh.m0 AS cohort_month, o.m - coh.m0 AS month_offset,
+      |         count(DISTINCT o.c) AS n_active, CAST(sum(o.y) AS BIGINT) AS rev_cents
+      |  FROM o JOIN coh ON o.c = coh.c
+      |  GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT *,
+      |         CAST(sum(rev_cents) OVER (PARTITION BY cohort_month ORDER BY month_offset
+      |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+      |         first_value(n_active) OVER (PARTITION BY cohort_month
+      |                                     ORDER BY month_offset) AS cohort_size
+      |  FROM cell)
+      |SELECT cohort_month, month_offset, n_active, rev_cents, cum_cents,
+      |       CAST(cohort_size AS BIGINT) AS cohort_size,
+      |       CAST(cum_cents // cohort_size AS BIGINT) AS ltv_cents_per_customer
+      |FROM tri""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir).select($"o_custkey".as("c"),
+        (year($"o_orderdate") * 12 + month($"o_orderdate")).as("m"),
+        (Exact.dec2($"o_totalprice") * 100).cast("long").as("y"))
+      val coh = o.groupBy($"c").agg(min($"m").as("m0"))
+      val cell = o.join(coh, "c")
+        .groupBy($"m0".as("cohort_month"), ($"m" - $"m0").as("month_offset"))
+        .agg(countDistinct($"c").as("n_active"),
+          sum($"y").cast("long").as("rev_cents"))
+      val byCohort = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cohort_month").orderBy($"month_offset")
+      cell
+        .withColumn("cum_cents", sum($"rev_cents")
+          .over(byCohort.rowsBetween(Long.MinValue, 0)).cast("long"))
+        .withColumn("cohort_size", first($"n_active").over(byCohort).cast("long"))
+        .withColumn("ltv_cents_per_customer",
+          expr("CAST(cum_cents div cohort_size AS BIGINT)"))
+  }
+
   val queries: Seq[Q] =
-    Seq(funnel, retention, topPaths, histogram, errorBursts, attribution)
+    Seq(funnel, retention, topPaths, histogram, errorBursts, attribution,
+      ltvCohort)
 }
