@@ -310,6 +310,60 @@ object TextAnalysis {
           ($"n_rare".cast("double") / $"n_distinct_tokens").as("rare_ratio"))
   }
 
+  /** T31: per-doc KEY-PHRASE EXTRACTION — each document's top-3
+    * distinctive BIGRAMS by TF-IDF (t10's linear idf = N/df,
+    * IEEE-identical across engines), with ubiquitous phrases (df > N/2)
+    * excluded — the cheap stopword cut that needs no language list.
+    * Bigrams, not unigrams, because a unigram vocabulary saturates (on
+    * this corpus 30 of 31 words appear in most docs — zero signal) while
+    * the phrase space stays combinatorially sparse at any corpus size.
+    *
+    * The per-group top-k runs through the NATIVE TopKPerGroup SparkPlan
+    * (w11's operator): bounded heaps per partition, ≤ g·k·p rows into the
+    * exchange — at 100 TB the postings never fully sort. Ties pin on
+    * (score DESC, phrase ASC) in both engines.
+    */
+  val keywordExtract = Q("t31_keyword_extract",
+    """WITH b AS (
+      |  SELECT doc_id,
+      |         unnest([array_to_string(w[i:i+1], ' ')
+      |                 for i in generate_series(1, greatest(len(w) - 1, 0))]) AS phrase
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |tf AS (SELECT doc_id, phrase, count(*) AS tf FROM b GROUP BY 1, 2),
+      |dft AS (SELECT phrase, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.phrase, tf.tf,
+      |         CAST(tf.tf AS DOUBLE) * ((SELECT n FROM n) / CAST(dft.df AS DOUBLE)) AS score
+      |  FROM tf JOIN dft ON tf.phrase = dft.phrase
+      |  WHERE CAST(2 * dft.df AS DOUBLE) <= (SELECT n FROM n)),
+      |r AS (SELECT doc_id, phrase, tf, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |                                ORDER BY score DESC, phrase) AS rn
+      |      FROM scored)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS kw_rank, phrase AS keyphrase,
+      |       CAST(tf AS BIGINT) AS tf, score
+      |FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = graft.Tables.documents(s, dir)
+    val tf = Ngrams.postings(docs, n = 2, distinct = false, outCol = "phrase")
+      .groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy($"phrase").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dft, "phrase").join(broadcast(n))
+      .filter(($"df" * 2).cast("double") <= $"n")
+      .select($"doc_id", $"phrase", $"tf",
+        ($"tf".cast("double") * ($"n" / $"df".cast("double"))).as("score"))
+    val top = graft.plans.TopKPerGroup.topK(scored, Seq("doc_id"),
+      Seq(("score", false), ("phrase", true)), 3)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"score".desc, $"phrase")
+    top.withColumn("kw_rank", row_number().over(rankW).cast("long"))
+      .select($"doc_id", $"kw_rank", $"phrase".as("keyphrase"),
+        $"tf".cast("long").as("tf"), $"score")
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
-    ngramStats, sketchStats, langConfusion, ngramNovelty, rareTokenRatio)
+    ngramStats, sketchStats, langConfusion, ngramNovelty, rareTokenRatio,
+    keywordExtract)
 }

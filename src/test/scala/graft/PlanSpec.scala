@@ -233,7 +233,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // a24: the 1-row revenue-total broadcast onto the classified part
       // list (t10 pattern); the scan itself is PrefixScan's bucketed
       // windows — no global sort, no cartesian
-      "a24_abc_pareto")
+      "a24_abc_pareto",
+      // t31: the 1-row corpus-count broadcast onto the scored postings
+      // (t10 pattern); tf/df joins are phrase equi-joins and the top-k
+      // is the native TopKPerGroup plan (pinned in TopKPerGroupSpec)
+      "t31_keyword_extract")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>

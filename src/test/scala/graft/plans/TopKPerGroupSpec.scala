@@ -122,4 +122,16 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkTestKit {
       TopKPerGroup.topK(base, Seq("nope"), Seq(("totalprice", false)), 1))
     assert(e.getMessage.contains("nope"))
   }
+
+  test("t31 keyword extraction runs through the native operator, not a Window sort") {
+    val p = graft.queries.TextAnalysis.keywordExtract.run(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("simple"))
+    assert(p.contains("TopKPerGroupFinal") && p.contains("TopKPerGroupPartial"), p)
+    // the only Window is the rank stamp over the <=3 surviving rows per
+    // doc, downstream of the operator — assert it sits ABOVE the final
+    val lines = p.linesIterator.toSeq
+    val wi = lines.indexWhere(_.contains("Window"))
+    val fi = lines.indexWhere(_.contains("TopKPerGroupFinal"))
+    assert(wi >= 0 && fi > wi, s"rank window should be the only Window, above the operator:\n$p")
+  }
 }
