@@ -622,8 +622,68 @@ object Warehouse2 {
             $"o_orderkey" === $"l_orderkey", "left_anti")))
   }
 
+  /** dq5: DISTRIBUTION-DRIFT surveillance — the PSI-style check a data
+    * pipeline runs when a feed's value distribution may have shifted:
+    * the order-price histogram of the CURRENT period (1996+) against the
+    * REFERENCE period (≤1995), per fixed-width bin.
+    *
+    * The drift statistic is the χ²-shaped Σ (p−q)²/(p+q) over per-mille^2
+    * shares — NOT the textbook PSI: PSI needs ln(p/q), and `ln` is not
+    * correctly-rounded in either engine's libm, so the last ulp could
+    * diverge and break the hash gate. Shares are exact integer ppm, the
+    * per-bin contribution is an exact integer floor-division, and the
+    * total is a sum of integers — order-independent at any parallelism
+    * (a double Σ over bins would be partial-aggregation-order-dependent).
+    *
+    * Shape: two filtered aggregates over one scan family, a \|bins\|-row
+    * rollup, two 1-row totals broadcast back. Bin count is a constant of
+    * the check, never of the data.
+    */
+  val dq5DistributionDrift = Q("dq5_distribution_drift",
+    """WITH b AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000000 AS bin,
+      |         CASE WHEN year(o_orderdate) <= 1995 THEN 1 ELSE 0 END AS is_ref
+      |  FROM orders),
+      |cell AS (
+      |  SELECT bin,
+      |         CAST(sum(is_ref) AS BIGINT) AS n_ref,
+      |         CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      |  FROM b GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+      |               CAST(sum(n_cur) AS BIGINT) AS t_cur FROM cell),
+      |shares AS (
+      |  SELECT bin, n_ref, n_cur,
+      |         CAST(n_ref * 1000000 // (SELECT t_ref FROM tot) AS BIGINT) AS p_ppm,
+      |         CAST(n_cur * 1000000 // (SELECT t_cur FROM tot) AS BIGINT) AS q_ppm
+      |  FROM cell)
+      |SELECT bin, n_ref, n_cur, p_ppm, q_ppm,
+      |       CAST(CASE WHEN p_ppm + q_ppm = 0 THEN 0
+      |                 ELSE (p_ppm - q_ppm) * (p_ppm - q_ppm) // (p_ppm + q_ppm)
+      |            END AS BIGINT) AS drift_contrib
+      |FROM shares""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val b = Tables.orders(s, dir).select(
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 5000000")
+          .as("bin"),
+        when(year($"o_orderdate") <= 1995, 1L).otherwise(0L).as("is_ref"))
+      val cell = b.groupBy($"bin").agg(
+        sum($"is_ref").cast("long").as("n_ref"),
+        sum(lit(1L) - $"is_ref").cast("long").as("n_cur"))
+      val tot = cell.agg(sum($"n_ref").cast("long").as("t_ref"),
+        sum($"n_cur").cast("long").as("t_cur"))
+      cell.join(broadcast(tot))
+        .select($"bin", $"n_ref", $"n_cur",
+          expr("CAST(n_ref * 1000000 div t_ref AS BIGINT)").as("p_ppm"),
+          expr("CAST(n_cur * 1000000 div t_cur AS BIGINT)").as("q_ppm"))
+        .withColumn("drift_contrib",
+          when($"p_ppm" + $"q_ppm" === 0, 0L).otherwise(
+            expr("CAST((p_ppm - q_ppm) * (p_ppm - q_ppm) div (p_ppm + q_ppm) AS BIGINT)")))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
-    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans)
+    q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
+    dq5DistributionDrift)
 }

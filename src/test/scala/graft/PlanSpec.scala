@@ -237,7 +237,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // t31: the 1-row corpus-count broadcast onto the scored postings
       // (t10 pattern); tf/df joins are phrase equi-joins and the top-k
       // is the native TopKPerGroup plan (pinned in TopKPerGroupSpec)
-      "t31_keyword_extract")
+      "t31_keyword_extract",
+      // dq5: the 1-row period-totals broadcast onto the |bins|-row
+      // histogram (t10 pattern); both period counts come from one
+      // conditional aggregate over one scan
+      "dq5_distribution_drift")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>

@@ -168,4 +168,19 @@ class Warehouse2Spec extends AnyFunSuite with SparkTestKit {
     val rows = df.collect()
     assert(rows.map(_.getAs[Long]("numcust")).sum > 0)
   }
+
+  test("dq5: shares conserve (floor loss < |bins| ppm), contributions nonneg, counts conserve") {
+    import org.apache.spark.sql.functions._
+    val rows = Warehouse2.dq5DistributionDrift.run(spark, sfDir).collect()
+    val nBins = rows.length
+    val pSum = rows.map(_.getAs[Long]("p_ppm")).sum
+    val qSum = rows.map(_.getAs[Long]("q_ppm")).sum
+    // each bin's floor drops < 1 ppm, so totals land in (1e6 - nBins, 1e6]
+    assert(pSum > 1000000L - nBins && pSum <= 1000000L, s"p shares sum $pSum over $nBins bins")
+    assert(qSum > 1000000L - nBins && qSum <= 1000000L, s"q shares sum $qSum over $nBins bins")
+    assert(rows.forall(_.getAs[Long]("drift_contrib") >= 0L))
+    val totalRows = rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur")).sum
+    val orders = Tables.orders(spark, sfDir).count()
+    assert(totalRows == orders, "every order lands in exactly one bin and period")
+  }
 }
