@@ -478,7 +478,50 @@ object Aggregations {
           .as("share_ppm"))
   }
 
+  /** A25: COUNT-MIN frequency sketch — the mergeable point-frequency
+    * estimate completing the sketch family (a20 HLL distinct, a21 KMV
+    * quantiles): a custom `TypedImperativeAggregate`
+    * ([[graft.functions.CountMinSketchAgg]], d=4 × w=1024 counters,
+    * element-wise merge — any partial order folds to the same sketch)
+    * over every lineitem part occurrence, probed for the heavy keys.
+    *
+    * Gate idiom (a20's boolean contract — the sketch itself has no DuckDB
+    * counterpart): DuckDB recomputes the exact heavy-key counts and
+    * asserts the two flags Spark derived from the sketch: the CMS
+    * estimate NEVER undercounts (the structural guarantee), and it lands
+    * within the 2·N/w collision margin (deterministic for fixed data and
+    * hashes). Collects are constant-size: one d·w sketch row and the
+    * ≤-heavy-key list.
+    */
+  val a25CmsHeavyHitters = Q("a25_cms_heavy_hitters",
+    """WITH f AS (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1)
+      |SELECT k, CAST(n AS BIGINT) AS true_n,
+      |       TRUE AS cms_ge_true, TRUE AS cms_within_margin
+      |FROM f WHERE n >= 45""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val (d, w, seed) = (4, 1024, 11)
+    graft.functions.CountMinSketch.register(s)
+    val li = Tables.lineitem(s, dir).select($"l_partkey".cast("string").as("ks"))
+    val sketch = li
+      .agg(call_function("count_min_sketch", $"ks", lit(d), lit(w), lit(seed))
+        .as("sk"), count(lit(1)).as("n_total"))
+      .collect().head
+    val sk = sketch.getSeq[Long](0).toIndexedSeq
+    val margin = 2L * sketch.getAs[Long]("n_total") / w
+    val heavy = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("k")).agg(count(lit(1)).as("true_n"))
+      .filter($"true_n" >= 45)
+    val est = heavy.select($"k").collect().map(_.getLong(0)).sorted.map { k =>
+      k -> graft.functions.CountMinSketch.estimate(sk, k.toString, d, w, seed)
+    }.toSeq.toDF("k", "est_n")
+    heavy.join(broadcast(est), "k")
+      .select($"k", $"true_n",
+        ($"est_n" >= $"true_n").as("cms_ge_true"),
+        ($"est_n" <= $"true_n" + margin).as("cms_within_margin"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
     a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
-    a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments, a24AbcPareto)
+    a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments, a24AbcPareto,
+    a25CmsHeavyHitters)
 }
