@@ -147,6 +147,24 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamingBackfill.liveSink(stream, tsCol, root, checkpoint).start()
 
+  /** Maintain a retractable count/sum/min/max view from a cdc1-shaped
+    * change-feed stream (insert/update/delete with old + new images) —
+    * see [[streaming.StreamingMv]] for the two-fence exactly-once
+    * contract. Read it back with [[streaming.StreamingMv.view]].
+    */
+  def maintainView(feed: DataFrame, viewDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingMv.mvSink(feed, viewDir, checkpoint).start()
+
+  /** Watermark-bounded streaming sessionization of an event stream —
+    * sessions emit exactly once when they can no longer grow (see
+    * [[streaming.StreamingSessionize]]; batch merge rule pinned by
+    * `w17_session_window`).
+    */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "1 minute"): DataFrame =
+    streaming.StreamingSessionize.sessions(events, gap, lateness)
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with

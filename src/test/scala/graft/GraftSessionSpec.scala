@@ -74,4 +74,24 @@ class GraftSessionSpec extends AnyFunSuite with SparkTestKit {
       wapWork).awaitTermination()
     assert(streaming.StreamingWap.table(spark, s"$wapWork/table").count() == 2)
   }
+
+  test("streaming entry point: maintainView applies a change feed to a live MV") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("gs-mvsrc").toString
+    val mvDir = Files.createTempDirectory("gs-mv").toString
+    val ckpt = Files.createTempDirectory("gs-mvckpt").toString
+    Seq(
+      (1L, "insert", Option.empty[Long], Option.empty[Long], Some(10L), Some(100L)),
+      (2L, "insert", Option.empty[Long], Option.empty[Long], Some(10L), Some(50L)))
+      .toDF("key", "change_type", "old_grp", "old_cents", "new_grp", "new_cents")
+      .write.mode("append").json(src)
+    val feed = spark.readStream
+      .schema("key bigint, change_type string, old_grp bigint, " +
+        "old_cents bigint, new_grp bigint, new_cents bigint")
+      .json(src)
+    g.maintainView(feed, mvDir, ckpt).awaitTermination()
+    val v = streaming.StreamingMv.view(spark, mvDir).collect()
+    assert(v.length == 1 && v.head.getAs[Long]("n_rows") == 2L
+      && v.head.getAs[Long]("sum_cents") == 150L)
+  }
 }
