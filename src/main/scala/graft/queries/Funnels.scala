@@ -311,7 +311,55 @@ object Funnels {
           expr("CAST(cum_cents div cohort_size AS BIGINT)"))
   }
 
+  /** W21: TIME-TO-CONVERT distribution — the latency between a user's
+    * funnel stages (first view → first purchase strictly after it, the
+    * w6 stage rule), summarized as exact `percentile_disc` quartiles of
+    * the µs gap. One user_id-keyed pass reusing the funnel chain, then a
+    * single-row quantile aggregate — the "how long does conversion take"
+    * readout every funnel dashboard pairs with w6's counts.
+    */
+  val timeToConvert = Q("w21_time_to_convert",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase_us
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t_view_us
+      |  GROUP BY e.user_id),
+      |lat AS (
+      |  SELECT p.t_purchase_us - v.t_view_us AS gap_us
+      |  FROM v JOIN p ON v.user_id = p.user_id)
+      |SELECT count(*) AS n_conversions,
+      |       min(gap_us) AS min_us,
+      |       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_us) AS BIGINT) AS p25_us,
+      |       CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY gap_us) AS BIGINT) AS p50_us,
+      |       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_us) AS BIGINT) AS p75_us,
+      |       max(gap_us) AS max_us
+      |FROM lat""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min(unix_micros($"ts")).as("t_view_us"))
+      val p = ev.filter($"event_type" === "purchase")
+        .join(v, "user_id")
+        .filter(unix_micros($"ts") > $"t_view_us")
+        .groupBy($"user_id").agg(min(unix_micros($"ts")).as("t_purchase_us"))
+      v.join(p, "user_id")
+        .select(($"t_purchase_us" - $"t_view_us").as("gap_us"))
+        .agg(count(lit(1)).as("n_conversions"),
+          min($"gap_us").as("min_us"),
+          expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)")
+            .as("p25_us"),
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)")
+            .as("p50_us"),
+          expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_us) AS BIGINT)")
+            .as("p75_us"),
+          max($"gap_us").as("max_us"))
+  }
+
   val queries: Seq[Q] =
     Seq(funnel, retention, topPaths, histogram, errorBursts, attribution,
-      ltvCohort)
+      ltvCohort, timeToConvert)
 }

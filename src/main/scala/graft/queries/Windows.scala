@@ -285,7 +285,42 @@ object Windows {
           $"n_events", $"session_value")
   }
 
+  /** W22: RUNNING PEAK + DRAWDOWN — the financial running-max family
+    * over the daily revenue series per priority: each day's cumulative
+    * revenue, its running peak, and the drawdown (peak − current; here
+    * cumulative revenue is monotone so drawdown is structurally 0 for
+    * the cumulative column — the interesting series is the DAILY value's
+    * drawdown from its own running max, which is what this emits).
+    * All windows partition by priority (bounded partitions), integer
+    * cents end-to-end.
+    */
+  val runningDrawdown = Q("w22_running_drawdown",
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS priority,
+      |         epoch_us(o_orderdate) // 86400000000 AS day,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT priority, day, rev_cents,
+      |       CAST(max(rev_cents) OVER (PARTITION BY priority ORDER BY day
+      |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents,
+      |       CAST(max(rev_cents) OVER (PARTITION BY priority ORDER BY day
+      |                                 ROWS UNBOUNDED PRECEDING) - rev_cents AS BIGINT) AS drawdown_cents
+      |FROM daily""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"priority").orderBy($"day")
+        .rowsBetween(Long.MinValue, 0)
+      Tables.orders(s, dir)
+        .groupBy($"o_orderpriority".as("priority"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+        .agg(sum((Exact.dec2($"o_totalprice") * 100).cast("long")).as("rev_cents"))
+        .select($"priority", $"day", $"rev_cents",
+          max($"rev_cents").over(w).cast("long").as("peak_cents"),
+          (max($"rev_cents").over(w) - $"rev_cents").cast("long").as("drawdown_cents"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
     keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
-    sessionWindow)
+    sessionWindow, runningDrawdown)
 }
