@@ -1198,9 +1198,100 @@ object Similarity {
         .toDF("dim_idx", "v", "u")
   }
 
+  /** e24: K-CORE DECOMPOSITION (k=2) of the undirected kNN graph — the
+    * classic peeling algorithm as BSP rounds: each round computes degrees
+    * over the SURVIVING subgraph and drops vertices below k; after 4
+    * rounds the survivors and their core-subgraph degrees are emitted.
+    * The "dense neighborhood" screen a curation pipeline uses to find
+    * tightly-clustered (template/boilerplate) regions the triangle count
+    * (e18) and clustering coefficient (e21) score locally — k-core finds
+    * them GLOBALLY, including triangle-free dense structures.
+    *
+    * Rounds are a constant of the operator (the unroll keeps the DuckDB
+    * oracle literally the same algebra); KCoreSpec asserts the peel has
+    * SETTLED by round 4 at this SF — at scale the production shape is
+    * peel-until-fixpoint with a driver-side count check, exactly
+    * DupClusters' fail-loud convergence discipline. Per round: one
+    * semi-join restriction + one count aggregate — linear in surviving
+    * edges, no driver state.
+    */
+  val kCore = Q("e24_kcore", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    val peel = (r: Int) =>
+      s"""deg$r AS (
+         |  SELECT b.src AS vec_id, count(*) AS deg
+         |  FROM bi b JOIN alive${r - 1} x ON b.src = x.vec_id
+         |            JOIN alive${r - 1} y ON b.dst = y.vec_id
+         |  GROUP BY 1),
+         |alive$r AS (SELECT vec_id FROM deg$r WHERE deg >= 2)""".stripMargin
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |knn AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3),
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+       |bi AS (SELECT u AS src, v AS dst FROM und
+       |       UNION ALL SELECT v AS src, u AS dst FROM und),
+       |alive0 AS (SELECT DISTINCT src AS vec_id FROM bi),
+       |${peel(1)}, ${peel(2)}, ${peel(3)}, ${peel(4)},
+       |core AS (
+       |  SELECT b.src AS vec_id, count(*) AS core_degree
+       |  FROM bi b JOIN alive4 x ON b.src = x.vec_id
+       |            JOIN alive4 y ON b.dst = y.vec_id
+       |  GROUP BY 1)
+       |SELECT vec_id, CAST(core_degree AS BIGINT) AS core_degree FROM core""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      Memo.cached(s, dir, "e24_kcore") {
+        val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+        val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+          .distinct()
+        val bi = und.select($"u".as("src"), $"v".as("dst"))
+          .unionAll(und.select($"v".as("src"), $"u".as("dst")))
+        kCorePeel(bi, k = 2, peelRounds = 4)
+      }
+  }
+
+  /** The k-core peel over any bidirectional `(src, dst)` edge frame —
+    * factored out so KCoreSpec can drive graphs where the peel actually
+    * cascades (the kNN graph's min degree ≥ 2 makes the gated query's
+    * peel settle immediately).
+    */
+  private[graft] def kCorePeel(biEdges: DataFrame, k: Int, peelRounds: Int): DataFrame = {
+    val bi = biEdges.cache()
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def degreesOver(alive: DataFrame): DataFrame =
+      bi.join(alive.select(col("vec_id").as("src")), "src")
+        .join(alive.select(col("vec_id").as("dst")), "dst")
+        .groupBy(col("src").as("vec_id")).agg(count(lit(1)).as("deg"))
+    val alive0 = bi.select(col("src").as("vec_id")).distinct()
+    val aliveN = (1 to peelRounds).foldLeft(alive0) { (alive, _) =>
+      // cache each survivor set: the next round joins it TWICE
+      val next = degreesOver(alive).filter(col("deg") >= k)
+        .select(col("vec_id")).cache()
+      rounds += next
+      next
+    }
+    val out = degreesOver(aliveN)
+      .select(col("vec_id"), col("deg").cast("long").as("core_degree"))
+      .localCheckpoint(true)
+    rounds.foreach(_.unpersist())
+    bi.unpersist()
+    out
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
-    powerIteration)
+    powerIteration, kCore)
 }

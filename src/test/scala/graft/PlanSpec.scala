@@ -218,6 +218,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // BNLJ is the cached k-centroid index-build subtree; every BFS
       // relaxation round is a keyed equi-join + min-aggregate
       "e22_bfs_hops",
+      // e24 consumes the same memoized kNN graph — the only BNLJ is the
+      // cached index-build subtree; every peel round is two semi-join
+      // restrictions + one count aggregate
+      "e24_kcore",
       // mb1: the 1-ROW n_baskets broadcast onto the pair rules (the t10
       // global-stats pattern); pair generation itself is the basket-key
       // equi-join, asserted in BasketSpec's fanout bound
