@@ -117,6 +117,36 @@ object CorpusManifest {
   def read(spark: SparkSession, dir: String, version: Long): DataFrame =
     spark.read.parquet(s"$dir/version=$version")
 
+  /** List the versions present under `dir`, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("version=") =>
+        n.stripPrefix("version=").toLong }
+      .sorted
+  }
+
+  /** RETENTION: expire all but the newest `keepLast` manifest versions
+    * (the Iceberg `expire_snapshots` shape for this store). Refuses to
+    * expire everything — a corpus with no reproducibility record left is
+    * an operational error, not a retention policy. Returns the versions
+    * it deleted; idempotent (a second call deletes nothing).
+    */
+  def expire(spark: SparkSession, dir: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(spark, dir)
+    val doomed = vs.dropRight(keepLast)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/version=$v"), true)
+    }
+    doomed
+  }
+
   /** Verify a manifest against live components: recompute every
     * fingerprint and compare field by field. One row per component with
     * per-field booleans and `ok` = their conjunction; a component in the

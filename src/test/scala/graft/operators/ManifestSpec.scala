@@ -186,4 +186,26 @@ class ManifestSpec extends AnyFunSuite with SparkTestKit {
     assert(byComp("intake_verdicts") == 3L)
     assert(Files.exists(Paths.get(s"$manifestDir/version=1")))
   }
+
+  test("expire keeps the newest versions, refuses total wipe, stays idempotent") {
+    val dir = tmp("mfexp")
+    (1L to 4L).foreach { v =>
+      CorpusManifest.write(CorpusManifest.build(v, comps(docs)), dir)
+    }
+    assert(CorpusManifest.versions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+    val gone = CorpusManifest.expire(spark, dir, keepLast = 2)
+    assert(gone == Seq(1L, 2L))
+    assert(CorpusManifest.versions(spark, dir) == Seq(3L, 4L))
+    // surviving versions still read and diff
+    val d = CorpusManifest.diff(
+      CorpusManifest.read(spark, dir, 3L), CorpusManifest.read(spark, dir, 4L))
+    assert(d.count() > 0)
+    // idempotent
+    assert(CorpusManifest.expire(spark, dir, keepLast = 2).isEmpty)
+    // never expires the last one standing
+    assert(CorpusManifest.expire(spark, dir, keepLast = 1) == Seq(3L))
+    assert(CorpusManifest.expire(spark, dir, keepLast = 1).isEmpty)
+    assert(CorpusManifest.versions(spark, dir) == Seq(4L))
+    intercept[IllegalArgumentException](CorpusManifest.expire(spark, dir, 0))
+  }
 }
