@@ -520,8 +520,33 @@ object Aggregations {
         ($"est_n" <= $"true_n" + margin).as("cms_within_margin"))
   }
 
+  /** A26: EXACT mergeable distinct via BITMAP aggregate — per-priority
+    * distinct customers through [[graft.functions.BitmapDistinctAgg]]
+    * (fixed-size word-OR-mergeable buffer; keys ship as one bitmap per
+    * (partition, group), never as distinct rows — see the aggregate's
+    * scaladoc for the domain contract and the range-band sharding that
+    * makes it exact-decomposable at 100 TB where HLL is not).
+    *
+    * Hash-exact the straightforward way: the bitmap's cardinality IS the
+    * exact count, so the oracle is a plain `count(DISTINCT)` — no boolean
+    * contract needed, unlike a20's HLL.
+    */
+  val a26BitmapDistinct = Q("a26_bitmap_distinct",
+    """SELECT o_orderpriority AS priority,
+      |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+      |       count(*) AS n_orders
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.functions.BitmapDistinct.register(s)
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority".as("priority"))
+      .agg(call_function("bitmap_distinct", $"o_custkey", lit(1 << 21))
+        .as("n_customers"),
+        count(lit(1)).as("n_orders"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
     a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
     a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments, a24AbcPareto,
-    a25CmsHeavyHitters)
+    a25CmsHeavyHitters, a26BitmapDistinct)
 }
