@@ -259,6 +259,34 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
         "either fix the plan or justify a whitelist entry")
   }
 
+  test("runtime bloom-filter join reduction fires on the selective-dim fact join shape") {
+    // Catalyst's InjectRuntimeFilter (the 100 TB semi-join reduction: a
+    // bloom built from the filtered dim side prunes the fact scan before
+    // the shuffle) is threshold-gated for small inputs — lower the
+    // thresholds on a forked session and pin that the engine's canonical
+    // join shape actually triggers it, and that results are unchanged.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    import org.apache.spark.sql.functions._
+    def join(sess: org.apache.spark.sql.SparkSession) = {
+      val li = Tables.lineitem(sess, sfDir).select(col("l_orderkey"), col("l_quantity"))
+      val o = Tables.orders(sess, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("q"))
+    }
+    val p = simplePlanOf(join(s2))
+    assert(p.toLowerCase.contains("bloom"),
+      s"runtime bloom filter did not inject:\n$p")
+    val base = join(spark).collect().head
+    val got = join(s2).collect().head
+    assert(got.getLong(0) == base.getLong(0) && got.getDouble(1) == base.getDouble(1))
+  }
+
   test("e1 cosine top-k: broadcasts the probe side, never the corpus") {
     val p = simplePlanOf(Similarity.cosineTopK.run(spark, sfDir))
     // the only broadcast subtree must be the vec_id<8 probe set; the
