@@ -234,6 +234,94 @@ object Joins {
           sum(($"price" * 100).cast("long")).cast("long").as("revenue_cents"))
   }
 
+  /** J10: INTERVAL-OVERLAP join — two interval sets (w4-style user
+    * sessions × w14-style system error bursts, user-agnostic) matched on
+    * temporal overlap: "which sessions ran during any incident window",
+    * the impact-analysis query behind every outage postmortem.
+    *
+    * Unlike j6 (point-in-range) and j9 (interval riding an equi-key),
+    * this is the KEYLESS interval×interval case — the one that tempts a
+    * cartesian. The scale shape: each interval explodes to the hour
+    * buckets it covers (fanout = span/width, the dial), candidates come
+    * from a bucket EQUI-join, duplicates from multi-bucket overlaps drop
+    * in one distinct, and the closed-interval predicate verifies. DuckDB
+    * replays it as a native IEJoin — same pairs, proving the bucketed
+    * plan is exactly the relational overlap semantics.
+    */
+  val intervalOverlap = Q("j10_interval_overlap",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id,
+      |         epoch_us(ts) AS t FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id, min(t) AS s_us, max(t) AS e_us
+      |  FROM sess GROUP BY 1, 2),
+      |ef AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+      |  WHERE event_type = 'error'),
+      |eb AS (
+      |  SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+      |                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 86400000000
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM ef),
+      |eg AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM eb),
+      |bursts AS (
+      |  SELECT user_id AS b_user, grp AS burst_id, min(t) AS b_s_us, max(t) AS b_e_us
+      |  FROM eg GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+      |       b.b_user, CAST(b.burst_id AS BIGINT) AS burst_id,
+      |       least(s.e_us, b.b_e_us) - greatest(s.s_us, b.b_s_us) AS overlap_us
+      |FROM sessions s JOIN bursts b
+      |  ON s.s_us <= b.b_e_us AND b.b_s_us <= s.e_us""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val ev = Tables.events(s, dir)
+      val sessions = ev
+        .select($"user_id", $"ts", $"event_id", unix_micros($"ts").as("t"))
+        .withColumn("new_session",
+          when(lag($"t", 1).over(byUser).isNull
+            || $"t" - lag($"t", 1).over(byUser) > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(min($"t").as("s_us"), max($"t").as("e_us"))
+      val byUserT = Window.partitionBy($"user_id").orderBy($"t", $"event_id")
+      val bursts = ev.filter($"event_type" === "error")
+        .select($"user_id", $"event_id", unix_micros($"ts").as("t"))
+        .withColumn("brk",
+          when(lag($"t", 1).over(byUserT).isNull
+            || $"t" - lag($"t", 1).over(byUserT) > 86400000000L, 1).otherwise(0))
+        .withColumn("grp", sum($"brk").over(
+          byUserT.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id".as("b_user"), $"grp".as("burst_id"))
+        .agg(min($"t").as("b_s_us"), max($"t").as("b_e_us"),
+          count(lit(1)).as("n_err"))
+        .filter($"n_err" >= 3).drop("n_err")
+      val W = 3600000000L // 1-hour buckets: fanout = interval span / W
+      val sB = sessions.withColumn("bucket",
+        explode(expr(s"sequence(s_us div $W, e_us div $W)")))
+      val bB = bursts.withColumn("bucket",
+        explode(expr(s"sequence(b_s_us div $W, b_e_us div $W)")))
+      sB.join(bB, "bucket")
+        .filter($"s_us" <= $"b_e_us" && $"b_s_us" <= $"e_us")
+        .select($"user_id", $"session_id".cast("long").as("session_id"),
+          $"b_user", $"burst_id".cast("long").as("burst_id"),
+          (least($"e_us", $"b_e_us") - greatest($"s_us", $"b_s_us")).as("overlap_us"))
+        .distinct()
+  }
+
   val queries: Seq[Q] = Seq(j1LeftFill, j1bDedupeFanout, starJoin, semiJoin, antiJoin,
-    lateralTopK, temporalJoin)
+    lateralTopK, temporalJoin, intervalOverlap)
 }

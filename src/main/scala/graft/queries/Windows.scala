@@ -320,7 +320,49 @@ object Windows {
           (max($"rev_cents").over(w) - $"rev_cents").cast("long").as("drawdown_cents"))
   }
 
+  /** W23: PERIOD-OVER-PERIOD growth — monthly revenue with
+    * month-over-month (lag 1) and year-over-year (lag 12) comparisons,
+    * the standard executive trend readout.
+    *
+    * Growth is emitted as an IEEE double ratio of exact integer cents
+    * (both < 2⁵³, so the division is deterministically identical across
+    * engines) — NOT an integer-ppm floor: the numerator goes negative in
+    * down months, and Spark's `div` truncates toward zero where DuckDB's
+    * `//` floors, so an integer-division growth would hash-diverge on
+    * exactly the interesting rows. The lag windows run over the
+    * \|months\|-row rollup (the documented post-aggregation bounded
+    * exception), never the fact.
+    */
+  val periodOverPeriod = Q("w23_period_over_period",
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) AS month_idx,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+      |  FROM orders GROUP BY 1)
+      |SELECT month_idx, rev_cents,
+      |       lag(rev_cents, 1) OVER (ORDER BY month_idx) AS prev_cents,
+      |       lag(rev_cents, 12) OVER (ORDER BY month_idx) AS yoy_cents,
+      |       CAST(rev_cents - lag(rev_cents, 1) OVER (ORDER BY month_idx) AS DOUBLE)
+      |         / CAST(lag(rev_cents, 1) OVER (ORDER BY month_idx) AS DOUBLE) AS mom_growth,
+      |       CAST(rev_cents - lag(rev_cents, 12) OVER (ORDER BY month_idx) AS DOUBLE)
+      |         / CAST(lag(rev_cents, 12) OVER (ORDER BY month_idx) AS DOUBLE) AS yoy_growth
+      |FROM m""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"month_idx")
+      Tables.orders(s, dir)
+        .groupBy((year($"o_orderdate") * 12 + month($"o_orderdate")).as("month_idx"))
+        .agg(sum((Exact.dec2($"o_totalprice") * 100).cast("long")).as("rev_cents"))
+        .select($"month_idx", $"rev_cents",
+          lag($"rev_cents", 1).over(w).as("prev_cents"),
+          lag($"rev_cents", 12).over(w).as("yoy_cents"))
+        .select($"month_idx", $"rev_cents", $"prev_cents", $"yoy_cents",
+          (($"rev_cents" - $"prev_cents").cast("double") / $"prev_cents".cast("double"))
+            .as("mom_growth"),
+          (($"rev_cents" - $"yoy_cents").cast("double") / $"yoy_cents".cast("double"))
+            .as("yoy_growth"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
     keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
-    sessionWindow, runningDrawdown)
+    sessionWindow, runningDrawdown, periodOverPeriod)
 }
