@@ -359,7 +359,85 @@ object Funnels {
           max($"gap_us").as("max_us"))
   }
 
+  /** A27: A/B EXPERIMENT evaluation — the two-proportion z-test over
+    * conversion (first view → any later purchase, w6's strict-after
+    * rule), with the variant assigned deterministically from the user id
+    * (`user_id % 2` — the f4 idiom; a real assignment column drops in
+    * unchanged). Emits both arms' exposure/conversion counts, the rates,
+    * and the pooled z statistic.
+    *
+    * Exactness: counts are exact ints; rates and z are a FIXED chain of
+    * IEEE ops (divide, multiply, sqrt — all correctly rounded) over
+    * exact operands, mirrored operation-for-operation in the oracle, so
+    * the statistic is bit-identical across engines. One user-keyed pass
+    * + a 1-row conditional aggregate.
+    */
+  val abTest = Q("a27_ab_test",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view_us
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |conv AS (
+      |  SELECT v.user_id, CAST(v.user_id % 2 AS BIGINT) AS variant,
+      |         CASE WHEN max(CASE WHEN e.event_type = 'purchase'
+      |                             AND epoch_us(e.ts) > v.t_view_us
+      |                             AND epoch_us(e.ts) <= v.t_view_us + 86400000000
+      |                            THEN 1 ELSE 0 END) = 1
+      |              THEN 1 ELSE 0 END AS converted
+      |  FROM v LEFT JOIN events e ON v.user_id = e.user_id
+      |  GROUP BY v.user_id, v.t_view_us),
+      |arms AS (
+      |  SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+      |         CAST(sum(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS BIGINT) AS conv_control,
+      |         CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+      |         CAST(sum(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS BIGINT) AS conv_treatment
+      |  FROM conv)
+      |SELECT n_control, conv_control, n_treatment, conv_treatment,
+      |       CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE) AS rate_control,
+      |       CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE) AS rate_treatment,
+      |       CASE WHEN conv_control + conv_treatment = 0
+      |              OR conv_control + conv_treatment = n_control + n_treatment
+      |            THEN NULL
+      |            ELSE (CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)
+      |                  - CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE))
+      |                 / sqrt((CAST(conv_control + conv_treatment AS DOUBLE)
+      |                         / CAST(n_control + n_treatment AS DOUBLE))
+      |                        * (1 - CAST(conv_control + conv_treatment AS DOUBLE)
+      |                               / CAST(n_control + n_treatment AS DOUBLE))
+      |                        * (1 / CAST(n_control AS DOUBLE) + 1 / CAST(n_treatment AS DOUBLE)))
+      |       END AS z_score
+      |FROM arms""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val v = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min(unix_micros($"ts")).as("t_view_us"))
+      val conv = v.join(ev, Seq("user_id"), "left")
+        .groupBy($"user_id", $"t_view_us")
+        .agg(when(max(when($"event_type" === "purchase"
+            && unix_micros($"ts") > $"t_view_us"
+            && unix_micros($"ts") <= $"t_view_us" + 86400000000L, 1).otherwise(0)) === 1, 1)
+          .otherwise(0).as("converted"))
+        .select(($"user_id" % 2).cast("long").as("variant"), $"converted")
+      val arms = conv.agg(
+        sum(when($"variant" === 0, 1).otherwise(0)).cast("long").as("n_control"),
+        sum(when($"variant" === 0, $"converted").otherwise(0)).cast("long").as("conv_control"),
+        sum(when($"variant" === 1, 1).otherwise(0)).cast("long").as("n_treatment"),
+        sum(when($"variant" === 1, $"converted").otherwise(0)).cast("long").as("conv_treatment"))
+      val rc = $"conv_control".cast("double") / $"n_control".cast("double")
+      val rt = $"conv_treatment".cast("double") / $"n_treatment".cast("double")
+      val pooled = ($"conv_control" + $"conv_treatment").cast("double") /
+        ($"n_control" + $"n_treatment").cast("double")
+      arms.select($"n_control", $"conv_control", $"n_treatment", $"conv_treatment",
+        rc.as("rate_control"), rt.as("rate_treatment"),
+        when($"conv_control" + $"conv_treatment" === 0
+            || $"conv_control" + $"conv_treatment" === $"n_control" + $"n_treatment",
+          lit(null).cast("double"))
+          .otherwise((rt - rc) / sqrt(pooled * (lit(1) - pooled)
+            * (lit(1) / $"n_control".cast("double") + lit(1) / $"n_treatment".cast("double"))))
+          .as("z_score"))
+  }
+
   val queries: Seq[Q] =
     Seq(funnel, retention, topPaths, histogram, errorBursts, attribution,
-      ltvCohort, timeToConvert)
+      ltvCohort, timeToConvert, abTest)
 }
