@@ -102,9 +102,10 @@ object Ml {
   /** The shared DuckDB replay of [[features]]+[[stats]]+[[cramer]] —
     * splice into each oracle. Width casts mirror the Spark side exactly.
     */
-  private def oracleCramer(lam: Long): String =
+  private[queries] def oracleCramer(lam: Long): String =
     s"""f AS (
-       |  SELECT len(string_split(text, ' ')) AS x1,
+       |  SELECT doc_id,
+       |         len(string_split(text, ' ')) AS x1,
        |         len(list_distinct(string_split(text, ' '))) AS x2,
        |         n_chars AS y
        |  FROM documents),
@@ -287,5 +288,52 @@ object Ml {
         .as("intercept_cents"))
   }
 
-  val queries: Seq[Q] = Seq(ml1NormalEq, ml2Ridge, ml3GroupTrend)
+  /** t33: MODEL-BASED quality filter — the train→apply loop closed: the
+    * ml2 ridge model's Q20-quantized integer weights score every doc,
+    * and documents whose length the model can't explain (|residual|
+    * above the exact P90) are flagged — the "learned quality screen"
+    * step of a curation pipeline, replacing hand-tuned heuristics with
+    * a model trained ON the corpus in the same job.
+    *
+    * Everything downstream of the (already exact-portable) training is
+    * integer: residuals in int64 at Q20 scale, the threshold an actual
+    * member via `percentile_disc` broadcast back. Two linear passes —
+    * one to train (shared with ml2 via the same sufficient statistics),
+    * one to score; no iteration, no driver data.
+    */
+  val modelQualityFilter = Q("t33_model_quality_filter",
+    s"""WITH ${oracleCramer(256)},
+       |w AS (
+       |  SELECT
+       |    CAST(floor(CAST(det0 AS DOUBLE) * 1048576.0 / CAST(det AS DOUBLE)) AS BIGINT) AS wq0,
+       |    CAST(floor(CAST(det1 AS DOUBLE) * 1048576.0 / CAST(det AS DOUBLE)) AS BIGINT) AS wq1,
+       |    CAST(floor(CAST(det2 AS DOUBLE) * 1048576.0 / CAST(det AS DOUBLE)) AS BIGINT) AS wq2
+       |  FROM cr),
+       |absr AS (
+       |  SELECT f.doc_id,
+       |         abs(1048576 * f.y - (w.wq0 + w.wq1 * f.x1 + w.wq2 * f.x2)) AS ar
+       |  FROM f CROSS JOIN w),
+       |th AS (SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY ar) AS t FROM absr)
+       |SELECT doc_id, CAST(ar AS BIGINT) AS abs_residual_q20,
+       |       ar > (SELECT t FROM th) AS is_outlier
+       |FROM absr""".stripMargin) { (s, dir) =>
+    val f = features(s, dir)
+    val cr = cramer(stats(f), 256L)
+    val detD = col("det").cast("double")
+    val w = cr.select(
+      floor(col("det0").cast("double") * lit(Q20.toDouble) / detD).cast("long").as("wq0"),
+      floor(col("det1").cast("double") * lit(Q20.toDouble) / detD).cast("long").as("wq1"),
+      floor(col("det2").cast("double") * lit(Q20.toDouble) / detD).cast("long").as("wq2"))
+    val absr = f.join(broadcast(w)) // 1-row weights broadcast (t10 pattern)
+      .select(col("doc_id"),
+        abs(lit(Q20) * col("y") - (col("wq0") + col("wq1") * col("x1")
+          + col("wq2") * col("x2"))).as("ar"))
+    val th = absr.agg(
+      expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY ar)").as("t"))
+    absr.join(broadcast(th))
+      .select(col("doc_id"), col("ar").cast("long").as("abs_residual_q20"),
+        (col("ar") > col("t")).as("is_outlier"))
+  }
+
+  val queries: Seq[Q] = Seq(ml1NormalEq, ml2Ridge, ml3GroupTrend, modelQualityFilter)
 }

@@ -70,6 +70,29 @@ class MlSpec extends AnyFunSuite with SparkTestKit {
     assert(ridgeMse < olsMse * 2 + 1.0, s"ridge MSE $ridgeMse is wildly off OLS $olsMse")
   }
 
+  test("t33 flags at most 10% + ties, and residuals recompute from ml2's weights") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val out = Ml.modelQualityFilter.run(spark, sfDir).cache()
+    val n = out.count()
+    val flagged = out.filter($"is_outlier").count()
+    // percentile_disc(0.9) is a member; strict > flags at MOST 10%
+    assert(flagged <= n / 10, s"$flagged of $n flagged — threshold broke")
+    assert(flagged > 0, "nothing flagged — the filter is inert")
+    // residuals consistent with the ml2 weight row
+    val m2 = Ml.ml2Ridge.run(spark, sfDir).collect().head
+    val (w0, w1, w2) = (m2.getAs[Long]("wq_intercept"),
+      m2.getAs[Long]("wq_ws_tokens"), m2.getAs[Long]("wq_distinct_tokens"))
+    val recomputed = Ml.features(spark, sfDir)
+      .select($"doc_id",
+        abs(lit(Ml.Q20) * $"y" - (lit(w0) + lit(w1) * $"x1" + lit(w2) * $"x2"))
+          .cast("long").as("ar"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.collect().foreach { r =>
+      assert(r.getAs[Long]("abs_residual_q20") == recomputed(r.getAs[Long]("doc_id")))
+    }
+  }
+
   test("ml3 per-group slopes match an exact BigInt recompute of the daily rollup") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -245,7 +245,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // dq5: the 1-row period-totals broadcast onto the |bins|-row
       // histogram (t10 pattern); both period counts come from one
       // conditional aggregate over one scan
-      "dq5_distribution_drift")
+      "dq5_distribution_drift",
+      // t33: TWO 1-row broadcasts (the solved Q20 weights, the P90
+      // threshold) onto the doc scoring pass — the ml2 pattern applied
+      // per doc
+      "t33_model_quality_filter")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
