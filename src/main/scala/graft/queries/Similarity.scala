@@ -1198,6 +1198,74 @@ object Similarity {
         .toDF("dim_idx", "v", "u")
   }
 
+  /** e25: ALL-BUT-THE-TOP embedding post-processing (Mu & Viswanath) —
+    * score every embedding against the DOMINANT component learned by
+    * e23's distributed power iteration and report the ppm of each
+    * vector's energy that removing that component would take out. The
+    * standard embedding hygiene step: a large common component (corpus
+    * mean / frequency direction) washes out cosine contrast, and this
+    * is its measurement pass.
+    *
+    * Exactness: the component vector is e23's integer iterate (memoized;
+    * 64 values in [0, 2048]), scores s = ⟨q, v⟩ and norms Σq² are int64,
+    * and the energy ratio s²·10⁶/(‖v‖²·‖q‖²) is an integral
+    * decimal(38)/HUGEINT floor-division — all operands nonnegative, so
+    * Spark `div` ≡ DuckDB `//`. One linear scan; the only collected
+    * state is the 64-element component (k-bounded precedent).
+    */
+  val allButTop = Q("e25_all_but_top", {
+    val dot = "list_reduce(list_transform(list_zip(s.q, v.v), x -> x[1] * x[2]), (a, b) -> a + b)"
+    def round(r: Int): String =
+      s"""s$r AS MATERIALIZED (
+         |  SELECT q, $dot // 65536 AS ss
+         |  FROM (SELECT q FROM qv) s CROSS JOIN v${r - 1} v),
+         |u$r AS MATERIALIZED (
+         |  SELECT i.idx, sum(s.q[i.idx] * s.ss) AS u
+         |  FROM s$r s CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS idx) i
+         |  GROUP BY 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT list((u * 2048) // (SELECT max(u) + 1 FROM u$r) ORDER BY idx) AS v
+         |  FROM u$r)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
+       |  FROM embeddings),
+       |v0 AS (SELECT list_transform(generate_series(1, 64), i -> CAST(1024 AS BIGINT)) AS v),
+       |${round(1)}, ${round(2)}, ${round(3)},
+       |scored AS (
+       |  SELECT e.vec_id,
+       |         list_reduce(list_transform(list_zip(e.q, v.v), x -> x[1] * x[2]),
+       |                     (a, b) -> a + b) AS sc,
+       |         list_reduce(list_transform(e.q, x -> x * x), (a, b) -> a + b) AS qq,
+       |         (SELECT list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)
+       |          FROM v3) AS vv
+       |  FROM qv e CROSS JOIN v3 v)
+       |SELECT vec_id, CAST(sc AS BIGINT) AS comp_score,
+       |       CAST(CASE WHEN qq = 0 OR vv = 0 THEN 0
+       |                 ELSE (CAST(sc AS HUGEINT) * sc * 1000000)
+       |                      // (CAST(vv AS HUGEINT) * qq)
+       |            END AS BIGINT) AS energy_removed_ppm
+       |FROM scored""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val (v, _) = powerIterate(s, dir, 3)
+      val vArr = v.map(_.toLong)
+      val vv = vArr.map(x => x * x).sum
+      val vLit = vArr.mkString("array(", ",", ")")
+      val q = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576)"
+      Tables.embeddings(s, dir).select($"vec_id",
+          expr(s"aggregate(zip_with($q, $vLit, (q, v) -> q * v), CAST(0 AS BIGINT), (a, b) -> a + b)")
+            .as("sc"),
+          expr(s"aggregate(transform($q, x -> x * x), CAST(0 AS BIGINT), (a, b) -> a + b)")
+            .as("qq"))
+        .select($"vec_id", $"sc".as("comp_score"),
+          when($"qq" === 0 || lit(vv) === 0, 0L)
+            .otherwise(expr(s"CAST((CAST(sc AS DECIMAL(38,0)) * sc * 1000000) div " +
+              s"(CAST($vv AS DECIMAL(38,0)) * qq) AS BIGINT)"))
+            .cast("long").as("energy_removed_ppm"))
+  }
+
   /** e24: K-CORE DECOMPOSITION (k=2) of the undirected kNN graph — the
     * classic peeling algorithm as BSP rounds: each round computes degrees
     * over the SURVIVING subgraph and drops vertices below k; after 4
@@ -1293,5 +1361,5 @@ object Similarity {
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
-    powerIteration, kCore)
+    powerIteration, kCore, allButTop)
 }

@@ -34,4 +34,16 @@ class PowerIterationSpec extends AnyFunSuite with SparkTestKit {
     val (v1, _) = Similarity.powerIterate(spark, sfDir, 1)
     assert(v1.distinct.size > 1, "M·v0 collapsed to a constant vector")
   }
+
+  test("e25: energy ratios respect Cauchy-Schwarz and the top component is dominant") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.allButTop.run(spark, sfDir)
+      .select(col("energy_removed_ppm")).collect().map(_.getLong(0))
+    // s^2 <= ||v||^2 ||q||^2 exactly, so the ppm can never exceed 1e6
+    assert(rows.forall(r => r >= 0L && r <= 1000000L))
+    // a DOMINANT direction explains a large share of a nonnegative
+    // corpus's energy — mean well above what a random axis would get
+    val mean = rows.sum.toDouble / rows.length
+    assert(mean > 500000.0, s"top component explains only ${mean / 10000}% on average")
+  }
 }
