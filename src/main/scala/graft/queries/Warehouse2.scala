@@ -681,9 +681,45 @@ object Warehouse2 {
             expr("CAST((p_ppm - q_ppm) * (p_ppm - q_ppm) div (p_ppm + q_ppm) AS BIGINT)")))
   }
 
+  /** dq6: K-ANONYMITY audit — the data-governance screen run before a
+    * dataset leaves the warehouse: group rows by their QUASI-IDENTIFIER
+    * tuple (here nation × market segment × account-balance sign — the
+    * kind of columns that re-identify when joined to an external set)
+    * and surface every equivalence class smaller than k=5, plus the
+    * class-size distribution. A release is k-anonymous iff the risky
+    * class count is zero; the per-size histogram tells you how far off
+    * you are and which generalization (drop/coarsen a column) to apply.
+    *
+    * One hash aggregate to classes, one |sizes|-row rollup — linear,
+    * map-side combinable, the same shape at any scale.
+    */
+  val dq6KAnonymity = Q("dq6_k_anonymity",
+    """WITH classes AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_sign,
+      |         count(*) AS class_size
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT CAST(class_size AS BIGINT) AS class_size,
+      |       count(*) AS n_classes,
+      |       CAST(sum(class_size) AS BIGINT) AS n_rows,
+      |       class_size < 5 AS below_k
+      |FROM classes GROUP BY class_size""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .groupBy($"c_nationkey", $"c_mktsegment",
+          when($"c_acctbal" < 0, "neg").otherwise("nonneg").as("bal_sign"))
+        .agg(count(lit(1)).as("class_size"))
+        .groupBy($"class_size".cast("long").as("class_size"))
+        .agg(count(lit(1)).as("n_classes"),
+          sum($"class_size").cast("long").as("n_rows"))
+        .select($"class_size", $"n_classes", $"n_rows",
+          ($"class_size" < 5).as("below_k"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
-    dq5DistributionDrift)
+    dq5DistributionDrift, dq6KAnonymity)
 }
