@@ -31,7 +31,7 @@ import graft.Tables
   */
 object Cdc {
 
-  private[queries] def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def snapshots(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val o = Tables.orders(s, dir).select(
       $"o_orderkey", $"o_custkey",

@@ -138,6 +138,43 @@ class StreamingMvSpec extends AnyFunSuite with SparkTestKit {
     assert(viewOf(dir) == expectView(Seq(b0, b1, b2)))
   }
 
+  test("cdc1's real snapshot diff drives the MV to the current snapshot") {
+    // the two halves must speak the same dialect: batch cdc1 produces the
+    // change feed, StreamingMv consumes it — seed the view from the
+    // previous snapshot, apply the diff, land exactly on a full rebuild
+    // of the current snapshot (mv3's oracle, live)
+    import org.apache.spark.sql.functions._
+    val dir = tmp("mv-cdc")
+    val (previous, current) = graft.queries.Cdc.snapshots(spark, "/root/testdata/sf0.001")
+    def shaped(df: org.apache.spark.sql.DataFrame) = df.select(
+      $"o_orderkey".as("key"),
+      substring($"priority", 1, 1).cast("bigint").as("grp"),
+      ($"price" * 100).cast("bigint").as("cents"))
+    val prev = shaped(previous); val cur = shaped(current)
+    // batch 0: the previous snapshot arrives as pure inserts
+    val seed = prev.select($"key", lit("insert").as("change_type"),
+      lit(null).cast("bigint").as("old_grp"), lit(null).cast("bigint").as("old_cents"),
+      $"grp".as("new_grp"), $"cents".as("new_cents"))
+    StreamingMv.processBatch(spark, seed, 0L, dir)
+    // batch 1: the cdc1-shaped diff (full-outer, insert/update/delete)
+    val p = prev.as("p"); val c = cur.as("c")
+    val feed = p.join(c, col("p.key") === col("c.key"), "full_outer")
+      .filter(col("p.key").isNull || col("c.key").isNull
+        || col("p.cents") =!= col("c.cents") || col("p.grp") =!= col("c.grp"))
+      .select(coalesce(col("p.key"), col("c.key")).as("key"),
+        when(col("p.key").isNull, "insert")
+          .when(col("c.key").isNull, "delete").otherwise("update").as("change_type"),
+        col("p.grp").as("old_grp"), col("p.cents").as("old_cents"),
+        col("c.grp").as("new_grp"), col("c.cents").as("new_cents"))
+    StreamingMv.processBatch(spark, feed, 1L, dir)
+    val want = cur.groupBy($"grp").agg(
+        count(lit(1)).as("n"), sum($"cents").as("s"),
+        min($"cents").as("mn"), max($"cents").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(viewOf(dir) == want)
+  }
+
   test("file-source stream across two runs equals the rebuild (checkpointed sink)") {
     val srcDir = tmp("mv-src"); val dir = tmp("mv-sink"); val ckpt = tmp("mv-ckpt")
     val b0 = Seq(ins(1, 10, 100), ins(2, 20, 40), ins(3, 20, 90))
