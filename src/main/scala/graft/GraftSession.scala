@@ -147,6 +147,17 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamingBackfill.liveSink(stream, tsCol, root, checkpoint).start()
 
+  /** Maintain the Type-1 upsert snapshot AND emit its change-data feed
+    * (insert/update with old + new images, no-ops suppressed) — the
+    * store→feed half of the CDC loop; pipe the feed into
+    * [[maintainView]] for the full chain. See [[streaming.StreamingCdf]].
+    */
+  def upsertWithCdf(updates: DataFrame, keyCol: String, seqCol: String,
+      snapshotDir: String, cdfDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingCdf.sink(updates, keyCol, seqCol, snapshotDir, cdfDir,
+      checkpoint).start()
+
   /** Maintain a retractable count/sum/min/max view from a cdc1-shaped
     * change-feed stream (insert/update/delete with old + new images) —
     * see [[streaming.StreamingMv]] for the two-fence exactly-once

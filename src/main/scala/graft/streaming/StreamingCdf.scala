@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+/** CHANGE DATA FEED producer — the store→feed direction closing the CDC
+  * loop (cdc1 diffs two batch snapshots; `StreamingMv` CONSUMES a feed;
+  * this EMITS one from the live upsert store, the Delta
+  * `readChangeFeed` shape): per micro-batch, before the Type-1 merge
+  * applies, the batch winners are classified against the standing
+  * snapshot into
+  *
+  *  - `insert`  — key not in the snapshot (old image all-null);
+  *  - `update`  — key present, the incoming row WINS the merge's seq
+  *    rule AND at least one column actually changes (no-op updates and
+  *    stale redeliveries the merge would ignore are SUPPRESSED — a CDF
+  *    that emits rows its own store discards poisons every consumer);
+  *
+  * and written to `cdfDir/batch_id=N` (dynamic overwrite — a replayed
+  * batch rewrites its own feed dir, never appends). Old and new images
+  * ride as structs so a consumer (an mv3-style maintained view, an
+  * audit trail) needs no join back to any snapshot. Deletes don't exist
+  * in a Type-1 upsert stream; a tombstone-column extension would add
+  * them as a third branch with the same envelope.
+  *
+  * The classification reuses the EXACT winner rule of
+  * [[StreamingIngest.mergeIntoSnapshot]] (shared `batchWinners` +
+  * mirrored seq comparison), so the feed describes precisely the rows
+  * the merge will change — spec-pinned by driving the feed into a
+  * downstream view and landing on the snapshot's own aggregate.
+  *
+  * Scale: one bucket-pruned join of the batch's keys against the
+  * snapshot per batch — O(touched-bucket bytes), the merge's own cost
+  * shape; the feed is |changes| rows.
+  */
+object StreamingCdf {
+
+  /** One micro-batch: emit the feed for `batch`, then merge it into the
+    * snapshot. Also the spec's replay entry point.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      keyCol: String, seqCol: String, snapshotDir: String, cdfDir: String,
+      nBuckets: Int = 16): Unit = {
+    val latest = StreamingIngest.batchWinners(batch, keyCol, seqCol)
+    if (latest.isEmpty) return
+    val dataCols = batch.columns
+    val fs = new Path(snapshotDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // "first batch" means the snapshot holds no data yet — an existing
+    // but EMPTY directory (a pre-created temp/workspace dir) must not
+    // route us into a schemaless read
+    val snapHasData = fs.exists(new Path(snapshotDir)) &&
+      fs.listStatus(new Path(snapshotDir))
+        .exists(_.getPath.getName.startsWith("__bucket="))
+    val feed: DataFrame =
+      if (!snapHasData) {
+        // first batch: everything is an insert
+        latest.select(col(keyCol).as("key"), lit("insert").as("change_type"),
+          lit(null).cast(structType(latest, dataCols)).as("old_image"),
+          struct(dataCols.map(col): _*).as("new_image"))
+      } else {
+        val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets))
+        val touched = latest.withColumn("__bucket", bucketOf)
+          .select(col("__bucket")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq // ≤ nBuckets rows
+        val cur = spark.read.parquet(snapshotDir)
+          .filter(col("__bucket").isin(touched: _*)) // partition-pruned
+          .drop("__bucket")
+        val sSeq = col(s"s.`$seqCol`"); val tSeq = col(s"t.`$seqCol`")
+        val restCols = dataCols.filterNot(_ == seqCol)
+        val sRest = struct(restCols.map(c => col(s"s.`$c`")): _*)
+        val tRest = struct(restCols.map(c => col(s"t.`$c`")): _*)
+        // the merge's srcWins rule, restricted to matched keys
+        val srcWins = (tSeq.isNull && sSeq.isNotNull) || sSeq > tSeq ||
+          (sSeq <=> tSeq) && sRest <= tRest
+        val sAll = struct(dataCols.map(c => col(s"s.`$c`")): _*)
+        val tAll = struct(dataCols.map(c => col(s"t.`$c`")): _*)
+        latest.alias("s")
+          .join(cur.alias("t"), col(s"s.`$keyCol`") === col(s"t.`$keyCol`"), "left")
+          .select(col(s"s.`$keyCol`").as("key"),
+            when(col(s"t.`$keyCol`").isNull, "insert")
+              .when(srcWins && !(sAll <=> tAll), "update")
+              .otherwise("noop").as("change_type"),
+            when(col(s"t.`$keyCol`").isNull, lit(null).cast(structType(latest, dataCols)))
+              .otherwise(tAll).as("old_image"),
+            sAll.as("new_image"))
+          .filter(col("change_type") =!= "noop")
+      }
+
+    feed.withColumn("batch_id", lit(batchId))
+      .write.partitionBy("batch_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(cdfDir)
+
+    StreamingIngest.mergeIntoSnapshot(batch, keyCol, seqCol, snapshotDir, nBuckets)
+  }
+
+  private def structType(df: DataFrame, cols: Seq[String]) =
+    org.apache.spark.sql.types.StructType(
+      cols.map(c => df.schema(c)))
+
+  /** The accumulated feed (partition column back to long). */
+  def feed(spark: SparkSession, cdfDir: String): DataFrame =
+    spark.read.parquet(cdfDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+
+  /** The streaming sink wrapper: upsert stream → snapshot + change feed. */
+  def sink(updates: DataFrame, keyCol: String, seqCol: String,
+      snapshotDir: String, cdfDir: String, checkpointDir: String,
+      nBuckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    updates.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, keyCol, seqCol,
+          snapshotDir, cdfDir, nBuckets)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("update")
+}

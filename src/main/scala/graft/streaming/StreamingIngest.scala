@@ -575,23 +575,32 @@ object StreamingIngest {
   /** One micro-batch (or batch backfill) MERGE into the bucketed snapshot
     * — see [[upsertSink]]. Callable directly for batch upserts too.
     */
+  /** Deterministic intra-batch winner per key: seq desc, then every
+    * remaining column asc — equal-seq ties must resolve identically on a
+    * foreachBatch REPLAY or the idempotence guarantee breaks. Null keys
+    * are rejected up front (a null key has no bucket and no merge
+    * identity). Shared by the merge and the CDF producer so both halves
+    * pick the same row.
+    */
+  private[streaming] def batchWinners(batch: DataFrame, keyCol: String,
+      seqCol: String): DataFrame = {
+    val dataCols = batch.columns
+    val ordering = col(seqCol).desc +:
+      dataCols.filterNot(_ == seqCol).map(c => col(c).asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(ordering: _*)
+    batch
+      .filter(col(keyCol).isNotNull)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   def mergeIntoSnapshot(batch: DataFrame, keyCol: String, seqCol: String,
       snapshotDir: String, nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
     val dataCols = batch.columns
     val bucketOf = pmod(xxhash64(col(keyCol)), lit(nBuckets))
-    // deterministic intra-batch winner: seq desc, then every remaining
-    // column — equal-seq ties must resolve identically on a foreachBatch
-    // REPLAY or the idempotence guarantee breaks. Null keys are rejected
-    // up front (a null key has no bucket and no merge identity).
-    val ordering = col(seqCol).desc +:
-      dataCols.filterNot(_ == seqCol).map(c => col(c).asc)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(ordering: _*)
-    val latest = batch
-      .filter(col(keyCol).isNotNull)
-      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-      .drop("__rn").withColumn("__bucket", bucketOf)
+    val latest = batchWinners(batch, keyCol, seqCol).withColumn("__bucket", bucketOf)
     // an empty batch must be a no-op: a partitioned write of zero rows
     // leaves a part-less directory that poisons the next read's schema
     // inference (and would create an empty "snapshot")
