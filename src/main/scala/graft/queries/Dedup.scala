@@ -842,8 +842,84 @@ object Dedup {
           ($"cluster_size" * $"n_clusters").as("n_docs"))
   }
 
+  /** D17: EXACT set-similarity join via PREFIX FILTERING (the
+    * All-Pairs / PPJoin candidate rule, Bayardo et al. WWW'07): word-set
+    * Jaccard ≥ 0.5 pairs with NO approximation and NO all-pairs — the
+    * exact counterpart to d2's df-capped lower bound.
+    *
+    * Rule: order every doc's distinct words by global rarity (df ASC,
+    * token ASC — a total order), keep only the PREFIX of length
+    * |d| − ⌈τ·|d|⌉ + 1. Any pair with J ≥ τ must share a prefix token
+    * (if A's prefix missed B entirely, A∩B fits in A's suffix of size
+    * ⌈τ|A|⌉ − 1 < τ|A| ≤ |A∩B|), so joining prefix postings on the token
+    * finds every qualifying pair — and the prefix holds each doc's
+    * RAREST tokens, so frequent words never enter the join. Verification
+    * is the exact integer test 3·|A∩B| ≥ |A|+|B| (⇔ J ≥ 0.5) over
+    * per-pair `array_intersect`, never a postings fanout.
+    *
+    * Scale: candidate expansion is Σ df² over PREFIX postings only —
+    * bounded by construction because a token's prefix occurrences are a
+    * rarity-ranked subset; the verify step is |cand| pair-local array
+    * work. This is the published scale-out shape for exact similarity
+    * self-joins at corpus size.
+    */
+  val prefixFilterJoin = Q("d17_prefix_filter_join",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      |  FROM documents),
+      |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+      |ranked AS (
+      |  SELECT t.doc_id, t.tok,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+      |         s.n
+      |  FROM tok t JOIN df d ON t.tok = d.tok JOIN sz s ON t.doc_id = s.doc_id),
+      |prefix AS (
+      |  SELECT doc_id, tok FROM ranked WHERE rn <= n - ((n + 1) // 2) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |arr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents)
+      |SELECT c.doc_a, c.doc_b,
+      |       CAST(len(list_intersect(x.w, y.w)) AS BIGINT) AS inter,
+      |       CAST(len(x.w) AS BIGINT) AS na,
+      |       CAST(len(y.w) AS BIGINT) AS nb,
+      |       CAST(len(list_intersect(x.w, y.w)) AS DOUBLE)
+      |         / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) AS jaccard
+      |FROM cand c JOIN arr x ON c.doc_a = x.doc_id
+      |            JOIN arr y ON c.doc_b = y.doc_id
+      |WHERE 3 * len(list_intersect(x.w, y.w)) >= len(x.w) + len(y.w)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val tok = Ngrams.postings(docs, n = 1, distinct = true, outCol = "tok").cache()
+      val dfTok = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
+      val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val byRarity = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"df", $"tok")
+      val prefix = tok.join(dfTok, "tok").join(sz, "doc_id")
+        .withColumn("rn", row_number().over(byRarity))
+        .filter($"rn" <= $"n" - expr("(n + 1) div 2") + 1)
+        .select($"doc_id", $"tok")
+      val cand = prefix.select($"tok", $"doc_id".as("doc_a"))
+        .join(prefix.select($"tok", $"doc_id".as("doc_b")), Seq("tok"))
+        .filter($"doc_a" < $"doc_b")
+        .select($"doc_a", $"doc_b").distinct()
+      val arr = docs.select($"doc_id", array_distinct(split($"text", " ")).as("w"))
+      val inter = size(array_intersect($"wa", $"wb"))
+      cand
+        .join(arr.toDF("doc_a", "wa"), "doc_a")
+        .join(arr.toDF("doc_b", "wb"), "doc_b")
+        .filter(lit(3) * inter >= size($"wa") + size($"wb"))
+        .select($"doc_a", $"doc_b",
+          inter.cast("long").as("inter"),
+          size($"wa").cast("long").as("na"),
+          size($"wb").cast("long").as("nb"),
+          (inter.cast("double") / (size($"wa") + size($"wb") - inter)).as("jaccard"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
     sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall,
-    clusterSizeHistogram)
+    clusterSizeHistogram, prefixFilterJoin)
 }

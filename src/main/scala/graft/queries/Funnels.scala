@@ -194,8 +194,12 @@ object Funnels {
     * fanout; everything shuffles on user_id / purchase id only. Revenue
     * stays integer cents end-to-end (Exact.dec2 discipline).
     */
-  val attribution = Q("w18_attribution",
-    """WITH t AS (
+  /** The touch/purchase/candidate CTEs w18 and w24 share — SQL mirror of
+    * [[touchFrame]]/[[purchaseFrame]] plus the 7-day strict-before
+    * lookback left join.
+    */
+  private val touchCandCtes =
+    """t AS (
       |  SELECT user_id, epoch_us(ts) AS t_us, event_id AS tid,
       |         CASE CAST(json_extract_string(props, '$.k') AS BIGINT) % 5
       |           WHEN 0 THEN 'email' WHEN 1 THEN 'search' WHEN 2 THEN 'social'
@@ -208,7 +212,10 @@ object Funnels {
       |cand AS (
       |  SELECT p.pid, p.cents, t.channel, t.t_us, t.tid
       |  FROM p LEFT JOIN t ON p.user_id = t.user_id
-      |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000),
+      |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000)""".stripMargin
+
+  val attribution = Q("w18_attribution",
+    s"""WITH $touchCandCtes,
       |ranked AS (
       |  SELECT pid, cents, coalesce(channel, 'direct') AS channel,
       |         row_number() OVER (PARTITION BY pid
@@ -220,19 +227,107 @@ object Funnels {
     (s, dir) =>
       import s.implicits._
       val ev = Tables.events(s, dir)
-      val touches = ev.filter($"event_type".isin("view", "click"))
-        .select($"user_id", unix_micros($"ts").as("t_us"), $"event_id".as("tid"),
-          (get_json_object($"props", "$.k").cast("long") % 5).as("k5"))
-        .select($"user_id", $"t_us", $"tid",
-          when($"k5" === 0, "email").when($"k5" === 1, "search")
-            .when($"k5" === 2, "social").when($"k5" === 3, "ads")
-            .otherwise("organic").as("channel"))
-      val purchases = ev.filter($"event_type" === "purchase")
-        .select($"event_id".as("pid"), $"user_id", unix_micros($"ts").as("p_us"),
-          (Exact.dec2($"value") * 100).cast("long").as("cents"))
-      lastTouch(touches, purchases)
+      lastTouch(touchFrame(ev), purchaseFrame(ev))
         .groupBy($"channel")
         .agg(count(lit(1)).as("n_purchases"), sum($"cents").as("attributed_cents"))
+  }
+
+  /** The `(user_id, t_us, tid, channel)` touch frame w18/w24 share — the
+    * channel derives deterministically from the payload (f4 idiom).
+    */
+  private def touchFrame(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_id").as("tid"),
+        (get_json_object(col("props"), "$.k").cast("long") % 5).as("k5"))
+      .select(col("user_id"), col("t_us"), col("tid"),
+        when(col("k5") === 0, "email").when(col("k5") === 1, "search")
+          .when(col("k5") === 2, "social").when(col("k5") === 3, "ads")
+          .otherwise("organic").as("channel"))
+
+  /** The `(pid, user_id, p_us, cents)` purchase frame w18/w24 share —
+    * revenue as exact integer cents (Exact.dec2 discipline).
+    */
+  private def purchaseFrame(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        unix_micros(col("ts")).as("p_us"),
+        (Exact.dec2(col("value")) * 100).cast("long").as("cents"))
+
+  /** W24: POSITION-BASED (U-shaped) multi-touch attribution — w18's
+    * multi-touch sibling: each purchase's cents split 40% to the FIRST
+    * in-window touch, 40% to the LAST, 20% evenly across the middles
+    * (single-touch and no-touch purchases keep last-touch semantics:
+    * full credit to the touch / to `direct`).
+    *
+    * Exactness: the split is ALL-INTEGER with per-purchase conservation
+    * by construction — first = (cents·40) div 100, each middle =
+    * ((cents·20) div 100) div (n−2), and the LAST absorbs every
+    * remainder (last = cents − first − Σ middles), so
+    * Σ channel credits ≡ Σ purchase cents exactly (AttributionSpec pins
+    * it). cents ≥ 0 keeps Spark's truncating `div` ≡ DuckDB's flooring
+    * `//`.
+    *
+    * Shape: the same one user_id equi-join + per-pid windows as w18 (the
+    * rank and the touch count share one partition), then a |channels|-row
+    * rollup — nothing new shuffles at 100 TB.
+    */
+  val positionAttribution = Q("w24_position_attribution",
+    s"""WITH $touchCandCtes,
+      |ranked AS (
+      |  SELECT pid, cents, coalesce(channel, 'direct') AS channel,
+      |         row_number() OVER (PARTITION BY pid ORDER BY t_us, tid) AS rn,
+      |         count(t_us) OVER (PARTITION BY pid) AS n
+      |  FROM cand),
+      |credit AS (
+      |  SELECT pid, channel,
+      |         CASE WHEN n <= 1 THEN cents
+      |              WHEN rn = 1 THEN (cents * 40) // 100
+      |              WHEN rn = n THEN cents - (cents * 40) // 100
+      |                - CASE WHEN n > 2
+      |                       THEN (n - 2) * (((cents * 20) // 100) // (n - 2))
+      |                       ELSE 0 END
+      |              ELSE ((cents * 20) // 100) // (n - 2) END AS credit_cents
+      |  FROM ranked)
+      |SELECT channel, CAST(count(*) AS BIGINT) AS n_credits,
+      |       CAST(sum(credit_cents) AS BIGINT) AS credited_cents
+      |FROM credit GROUP BY channel""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      positionCredits(touchFrame(ev), purchaseFrame(ev))
+        .groupBy($"channel")
+        .agg(count(lit(1)).as("n_credits"),
+          sum($"credit_cents").cast("long").as("credited_cents"))
+  }
+
+  /** The U-shaped credit core over the shared frames — one row per
+    * (purchase, touch) with its integer credit (plus the `direct` row for
+    * untouched purchases). Factored out so AttributionSpec can pin exact
+    * per-purchase conservation on synthetic frames.
+    */
+  private[graft] def positionCredits(
+      touches: org.apache.spark.sql.DataFrame,
+      purchases: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cand = purchases.join(touches,
+      purchases("user_id") === touches("user_id")
+        && col("t_us") < col("p_us")
+        && col("t_us") >= col("p_us") - 604800000000L, "left")
+    val byPid = org.apache.spark.sql.expressions.Window.partitionBy(col("pid"))
+    val ordered = byPid.orderBy(col("t_us"), col("tid"))
+    cand.select(col("pid"), col("cents"),
+        coalesce(col("channel"), lit("direct")).as("channel"),
+        row_number().over(ordered).as("rn"),
+        count(col("t_us")).over(byPid).as("n"))
+      .select(col("pid"), col("channel"), expr(
+        """CAST(CASE WHEN n <= 1 THEN cents
+          |     WHEN rn = 1 THEN (cents * 40) div 100
+          |     WHEN rn = n THEN cents - (cents * 40) div 100
+          |       - CASE WHEN n > 2
+          |              THEN (n - 2) * (((cents * 20) div 100) div (n - 2))
+          |              ELSE 0 END
+          |     ELSE ((cents * 20) div 100) div (n - 2) END AS BIGINT)""".stripMargin)
+        .as("credit_cents"))
   }
 
   /** The attribution core over any `(user_id, t_us, tid, channel)` touch
@@ -439,5 +534,5 @@ object Funnels {
 
   val queries: Seq[Q] =
     Seq(funnel, retention, topPaths, histogram, errorBursts, attribution,
-      ltvCohort, timeToConvert, abTest)
+      positionAttribution, ltvCohort, timeToConvert, abTest)
 }

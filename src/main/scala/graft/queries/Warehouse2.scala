@@ -717,9 +717,50 @@ object Warehouse2 {
           ($"class_size" < 5).as("below_k"))
   }
 
+  /** DQ7: L-DIVERSITY release audit — dq6's sibling on the second
+    * re-identification axis: a k-anonymous class is still unsafe if every
+    * member shares the same SENSITIVE value (the homogeneity attack), so
+    * each quasi-identifier class also needs ≥ l distinct sensitive
+    * values. QI = (nation, segment); the sensitive attribute is the
+    * account-balance 1000-band.
+    *
+    * Exactness: the band is all-integer — euclid-mod then an exact
+    * integral division ((cents − mod) div 1e5; floor ≡ truncate on exact
+    * multiples, so negative balances band identically on both engines —
+    * the w23 `div`-vs-`//` trap dodged by construction).
+    *
+    * One hash aggregate with a distinct count per class — linear,
+    * map-side combinable, the same shape at any scale.
+    */
+  val dq7LDiversity = Q("dq7_l_diversity",
+    """WITH sens AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         (cents - ((cents % 100000 + 100000) % 100000)) // 100000 AS bal_band
+      |  FROM (SELECT c_nationkey, c_mktsegment,
+      |               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |        FROM customer))
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+      |       count(*) AS class_size,
+      |       CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+      |       count(DISTINCT bal_band) < 3 AS below_l
+      |FROM sens GROUP BY 1, 2""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .select($"c_nationkey".cast("long").as("c_nationkey"), $"c_mktsegment",
+          (Exact.dec2($"c_acctbal") * 100).cast("long").as("cents"))
+        .withColumn("bal_band",
+          expr("(cents - ((cents % 100000 + 100000) % 100000)) div 100000"))
+        .groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(count(lit(1)).as("class_size"),
+          countDistinct($"bal_band").cast("long").as("l_distinct"))
+        .select($"c_nationkey", $"c_mktsegment", $"class_size", $"l_distinct",
+          ($"l_distinct" < 3).as("below_l"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
-    dq5DistributionDrift, dq6KAnonymity)
+    dq5DistributionDrift, dq6KAnonymity, dq7LDiversity)
 }
