@@ -83,5 +83,62 @@ object Basket {
           .cast("long").as("lift_ppm"))
   }
 
-  val queries: Seq[Q] = Seq(mb1MarketBasket)
+  /** MB2: ITEM-ITEM recommendations — the collaborative-filtering face of
+    * mb1: each part's top-3 most-similar parts by co-occurrence COSINE
+    * cos(a,b) = pair_n / √(n_a·n_b) — the symmetric, popularity-
+    * normalized metric recommenders rank by (confidence is directional
+    * and lift over-rewards rare pairs).
+    *
+    * Exactness: pair_n and the item counts are exact ints; n_a·n_b < 2⁵³
+    * so the product, the correctly-rounded sqrt, and the division form a
+    * fixed IEEE chain — bit-identical across engines (the a27 idiom).
+    * Ranking ties break on rec_part.
+    *
+    * Shape: the pair mill is mb1's (A-priori-pruned basket self-join,
+    * fanout bounded by basket size); the pair list is UNIONED in both
+    * directions and ranked per part through the NATIVE [[TopKPerGroup]]
+    * plan — one partial/final TopK pass, no full sort per group.
+    */
+  val mb2ItemRecs = Q("mb2_item_recommendation",
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |item AS (SELECT p, count(*) AS n_item FROM b GROUP BY 1),
+      |freq AS (SELECT * FROM item WHERE n_item >= 2),
+      |fb AS (SELECT b.o, b.p, f.n_item FROM b JOIN freq f ON b.p = f.p),
+      |pairs AS (
+      |  SELECT a.p AS part_a, c.p AS part_b, count(*) AS pair_n,
+      |         max(a.n_item) AS n_a, max(c.n_item) AS n_b
+      |  FROM fb a JOIN fb c ON a.o = c.o AND a.p < c.p
+      |  GROUP BY 1, 2),
+      |sym AS (
+      |  SELECT part_a AS part, part_b AS rec_part, pair_n, n_a, n_b FROM pairs WHERE pair_n >= 2
+      |  UNION ALL
+      |  SELECT part_b AS part, part_a AS rec_part, pair_n, n_b AS n_a, n_a AS n_b
+      |  FROM pairs WHERE pair_n >= 2),
+      |scored AS (
+      |  SELECT part, rec_part, CAST(pair_n AS BIGINT) AS pair_n,
+      |         CAST(pair_n AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cosine
+      |  FROM sym),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY part
+      |                               ORDER BY cosine DESC, rec_part) AS rank
+      |  FROM scored)
+      |SELECT part, rec_part, pair_n, cosine, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 3""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pairs = pairRules(baskets(s, dir), minSupport = 2)
+      .select($"part_a", $"part_b", $"pair_n", $"n_a", $"n_b")
+    val sym = pairs
+      .select($"part_a".as("part"), $"part_b".as("rec_part"), $"pair_n", $"n_a", $"n_b")
+      .unionByName(pairs.select($"part_b".as("part"), $"part_a".as("rec_part"),
+        $"pair_n", $"n_b".as("n_a"), $"n_a".as("n_b")))
+    val scored = sym.select($"part", $"rec_part", $"pair_n",
+      ($"pair_n".cast("double") / sqrt(($"n_a" * $"n_b").cast("double"))).as("cosine"))
+    val top = graft.plans.TopKPerGroup.topK(scored, Seq("part"),
+      Seq(("cosine", false), ("rec_part", true)), k = 3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"part").orderBy($"cosine".desc, $"rec_part")
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
+  val queries: Seq[Q] = Seq(mb1MarketBasket, mb2ItemRecs)
 }

@@ -1075,9 +1075,77 @@ object TrainingPrep {
             .as("epoch"))
   }
 
+  /** T34: BM25 ranked retrieval — t10's production-grade sibling with the
+    * two things raw TF-IDF lacks: TERM-FREQUENCY SATURATION (k1 = 1.2 —
+    * the 50th "fast" adds almost nothing) and DOCUMENT-LENGTH
+    * normalization (b = 0.75 — long docs stop winning by volume alone).
+    *
+    * Exactness: the whole score is ALL-INTEGER, so the 3-term sum is
+    * order-free and hash-exact. ln is avoided deliberately (the dq5
+    * rationale: libm isn't correctly rounded), keeping the Robertson idf
+    * as its rational odds (2N−2df+1)/(2df+1) — rank-equivalent
+    * monotone in df. With k1 = 6/5 and b = 3/4 the saturation term
+    * clears denominators exactly:
+    *   tf_sat = 44·A·tf / (20·A·tf + 6·A + 1800·dl)
+    * where A = (100·L) div D is centiword average doc length, and
+    *   score_t = (idf_scaled · 44·A·tf) div (20·A·tf + 6·A + 1800·dl),
+    *   idf_scaled = ((2N−2df+1)·10000) div (2df+1).
+    * Every operand is int64 with headroom through ~sf10 (bounds in
+    * code); both engines floor positive integer division identically.
+    *
+    * Shape: corpus stats are ONE broadcast row; scoring is a narrow
+    * projection at scan speed; top-20 is a TakeOrdered — the same
+    * 100 TB plan as t10.
+    */
+  val bm25Search = Q("t34_bm25", {
+    val tfCols = terms.map(t =>
+      s"CAST(len([w for w in string_split(text, ' ') if w = '$t']) AS BIGINT) AS tf_$t").mkString(", ")
+    val dfCols = terms.map(t =>
+      s"CAST(sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$t").mkString(", ")
+    val score = terms.map(t =>
+      s"""(((((2 * n - 2 * df_$t + 1) * 10000) // (2 * df_$t + 1)) * (44 * a * tf_$t))
+         | // (20 * a * tf_$t + 6 * a + 1800 * dl))""".stripMargin.replace("\n", ""))
+      .mkString(" + ")
+    s"""WITH tf AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |                   $tfCols
+       |            FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |                 (100 * CAST(sum(dl) AS BIGINT)) // CAST(count(*) AS BIGINT) AS a,
+       |                 $dfCols
+       |          FROM tf)
+       |SELECT doc_id, CAST($score AS BIGINT) AS score
+       |FROM tf, stats
+       |WHERE $score > 0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val words = split($"text", " ")
+      val tf = Tables.documents(s, dir)
+        .select(($"doc_id" +: size(words).cast("long").as("dl") +:
+          terms.map(t => size(filter(words, w => w === t)).cast("long").as(s"tf_$t"))): _*)
+      val statCols = count(lit(1)).cast("long").as("n") +:
+        expr("(100 * sum(dl)) div count(*)").as("a") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("long").as(s"df_$t"))
+      val stats = tf.agg(statCols.head, statCols.tail: _*)
+      // int64 headroom: idf_scaled ≤ (2N+1)·10⁴, its product with
+      // 44·A·tf ≤ ~3·10¹⁸ at N≈6·10⁵, A≈10⁴, tf≈10³ — under 2⁶³;
+      // beyond ~sf10 promote SCALE or go DECIMAL(38,0)
+      val score = terms.map(t => expr(
+        s"""((((2 * n - 2 * df_$t + 1) * 10000) div (2 * df_$t + 1)) * (44 * a * tf_$t))
+           | div (20 * a * tf_$t + 6 * a + 1800 * dl)""".stripMargin.replace("\n", "")))
+        .reduce(_ + _)
+      tf.crossJoin(broadcast(stats))
+        .select($"doc_id", score.cast("long").as("score"))
+        .filter($"score" > 0)
+        .orderBy($"score".desc, $"doc_id")
+        .limit(20)
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
     importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
     curationCanonical, corpusRelease, curriculumOrder, leakageSafeSplit, splitLeakageAudit,
-    epochUpsample)
+    epochUpsample, bm25Search)
 }
