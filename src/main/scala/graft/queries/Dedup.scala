@@ -843,79 +843,97 @@ object Dedup {
   }
 
   /** D17: EXACT set-similarity join via PREFIX FILTERING (the
-    * All-Pairs / PPJoin candidate rule, Bayardo et al. WWW'07): word-set
-    * Jaccard ≥ 0.5 pairs with NO approximation and NO all-pairs — the
-    * exact counterpart to d2's df-capped lower bound.
+    * All-Pairs / PPJoin candidate rule, Bayardo et al. WWW'07): 3-gram
+    * shingle-set Jaccard ≥ 0.5 pairs with NO approximation and NO
+    * all-pairs — the exact counterpart to d2's df-capped lower bound,
+    * over the same shingle space (and at d3's LSH design threshold, so
+    * the three dedup tiers are directly comparable).
     *
-    * Rule: order every doc's distinct words by global rarity (df ASC,
-    * token ASC — a total order), keep only the PREFIX of length
-    * |d| − ⌈τ·|d|⌉ + 1. Any pair with J ≥ τ must share a prefix token
+    * Rule: order every doc's distinct shingles by global rarity (df ASC,
+    * shingle ASC — a total order), keep only the PREFIX of length
+    * |d| − ⌈τ·|d|⌉ + 1. Any pair with J ≥ τ must share a prefix shingle
     * (if A's prefix missed B entirely, A∩B fits in A's suffix of size
-    * ⌈τ|A|⌉ − 1 < τ|A| ≤ |A∩B|), so joining prefix postings on the token
-    * finds every qualifying pair — and the prefix holds each doc's
-    * RAREST tokens, so frequent words never enter the join. Verification
-    * is the exact integer test 3·|A∩B| ≥ |A|+|B| (⇔ J ≥ 0.5) over
-    * per-pair `array_intersect`, never a postings fanout.
+    * ⌈τ|A|⌉ − 1 < τ|A| ≤ |A∩B|), so joining prefix postings on the
+    * shingle finds every qualifying pair — and the prefix holds each
+    * doc's RAREST shingles, so ubiquitous ones never enter the join
+    * UNLESS they are some doc's rarest (exactness keeps the guarantee d2
+    * trades away). The standard LENGTH companion filter (τ·|B| ≤ |A| —
+    * sizes ride the postings) prunes cross-size candidates before the
+    * verify. Verification is the exact integer test 3·|A∩B| ≥ |A|+|B|
+    * (⇔ J ≥ 0.5) over per-pair `array_intersect`, never a postings
+    * fanout.
     *
-    * Scale: candidate expansion is Σ df² over PREFIX postings only —
-    * bounded by construction because a token's prefix occurrences are a
-    * rarity-ranked subset; the verify step is |cand| pair-local array
-    * work. This is the published scale-out shape for exact similarity
-    * self-joins at corpus size.
+    * Scale: candidate expansion is Σ df² over PREFIX postings only — on
+    * Zipf text the prefix is rare-end by construction; the verify step
+    * is |cand| pair-local array work. On a corpus whose shingle universe
+    * SATURATES (tiny vocab), prefix dfs grow linearly and the join
+    * degrades toward the output bound — which for exact J ≥ 0.5 is the
+    * true pair count; the approximation-free tier costs that by
+    * definition (d2/d3 are the subquadratic-by-fiat tiers).
     */
   val prefixFilterJoin = Q("d17_prefix_filter_join",
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-      |  FROM documents),
-      |df AS (SELECT tok, count(*) AS df FROM tok GROUP BY 1),
-      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+    s"""WITH sh0 AS ($shinglesSql),
+      |df AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
       |ranked AS (
-      |  SELECT t.doc_id, t.tok,
-      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS rn,
+      |  SELECT t.doc_id, t.shingle,
+      |         row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.shingle) AS rn,
       |         s.n
-      |  FROM tok t JOIN df d ON t.tok = d.tok JOIN sz s ON t.doc_id = s.doc_id),
+      |  FROM sh0 t JOIN df d ON t.shingle = d.shingle JOIN sz s ON t.doc_id = s.doc_id),
       |prefix AS (
-      |  SELECT doc_id, tok FROM ranked WHERE rn <= n - ((n + 1) // 2) + 1),
+      |  SELECT doc_id, shingle, n FROM ranked WHERE rn <= n - ((n + 1) // 2) + 1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id),
-      |arr AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS w FROM documents)
+      |  FROM prefix a JOIN prefix b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |   AND 2 * least(a.n, b.n) >= greatest(a.n, b.n)),
+      |arr AS (
+      |  SELECT doc_id,
+      |         list_distinct([array_to_string(w[i:i+2], ' ')
+      |           for i in generate_series(1, greatest(len(w) - 2, 0))]) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
       |SELECT c.doc_a, c.doc_b,
-      |       CAST(len(list_intersect(x.w, y.w)) AS BIGINT) AS inter,
-      |       CAST(len(x.w) AS BIGINT) AS na,
-      |       CAST(len(y.w) AS BIGINT) AS nb,
-      |       CAST(len(list_intersect(x.w, y.w)) AS DOUBLE)
-      |         / (len(x.w) + len(y.w) - len(list_intersect(x.w, y.w))) AS jaccard
+      |       CAST(len(list_intersect(x.g, y.g)) AS BIGINT) AS inter,
+      |       CAST(len(x.g) AS BIGINT) AS na,
+      |       CAST(len(y.g) AS BIGINT) AS nb,
+      |       CAST(len(list_intersect(x.g, y.g)) AS DOUBLE)
+      |         / (len(x.g) + len(y.g) - len(list_intersect(x.g, y.g))) AS jaccard
       |FROM cand c JOIN arr x ON c.doc_a = x.doc_id
       |            JOIN arr y ON c.doc_b = y.doc_id
-      |WHERE 3 * len(list_intersect(x.w, y.w)) >= len(x.w) + len(y.w)""".stripMargin) {
+      |WHERE 3 * len(list_intersect(x.g, y.g)) >= len(x.g) + len(y.g)""".stripMargin) {
     (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val tok = Ngrams.postings(docs, n = 1, distinct = true, outCol = "tok").cache()
-      val dfTok = tok.groupBy($"tok").agg(count(lit(1)).as("df"))
-      val sz = tok.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val sh = shingles(s, dir).cache()
+      val dfSh = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val byRarity = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"df", $"tok")
-      val prefix = tok.join(dfTok, "tok").join(sz, "doc_id")
+        .partitionBy($"doc_id").orderBy($"df", $"shingle")
+      val prefix = sh.join(dfSh, "shingle").join(sz, "doc_id")
         .withColumn("rn", row_number().over(byRarity))
         .filter($"rn" <= $"n" - expr("(n + 1) div 2") + 1)
-        .select($"doc_id", $"tok")
-      val cand = prefix.select($"tok", $"doc_id".as("doc_a"))
-        .join(prefix.select($"tok", $"doc_id".as("doc_b")), Seq("tok"))
-        .filter($"doc_a" < $"doc_b")
+        .select($"doc_id", $"shingle", $"n")
+      val cand = prefix.select($"shingle", $"doc_id".as("doc_a"), $"n".as("n_a"))
+        .join(prefix.select($"shingle", $"doc_id".as("doc_b"), $"n".as("n_b")), Seq("shingle"))
+        .filter($"doc_a" < $"doc_b"
+          && lit(2) * least($"n_a", $"n_b") >= greatest($"n_a", $"n_b"))
         .select($"doc_a", $"doc_b").distinct()
-      val arr = docs.select($"doc_id", array_distinct(split($"text", " ")).as("w"))
-      val inter = size(array_intersect($"wa", $"wb"))
+      val garr = expr(
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(1, size(w) - 2),
+          |         i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+          |  ELSE cast(array() AS array<string>) END)""".stripMargin)
+      val arr = docs.select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", garr.as("g"))
+      val inter = size(array_intersect($"ga", $"gb"))
       cand
-        .join(arr.toDF("doc_a", "wa"), "doc_a")
-        .join(arr.toDF("doc_b", "wb"), "doc_b")
-        .filter(lit(3) * inter >= size($"wa") + size($"wb"))
+        .join(arr.toDF("doc_a", "ga"), "doc_a")
+        .join(arr.toDF("doc_b", "gb"), "doc_b")
+        .filter(lit(3) * inter >= size($"ga") + size($"gb"))
         .select($"doc_a", $"doc_b",
           inter.cast("long").as("inter"),
-          size($"wa").cast("long").as("na"),
-          size($"wb").cast("long").as("nb"),
-          (inter.cast("double") / (size($"wa") + size($"wb") - inter)).as("jaccard"))
+          size($"ga").cast("long").as("na"),
+          size($"gb").cast("long").as("nb"),
+          (inter.cast("double") / (size($"ga") + size($"gb") - inter)).as("jaccard"))
   }
 
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,

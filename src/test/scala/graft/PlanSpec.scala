@@ -249,7 +249,14 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // t33: TWO 1-row broadcasts (the solved Q20 weights, the P90
       // threshold) onto the doc scoring pass — the ml2 pattern applied
       // per doc
-      "t33_model_quality_filter")
+      "t33_model_quality_filter",
+      // t34: the 1-row corpus-stats broadcast (N, avgdl, per-term df)
+      // onto the tf scoring scan — t10's pattern with BM25 arithmetic
+      "t34_bm25",
+      // mb2: inherits mb1's 1-row n_baskets broadcast through the shared
+      // pairRules mill; pair generation stays the basket-key equi-join
+      // and the top-k is the native TopKPerGroup plan
+      "mb2_item_recommendation")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
