@@ -300,6 +300,62 @@ object AdvancedOps {
           count(lit(1)).as("n_changes"))
   }
 
+  /** J11: NEAREST-neighbor join in time — j5's bidirectional completion:
+    * for each ORDER, the same customer's nearest event within ±24 h by
+    * ABSOLUTE time distance (asof can only look one way; sensor/log
+    * alignment wants the closest reading either side). Ties (equidistant
+    * before/after) resolve to the EARLIER event, then event_id — a total
+    * order both engines share.
+    *
+    * Shape: the j6 bucket trick with a key — equi-join on (customer,
+    * day-bucket) where the order side explodes to the ≤ 3 buckets its
+    * ±24 h window can touch (constant fanout), exact |Δ| ≤ 24 h verify
+    * in-bucket, rank-1 window per order. One hash join + one keyed
+    * window; never a time-only range join, never a cartesian. The DuckDB
+    * oracle states the same thing as a key equi-join with the band as a
+    * residual predicate.
+    */
+  val nearestEventJoin = Q("j11_nearest_event_join",
+    """WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS o_us FROM orders),
+      |e AS (SELECT event_id, user_id, epoch_us(ts) AS e_us FROM events),
+      |cand AS (
+      |  SELECT o.o_orderkey, e.event_id, abs(e.e_us - o.o_us) AS dist_us, e.e_us,
+      |         row_number() OVER (PARTITION BY o.o_orderkey
+      |                            ORDER BY abs(e.e_us - o.o_us), e.e_us, e.event_id) AS rnk
+      |  FROM o JOIN e ON o.o_custkey = e.user_id
+      |               AND e.e_us >= o.o_us - 86400000000
+      |               AND e.e_us <= o.o_us + 86400000000)
+      |SELECT o.o_orderkey,
+      |       c.event_id AS nearest_event_id,
+      |       c.dist_us AS dist_us
+      |FROM o LEFT JOIN (SELECT * FROM cand WHERE rnk = 1) c
+      |  ON o.o_orderkey = c.o_orderkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val win = 86400000000L // ±24 h in µs; bucket size == window size
+      val o = Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", unix_micros($"o_orderdate").as("o_us"))
+      val e = Tables.events(s, dir)
+        .select($"event_id", $"user_id", unix_micros($"ts").as("e_us"),
+          expr(s"unix_micros(ts) div $win").as("bucket"))
+      val ob = o.withColumn("bucket", explode(array_distinct(array(
+        expr(s"(o_us - $win) div $win"), expr(s"o_us div $win"),
+        expr(s"(o_us + $win) div $win")))))
+      val w = Window.partitionBy($"o_orderkey")
+        .orderBy(abs($"e_us" - $"o_us"), $"e_us", $"event_id")
+      val best = ob.join(e, $"o_custkey" === $"user_id" && ob("bucket") === e("bucket"))
+        .filter(abs($"e_us" - $"o_us") <= win)
+        // the same event can match through two buckets of one order —
+        // dedupe before ranking so rnk counts events, not bucket copies
+        .select($"o_orderkey", $"event_id", $"e_us", $"o_us").distinct()
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" === 1)
+        .select($"o_orderkey".as("c_orderkey"), $"event_id".as("nearest_event_id"),
+          abs($"e_us" - $"o_us").as("dist_us"))
+      o.join(best, $"o_orderkey" === $"c_orderkey", "left")
+        .select($"o_orderkey", $"nearest_event_id", $"dist_us")
+  }
+
   val queries: Seq[Q] = Seq(sessionize, rollupAgg, cubeAgg, pivotRevenue, asofJoin,
-    rangeJoin, peakConcurrency)
+    rangeJoin, peakConcurrency, nearestEventJoin)
 }

@@ -1357,9 +1357,254 @@ object Similarity {
     out
   }
 
+  /** The shared members/knn CTE block every graph-consuming oracle
+    * rebuilds (e13/e14/e21/e24 shapes) — factored for the r9 additions;
+    * yields `knn(src, dst)` = the e11 top-3 directed edge list.
+    */
+  private def knnCtes: String = {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, e.label, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |knn AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst, neighbor_label FROM (
+       |    SELECT a.vec_id, b.vec_id AS neighbor_id, b.label AS neighbor_label,
+       |           row_number() OVER (PARTITION BY a.vec_id
+       |             ORDER BY $d / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM members a JOIN members b
+       |      ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id)
+       |  WHERE rnk <= 3)""".stripMargin
+  }
+
+  /** ml4: k-NN CLASSIFIER — leave-one-out majority-vote classification
+    * over the labeled embeddings: every vector is classified by its
+    * 3 nearest neighbors' labels and scored against its own. THE
+    * evaluation loop for embedding quality ("do my vectors encode the
+    * label structure?") and the simplest proper classifier the engine's
+    * ANN machinery can serve — the train/apply pair being the e11 graph
+    * build (all the geometry) + one vote aggregate (all the model).
+    *
+    * Exactness: votes are integer counts; the majority pick is the a13
+    * deterministic argmax (`min(struct(−n, label))` — frequency ties
+    * resolve to the smallest label identically in both engines). Vectors
+    * alone in their cell have no neighbors → predicted −1, never counted
+    * correct (explicit contract, not a dropped row). Scale: one groupBy
+    * over the memoized 3N-edge graph + a roster left-join — linear.
+    */
+  val knnClassifier = Q("ml4_knn_classifier",
+    s"""WITH $knnCtes,
+       |votes AS (
+       |  SELECT src, neighbor_label AS l, count(*) AS n
+       |  FROM knn GROUP BY 1, 2),
+       |pred AS (
+       |  SELECT src, min(struct_pack(neg := -n, l := l)).l AS pl
+       |  FROM votes GROUP BY src)
+       |SELECT v.vec_id, CAST(v.label AS BIGINT) AS true_label,
+       |       CAST(coalesce(p.pl, -1) AS BIGINT) AS predicted_label,
+       |       coalesce(p.pl, -1) = v.label AS is_correct
+       |FROM embeddings v LEFT JOIN pred p ON v.vec_id = p.src""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val votes = knnGraphDf(s, dir)
+        .groupBy($"vec_id".as("src"), $"neighbor_label".as("l"))
+        .agg(count(lit(1)).as("n"))
+      val pred = votes
+        .groupBy($"src")
+        .agg(min(struct((-$"n").as("neg"), $"l".as("l"))).as("m"))
+        .select($"src", $"m.l".as("pl"))
+      Tables.embeddings(s, dir).select($"vec_id", $"label")
+        .join(pred, $"vec_id" === $"src", "left")
+        .select($"vec_id", $"label".cast("long").as("true_label"),
+          coalesce($"pl", lit(-1)).cast("long").as("predicted_label"),
+          (coalesce($"pl", lit(-1)) === $"label").as("is_correct"))
+  }
+
+  /** e26: LINK PREDICTION over the kNN graph — common-neighbor / Jaccard
+    * scoring of NON-adjacent 2-hop pairs: "these two vectors share ≥ 2
+    * neighborhoods but no edge" is the candidate-pair generator for
+    * graph densification (retrieval-index augmentation) and for finding
+    * near-dup pairs the top-3 truncation hid (two copies whose edge got
+    * outranked still co-occur in neighbor lists).
+    *
+    * Exactness: counts are integers and the Jaccard over neighbor SETS
+    * is a ppm floor-division (dq5 discipline). Shape: undirected
+    * dedup (DISTINCT on the canonical (min,max) pair), a wedge self-join
+    * through the shared neighbor (Σ deg(n)² pairs — e18's bound, never
+    * N²), one anti-join against the edge set, two degree joins. The
+    * cn ≥ 2 support filter bounds the OUTPUT; the joins stay linear in
+    * wedges.
+    */
+  val linkPrediction = Q("e26_link_prediction",
+    s"""WITH $knnCtes,
+       |und AS (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT src AS node, dst AS nbr FROM knn
+       |    UNION ALL SELECT dst, src FROM knn)),
+       |deg AS (SELECT node, count(*) AS d FROM und GROUP BY 1),
+       |cand AS (
+       |  SELECT a.node AS vec_a, b.node AS vec_b, count(*) AS cn
+       |  FROM und a JOIN und b ON a.nbr = b.nbr AND a.node < b.node
+       |  GROUP BY 1, 2),
+       |nonadj AS (
+       |  SELECT c.vec_a, c.vec_b, c.cn
+       |  FROM cand c LEFT JOIN und u ON c.vec_a = u.node AND c.vec_b = u.nbr
+       |  WHERE u.node IS NULL AND c.cn >= 2)
+       |SELECT n.vec_a, n.vec_b, CAST(n.cn AS BIGINT) AS common_neighbors,
+       |       CAST(n.cn * 1000000 // (da.d + db.d - n.cn) AS BIGINT) AS jaccard_ppm
+       |FROM nonadj n JOIN deg da ON n.vec_a = da.node
+       |              JOIN deg db ON n.vec_b = db.node""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val und = e.unionAll(e.select($"dst", $"src"))
+        .toDF("node", "nbr").distinct()
+      val deg = und.groupBy($"node").agg(count(lit(1)).as("d"))
+      val cand = und.toDF("a_node", "nbr")
+        .join(und.toDF("b_node", "nbr"), Seq("nbr"))
+        .filter($"a_node" < $"b_node")
+        .groupBy($"a_node".as("vec_a"), $"b_node".as("vec_b"))
+        .agg(count(lit(1)).as("cn"))
+      val nonadj = cand.filter($"cn" >= 2)
+        .join(und, cand("vec_a") === und("node") && cand("vec_b") === und("nbr"),
+          "left_anti")
+      nonadj
+        .join(deg.select($"node".as("vec_a"), $"d".as("da")), Seq("vec_a"))
+        .join(deg.select($"node".as("vec_b"), $"d".as("db")), Seq("vec_b"))
+        .select($"vec_a", $"vec_b", $"cn".as("common_neighbors"),
+          expr("CAST(cn * 1000000 div (da + db - cn) AS BIGINT)").as("jaccard_ppm"))
+  }
+
+  /** e27: HITS hubs & authorities over the DIRECTED kNN graph — the dual
+    * centrality PageRank (e13) can't express: a vector that POINTS AT
+    * many central vectors (a hub — e.g. a boilerplate blend near many
+    * cluster cores) scores differently from one many vectors point at
+    * (an authority — a cluster's semantic center). Two unrolled
+    * mutual-reinforcement rounds.
+    *
+    * Exactness: float HITS is un-gateable for the same reason as float
+    * PageRank (order-dependent double sums), so the e13 trick again:
+    * scores live at Q = 2²⁰, every update is an integer sum over edges,
+    * and the per-round normalization is `score·Q div max(score)` — max
+    * is exact and deterministic where the true L2 norm's sqrt-sum would
+    * not be order-independent. Scale: each half-round is one groupBy
+    * shuffle over the 3N-edge list + a roster left-join + a 1-row max
+    * broadcast — linear, the e13 BSP shape.
+    */
+  val hits = Q("e27_hits", {
+    def halfRound(k: Int, outCol: String, inCol: String, srcEnd: String,
+        dstEnd: String, prev: String): String =
+      s"""${outCol}r$k AS (
+         |  SELECT e.$dstEnd AS vec_id, sum(p.$inCol) AS s
+         |  FROM knn e JOIN $prev p ON e.$srcEnd = p.vec_id GROUP BY 1),
+         |${outCol}m$k AS (SELECT greatest(max(s), 1) AS m FROM ${outCol}r$k),
+         |$outCol$k AS (
+         |  SELECT v.vec_id,
+         |         coalesce(r.s, 0) * 1048576 // (SELECT m FROM ${outCol}m$k) AS $outCol
+         |  FROM vtx v LEFT JOIN ${outCol}r$k r ON v.vec_id = r.vec_id)""".stripMargin
+    s"""WITH $knnCtes,
+       |vtx AS (SELECT vec_id FROM embeddings),
+       |h0 AS (SELECT vec_id, 1048576 AS h FROM vtx),
+       |${halfRound(1, "a", "h", "src", "dst", "h0")},
+       |${halfRound(1, "h", "a", "dst", "src", "a1")},
+       |${halfRound(2, "a", "h", "src", "dst", "h1")},
+       |${halfRound(2, "h", "a", "dst", "src", "a2")}
+       |SELECT h2.vec_id, CAST(h2.h AS BIGINT) AS hub_q, CAST(a2.a AS BIGINT) AS auth_q
+       |FROM h2 JOIN a2 ON h2.vec_id = a2.vec_id""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val q = 1048576L // 2^20 score scale
+      val e = knnGraphDf(s, dir)
+        .select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val vtx = Tables.embeddings(s, dir).select($"vec_id")
+      // one half-round: sum the counterpart score over edges (grouped on
+      // `dstEnd`), max-normalize back to Q, densify over the roster
+      def halfRound(prev: DataFrame, scoreCol: String, srcEnd: String,
+          dstEnd: String, outCol: String): DataFrame = {
+        val r = e.join(prev.select($"vec_id".as(srcEnd), col(scoreCol)), srcEnd)
+          .groupBy(col(dstEnd).as("vec_id")).agg(sum(col(scoreCol)).as("s"))
+        val m = r.agg(greatest(coalesce(max($"s"), lit(0L)), lit(1L)).as("m"))
+        vtx.join(r, Seq("vec_id"), "left").crossJoin(broadcast(m))
+          .select($"vec_id",
+            expr(s"coalesce(s, 0L) * $q div m").as(outCol))
+      }
+      val h0 = vtx.select($"vec_id", lit(q).as("h"))
+      val a1 = halfRound(h0, "h", "src", "dst", "a")
+      val h1 = halfRound(a1, "a", "dst", "src", "h")
+      val a2 = halfRound(h1, "h", "src", "dst", "a")
+      val h2 = halfRound(a2, "a", "dst", "src", "h")
+      h2.join(a2, Seq("vec_id"))
+        .select($"vec_id", $"h".cast("long").as("hub_q"), $"a".cast("long").as("auth_q"))
+  }
+
+  /** e28: PERSONALIZED PageRank (random walk with restart) — e13 with the
+    * teleport vector concentrated on a SEED set (vec_id < 16) instead of
+    * uniform: rank mass measures proximity TO THE SEEDS through the graph,
+    * the "more like these" expansion query of seed-based curation (grow a
+    * high-quality seed corpus along the kNN structure) and of
+    * recommendation ("customers who bought these"). Same integer
+    * fixed-point discipline as e13 — pr0 and the 15% restart term are
+    * `div`-exact integers on seeds and ZERO elsewhere, three unrolled
+    * iterations, dangling mass dropped (e13's no-redistribution variant) —
+    * so the gate is hash-exact. Scale: identical BSP shape to e13 (one
+    * groupBy(dst) shuffle per iteration over the 3N-edge memoized graph);
+    * the seed set is a predicate, never a driver-side list.
+    */
+  val personalizedPagerank = Q("e28_personalized_pagerank", {
+    val seedPred = "v.vec_id < 16"
+    def iter(k: Int) =
+      s"""pr$k AS (
+         |  SELECT v.vec_id,
+         |         (CASE WHEN $seedPred THEN (15 * (1073741824 // ns.n)) // 100 ELSE 0 END)
+         |           + (85 * coalesce(inf.s, 0)) // 100 AS pr
+         |  FROM vtx v CROSS JOIN nseed ns LEFT JOIN (
+         |    SELECT e.dst AS vec_id, sum(pr${k - 1}.pr // od.deg) AS s
+         |    FROM e JOIN od ON e.src = od.src
+         |           JOIN pr${k - 1} ON e.src = pr${k - 1}.vec_id
+         |    GROUP BY e.dst) inf ON v.vec_id = inf.vec_id)""".stripMargin
+    s"""WITH $knnCtes,
+       |e AS (SELECT src, dst FROM knn),
+       |od AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |vtx AS (SELECT vec_id FROM embeddings),
+       |nseed AS (SELECT count(*) AS n FROM vtx v WHERE $seedPred),
+       |pr0 AS (SELECT v.vec_id,
+       |               CASE WHEN $seedPred THEN 1073741824 // ns.n ELSE 0 END AS pr
+       |        FROM vtx v CROSS JOIN nseed ns),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT vec_id, CAST(pr AS BIGINT) AS ppr_q FROM pr3""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val q = 1073741824L // 2^30 rank mass, e13's scale
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val od = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+      val vtx = Tables.embeddings(s, dir).select($"vec_id")
+      val isSeed = $"vec_id" < 16
+      val nseed = vtx.filter(isSeed).agg(count(lit(1)).as("n"))
+      def withSeedBase(df: DataFrame) = df.crossJoin(broadcast(nseed))
+      var pr = withSeedBase(vtx).select($"vec_id",
+        when(isSeed, expr(s"$q div n")).otherwise(lit(0L)).as("pr"))
+      for (_ <- 1 to 3) {
+        val inflow = e.join(od, "src")
+          .join(pr.select($"vec_id".as("src"), $"pr"), "src")
+          .select($"dst".as("vec_id"), expr("pr div deg").as("c"))
+          .groupBy($"vec_id").agg(sum($"c").as("s"))
+        pr = withSeedBase(vtx).join(inflow, Seq("vec_id"), "left")
+          .select($"vec_id",
+            (when(isSeed, expr(s"(15 * ($q div n)) div 100")).otherwise(lit(0L))
+              + expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
+      }
+      pr.select($"vec_id", $"pr".cast("long").as("ppr_q"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
-    powerIteration, kCore, allButTop)
+    powerIteration, kCore, allButTop, knnClassifier, linkPrediction, hits,
+    personalizedPagerank)
 }

@@ -363,7 +363,80 @@ object TextAnalysis {
         $"tf".cast("long").as("tf"), $"score")
   }
 
+  /** t35: COLLOCATION mining by integer lift — the corpus-level "which
+    * word pairs co-occur far more than chance" extraction (phrase/term
+    * discovery for tokenizer vocab curation and boilerplate detection).
+    * Classic PMI needs `log`, which is not correctly rounded in either
+    * engine's libm — so the score is the LIFT ratio itself,
+    * observed/(expected under independence), in exact quantized integer
+    * arithmetic: unigram and bigram probabilities floor to ppm shares
+    * (the dq5 discipline), lift = obs_ppm·10⁸ div (p_a_ppm·p_b_ppm) in
+    * centi-units. Order-independent at any parallelism; pairs whose
+    * unigram share floors to 0 ppm sit below the quantization floor and
+    * are excluded (documented, support-filtered pairs are ≥ 5 occurrences
+    * anyway).
+    *
+    * Shape: adjacent-bigram explode (zip_with over one split — scan
+    * speed, no shuffle), one hash aggregate per table (unigrams,
+    * bigrams), two equi-joins of the support-filtered bigram table to the
+    * unigram table (vocabulary ≪ corpus; AQE broadcasts when small), and
+    * two 1-row totals broadcast back. Linear end to end; the min-support
+    * filter bounds the output, never the aggregation.
+    *
+    * Overflow discipline: obs_ppm ≤ 10⁶ so obs_ppm·10⁸ ≤ 10¹⁴ and
+    * p_a·p_b ≤ 10¹² — all int64-safe at any corpus size because the
+    * shares are quantized BEFORE multiplying.
+    */
+  val collocationLift = Q("t35_collocation_lift",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |bi AS (
+      |  SELECT unnest(ws[1:len(ws)-1]) AS w_a, unnest(ws[2:len(ws)]) AS w_b
+      |  FROM w WHERE len(ws) >= 2),
+      |un AS (
+      |  SELECT w, count(*) AS n_w
+      |  FROM (SELECT unnest(ws) AS w FROM w) GROUP BY 1),
+      |ut AS (SELECT CAST(sum(n_w) AS BIGINT) AS tu FROM un),
+      |bc AS (SELECT w_a, w_b, count(*) AS n_ab FROM bi GROUP BY 1, 2),
+      |bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS tb FROM bc),
+      |p AS (
+      |  SELECT b.w_a, b.w_b, b.n_ab,
+      |         CAST(b.n_ab * 1000000 // (SELECT tb FROM bt) AS BIGINT) AS obs_ppm,
+      |         CAST(ua.n_w * 1000000 // (SELECT tu FROM ut) AS BIGINT) AS p_a_ppm,
+      |         CAST(ub.n_w * 1000000 // (SELECT tu FROM ut) AS BIGINT) AS p_b_ppm
+      |  FROM bc b JOIN un ua ON b.w_a = ua.w JOIN un ub ON b.w_b = ub.w
+      |  WHERE b.n_ab >= 5)
+      |SELECT w_a, w_b, CAST(n_ab AS BIGINT) AS n_ab, obs_ppm, p_a_ppm, p_b_ppm,
+      |       CAST(obs_ppm * 100000000 // (p_a_ppm * p_b_ppm) AS BIGINT) AS lift_centi
+      |FROM p WHERE p_a_ppm > 0 AND p_b_ppm > 0""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val w = Tables.documents(s, dir).select(split($"text", " ").as("ws"))
+      val bi = w.filter(size($"ws") >= 2)
+        .select(explode(zip_with(
+          slice($"ws", lit(1), size($"ws") - 1),
+          slice($"ws", lit(2), size($"ws") - 1),
+          (a, b) => struct(a.as("w_a"), b.as("w_b")))).as("p"))
+        .select($"p.w_a", $"p.w_b")
+      val un = w.select(explode($"ws").as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("n_w"))
+      val ut = un.agg(sum($"n_w").cast("long").as("tu"))
+      val bc = bi.groupBy($"w_a", $"w_b").agg(count(lit(1)).as("n_ab"))
+      val bt = bc.agg(sum($"n_ab").cast("long").as("tb"))
+      bc.filter($"n_ab" >= 5)
+        .join(un.select($"w".as("w_a"), $"n_w".as("na")), Seq("w_a"))
+        .join(un.select($"w".as("w_b"), $"n_w".as("nb")), Seq("w_b"))
+        .join(broadcast(ut)).join(broadcast(bt))
+        .select($"w_a", $"w_b", $"n_ab",
+          expr("CAST(n_ab * 1000000 div tb AS BIGINT)").as("obs_ppm"),
+          expr("CAST(na * 1000000 div tu AS BIGINT)").as("p_a_ppm"),
+          expr("CAST(nb * 1000000 div tu AS BIGINT)").as("p_b_ppm"))
+        .filter($"p_a_ppm" > 0 && $"p_b_ppm" > 0)
+        .select($"w_a", $"w_b", $"n_ab", $"obs_ppm", $"p_a_ppm", $"p_b_ppm",
+          expr("CAST(obs_ppm * 100000000 div (p_a_ppm * p_b_ppm) AS BIGINT)")
+            .as("lift_centi"))
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     ngramStats, sketchStats, langConfusion, ngramNovelty, rareTokenRatio,
-    keywordExtract)
+    keywordExtract, collocationLift)
 }

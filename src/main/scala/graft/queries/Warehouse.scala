@@ -1094,11 +1094,92 @@ object Warehouse {
           sum(when(ok, 1).otherwise(0)).as("n_reconciled_1pct"))
   }
 
+  /** A28: AUTOCORRELATION of the daily-revenue series at lags 1 and 7 —
+    * the time-series diagnostic (day-over-day persistence, weekly
+    * seasonality) behind every forecasting/anomaly dashboard, and a16's
+    * exact-evidence discipline applied to a SELF-join instead of two
+    * columns: Pearson corr between revenue(d) and revenue(d − L).
+    *
+    * Alignment is CALENDAR-space (join on day + L): missing days drop
+    * the pair rather than silently pairing non-adjacent observations.
+    * Shape: one daily rollup (hash agg, map-side combined), a two-lag
+    * union of the |days|-row series, one equi-join on day, one 2-row
+    * stats aggregate — after the rollup everything is bounded by |days|,
+    * never corpus size.
+    *
+    * Exactness: daily cents are exact integers; the five sufficient
+    * statistics accumulate in decimals with the a16 widening rules
+    * (every product carries a DECIMAL(19) operand → DuckDB int128 path;
+    * capped triple products stay ≪ 10³⁸); sqrt/division are IEEE on
+    * identical operands — hash-exact. CAVEAT (measured here, r9): DuckDB's
+    * int128-decimal → DOUBLE cast is NOT correctly rounded once the value
+    * exceeds 2⁶³ (1-ulp drift observed on vx); the oracle routes those
+    * casts through VARCHAR (strtod IS correctly rounded — the r4 vsnap
+    * trick), keeping both engines bit-identical.
+    */
+  val autocorr = Q("a28_autocorr",
+    """WITH daily AS (
+      |  SELECT epoch_us(o_orderdate) // 86400000000 AS d,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |lagset AS (
+      |  SELECT d + 1 AS d, y AS ylag, 1 AS lag FROM daily
+      |  UNION ALL
+      |  SELECT d + 7 AS d, y AS ylag, 7 AS lag FROM daily),
+      |p AS (
+      |  SELECT l.lag, CAST(c.y AS DECIMAL(14,0)) AS x, CAST(l.ylag AS DECIMAL(14,0)) AS yl
+      |  FROM daily c JOIN lagset l ON c.d = l.d),
+      |st AS (
+      |  SELECT lag, CAST(count(*) AS DECIMAL(10,0)) AS n,
+      |         CAST(sum(x) AS DECIMAL(17,0)) AS sx,
+      |         CAST(sum(yl) AS DECIMAL(17,0)) AS sy,
+      |         CAST(sum(CAST(x AS DECIMAL(19,0)) * yl) AS DECIMAL(27,0)) AS sxy,
+      |         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(27,0)) AS sxx,
+      |         CAST(sum(CAST(yl AS DECIMAL(19,0)) * yl) AS DECIMAL(27,0)) AS syy
+      |  FROM p GROUP BY 1),
+      |wide AS (
+      |  SELECT lag, n,
+      |         CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS num,
+      |         CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS vx,
+      |         CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS vy
+      |  FROM st)
+      |SELECT CAST(lag AS BIGINT) AS lag_days, CAST(n AS BIGINT) AS n_pairs,
+      |       CAST(CAST(num AS VARCHAR) AS DOUBLE)
+      |         / (sqrt(CAST(CAST(vx AS VARCHAR) AS DOUBLE))
+      |            * sqrt(CAST(CAST(vy AS VARCHAR) AS DOUBLE))) AS acf
+      |FROM wide""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val daily = Tables.orders(s, dir)
+        .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+        .agg(sum((Exact.dec2($"o_totalprice") * 100).cast("long")).as("y"))
+      val lagset = Seq(1L, 7L).map { l =>
+        daily.select(($"d" + l).as("d"), $"y".as("ylag"), lit(l).as("lag"))
+      }.reduce(_ unionAll _)
+      val p = daily.join(lagset, Seq("d"))
+        .select($"lag", $"y".cast(DecimalType(14, 0)).as("x"),
+          $"ylag".cast(DecimalType(14, 0)).as("yl"))
+      val st = p.groupBy($"lag").agg(
+        count(lit(1)).cast(DecimalType(10, 0)).as("n"),
+        sum($"x").cast(DecimalType(17, 0)).as("sx"),
+        sum($"yl").cast(DecimalType(17, 0)).as("sy"),
+        sum($"x".cast(DecimalType(19, 0)) * $"yl").cast(DecimalType(27, 0)).as("sxy"),
+        sum($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(27, 0)).as("sxx"),
+        sum($"yl".cast(DecimalType(19, 0)) * $"yl").cast(DecimalType(27, 0)).as("syy"))
+      def w19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val num = (w19($"n") * $"sxy" - w19($"sx") * $"sy").cast("double")
+      val vx = (w19($"n") * $"sxx" - w19($"sx") * $"sx").cast("double")
+      val vy = (w19($"n") * $"syy" - w19($"sy") * $"sy").cast("double")
+      st.select($"lag".as("lag_days"), $"n".cast("long").as("n_pairs"),
+        (num / (sqrt(vx) * sqrt(vy))).as("acf"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, q7Volume, q4OrderPriority, q12PriorityShipping,
     q14PromoRevenue, q19Disjunctive, dq2Reconciliation, pctOfTotal, aggPack,
     weightedMix, temperatureMix, winsorize, topKNative, zorderKey, gapFill,
-    corrEvidence)
+    corrEvidence, autocorr)
 }

@@ -758,9 +758,190 @@ object Warehouse2 {
           ($"l_distinct" < 3).as("below_l"))
   }
 
+  /** dq8: T-CLOSENESS audit — the third leg of the release-privacy triad
+    * (dq6 k-anonymity → class too small; dq7 l-diversity → class too
+    * uniform; dq8 → class distribution too REVEALING): even a diverse
+    * class leaks if its sensitive-value distribution differs sharply
+    * from the global one (the skewness attack). Per QI class
+    * (nation, segment), the statistic is total variation distance
+    * between the class's bal-band distribution (dq7's sensitive
+    * attribute) and the corpus-wide band distribution.
+    *
+    * Exactness: shares floor to ppm (dq5 discipline), so
+    * 2·TVD·10⁶ = Σ_bands |p_ppm − q_ppm| is an exact integer. Bands a
+    * class never exhibits contribute q_ppm each; rather than densify
+    * class × band, the identity Σ_all |p−q| = Σ_{v∈class}(|p−q| − q)
+    * + Σ_all q folds the absent bands into ONE broadcast scalar
+    * (sum_q_ppm) — no outer join, no spine build.
+    *
+    * Shape: one hash aggregate to class×band cells, one to the global
+    * band histogram (bounded by \|bands\|), the per-class share by a
+    * window over cells (partitioned by the class key — same shuffle the
+    * final rollup reuses), a broadcast band-share join, one rollup.
+    * Linear, map-side combinable, the same plan at any scale.
+    */
+  val dq8TCloseness = Q("dq8_t_closeness",
+    """WITH sens AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         (cents - ((cents % 100000 + 100000) % 100000)) // 100000 AS bal_band
+      |  FROM (SELECT c_nationkey, c_mktsegment,
+      |               CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |        FROM customer)),
+      |cell AS (
+      |  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n_vb
+      |  FROM sens GROUP BY 1, 2, 3),
+      |gband AS (SELECT bal_band, count(*) AS g_b FROM sens GROUP BY 1),
+      |tot AS (SELECT CAST(sum(g_b) AS BIGINT) AS t FROM gband),
+      |gq AS (SELECT bal_band,
+      |              CAST(g_b * 1000000 // (SELECT t FROM tot) AS BIGINT) AS q_ppm
+      |       FROM gband),
+      |sq AS (SELECT CAST(sum(q_ppm) AS BIGINT) AS sum_q FROM gq),
+      |p AS (
+      |  SELECT c.c_nationkey, c.c_mktsegment, c.n_vb, g.q_ppm,
+      |         CAST(c.n_vb * 1000000 //
+      |              sum(c.n_vb) OVER (PARTITION BY c.c_nationkey, c.c_mktsegment)
+      |              AS BIGINT) AS p_ppm
+      |  FROM cell c JOIN gq g ON c.bal_band = g.bal_band),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |         CAST(sum(n_vb) AS BIGINT) AS class_size,
+      |         CAST(sum(abs(p_ppm - q_ppm) - q_ppm) + (SELECT sum_q FROM sq)
+      |              AS BIGINT) AS tvd_x2_ppm
+      |  FROM p GROUP BY 1, 2)
+      |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+      |       class_size, tvd_x2_ppm, tvd_x2_ppm > 1200000 AS above_t
+      |FROM cls""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val sens = Tables.customer(s, dir)
+        .select($"c_nationkey".cast("long").as("c_nationkey"), $"c_mktsegment",
+          (Exact.dec2($"c_acctbal") * 100).cast("long").as("cents"))
+        .withColumn("bal_band",
+          expr("(cents - ((cents % 100000 + 100000) % 100000)) div 100000"))
+      val cell = sens.groupBy($"c_nationkey", $"c_mktsegment", $"bal_band")
+        .agg(count(lit(1)).as("n_vb"))
+      val glob = sens.groupBy($"bal_band").agg(count(lit(1)).as("g_b"))
+      val tot = glob.agg(sum($"g_b").cast("long").as("t"))
+      val gq = glob.join(broadcast(tot))
+        .select($"bal_band", expr("CAST(g_b * 1000000 div t AS BIGINT)").as("q_ppm"))
+      val sq = gq.agg(sum($"q_ppm").cast("long").as("sum_q"))
+      val clsW = org.apache.spark.sql.expressions.Window
+        .partitionBy($"c_nationkey", $"c_mktsegment")
+      val p = cell.join(broadcast(gq), Seq("bal_band"))
+        .select($"c_nationkey", $"c_mktsegment", $"n_vb", $"q_ppm",
+          expr("CAST(n_vb * 1000000 div sum(n_vb) OVER (PARTITION BY c_nationkey, c_mktsegment) AS BIGINT)")
+            .as("p_ppm"))
+      p.groupBy($"c_nationkey", $"c_mktsegment")
+        .agg(sum($"n_vb").cast("long").as("class_size"),
+          sum(abs($"p_ppm" - $"q_ppm") - $"q_ppm").as("partial_tvd"))
+        .join(broadcast(sq))
+        .select($"c_nationkey", $"c_mktsegment", $"class_size",
+          ($"partial_tvd" + $"sum_q").cast("long").as("tvd_x2_ppm"))
+        .withColumn("above_t", $"tvd_x2_ppm" > 1200000L)
+  }
+
+  /** dq9: COLUMN PROFILE — the ANALYZE/profiling operator every warehouse
+    * runs on a new feed (and optimizers feed on): per column of `orders`,
+    * row count, null count, distinct count, and min/max — numerics
+    * normalized to exact integers (cents for money, unix micros for the
+    * date — a timestamp rendered to string would hash on engine-specific
+    * formatting), strings kept as strings, in ONE long-format table.
+    *
+    * Shape: ONE aggregation pass computes every column's statistics
+    * (Spark plans the multi-distinct via Expand — still a single scan,
+    * map-side combined), then the 1-row wide result explodes to
+    * \|columns\| rows. At 100 TB this is the only honest profile shape:
+    * per-column queries would scan the table \|columns\| times. Distinct
+    * counts are exact here (the profile IS a correctness gate); the
+    * approximate regime at extreme cardinalities is a20's HLL,
+    * deliberately opt-in.
+    */
+  val dq9ColumnProfile = Q("dq9_column_profile",
+    """WITH wide AS MATERIALIZED (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |         CAST(count(o_orderkey) AS BIGINT) AS c_ok,
+      |         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd_ok,
+      |         min(o_orderkey) AS mn_ok, max(o_orderkey) AS mx_ok,
+      |         CAST(count(o_custkey) AS BIGINT) AS c_ck,
+      |         CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+      |         min(o_custkey) AS mn_ck, max(o_custkey) AS mx_ck,
+      |         CAST(count(o_totalprice) AS BIGINT) AS c_tp,
+      |         CAST(count(DISTINCT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS nd_tp,
+      |         min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mn_tp,
+      |         max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS mx_tp,
+      |         CAST(count(o_orderdate) AS BIGINT) AS c_od,
+      |         CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_od,
+      |         min(epoch_us(o_orderdate)) AS mn_od, max(epoch_us(o_orderdate)) AS mx_od,
+      |         CAST(count(o_orderstatus) AS BIGINT) AS c_os,
+      |         CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_os,
+      |         min(o_orderstatus) AS mn_os, max(o_orderstatus) AS mx_os,
+      |         CAST(count(o_orderpriority) AS BIGINT) AS c_op,
+      |         CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd_op,
+      |         min(o_orderpriority) AS mn_op, max(o_orderpriority) AS mx_op
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS column_name, n_rows, n_rows - c_ok AS n_null,
+      |       nd_ok AS n_distinct, mn_ok AS min_num, mx_ok AS max_num,
+      |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |FROM wide
+      |UNION ALL
+      |SELECT 'o_custkey', n_rows, n_rows - c_ck, nd_ck, mn_ck, mx_ck,
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM wide
+      |UNION ALL
+      |SELECT 'o_totalprice_cents', n_rows, n_rows - c_tp, nd_tp, mn_tp, mx_tp,
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM wide
+      |UNION ALL
+      |SELECT 'o_orderdate_us', n_rows, n_rows - c_od, nd_od, mn_od, mx_od,
+      |       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM wide
+      |UNION ALL
+      |SELECT 'o_orderstatus', n_rows, n_rows - c_os, nd_os,
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn_os, mx_os FROM wide
+      |UNION ALL
+      |SELECT 'o_orderpriority', n_rows, n_rows - c_op, nd_op,
+      |       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), mn_op, mx_op FROM wide""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val cents = (Exact.dec2($"o_totalprice") * 100).cast("long")
+      val wide = Tables.orders(s, dir).agg(
+        count(lit(1)).as("n_rows"),
+        count($"o_orderkey").as("c_ok"), countDistinct($"o_orderkey").as("nd_ok"),
+        min($"o_orderkey").as("mn_ok"), max($"o_orderkey").as("mx_ok"),
+        count($"o_custkey").as("c_ck"), countDistinct($"o_custkey").as("nd_ck"),
+        min($"o_custkey").as("mn_ck"), max($"o_custkey").as("mx_ck"),
+        count($"o_totalprice").as("c_tp"), countDistinct(cents).as("nd_tp"),
+        min(cents).as("mn_tp"), max(cents).as("mx_tp"),
+        count($"o_orderdate").as("c_od"), countDistinct($"o_orderdate").as("nd_od"),
+        min(unix_micros($"o_orderdate")).as("mn_od"),
+        max(unix_micros($"o_orderdate")).as("mx_od"),
+        count($"o_orderstatus").as("c_os"), countDistinct($"o_orderstatus").as("nd_os"),
+        min($"o_orderstatus").as("mn_os"), max($"o_orderstatus").as("mx_os"),
+        count($"o_orderpriority").as("c_op"), countDistinct($"o_orderpriority").as("nd_op"),
+        min($"o_orderpriority").as("mn_op"), max($"o_orderpriority").as("mx_op"))
+      val nullN = lit(null).cast("long")
+      val nullS = lit(null).cast("string")
+      def num(name: String, c: String, nd: String, mn: String, mx: String) =
+        struct(lit(name).as("column_name"), $"n_rows",
+          ($"n_rows" - col(c)).as("n_null"), col(nd).as("n_distinct"),
+          col(mn).cast("long").as("min_num"), col(mx).cast("long").as("max_num"),
+          nullS.as("min_str"), nullS.as("max_str"))
+      def str(name: String, c: String, nd: String, mn: String, mx: String) =
+        struct(lit(name).as("column_name"), $"n_rows",
+          ($"n_rows" - col(c)).as("n_null"), col(nd).as("n_distinct"),
+          nullN.as("min_num"), nullN.as("max_num"),
+          col(mn).as("min_str"), col(mx).as("max_str"))
+      wide.select(explode(array(
+        num("o_orderkey", "c_ok", "nd_ok", "mn_ok", "mx_ok"),
+        num("o_custkey", "c_ck", "nd_ck", "mn_ck", "mx_ck"),
+        num("o_totalprice_cents", "c_tp", "nd_tp", "mn_tp", "mx_tp"),
+        num("o_orderdate_us", "c_od", "nd_od", "mn_od", "mx_od"),
+        str("o_orderstatus", "c_os", "nd_os", "mn_os", "mx_os"),
+        str("o_orderpriority", "c_op", "nd_op", "mn_op", "mx_op"))).as("r"))
+        .select($"r.*")
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
-    dq5DistributionDrift, dq6KAnonymity, dq7LDiversity)
+    dq5DistributionDrift, dq6KAnonymity, dq7LDiversity, dq8TCloseness,
+    dq9ColumnProfile)
 }

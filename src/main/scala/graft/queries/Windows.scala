@@ -362,7 +362,51 @@ object Windows {
             .as("yoy_growth"))
   }
 
+  /** w25: MARKOV TRANSITION MATRIX over the per-user event sequence —
+    * the first-order behavioral model (which event follows which) that
+    * powers next-action prediction, funnel anomaly detection, and w8's
+    * top-paths generalized from literal paths to transition
+    * probabilities.
+    *
+    * Shape: ONE window per user (hash shuffle on the high-cardinality
+    * user_id, in-partition sort on (ts, event_id) — the w1 tie-break
+    * discipline), then a hash aggregate onto the \|types\|² transition
+    * keys (map-side combined — the shuffle moves at most \|types\|² rows
+    * per partition regardless of corpus size). The row-probability
+    * window runs over the aggregated \|types\|²-row matrix — bounded by
+    * the type vocabulary, never the data (the Warehouse post-agg window
+    * precedent).
+    *
+    * Exactness: counts are integers; probabilities are floor-division
+    * ppm shares (dq5 discipline) — order-independent at any parallelism.
+    */
+  val markovTransitions = Q("w25_markov_transitions",
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n_transitions,
+      |       CAST(n * 1000000 // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+      |FROM t""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val seqW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val t = Tables.events(s, dir)
+        .select($"user_id", $"event_type",
+          lag($"event_type", 1).over(seqW).as("prev_type"))
+        .filter($"prev_type".isNotNull)
+        .groupBy($"prev_type", $"event_type".as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      t.select($"prev_type", $"next_type", $"n".as("n_transitions"),
+        expr("CAST(n * 1000000 div sum(n) OVER (PARTITION BY prev_type) AS BIGINT)")
+          .as("p_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
     keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
-    sessionWindow, runningDrawdown, periodOverPeriod)
+    sessionWindow, runningDrawdown, periodOverPeriod, markovTransitions)
 }

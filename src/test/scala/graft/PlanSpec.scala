@@ -256,7 +256,22 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // mb2: inherits mb1's 1-row n_baskets broadcast through the shared
       // pairRules mill; pair generation stays the basket-key equi-join
       // and the top-k is the native TopKPerGroup plan
-      "mb2_item_recommendation")
+      "mb2_item_recommendation",
+      // ml4/e26/e27 consume the memoized e11 kNN graph — the only BNLJ is
+      // the cached k-centroid index-build subtree (e14's justification);
+      // votes/wedges/score rounds are keyed equi-joins. e27 adds one
+      // 1-row max-score broadcast per half-round (t10 pattern).
+      "ml4_knn_classifier", "e26_link_prediction", "e27_hits",
+      // t35: TWO 1-row totals broadcasts (unigram + bigram corpus
+      // totals, t10 pattern); the unigram joins are keyed equi-joins
+      "t35_collocation_lift",
+      // dq8: TWO 1-row broadcasts (global row total, Σq_ppm — t10
+      // pattern); the band-share join is a keyed equi-join
+      "dq8_t_closeness",
+      // e28: e13's justification verbatim — the cached index-build
+      // subtree plus the 1-row seed-count broadcast per iteration;
+      // every edge/inflow step is a keyed equi-join
+      "e28_personalized_pagerank")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
