@@ -176,6 +176,20 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       lateness: String = "1 minute"): DataFrame =
     streaming.StreamingSessionize.sessions(events, gap, lateness)
 
+  /** Monitor a stream's value distribution against a frozen reference —
+    * per-batch dq5-style drift bins + an alert ledger (see
+    * [[streaming.StreamingDrift]]). `reference` rows and the stream both
+    * carry the integer `valueCol` (caller-normalized exact units).
+    */
+  def monitorDrift(rows: DataFrame, reference: DataFrame, valueCol: String,
+      binWidth: Long, binsDir: String, summaryDir: String,
+      alertThreshold: Long,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = streaming.StreamingDrift.prepare(reference, valueCol, binWidth)
+    streaming.StreamingDrift.sink(rows, ref, valueCol, binsDir, summaryDir,
+      alertThreshold, checkpoint).start()
+  }
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with
