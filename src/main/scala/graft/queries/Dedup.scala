@@ -936,8 +936,87 @@ object Dedup {
           (inter.cast("double") / (size($"ga") + size($"gb") - inter)).as("jaccard"))
   }
 
+  /** D18: GOLDEN-RECORD consolidation — entity resolution's second half
+    * (d7 finds the matches; d18 MERGES them): matched customers cluster
+    * by transitive closure (the shared adaptive [[graft.operators.DupClusters]]
+    * machinery), and each cluster emits ONE consolidated record under
+    * field-level SURVIVORSHIP rules — the MDM step after record linkage:
+    *
+    *  - `golden_id` / `golden_name`: the smallest member key and its name
+    *    (stable, deterministic — ≡ the component root);
+    *  - `acctbal_cents`: max across members (most-complete-value rule),
+    *    exact integer cents;
+    *  - `segment`: deterministic mode across members (a13's
+    *    `min(struct(−n, v))` argmax — frequency ties to the smaller value);
+    *  - `n_members`: cluster size (1 for unmatched customers — every
+    *    customer yields exactly one golden identity, roster-complete).
+    *
+    * Scale: the d7 pair list is block-bounded, clustering is
+    * adaptive (driver union-find small / BSP at scale), survivorship is
+    * two hash aggregates + one keyed join back for the name. The
+    * clustered-roster join broadcasts because matched entities ≪ corpus
+    * (e12's argument).
+    */
+  val goldenRecord = Q("d18_golden_record",
+    s"""WITH RECURSIVE cblk AS (
+       |  SELECT c_custkey, c_name,
+       |         substr(c_name, 1, length(c_name) - 1) AS blk
+       |  FROM customer),
+       |pairs AS (
+       |  SELECT a.c_custkey AS doc_a, b.c_custkey AS doc_b
+       |  FROM cblk a JOIN cblk b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+       |  WHERE levenshtein(a.c_name, b.c_name) <= 1),
+       |${graft.operators.DupClusters.ccCtes},
+       |c AS (SELECT c_custkey, c_name, c_mktsegment,
+       |             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |      FROM customer),
+       |lab AS (
+       |  SELECT c.c_custkey, coalesce(l.cluster_id, c.c_custkey) AS golden_id,
+       |         c.c_mktsegment, c.cents
+       |  FROM c LEFT JOIN labels l ON c.c_custkey = l.doc_id),
+       |segv AS (SELECT golden_id, c_mktsegment, count(*) AS n FROM lab GROUP BY 1, 2),
+       |segpick AS (
+       |  SELECT golden_id, min(struct_pack(neg := -n, s := c_mktsegment)).s AS segment
+       |  FROM segv GROUP BY 1),
+       |agg AS (
+       |  SELECT golden_id, count(*) AS n_members, max(cents) AS acctbal_cents
+       |  FROM lab GROUP BY 1)
+       |SELECT a.golden_id, g.c_name AS golden_name,
+       |       CAST(a.n_members AS BIGINT) AS n_members,
+       |       a.acctbal_cents, p.segment
+       |FROM agg a JOIN segpick p ON a.golden_id = p.golden_id
+       |           JOIN c g ON a.golden_id = g.c_custkey""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val cust = Tables.customer(s, dir).select(
+        $"c_custkey", $"c_name", $"c_mktsegment",
+        (Exact.dec2($"c_acctbal") * 100).cast("long").as("cents"),
+        expr("substr(c_name, 1, length(c_name) - 1)").as("blk"))
+      val a = cust.select($"blk", $"c_custkey".as("doc_a"), $"c_name".as("name_a"))
+      val b = cust.select($"blk".as("blk_b"), $"c_custkey".as("doc_b"), $"c_name".as("name_b"))
+      val pairs = a.join(b, $"blk" === $"blk_b" && $"doc_a" < $"doc_b")
+        .filter(levenshtein($"name_a", $"name_b") <= 1)
+        .select($"doc_a", $"doc_b")
+      val clustered = graft.operators.DupClusters.clusters(s, pairs)
+        .withColumnRenamed("doc_id", "c_custkey")
+      val lab = cust.join(broadcast(clustered), Seq("c_custkey"), "left")
+        .select($"c_custkey", coalesce($"cluster_id", $"c_custkey").as("golden_id"),
+          $"c_mktsegment", $"cents")
+      val segpick = lab.groupBy($"golden_id", $"c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"golden_id")
+        .agg(min(struct((-$"n").as("neg"), $"c_mktsegment".as("s"))).as("m"))
+        .select($"golden_id", $"m.s".as("segment"))
+      val agg = lab.groupBy($"golden_id")
+        .agg(count(lit(1)).as("n_members"), max($"cents").as("acctbal_cents"))
+      agg.join(segpick, Seq("golden_id"))
+        .join(cust.select($"c_custkey".as("golden_id"), $"c_name".as("golden_name")),
+          Seq("golden_id"))
+        .select($"golden_id", $"golden_name", $"n_members", $"acctbal_cents", $"segment")
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
     sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall,
-    clusterSizeHistogram, prefixFilterJoin)
+    clusterSizeHistogram, prefixFilterJoin, goldenRecord)
 }

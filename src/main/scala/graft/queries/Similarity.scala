@@ -574,21 +574,31 @@ object Similarity {
   }) {
     (s, dir) =>
       import s.implicits._
-      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
-      var lab = Tables.embeddings(s, dir).select($"vec_id", $"label".as("cur"))
-      for (_ <- 1 to 2) {
-        val maj = e.join(lab.select($"vec_id".as("dst"), $"cur"), "dst")
-          .groupBy($"src", $"cur").agg(count(lit(1)).as("n"))
-          .groupBy($"src")
-          .agg(min(struct((-$"n").as("neg"), $"cur".as("l"))).as("m"))
-          .select($"src".as("vec_id"), $"m.l".as("maj"))
-        lab = lab.join(maj, Seq("vec_id"), "left")
-          .select($"vec_id", coalesce($"maj", $"cur").as("cur"))
-      }
       Tables.embeddings(s, dir).select($"vec_id", $"label")
-        .join(lab, "vec_id")
+        .join(propagateLabels(s, dir, rounds = 2), "vec_id")
         .select($"vec_id", $"label", $"cur".as("label_2"),
           ($"label" =!= $"cur").as("changed"))
+  }
+
+  /** e14's majority-vote label propagation, factored so e29's modularity
+    * scores the SAME community assignment e14 emits (one definition —
+    * the two queries cannot drift). Returns `(vec_id, cur)`.
+    */
+  private[queries] def propagateLabels(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    import s.implicits._
+    val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+    var lab = Tables.embeddings(s, dir).select($"vec_id", $"label".as("cur"))
+    for (_ <- 1 to rounds) {
+      val maj = e.join(lab.select($"vec_id".as("dst"), $"cur"), "dst")
+        .groupBy($"src", $"cur").agg(count(lit(1)).as("n"))
+        .groupBy($"src")
+        .agg(min(struct((-$"n").as("neg"), $"cur".as("l"))).as("m"))
+        .select($"src".as("vec_id"), $"m.l".as("maj"))
+      lab = lab.join(maj, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"maj", $"cur").as("cur"))
+    }
+    lab
   }
 
   /** E15: MAXIMAL MARGINAL RELEVANCE selection — the diverse-exemplar
@@ -1601,10 +1611,97 @@ object Similarity {
       pr.select($"vec_id", $"pr".cast("long").as("ppr_q"))
   }
 
+  /** e29: MODULARITY of the e14 community assignment over the undirected
+    * kNN graph — the partition-quality score (Newman's Q) that tells a
+    * curation pipeline whether its label smoothing actually found
+    * community structure: Q = Σ_c [e_c/m − (d_c/2m)²]. Emitted per
+    * community (contribution rows sum to Q), so weak communities are
+    * directly visible.
+    *
+    * Exactness: e_c (internal edges), d_c (degree mass), m are exact
+    * integers from the same memoized graph e14 propagated over (the
+    * factored [[propagateLabels]] — one definition, the two queries
+    * can't drift); each contribution is the DIFFERENCE OF TWO NONNEGATIVE
+    * floor divisions quantized to ppm (nonnegative, so Spark's
+    * truncating `div` ≡ DuckDB's flooring `//`; d_c² runs wide — DECIMAL
+    * on the Spark side, HUGEINT in the oracle, because int64 overflows
+    * at ~10⁹-node degree mass AND DuckDB's `//` on DECIMAL operands
+    * ROUNDS instead of flooring (measured r9: 227572.99… → 227573) —
+    * only its integer-typed `//` is a true floor, the e25 precedent).
+    *
+    * Shape: undirected canonical dedup, one degree aggregate, one
+    * same-community edge aggregate, a \|communities\|-row rollup, a 1-row
+    * edge-count broadcast — linear in the 3N-edge graph.
+    */
+  val modularity = Q("e29_modularity", {
+    def round(k: Int) =
+      s"""votes$k AS (
+         |  SELECT e.src, l.cur, count(*) AS n
+         |  FROM knn e JOIN lab${k - 1} l ON e.dst = l.vec_id GROUP BY e.src, l.cur),
+         |maj$k AS (
+         |  SELECT src, min(struct_pack(neg := -n, l := cur)).l AS maj
+         |  FROM votes$k GROUP BY src),
+         |lab$k AS (
+         |  SELECT l.vec_id, coalesce(m.maj, l.cur) AS cur
+         |  FROM lab${k - 1} l LEFT JOIN maj$k m ON l.vec_id = m.src)""".stripMargin
+    s"""WITH $knnCtes,
+       |lab0 AS (SELECT vec_id, label AS cur FROM embeddings),
+       |${round(1)},
+       |${round(2)},
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+       |bi AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT node, count(*) AS d FROM bi GROUP BY 1),
+       |ie AS (
+       |  SELECT la.cur AS community, CAST(count(*) AS BIGINT) AS e_c
+       |  FROM und JOIN lab2 la ON und.u = la.vec_id
+       |           JOIN lab2 lb ON und.v = lb.vec_id
+       |  WHERE la.cur = lb.cur GROUP BY 1),
+       |dsum AS (
+       |  SELECT l.cur AS community, CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS d_c,
+       |         CAST(count(*) AS BIGINT) AS n_nodes
+       |  FROM lab2 l LEFT JOIN deg ON l.vec_id = deg.node GROUP BY 1)
+       |SELECT ds.community, ds.n_nodes,
+       |       CAST(coalesce(ie.e_c, 0) AS BIGINT) AS internal_edges,
+       |       ds.d_c AS degree_sum,
+       |       CAST((coalesce(ie.e_c, 0) * 1000000) // (SELECT m FROM mm)
+       |            - (CAST(ds.d_c AS HUGEINT) * ds.d_c * 1000000)
+       |              // (CAST(4 AS HUGEINT) * (SELECT m FROM mm) * (SELECT m FROM mm))
+       |            AS BIGINT) AS contrib_ppm
+       |FROM dsum ds LEFT JOIN ie ON ds.community = ie.community""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val lab2 = propagateLabels(s, dir, rounds = 2)
+      val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .distinct()
+      val mm = und.agg(count(lit(1)).as("m"))
+      val bi = und.select($"u".as("node")).unionAll(und.select($"v".as("node")))
+      val deg = bi.groupBy($"node").agg(count(lit(1)).as("d"))
+      val ie = und
+        .join(lab2.select($"vec_id".as("u"), $"cur".as("cu")), Seq("u"))
+        .join(lab2.select($"vec_id".as("v"), $"cur".as("cv")), Seq("v"))
+        .filter($"cu" === $"cv")
+        .groupBy($"cu".as("community")).agg(count(lit(1)).as("e_c"))
+      val dsum = lab2.join(deg, $"vec_id" === $"node", "left")
+        .groupBy($"cur".as("community"))
+        .agg(sum(coalesce($"d", lit(0L))).cast("long").as("d_c"),
+          count(lit(1)).as("n_nodes"))
+      dsum.join(ie, Seq("community"), "left").crossJoin(broadcast(mm))
+        .select($"community", $"n_nodes",
+          coalesce($"e_c", lit(0L)).cast("long").as("internal_edges"),
+          $"d_c".as("degree_sum"),
+          (expr("(coalesce(e_c, 0L) * 1000000) div m")
+            - expr("CAST(CAST(d_c AS DECIMAL(19,0)) * d_c * 1000000 div " +
+              "(CAST(4 AS DECIMAL(19,0)) * m * m) AS BIGINT)"))
+            .cast("long").as("contrib_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
     powerIteration, kCore, allButTop, knnClassifier, linkPrediction, hits,
-    personalizedPagerank)
+    personalizedPagerank, modularity)
 }

@@ -938,10 +938,150 @@ object Warehouse2 {
         .select($"r.*")
   }
 
+  /** a29: one-way ANOVA — does order value differ across priorities more
+    * than within them? a27's two-group z-test generalized to k groups:
+    * F = (SSB/(k−1)) / (SSW/(N−k)) from per-group exact sufficient
+    * statistics (n, Σx, Σx² in the a16 decimal discipline).
+    *
+    * Exactness: the between-groups term Σ s_g²/n_g is a DOUBLE sum whose
+    * value depends on summation ORDER — a distributed `sum()` over group
+    * terms would be partial-aggregation-order-dependent and never hash.
+    * The t21 pinned-order fold instead: collect the ≤\|groups\| stat rows
+    * into a SORTED array and fold left-to-right (`aggregate` /
+    * `list_reduce` — identical IEEE order, and DuckDB's first-element
+    * seeding ≡ Spark's 0.0 seed because 0+x is exact). Wide decimals
+    * (Σx² > 2⁶³) cast to double through VARCHAR on the DuckDB side (the
+    * a28 caveat — its int128→double cast is not correctly rounded).
+    *
+    * Shape: one hash aggregate to \|groups\| rows, one 1-row collect-fold.
+    * The array is bounded by the group vocabulary, never the data.
+    */
+  val a29Anova = Q("a29_anova",
+    """WITH e AS (
+      |  SELECT o_orderpriority AS grp,
+      |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(x) AS DECIMAL(18,0)) AS s,
+      |         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(30,0)) AS ss
+      |  FROM e GROUP BY 1),
+      |one AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k_groups,
+      |         CAST(sum(n) AS BIGINT) AS n_total,
+      |         CAST(CAST(sum(s) AS VARCHAR) AS DOUBLE) AS s_tot_d,
+      |         CAST(CAST(sum(ss) AS VARCHAR) AS DOUBLE) AS ss_tot_d,
+      |         list(struct_pack(grp := grp, n := n, s := s) ORDER BY grp) AS lst
+      |  FROM g),
+      |f AS (
+      |  SELECT k_groups, n_total, s_tot_d, ss_tot_d,
+      |         list_reduce(
+      |           list_transform(lst, x ->
+      |             (CAST(CAST(x.s AS VARCHAR) AS DOUBLE) * CAST(CAST(x.s AS VARCHAR) AS DOUBLE))
+      |               / CAST(x.n AS DOUBLE)),
+      |           (a, b) -> a + b) AS sb
+      |  FROM one)
+      |SELECT k_groups, n_total,
+      |       sb - (s_tot_d * s_tot_d) / CAST(n_total AS DOUBLE) AS ssb_cents2,
+      |       ss_tot_d - sb AS ssw_cents2,
+      |       ((sb - (s_tot_d * s_tot_d) / CAST(n_total AS DOUBLE))
+      |          / CAST(k_groups - 1 AS DOUBLE))
+      |         / ((ss_tot_d - sb) / CAST(n_total - k_groups AS DOUBLE)) AS f_stat
+      |FROM f""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.orders(s, dir).select(
+        $"o_orderpriority".as("grp"),
+        (Exact.dec2($"o_totalprice") * 100).cast("long").as("x"))
+      val g = e.groupBy($"grp").agg(
+        count(lit(1)).as("n"),
+        sum($"x").cast(DecimalType(18, 0)).as("s"),
+        sum($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(30, 0)).as("ss"))
+      val one = g.agg(
+        count(lit(1)).as("k_groups"),
+        sum($"n").cast("long").as("n_total"),
+        sum($"s").cast(DecimalType(19, 0)).cast("double").as("s_tot_d"),
+        sum($"ss").cast(DecimalType(32, 0)).cast("double").as("ss_tot_d"),
+        sort_array(collect_list(struct($"grp", $"n", $"s"))).as("lst"))
+      val folded = one.withColumn("sb",
+        expr("""aggregate(lst, CAST(0.0 AS DOUBLE),
+                (acc, x) -> acc + (CAST(x.s AS DOUBLE) * CAST(x.s AS DOUBLE))
+                                   / CAST(x.n AS DOUBLE))"""))
+      val ssb = $"sb" - ($"s_tot_d" * $"s_tot_d") / $"n_total".cast("double")
+      val ssw = $"ss_tot_d" - $"sb"
+      folded.select($"k_groups", $"n_total",
+        ssb.as("ssb_cents2"), ssw.as("ssw_cents2"),
+        ((ssb / ($"k_groups" - 1).cast("double"))
+          / (ssw / ($"n_total" - $"k_groups").cast("double"))).as("f_stat"))
+  }
+
+  /** p13: ACCUMULATING-SNAPSHOT fact — the Kimball order-lifecycle table:
+    * one row per order carrying every milestone timestamp (placed, first
+    * ship, last ship), the line count, and the lag measures dashboards
+    * slice by. Orders with no lineitems keep NULL milestones (the
+    * accumulating snapshot's defining property — rows exist from the
+    * FIRST event and fill in as later milestones land; cf. the dq4
+    * orphan screen that counts them).
+    *
+    * Exactness: milestones as unix µs integers; the day lags use the dq7
+    * euclid-floor idiom because this testdata CONTAINS ship-before-order
+    * rows (measured), where Spark's `div` (truncate) and DuckDB's `//`
+    * (floor) would diverge on the negative lags.
+    *
+    * Shape: one lineitem rollup (hash agg on orderkey, map-side
+    * combined) + one key join to orders — at 100 TB both sides shuffle
+    * once on the same key.
+    */
+  val p13AccumulatingSnapshot = Q("p13_accumulating_snapshot",
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |         min(epoch_us(l_shipdate)) AS first_ship_us,
+      |         max(epoch_us(l_shipdate)) AS last_ship_us,
+      |         CAST(count(*) AS BIGINT) AS n_lines
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT o.o_orderkey, o.o_orderstatus,
+      |         epoch_us(o.o_orderdate) AS order_us,
+      |         ls.first_ship_us, ls.last_ship_us,
+      |         coalesce(ls.n_lines, 0) AS n_lines,
+      |         ls.first_ship_us - epoch_us(o.o_orderdate) AS d1,
+      |         ls.last_ship_us - ls.first_ship_us AS d2
+      |  FROM orders o LEFT JOIN ls ON o.o_orderkey = ls.l_orderkey)
+      |SELECT o_orderkey, o_orderstatus, order_us, first_ship_us, last_ship_us,
+      |       n_lines,
+      |       (d1 - ((d1 % 86400000000 + 86400000000) % 86400000000)) // 86400000000
+      |         AS days_to_first_ship,
+      |       (d2 - ((d2 % 86400000000 + 86400000000) % 86400000000)) // 86400000000
+      |         AS ship_span_days
+      |FROM j""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val ls = Tables.lineitem(s, dir)
+        .groupBy($"l_orderkey")
+        .agg(min(unix_micros($"l_shipdate")).as("first_ship_us"),
+          max(unix_micros($"l_shipdate")).as("last_ship_us"),
+          count(lit(1)).as("n_lines"))
+      val j = Tables.orders(s, dir)
+        .join(ls, $"o_orderkey" === $"l_orderkey", "left")
+        .select($"o_orderkey", $"o_orderstatus",
+          unix_micros($"o_orderdate").as("order_us"),
+          $"first_ship_us", $"last_ship_us",
+          coalesce($"n_lines", lit(0L)).as("n_lines"),
+          ($"first_ship_us" - unix_micros($"o_orderdate")).as("d1"),
+          ($"last_ship_us" - $"first_ship_us").as("d2"))
+      def floorDays(c: String) =
+        expr(s"($c - (($c % 86400000000 + 86400000000) % 86400000000)) div 86400000000")
+      j.select($"o_orderkey", $"o_orderstatus", $"order_us", $"first_ship_us",
+        $"last_ship_us", $"n_lines",
+        floorDays("d1").as("days_to_first_ship"),
+        floorDays("d2").as("ship_span_days"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
     dq5DistributionDrift, dq6KAnonymity, dq7LDiversity, dq8TCloseness,
-    dq9ColumnProfile)
+    dq9ColumnProfile, a29Anova, p13AccumulatingSnapshot)
 }

@@ -271,7 +271,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e28: e13's justification verbatim — the cached index-build
       // subtree plus the 1-row seed-count broadcast per iteration;
       // every edge/inflow step is a keyed equi-join
-      "e28_personalized_pagerank")
+      "e28_personalized_pagerank",
+      // e29: the same memoized-graph subtree + the 1-row edge-count
+      // broadcast (t10 pattern); community/degree joins are keyed
+      "e29_modularity")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
