@@ -1175,11 +1175,73 @@ object Warehouse {
         (num / (sqrt(vx) * sqrt(vy))).as("acf"))
   }
 
+  /** A30: GINI COEFFICIENT of customer revenue — the inequality /
+    * concentration statistic ("do 1% of customers carry 50% of
+    * revenue?") behind every whale-risk and marketplace-health
+    * dashboard. Formula over ascending-ranked values:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx), emitted as exact ppm.
+    *
+    * The global rank is THE single-partition-window trap, so i comes
+    * from [[graft.operators.PrefixScan]] (a24's discipline): a
+    * revenue-band bucket that is monotone in the (cents, custkey) sort,
+    * per-bucket parallel windows + broadcast prefix offsets — rank
+    * without a global sort. Ranked by (cents, custkey): the tie order
+    * among equal values doesn't change Σ i·xᵢ (equal x), but pinning it
+    * keeps both engines' i identical anyway.
+    *
+    * Exactness: cents are exact integers; Σ i·xᵢ accumulates in decimal
+    * (int64 dies at ~10⁶ customers × 10¹³ cents); the numerator is
+    * NONNEGATIVE by construction (ascending order ⇒ G ≥ 0), so Spark's
+    * truncating `div` ≡ DuckDB's flooring `//`; the oracle runs the
+    * division in HUGEINT (DuckDB's DECIMAL `//` rounds — the e29
+    * gotcha). Coverage note: customers with zero orders aren't in the
+    * revenue rollup; this is the Gini over PURCHASERS (documented
+    * choice; include-zeros would just left-join the roster first).
+    */
+  val gini = Q("a30_gini",
+    """WITH cr AS (
+      |  SELECT o_custkey,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT o_custkey, cents,
+      |         row_number() OVER (ORDER BY cents, o_custkey) AS i
+      |  FROM cr),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(cents) AS BIGINT) AS total_cents,
+      |         CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS six
+      |  FROM r)
+      |SELECT n AS n_customers, total_cents,
+      |       CAST(((2 * six - CAST(n + 1 AS HUGEINT) * total_cents) * 1000000)
+      |            // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_ppm
+      |FROM s""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cr = Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(sum((Exact.dec2($"o_totalprice") * 100).cast("long")).as("cents"))
+      // rank = global running count over (cents, custkey): PrefixScan with
+      // a $10M revenue band as the monotone bucket
+      val ranked = graft.operators.PrefixScan.runningSum(
+        cr, expr("cents div 1000000000"), Seq($"cents", $"o_custkey"),
+        lit(1L), "i")
+      val st = ranked.agg(
+        count(lit(1)).as("n"),
+        sum($"cents").cast("long").as("total_cents"),
+        sum($"i".cast(DecimalType(19, 0)) * $"cents").cast(DecimalType(30, 0)).as("six"))
+      st.select($"n".as("n_customers"), $"total_cents",
+        expr("""CAST(((2 * CAST(six AS DECIMAL(31,0)) - CAST(n + 1 AS DECIMAL(19,0)) * total_cents) * 1000000)
+                div (CAST(n AS DECIMAL(19,0)) * total_cents) AS BIGINT)""")
+          .as("gini_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, q7Volume, q4OrderPriority, q12PriorityShipping,
     q14PromoRevenue, q19Disjunctive, dq2Reconciliation, pctOfTotal, aggPack,
     weightedMix, temperatureMix, winsorize, topKNative, zorderKey, gapFill,
-    corrEvidence, autocorr)
+    corrEvidence, autocorr, gini)
 }

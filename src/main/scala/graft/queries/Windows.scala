@@ -406,7 +406,66 @@ object Windows {
           .as("p_ppm"))
   }
 
+  /** w26: GROWTH ACCOUNTING — the active-user decomposition every growth
+    * dashboard runs: per period, active users split into NEW (first
+    * period ever), RETAINED (also active the previous period),
+    * RESURRECTED (active before, but not last period), and CHURNED
+    * (active last period, gone this period) — with the identity
+    * `active(k) = new(k) + retained(k) + resurrected(k)` holding by
+    * construction and churn derived as `active(prev) − retained(k)`.
+    * The period here is the DAY (the events table spans one month; the
+    * month variant is the same query with a month key).
+    *
+    * Churn attribution: a churn row appears at the NEXT OBSERVED active
+    * day (the lag runs over days that exist in the data); across a fully
+    * silent day the churn folds into the next observed day's row —
+    * deterministic, and exact on any calendar-dense stream.
+    *
+    * Shape: one distinct to (user, day) — hash aggregate; one user-keyed
+    * lag window; one day rollup; the final churn lag runs over the
+    * \|days\|-row rollup (bounded by the calendar, the Warehouse
+    * post-agg window precedent). All counts exact integers.
+    */
+  val growthAccounting = Q("w26_growth_accounting",
+    """WITH am AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS dk
+      |  FROM events),
+      |seq AS (
+      |  SELECT user_id, dk,
+      |         lag(dk) OVER (PARTITION BY user_id ORDER BY dk) AS prev
+      |  FROM am),
+      |cls AS (
+      |  SELECT dk,
+      |         CAST(count(*) AS BIGINT) AS n_active,
+      |         CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |         CAST(sum(CASE WHEN prev = dk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |         CAST(sum(CASE WHEN prev IS NOT NULL AND prev < dk - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM seq GROUP BY 1)
+      |SELECT dk AS day_key, n_active, n_new, n_retained, n_resurrected,
+      |       CAST(coalesce(lag(n_active) OVER (ORDER BY dk), 0) - n_retained AS BIGINT)
+      |         AS n_churned
+      |FROM cls""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val am = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("dk"))
+        .distinct()
+      val seq = am.select($"user_id", $"dk",
+        lag($"dk", 1).over(Window.partitionBy($"user_id").orderBy($"dk")).as("prev"))
+      val cls = seq.groupBy($"dk").agg(
+        count(lit(1)).as("n_active"),
+        sum(when($"prev".isNull, 1L).otherwise(0L)).cast("long").as("n_new"),
+        sum(when($"prev" === $"dk" - 1, 1L).otherwise(0L)).cast("long").as("n_retained"),
+        sum(when($"prev".isNotNull && $"prev" < $"dk" - 1, 1L).otherwise(0L))
+          .cast("long").as("n_resurrected"))
+      cls.select($"dk".as("day_key"), $"n_active", $"n_new", $"n_retained",
+        $"n_resurrected",
+        (coalesce(lag($"n_active", 1).over(Window.orderBy($"dk")), lit(0L))
+          - $"n_retained").cast("long").as("n_churned"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
     keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
-    sessionWindow, runningDrawdown, periodOverPeriod, markovTransitions)
+    sessionWindow, runningDrawdown, periodOverPeriod, markovTransitions,
+    growthAccounting)
 }
