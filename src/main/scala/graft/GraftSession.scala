@@ -176,6 +176,17 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       lateness: String = "1 minute"): DataFrame =
     streaming.StreamingSessionize.sessions(events, gap, lateness)
 
+  /** Profile a stream incrementally — per-batch metadata-sized partials
+    * (per-column stats + an exact distinct-key bitmap); read the
+    * everything-so-far profile with
+    * [[streaming.StreamingProfile.cumulative]].
+    */
+  def profileStream(rows: DataFrame, numCols: Seq[String], keyCol: String,
+      domain: Int, statsDir: String, bitmapDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingProfile.sink(rows, numCols, keyCol, domain,
+      statsDir, bitmapDir, checkpoint).start()
+
   /** Monitor a stream's value distribution against a frozen reference —
     * per-batch dq5-style drift bins + an alert ledger (see
     * [[streaming.StreamingDrift]]). `reference` rows and the stream both

@@ -1078,10 +1078,43 @@ object Warehouse2 {
         floorDays("d2").as("ship_span_days"))
   }
 
+  /** dq10: FRESHNESS audit — the timeliness leg of the DQ suite (dq1
+    * validity, dq2 reconciliation, dq4 integrity, dq5 drift, dq9
+    * profile): per feed (event type standing in for the feed key), the
+    * latest arrival and its lag behind the freshest feed, with a stale
+    * flag at the 1-hour SLA. The "is any upstream stuck" check every
+    * ingestion dashboard leads with — and it must be computed
+    * RELATIVELY (lag vs the freshest feed, not vs wall clock) to stay
+    * deterministic and replayable.
+    *
+    * One hash aggregate to \|feeds\| rows + a 1-row global-max broadcast.
+    * All integer µs.
+    */
+  val dq10Freshness = Q("dq10_freshness",
+    """WITH f AS (
+      |  SELECT event_type AS feed, max(epoch_us(ts)) AS last_ts_us
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT max(last_ts_us) AS global_max FROM f)
+      |SELECT f.feed, f.last_ts_us,
+      |       CAST(g.global_max - f.last_ts_us AS BIGINT) AS lag_us,
+      |       g.global_max - f.last_ts_us > 3600000000 AS is_stale
+      |FROM f CROSS JOIN g""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val f = Tables.events(s, dir)
+        .groupBy($"event_type".as("feed"))
+        .agg(max(unix_micros($"ts")).as("last_ts_us"))
+      val g = f.agg(max($"last_ts_us").as("global_max"))
+      f.crossJoin(broadcast(g))
+        .select($"feed", $"last_ts_us",
+          ($"global_max" - $"last_ts_us").cast("long").as("lag_us"),
+          ($"global_max" - $"last_ts_us" > 3600000000L).as("is_stale"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
     dq5DistributionDrift, dq6KAnonymity, dq7LDiversity, dq8TCloseness,
-    dq9ColumnProfile, a29Anova, p13AccumulatingSnapshot)
+    dq9ColumnProfile, a29Anova, p13AccumulatingSnapshot, dq10Freshness)
 }

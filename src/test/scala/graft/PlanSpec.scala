@@ -274,7 +274,9 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e28_personalized_pagerank",
       // e29: the same memoized-graph subtree + the 1-row edge-count
       // broadcast (t10 pattern); community/degree joins are keyed
-      "e29_modularity")
+      "e29_modularity",
+      // dq10: the 1-row global-max broadcast (t10 pattern)
+      "dq10_freshness")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
