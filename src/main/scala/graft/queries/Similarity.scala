@@ -1698,10 +1698,58 @@ object Similarity {
             .cast("long").as("contrib_ppm"))
   }
 
+  /** e30: MUTUAL-kNN filter — the standard graph SPARSIFICATION step
+    * before density clustering (e26's densification complement): keep
+    * only edges where EACH endpoint ranks the other in its own top-3.
+    * One-directional edges are hubness noise (a point in a dense region
+    * ranks a far outlier only because the outlier has nothing closer);
+    * the mutual subgraph is where cluster structure actually lives.
+    * Emits each surviving undirected edge with both rank positions — the
+    * asymmetry profile (1↔1 strong ties vs 3↔3 marginal ones).
+    *
+    * Exactness: pure subset of the memoized e11 graph — one self-join on
+    * the reversed pair, integer ranks, bit-exact cosine carried through.
+    * Scale: an equi-join of the 3N-edge list against itself — linear.
+    */
+  val mutualKnn = Q("e30_mutual_knn", {
+    val d = dotSql.format("a.embedding", "b.embedding")
+    val nv = dotSql.format("embedding", "embedding")
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes()},
+       |members AS (
+       |  SELECT g.cell_id, e.vec_id, e.embedding, sqrt($nv) AS nrm
+       |  FROM assign4 g JOIN qv e ON g.vec_id = e.vec_id),
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |         $d / (a.nrm * b.nrm) AS cosine
+       |  FROM members a JOIN members b
+       |    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id),
+       |knnr AS (
+       |  SELECT vec_id AS src, neighbor_id AS dst, rnk, cosine FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+       |    FROM pairs) WHERE rnk <= 3)
+       |SELECT f.src AS u, f.dst AS v,
+       |       CAST(f.rnk AS BIGINT) AS rank_uv, CAST(r.rnk AS BIGINT) AS rank_vu,
+       |       f.cosine
+       |FROM knnr f JOIN knnr r ON f.src = r.dst AND f.dst = r.src
+       |WHERE f.src < f.dst""".stripMargin
+  }) {
+    (s, dir) =>
+      import s.implicits._
+      val g = knnGraphDf(s, dir)
+        .select($"vec_id".as("src"), $"neighbor_id".as("dst"), $"rnk", $"cosine")
+      val fwd = g.filter($"src" < $"dst")
+        .select($"src".as("u"), $"dst".as("v"), $"rnk".as("rank_uv"), $"cosine")
+      val rev = g.filter($"src" > $"dst")
+        .select($"dst".as("u"), $"src".as("v"), $"rnk".as("rank_vu"))
+      fwd.join(rev, Seq("u", "v"))
+        .select($"u", $"v", $"rank_uv", $"rank_vu", $"cosine")
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
     powerIteration, kCore, allButTop, knnClassifier, linkPrediction, hits,
-    personalizedPagerank, modularity)
+    personalizedPagerank, modularity, mutualKnn)
 }

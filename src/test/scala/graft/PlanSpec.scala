@@ -276,7 +276,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // broadcast (t10 pattern); community/degree joins are keyed
       "e29_modularity",
       // dq10: the 1-row global-max broadcast (t10 pattern)
-      "dq10_freshness")
+      "dq10_freshness",
+      // e30: pure subset/self-join of the memoized e11 graph — the only
+      // BNLJ is the cached index-build subtree (e14's justification)
+      "e30_mutual_knn")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
