@@ -158,6 +158,14 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
     streaming.StreamingCdf.sink(updates, keyCol, seqCol, snapshotDir, cdfDir,
       checkpoint).start()
 
+  /** TIME TRAVEL over an [[upsertWithCdf]] store: the snapshot as it
+    * stood after batch `version`, reconstructed by reverse-applying the
+    * change feed — see [[streaming.StreamingCdf.asOf]].
+    */
+  def snapshotAsOf(snapshotDir: String, cdfDir: String, keyCol: String,
+      version: Long): DataFrame =
+    streaming.StreamingCdf.asOf(spark, snapshotDir, cdfDir, keyCol, version)
+
   /** Maintain a retractable count/sum/min/max view from a cdc1-shaped
     * change-feed stream (insert/update/delete with old + new images) —
     * see [[streaming.StreamingMv]] for the two-fence exactly-once

@@ -107,6 +107,44 @@ object StreamingCdf {
     spark.read.parquet(cdfDir)
       .withColumn("batch_id", col("batch_id").cast("long"))
 
+  /** TIME TRAVEL: the snapshot as it stood after batch `version` merged,
+    * reconstructed by REVERSE-APPLYING the change feed (the Delta
+    * `versionAsOf` read, built from the feed instead of kept file
+    * manifests — the store itself stays a plain Type-1 snapshot with no
+    * retained history):
+    *
+    *  - for every key whose FIRST change after `version` is an `update`,
+    *    that change's `old_image` IS the key's value at `version`;
+    *  - a key whose first later change is an `insert` did not exist at
+    *    `version` — dropped;
+    *  - keys with no later change read straight from the live snapshot.
+    *
+    * Correct because the feed is complete and minimal by contract: one
+    * row per (key, batch), no-ops and stale redeliveries suppressed, so
+    * "first change after version" is exactly the transition out of the
+    * version-k state. Deletes would add a third branch symmetrical to
+    * insert (resurrect the old image) — Type-1 streams have none.
+    *
+    * Scale: one window over the post-`version` slice of the feed
+    * (partition-pruned by `batch_id`, |changes| rows — not corpus rows)
+    * + one anti-join against the snapshot. Cost follows the amount of
+    * CHANGE since the version, not store size.
+    */
+  def asOf(spark: SparkSession, snapshotDir: String, cdfDir: String,
+      keyCol: String, version: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snap = spark.read.parquet(snapshotDir).drop("__bucket")
+    val later = feed(spark, cdfDir).filter(col("batch_id") > version)
+    val first = later
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("batch_id"))))
+      .filter(col("rn") === 1)
+    val restored = first.filter(col("change_type") === "update")
+      .select(col("old_image.*"))
+    snap.join(first.select(col("key")), snap(keyCol) === col("key"), "left_anti")
+      .unionByName(restored)
+  }
+
   /** The streaming sink wrapper: upsert stream → snapshot + change feed. */
   def sink(updates: DataFrame, keyCol: String, seqCol: String,
       snapshotDir: String, cdfDir: String, checkpointDir: String,

@@ -96,4 +96,39 @@ class StreamingCdfSpec extends AnyFunSuite with SparkTestKit {
         r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
     assert(got == want)
   }
+
+  test("asOf reconstructs every historical version from the feed") {
+    val snap = tmp("cdf-tt-snap"); val cdf = tmp("cdf-tt-feed")
+    def snapshotNow(): Seq[(Long, Long, Long, String)] =
+      spark.read.parquet(snap).drop("__bucket")
+        .select($"id", $"seq", $"cents", $"tier")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+    def asOfRows(v: Long): Seq[(Long, Long, Long, String)] =
+      StreamingCdf.asOf(spark, snap, cdf, "id", v)
+        .select($"id", $"seq", $"cents", $"tier")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).sortBy(_._1).toSeq
+
+    // batch 0: 1, 2 inserted; batch 1: 1 updated, 3 inserted;
+    // batch 2: 1 updated again, 2 updated, 4 inserted
+    process(snap, cdf, 0L, (1L, 10L, 100L, "a"), (2L, 10L, 200L, "b"))
+    val v0 = snapshotNow()
+    process(snap, cdf, 1L, (1L, 20L, 150L, "a"), (3L, 10L, 300L, "c"))
+    val v1 = snapshotNow()
+    process(snap, cdf, 2L,
+      (1L, 30L, 175L, "a"), (2L, 20L, 250L, "b"), (4L, 10L, 400L, "d"))
+    val v2 = snapshotNow()
+
+    // every historical version reconstructs exactly
+    assert(asOfRows(0L) == v0, "version 0 drifted")
+    assert(asOfRows(1L) == v1, "version 1 drifted")
+    // the current version reads straight through (empty later-slice)
+    assert(asOfRows(2L) == v2, "current version drifted")
+    // point checks of the semantics: key 1 at v0 carries its first value
+    // (twice-updated keys restore the FIRST later old image, not the
+    // latest), and keys 3/4 don't exist yet at v0
+    assert(asOfRows(0L).find(_._1 == 1L).map(_._3).contains(100L))
+    assert(!asOfRows(0L).exists(r => r._1 == 3L || r._1 == 4L))
+  }
 }
