@@ -1,0 +1,74 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+
+/** Bloom-index gates: an index-pruned point lookup returns exactly the
+  * full-scan result; the pruned scan touches only candidate partitions
+  * (measured via inputFiles); a key present in one partition prunes to
+  * ~1 partition; rebuild is atomic (old index intact on failure path is
+  * covered by the rename contract shared with Compaction).
+  */
+class BloomIndexSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  // 8 lang partitions × 2000 keys, keys disjoint per partition so the
+  // expected prune is exactly one partition (+ fpp stragglers)
+  private def writeData(dir: String): Unit =
+    (0 until 8).flatMap { p =>
+      (0 until 2000).map(i => (p * 10000L + i, s"lang$p", i.toLong % 97))
+    }.toDF("k", "lang", "v")
+      .write.partitionBy("lang").mode("overwrite").parquet(dir)
+
+  test("pruned lookup equals full scan and reads a strict subset of partitions") {
+    val dataDir = tmp("bi-data") + "/t"
+    val idxDir = tmp("bi-idx") + "/ix"
+    writeData(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k",
+      expectedPerPartition = 4000L, fpp = 0.01)
+
+    val idx = spark.read.parquet(idxDir)
+    assert(idx.count() == 8L)
+    assert(idx.agg(sum($"n_rows")).head().getLong(0) == 16000L)
+
+    // keys in partitions 0, 3, 7 + one absent key
+    for (key <- Seq(5L, 30017L, 70123L)) {
+      val expectedPart = s"lang${key / 10000}"
+      val cands = BloomIndex.candidateParts(spark, idxDir, key)
+      assert(cands.contains(expectedPart), s"index missed the true partition for $key")
+      assert(cands.size <= 2, s"fpp blowout for $key: $cands") // 1 + rare straggler
+      val got = BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", key)
+      val want = spark.read.parquet(dataDir).filter($"k" === key)
+      assert(got.collect().toSeq.sortBy(_.toString) ==
+        want.collect().toSeq.sortBy(_.toString))
+      // the pruned scan plans only the candidate partitions' files
+      val files = got.inputFiles
+      assert(files.nonEmpty &&
+        files.forall(f => cands.exists(c => f.contains(s"lang=$c"))),
+        s"pruned scan read beyond candidates: ${files.mkString(",")}")
+    }
+    // absent key: no false negatives possible; result must be empty
+    val absent = BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", 999999L)
+    assert(absent.count() == 0L)
+  }
+
+  test("rebuild replaces the index atomically and reflects appends") {
+    val dataDir = tmp("bi-data2") + "/t"
+    val idxDir = tmp("bi-idx2") + "/ix"
+    writeData(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    // append a new key into lang0, rebuild, index must now route to it
+    Seq((99999L, "lang0", 1L)).toDF("k", "lang", "v")
+      .write.partitionBy("lang").mode("append").parquet(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    assert(BloomIndex.candidateParts(spark, idxDir, 99999L).contains("lang0"))
+    assert(BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", 99999L).count() == 1L)
+    assert(spark.read.parquet(idxDir)
+      .filter($"part" === "lang0").head().getAs[Long]("n_rows") == 2001L)
+  }
+}
