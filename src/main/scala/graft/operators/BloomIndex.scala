@@ -91,6 +91,32 @@ object BloomIndex {
       }
       .map(_.getAs[String]("part")).toSeq
 
+  /** The driver-gated s10 artifact: `documents` rewritten Hive-partitioned
+    * by `lang` with a bloom index on `doc_id` — built once per source
+    * fingerprint (the e17 persisted-layout discipline).
+    */
+  def documentsIndexedLayout(spark: SparkSession, dir: String): String =
+    graft.queries.Memo.cachedValue(spark, dir, "s10_bloom_layout") {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s10_" +
+        graft.queries.Memo.fingerprint(spark, dir)
+      graft.Tables.documents(spark, dir)
+        .write.mode("overwrite").partitionBy("lang").parquet(s"$out/data")
+      build(spark, s"$out/data", s"$out/index", "lang", "doc_id",
+        expectedPerPartition = 200000L, fpp = 0.01)
+      out
+    }
+
+  /** s10: point lookups THROUGH the index over the persisted layout —
+    * results ≡ a plain filter on the source table (the oracle), but the
+    * scan touches only bloom-candidate `lang=` partitions.
+    */
+  def lookupQuery(spark: SparkSession, dir: String, keys: Seq[Long]): DataFrame = {
+    val out = documentsIndexedLayout(spark, dir)
+    keys.map(k => lookup(spark, s"$out/data", s"$out/index", "lang", "doc_id", k))
+      .reduce(_ unionByName _)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+  }
+
   /** Index-pruned point lookup: read ONLY the candidate partitions'
     * directories (explicit path list + basePath — pruning at the file
     * listing, the PartitionedIndex probe pattern, so even `inputFiles`

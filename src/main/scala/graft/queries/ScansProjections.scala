@@ -363,8 +363,26 @@ object ScansProjections {
             $"orc_xor" === $"pq_xor").as("orc_ok"))
   }
 
+  /** s10: point lookups through the per-partition BLOOM INDEX
+    * ([[graft.operators.BloomIndex]]) over a lang-partitioned persisted
+    * copy of `documents` — the data-skipping move for point predicates
+    * on keys that are NOT the partition column (min/max can't prune a
+    * hash-distributed key; the bloom can). The layout + index build once
+    * per source fingerprint (the e17 discipline); each lookup reads only
+    * bloom-candidate partitions via an explicit path list. The oracle is
+    * the plain source-table filter — identical rows, which IS the
+    * index's correctness contract (no false negatives; false positives
+    * removed by the exact predicate).
+    */
+  val s10BloomIndexLookup = Q("s10_bloom_index_lookup",
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id IN (3, 57, 123)""".stripMargin) {
+    (s, dir) =>
+      graft.operators.BloomIndex.lookupQuery(s, dir, Seq(3L, 57L, 123L))
+  }
+
   val queries: Seq[Q] = Seq(
     s1Json, s2Pushdown, s3Fallback, s4Literal, s5SchemaEvolution,
     s6PartitionPruning, s7DynamicPruning, s9FormatRoundtrip,
-    p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
+    s10BloomIndexLookup, p1Flatten, p2Incremental, p3Cleanse, p6Cm1, p8Limit0)
 }
