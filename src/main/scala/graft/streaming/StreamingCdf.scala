@@ -141,7 +141,10 @@ object StreamingCdf {
       .filter(col("rn") === 1)
     val restored = first.filter(col("change_type") === "update")
       .select(col("old_image.*"))
-    snap.join(first.select(col("key")), snap(keyCol) === col("key"), "left_anti")
+    // the feed's envelope column is renamed before meeting the snapshot:
+    // a data column named "key" must not capture the join predicate
+    val touched = first.select(col("key").as("__tt_key"))
+    snap.join(touched, snap(keyCol) === col("__tt_key"), "left_anti")
       .unionByName(restored)
   }
 
