@@ -1746,10 +1746,75 @@ object Similarity {
         .select($"u", $"v", $"rank_uv", $"rank_vu", $"cosine")
   }
 
+  /** e31: DEGREE ASSORTATIVITY of the undirected kNN graph — Newman's r:
+    * the Pearson correlation of endpoint degrees over edges. Positive =
+    * hubs link to hubs (dense cores — redundancy to prune), negative =
+    * hub-and-spoke (star-shaped near-dup families). Completes the graph
+    * diagnostic suite (e18/e21 local density, e24 global cores, e29
+    * partition quality) with the MIXING statistic.
+    *
+    * Exactness: degrees are integers; each undirected edge contributes
+    * the SYMMETRIZED pair (dᵤ,dᵥ) and (dᵥ,dᵤ) — the standard convention,
+    * and it makes the statistic orientation-free — accumulated as a16's
+    * exact decimal sufficient statistics; sqrt/divisions IEEE at the
+    * end. One degree aggregate + two degree joins onto the edge list +
+    * one stats row — linear in the 3N edges.
+    */
+  val assortativity = Q("e31_assortativity",
+    s"""WITH $knnCtes,
+       |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM knn),
+       |bi AS (SELECT u AS node, v AS nbr FROM und UNION ALL SELECT v, u FROM und),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM bi GROUP BY 1),
+       |pairs AS (
+       |  SELECT CAST(da.d AS DECIMAL(10,0)) AS x, CAST(db.d AS DECIMAL(10,0)) AS y
+       |  FROM bi JOIN deg da ON bi.node = da.node JOIN deg db ON bi.nbr = db.node),
+       |st AS (
+       |  SELECT CAST(count(*) AS DECIMAL(12,0)) AS n,
+       |         CAST(sum(x) AS DECIMAL(16,0)) AS sx,
+       |         CAST(sum(y) AS DECIMAL(16,0)) AS sy,
+       |         CAST(sum(CAST(x AS DECIMAL(19,0)) * y) AS DECIMAL(24,0)) AS sxy,
+       |         CAST(sum(CAST(x AS DECIMAL(19,0)) * x) AS DECIMAL(24,0)) AS sxx,
+       |         CAST(sum(CAST(y AS DECIMAL(19,0)) * y) AS DECIMAL(24,0)) AS syy
+       |  FROM pairs)
+       |SELECT CAST(n AS BIGINT) AS n_edge_ends,
+       |       CAST(CAST(n AS DECIMAL(19,0)) * sxy - CAST(sx AS DECIMAL(19,0)) * sy AS DOUBLE)
+       |         / (sqrt(CAST(CAST(n AS DECIMAL(19,0)) * sxx - CAST(sx AS DECIMAL(19,0)) * sx AS DOUBLE))
+       |            * sqrt(CAST(CAST(n AS DECIMAL(19,0)) * syy - CAST(sy AS DECIMAL(19,0)) * sy AS DOUBLE)))
+       |         AS assortativity
+       |FROM st""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
+        .distinct()
+      val bi = und.select($"u".as("node"), $"v".as("nbr"))
+        .unionAll(und.select($"v".as("node"), $"u".as("nbr")))
+      val deg = bi.groupBy($"node").agg(count(lit(1)).cast("long").as("d"))
+      val pairs = bi
+        .join(deg.select($"node", $"d".as("dx")), Seq("node"))
+        .join(deg.select($"node".as("nbr"), $"d".as("dy")), Seq("nbr"))
+        .select($"dx".cast(DecimalType(10, 0)).as("x"),
+          $"dy".cast(DecimalType(10, 0)).as("y"))
+      val st = pairs.agg(
+        count(lit(1)).cast(DecimalType(12, 0)).as("n"),
+        sum($"x").cast(DecimalType(16, 0)).as("sx"),
+        sum($"y").cast(DecimalType(16, 0)).as("sy"),
+        sum($"x".cast(DecimalType(19, 0)) * $"y").cast(DecimalType(24, 0)).as("sxy"),
+        sum($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(24, 0)).as("sxx"),
+        sum($"y".cast(DecimalType(19, 0)) * $"y").cast(DecimalType(24, 0)).as("syy"))
+      def w19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
+      val num = (w19($"n") * $"sxy" - w19($"sx") * $"sy").cast("double")
+      val vx = (w19($"n") * $"sxx" - w19($"sx") * $"sx").cast("double")
+      val vy = (w19($"n") * $"syy" - w19($"sy") * $"sy").cast("double")
+      st.select($"n".cast("long").as("n_edge_ends"),
+        (num / (sqrt(vx) * sqrt(vy))).as("assortativity"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
     powerIteration, kCore, allButTop, knnClassifier, linkPrediction, hits,
-    personalizedPagerank, modularity, mutualKnn)
+    personalizedPagerank, modularity, mutualKnn, assortativity)
 }

@@ -277,9 +277,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e29_modularity",
       // dq10: the 1-row global-max broadcast (t10 pattern)
       "dq10_freshness",
-      // e30: pure subset/self-join of the memoized e11 graph — the only
-      // BNLJ is the cached index-build subtree (e14's justification)
-      "e30_mutual_knn")
+      // e30/e31: pure subset/self-join/degree-stats over the memoized
+      // e11 graph — the only BNLJ is the cached index-build subtree
+      // (e14's justification)
+      "e30_mutual_knn", "e31_assortativity")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
