@@ -1468,8 +1468,11 @@ object Similarity {
     (s, dir) =>
       import s.implicits._
       val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
+      // cache: the undirected relation feeds FOUR join instances (wedge
+      // self-join x2, the anti-join, the degree build) — e18's edge-list
+      // caching precedent
       val und = e.unionAll(e.select($"dst", $"src"))
-        .toDF("node", "nbr").distinct()
+        .toDF("node", "nbr").distinct().cache()
       val deg = und.groupBy($"node").agg(count(lit(1)).as("d"))
       val cand = und.toDF("a_node", "nbr")
         .join(und.toDF("b_node", "nbr"), Seq("nbr"))
@@ -1674,8 +1677,10 @@ object Similarity {
       import s.implicits._
       val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       val lab2 = propagateLabels(s, dir, rounds = 2)
+      // cache: und feeds the edge count, both bi halves, and the
+      // internal-edge join (e18's precedent)
       val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
-        .distinct()
+        .distinct().cache()
       val mm = und.agg(count(lit(1)).as("m"))
       val bi = und.select($"u".as("node")).unionAll(und.select($"v".as("node")))
       val deg = bi.groupBy($"node").agg(count(lit(1)).as("d"))
@@ -1788,8 +1793,10 @@ object Similarity {
       val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
         .distinct()
+      // cache: bi feeds the degree build AND the stats pair join (which
+      // itself joins degrees twice) — e18's precedent
       val bi = und.select($"u".as("node"), $"v".as("nbr"))
-        .unionAll(und.select($"v".as("node"), $"u".as("nbr")))
+        .unionAll(und.select($"v".as("node"), $"u".as("nbr"))).cache()
       val deg = bi.groupBy($"node").agg(count(lit(1)).cast("long").as("d"))
       val pairs = bi
         .join(deg.select($"node", $"d".as("dx")), Seq("node"))
