@@ -436,7 +436,56 @@ object TextAnalysis {
             .as("lift_centi"))
   }
 
+  /** t36: TOKEN BURSTINESS — per-token variance-to-mean ratio (VMR) of
+    * per-document counts: ≈1 means Poisson-scattered (function words),
+    * ≫1 means bursty (topical terms that pile up in few docs — the
+    * content-word detector that needs no stopword list, and a boilerplate
+    * alarm when a "rare" token's VMR explodes). Docs NOT containing the
+    * token count as zeros WITHOUT materializing them: with N total docs,
+    * mean = Σc/N and var = Σc²/N − mean², so
+    * VMR·10⁶ = (N·Σc² − (Σc)²)·10⁶ div (N·Σc) — all exact integers, one
+    * broadcast N.
+    *
+    * Shape: per-(doc, token) counts (hash agg over the explode), one
+    * per-token rollup (vocabulary-bounded output), a df ≥ 5 support
+    * filter bounding the emission. Linear, map-side combinable.
+    */
+  val tokenBurstiness = Q("t36_token_burstiness",
+    """WITH tc AS (
+      |  SELECT doc_id, w, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY 1, 2),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |st AS (
+      |  SELECT w, CAST(count(*) AS BIGINT) AS df,
+      |         CAST(sum(c) AS BIGINT) AS s1,
+      |         CAST(sum(c * c) AS BIGINT) AS s2
+      |  FROM tc GROUP BY 1)
+      |SELECT w AS token, df, s1 AS total_occurrences,
+      |       CAST((CAST(nn.n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 1000000
+      |            // (CAST(nn.n AS HUGEINT) * s1) AS BIGINT) AS vmr_ppm
+      |FROM st CROSS JOIN nn WHERE df >= 5""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val tc = Tables.documents(s, dir)
+        .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      val nn = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val st = tc.groupBy($"w").agg(
+        count(lit(1)).as("df"),
+        sum($"c").cast("long").as("s1"),
+        sum($"c" * $"c").cast("long").as("s2"))
+      // numerator ≥ 0 by Cauchy–Schwarz, so `div` ≡ `//`; widths run in
+      // DECIMAL (Spark) / HUGEINT (oracle — DuckDB's DECIMAL `//` rounds,
+      // the e29 gotcha) because n·Σc² outgrows int64 at corpus scale
+      st.filter($"df" >= 5).crossJoin(broadcast(nn))
+        .select($"w".as("token"), $"df", $"s1".as("total_occurrences"),
+          expr("""CAST((CAST(n AS DECIMAL(19,0)) * s2 - CAST(s1 AS DECIMAL(19,0)) * s1) * 1000000
+                  div (CAST(n AS DECIMAL(19,0)) * s1) AS BIGINT)""")
+            .as("vmr_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     ngramStats, sketchStats, langConfusion, ngramNovelty, rareTokenRatio,
-    keywordExtract, collocationLift)
+    keywordExtract, collocationLift, tokenBurstiness)
 }

@@ -1111,10 +1111,68 @@ object Warehouse2 {
           ($"global_max" - $"last_ts_us" > 3600000000L).as("is_stale"))
   }
 
+  /** dq11: BENFORD first-digit screen — the forensic-accounting check on
+    * order totals: naturally-grown monetary values follow Benford's law
+    * (P(d) = log₁₀(1+1/d)); fabricated or systematically generated ones
+    * don't. Per leading digit: observed count, exact-ppm share, the
+    * Benford expectation, and the dq5-shaped `(p−q)² div (p+q)`
+    * deviation contribution.
+    *
+    * log₁₀ is never COMPUTED (the dq5 libm rationale) — the nine Benford
+    * ppm shares are LITERAL CONSTANTS of the check, identical in both
+    * engines by construction. The leading digit comes from the cents
+    * integer by decimal-string truncation (exact; cents > 0 always here
+    * and each digit-9 ties to its magnitude in an all-integer pipeline).
+    *
+    * One scan → 9-row aggregate → literal join. Linear, map-side
+    * combinable; the output is bounded by the digit alphabet.
+    */
+  val dq11Benford = Q("dq11_benford",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM orders),
+      |obs AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs),
+      |exp_ AS (
+      |  SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |    (9, 45757)) AS v(digit, benford_ppm)),
+      |sh AS (
+      |  SELECT e.digit, coalesce(o.n, 0) AS n, e.benford_ppm,
+      |         CAST(coalesce(o.n, 0) * 1000000 // (SELECT t FROM tot) AS BIGINT) AS obs_ppm
+      |  FROM exp_ e LEFT JOIN obs o ON e.digit = o.digit)
+      |SELECT CAST(digit AS BIGINT) AS digit, CAST(n AS BIGINT) AS n,
+      |       obs_ppm, CAST(benford_ppm AS BIGINT) AS benford_ppm,
+      |       CAST(CASE WHEN obs_ppm + benford_ppm = 0 THEN 0
+      |                 ELSE (obs_ppm - benford_ppm) * (obs_ppm - benford_ppm)
+      |                      // (obs_ppm + benford_ppm) END AS BIGINT) AS dev_contrib
+      |FROM sh""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val d = Tables.orders(s, dir).select(
+        expr("CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+      val obs = d.groupBy($"digit").agg(count(lit(1)).as("n"))
+      val tot = obs.agg(sum($"n").cast("long").as("t"))
+      // log10(1+1/d) floored to ppm — constants of the check, never computed
+      val benford = Seq((1L, 301030L), (2L, 176091L), (3L, 124939L),
+        (4L, 96910L), (5L, 79181L), (6L, 66947L), (7L, 57992L),
+        (8L, 51153L), (9L, 45757L)).toDF("digit", "benford_ppm")
+      benford.join(obs, Seq("digit"), "left").crossJoin(broadcast(tot))
+        .select($"digit", coalesce($"n", lit(0L)).as("n"), $"benford_ppm",
+          expr("CAST(coalesce(n, 0L) * 1000000 div t AS BIGINT)").as("obs_ppm"))
+        .select($"digit", $"n", $"obs_ppm", $"benford_ppm",
+          when($"obs_ppm" + $"benford_ppm" === 0, 0L).otherwise(
+            expr("CAST((obs_ppm - benford_ppm) * (obs_ppm - benford_ppm) div (obs_ppm + benford_ppm) AS BIGINT)"))
+            .as("dev_contrib"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
     dq5DistributionDrift, dq6KAnonymity, dq7LDiversity, dq8TCloseness,
-    dq9ColumnProfile, a29Anova, p13AccumulatingSnapshot, dq10Freshness)
+    dq9ColumnProfile, a29Anova, p13AccumulatingSnapshot, dq10Freshness,
+    dq11Benford)
 }

@@ -280,7 +280,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e30/e31: pure subset/self-join/degree-stats over the memoized
       // e11 graph — the only BNLJ is the cached index-build subtree
       // (e14's justification)
-      "e30_mutual_knn", "e31_assortativity")
+      "e30_mutual_knn", "e31_assortativity",
+      // t36/dq11: the 1-row corpus-total broadcast (t10 pattern); the
+      // token/digit joins are keyed
+      "t36_token_burstiness", "dq11_benford")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
