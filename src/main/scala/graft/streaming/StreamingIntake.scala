@@ -300,6 +300,74 @@ object StreamingIntake {
       .trigger(trigger)
       .outputMode("append")
 
+  /** THE MONITORED FULL INTAKE: [[screenBatchFullIvfSplit]]'s three
+    * screens + quota + release + split labels, PLUS the three health
+    * monitors on the same batch in the same foreachBatch — the drift
+    * screen ([[StreamingDrift]], document-length distribution vs a
+    * frozen reference), the KPI-anomaly detector ([[StreamingAnomaly]],
+    * per-batch admitted-character volume vs the trailing batch ledger),
+    * and the incremental profile ([[StreamingProfile]], per-column
+    * partials + the exact distinct-doc bitmap). One stream read, one
+    * checkpoint, one pass over the batch; every artifact batch-scoped,
+    * so the whole composition replays idempotently. This is the
+    * production shape: admission and observability are the SAME job, not
+    * a second pipeline reading the first one's output.
+    */
+  def sinkFullIvfSplitMonitored(docs: DataFrame, indexDir: String,
+      embIndexDir: String, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String, labelDir: String, verdictDir: String,
+      driftRef: StreamingDrift.Reference, driftBinsDir: String,
+      driftSummaryDir: String, driftThreshold: Long,
+      kpiLedgerDir: String, kpiVerdictDir: String,
+      profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
+      checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
+      compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val verdicts = screenBatchFullIvfSplit(batch, indexDir, embIndexDir,
+            batchId, screen, quotaDf, ledgerDir, releaseDir, labelDir,
+            k, tau, nprobe)
+          verdictWriter(verdictDir)(verdicts, batchId)
+          // monitors see the RAW batch (admission must not bias the
+          // health signals), except the KPI which measures what was
+          // actually ADMITTED — the quantity downstream consumes
+          val lens = batch.select(col("doc_id"),
+            length(col("text")).cast("long").as("n_chars"))
+          val driftBins = StreamingDrift.screenBatch(lens, driftRef, "n_chars")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            driftBins.withColumn("__batch", lit(batchId))
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite").partitionBy("__batch").parquet(driftBinsDir)
+            StreamingDrift.summarize(driftBins, driftThreshold)
+              .write.mode("overwrite").parquet(s"$driftSummaryDir/batch_id=$batchId")
+          } finally { driftBins.unpersist(); () }
+          val admittedChars = verdicts.filter(col("admitted"))
+            .select(col("doc_id"))
+            .join(lens, "doc_id")
+          StreamingAnomaly.processBatch(spark, admittedChars, batchId,
+            "n_chars", kpiLedgerDir, kpiVerdictDir)
+          val (stats, bitmap) = StreamingProfile.profileBatch(
+            lens, Seq("n_chars"), "doc_id", profileDomain)
+          Seq(stats -> profileStatsDir, bitmap -> profileBitmapDir).foreach {
+            case (df, dir) =>
+              df.withColumn("__batch", lit(batchId))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").partitionBy("__batch").parquet(dir)
+          }
+          if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+            StreamingIvf.compactIndex(spark, embIndexDir, batchId)
+            ()
+          }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
   /** Streaming sink for the full intake (3 screens + quota + release). */
   def sinkFull(docs: DataFrame, indexDir: String, embIndexDir: String,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,

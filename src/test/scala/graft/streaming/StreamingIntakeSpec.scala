@@ -471,6 +471,86 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     assert(labelsAfter == labelsBefore && labelsAfter.size == 6)
   }
 
+  test("monitored full intake: screens + quota + split + all three monitors in one pass") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("mon-index") + "/index"
+    val embIndexDir = tmp("mon-emb") + "/index"
+    val ledgerDir = tmp("mon-ledger"); val releaseDir = tmp("mon-release")
+    val labelDir = tmp("mon-labels") + "/labels"
+    val verdictDir = tmp("mon-verd") + "/v"
+    val driftBins = tmp("mon-dbins") + "/b"; val driftSum = tmp("mon-dsum")
+    val kpiLedger = tmp("mon-kledger"); val kpiVerd = tmp("mon-kverd") + "/v"
+    val profStats = tmp("mon-pstats") + "/s"; val profBm = tmp("mon-pbm") + "/b"
+    val srcDir = tmp("mon-src"); val ckpt = tmp("mon-ckpt")
+    val quota = Seq(("en", 100L)).toDF("lang", "quota")
+    // drift reference: the fixture sentences' own length family
+    val ref = StreamingDrift.prepare(
+      Seq.tabulate(200)(i => (i.toLong, sentence(60 + i % 4).length.toLong))
+        .toDF("id", "n_chars"), "n_chars", binWidth = 20L)
+
+    val b1 = Seq(
+      (0L, sentence(50), "en", emb(0)),
+      (1L, mutate(sentence(50)), "en", emb(2)),
+      (3L, sentence(51), "en", emb(1)))
+    val b2 = Seq(
+      (12L, sentence(52), "en", emb(5)),
+      (13L, sentence(54), "en", emb(4)))
+
+    def run(): Unit = {
+      val q = StreamingIntake.sinkFullIvfSplitMonitored(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id bigint, text string, lang string, embedding array<float>"))
+          .json(srcDir),
+        indexDir, embIndexDir, screen, quota, ledgerDir, releaseDir, labelDir,
+        verdictDir, ref, driftBins, driftSum, driftThreshold = 1500000L,
+        kpiLedgerDir = kpiLedger, kpiVerdictDir = kpiVerd,
+        profileStatsDir = profStats, profileBitmapDir = profBm,
+        profileDomain = 1000, checkpointDir = ckpt,
+        k = 3, tau = 0.9, nprobe = 3).start()
+      q.awaitTermination()
+    }
+
+    b1.toDF("doc_id", "text", "lang", "embedding").write.mode("append").json(srcDir)
+    run()
+    b2.toDF("doc_id", "text", "lang", "embedding").write.mode("append").json(srcDir)
+    run()
+
+    // the admission half behaves exactly like the unmonitored sink
+    val v = spark.read.parquet(verdictDir)
+    assert(v.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 1L, 3L, 12L, 13L))
+    assert(v.filter($"doc_id" === 1L).head().getAs[Boolean]("is_near_dup"))
+    // drift: per-batch bins + summaries exist; in-family batches don't alert
+    assert(spark.read.parquet(driftBins).select($"__batch").distinct().count() == 2)
+    (0L to 1L).foreach { b =>
+      val s = spark.read.parquet(s"$driftSum/batch_id=$b").head()
+      assert(!s.getAs[Boolean]("is_alert"), s"in-family batch $b alerted: $s")
+    }
+    // anomaly: ledger row per batch with the ADMITTED char volume
+    val admitted1 = b1.filter(r => r._1 != 1L) // doc 1 is the near-dup
+    assert(spark.read.parquet(s"$kpiLedger/batch_id=0").head().getAs[Long]("kpi") ==
+      admitted1.map(_._2.length.toLong).sum)
+    // profile: cumulative over both batches — exact distinct doc count
+    val cum = StreamingProfile.cumulative(spark, profStats, profBm).head()
+    assert(cum.getAs[Long]("n_rows") == 5L &&
+      cum.getAs[Long]("n_distinct_keys") == 5L, s"profile drifted: $cum")
+
+    // replay: fresh checkpoint over the same files converges everywhere
+    // (binary columns stringify BY VALUE — Row.mkString would compare
+    // Array[Byte] object identity)
+    def snap(dirs: Seq[String]): Seq[Seq[String]] = dirs.map { d =>
+      spark.read.parquet(d).collect().map(_.toSeq.map {
+        case b: Array[Byte] => b.map("%02x".format(_)).mkString
+        case x => String.valueOf(x)
+      }.mkString("|")).sorted.toSeq
+    }
+    val dirs = Seq(verdictDir, driftBins, kpiVerd, profStats, profBm)
+    val before = snap(dirs)
+    run() // same ckpt → no new batches; idempotence of the artifacts
+    assert(snap(dirs) == before)
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"
