@@ -75,6 +75,42 @@ object BloomIndex {
       throw new IllegalStateException(s"bloom index publish rename failed: $tmp -> $target")
   }
 
+  /** INCREMENTAL maintenance: rebuild ONLY the touched partitions' index
+    * rows after an append (a bloom can't subtract, but it can be rebuilt
+    * per partition from that partition's data alone — cost follows the
+    * append's locality, not table size). Untouched rows carry over
+    * byte-identical; the publish is the same atomic tmp+rename as
+    * [[build]], so readers mid-refresh stay on the previous complete
+    * index.
+    */
+  def refreshPartitions(spark: SparkSession, dataDir: String, indexDir: String,
+      partCol: String, keyCol: String, parts: Seq[String],
+      expectedPerPartition: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    require(parts.nonEmpty, "refreshPartitions needs at least one partition")
+    register(spark)
+    val numBits = math.ceil(
+      -expectedPerPartition * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // read ONLY the touched partitions (explicit path list, the lookup's
+    // own pruning discipline)
+    val touched = spark.read.option("basePath", dataDir)
+      .parquet(parts.map(p => s"$dataDir/$partCol=$p"): _*)
+      .groupBy(col(partCol).cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        call_function("bloom_agg", xxhash64(col(keyCol)),
+          lit(expectedPerPartition), lit(numBits)).as("bloom"))
+    val untouched = spark.read.parquet(indexDir)
+      .filter(!col("part").isin(parts: _*))
+    val target = new Path(indexDir)
+    val tmp = new Path(indexDir + ".build")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    untouched.unionByName(touched).coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new IllegalStateException(s"bloom index refresh rename failed: $tmp -> $target")
+  }
+
   /** The candidate partition values for a point key: driver-side
     * membership tests over the metadata-sized index (|partitions| rows).
     */

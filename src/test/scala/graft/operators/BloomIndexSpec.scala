@@ -57,6 +57,32 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestKit {
     assert(absent.count() == 0L)
   }
 
+  test("refreshPartitions rebuilds only the touched rows; untouched rows carry over byte-identical") {
+    val dataDir = tmp("bi-data3") + "/t"
+    val idxDir = tmp("bi-idx3") + "/ix"
+    writeData(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    def indexRows(): Map[String, (Long, String)] =
+      spark.read.parquet(idxDir).collect().map { r =>
+        r.getAs[String]("part") -> ((r.getAs[Long]("n_rows"),
+          r.getAs[Array[Byte]]("bloom").map("%02x".format(_)).mkString))
+      }.toMap
+    val before = indexRows()
+    // append into lang2 only, refresh just that partition
+    Seq((88888L, "lang2", 1L)).toDF("k", "lang", "v")
+      .write.partitionBy("lang").mode("append").parquet(dataDir)
+    BloomIndex.refreshPartitions(spark, dataDir, idxDir, "lang", "k",
+      Seq("lang2"), 4000L)
+    val after = indexRows()
+    assert(after("lang2")._1 == 2001L, "touched row must reflect the append")
+    assert(BloomIndex.candidateParts(spark, idxDir, 88888L).contains("lang2"))
+    assert(BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", 88888L).count() == 1L)
+    // every untouched row is byte-identical (count AND sketch)
+    (before.keySet - "lang2").foreach { p =>
+      assert(after(p) == before(p), s"untouched partition $p drifted")
+    }
+  }
+
   test("rebuild replaces the index atomically and reflects appends") {
     val dataDir = tmp("bi-data2") + "/t"
     val idxDir = tmp("bi-idx2") + "/ix"
