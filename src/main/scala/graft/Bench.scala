@@ -43,9 +43,15 @@ object Bench {
       }
       catch { case _: Throwable => -1.0 }
     }
-    // min of two runs per query: the second run amortizes per-query JIT /
-    // cache materialization noise, keeping totals comparable across rounds
-    def minOf2(q: graft.queries.Q): Double = {
+    // one UNTIMED warm-up run, then min of two timed runs: the warm-up
+    // materializes per-query caches / JIT / shuffle files so the timed
+    // runs measure steady state (r9 lesson: e18's `und.cache()` made the
+    // FIRST run carry cache-build cost, and min-of-2 still inherited
+    // whatever eviction pressure the preceding 200 queries left — the
+    // warm-up run absorbs both, so sub-second queries stop flapping
+    // against the committed baseline)
+    def warmMinOf2(q: graft.queries.Q): Double = {
+      if (once(q) < 0) return -1.0 // warm-up; result discarded, errors kept
       val a = once(q)
       if (a < 0) -1.0 else { val b = once(q); if (b < 0) -1.0 else math.min(a, b) }
     }
@@ -55,7 +61,7 @@ object Bench {
       case Some(re) => SparkEntry.registry.filter(q => re.r.findFirstIn(q.name).isDefined)
       case None     => SparkEntry.registry
     }
-    val firstPass = registry.map(q => q.name -> minOf2(q)).toMap
+    val firstPass = registry.map(q => q.name -> warmMinOf2(q)).toMap
     val calEnd = calibrate()
 
     // Per-query times from the previous round — the reference for "did
@@ -120,6 +126,18 @@ object Bench {
     val calRatio = if (prevCal > 0 && calNow > 0) calNow / prevCal else 1.0
     val calNorm = math.max(1.0, calRatio)
 
+    // ABSOLUTE NOISE FLOORS (r9 verdict #1): ratio-only thresholds
+    // statistically guarantee false flags on sub-second queries — a
+    // 0.12 s baseline is within scheduling jitter of 0.27 s on ANY run,
+    // and a min-of-N committed baseline sits below the typical draw by
+    // construction. A query is only suspicious/regressed when it exceeds
+    // the scaled previous time by a RATIO *and* by an absolute margin
+    // large enough that jitter can't produce it. The margins are sized
+    // from observed r9 noise (fastest false flag: +0.85 s on a 1.13 s
+    // query; real regressions in queries that matter move by seconds).
+    val rerunFloor = 0.35 // seconds over prev·cal before a rerun is spent
+    val regrFloor = 0.75 // seconds over prev·cal before the tripwire fires
+
     // re-run suspects once more and keep the min: a query far above its
     // previous-round time is overwhelmingly a load spike, not a regression
     // (a real regression reproduces in the third run; a spike doesn't).
@@ -129,7 +147,7 @@ object Bench {
     val suspects = registry.filter { q =>
       val v = firstPass(q.name)
       val p = prev.getOrElse(q.name, -1.0)
-      v > 0 && p > 0 && v > factor * p * calNorm
+      v > 0 && p > 0 && v > factor * p * calNorm && v > p * calNorm + rerunFloor
     }
     // suspects get exactly ONE extra run (min of 3 total vs min of 2 for
     // everyone else — the "reruns" list in the artifact records who got
@@ -149,7 +167,7 @@ object Bench {
     // local gating.
     val regressions = results.collect {
       case (n, v) if v > 0 && prev.getOrElse(n, -1.0) > 0 &&
-        v > 2.0 * prev(n) * calNorm => n
+        v > 2.0 * prev(n) * calNorm && v > prev(n) * calNorm + regrFloor => n
     }
     if (regressions.nonEmpty)
       System.err.println(

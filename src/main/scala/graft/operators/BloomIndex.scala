@@ -13,13 +13,22 @@ import org.apache.spark.util.sketch.BloomFilter
   * "read only the partitions that MIGHT contain the key":
   *
   *  1. build: one grouped aggregate over the table — per partition
-  *     value, a serialized bloom of `xxhash64(key)` (Spark's own
+  *     value, a serialized bloom of `xxhash64(CAST(key AS BIGINT))`
+  *     (Spark's own
   *     [[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate]],
   *     registered here as `bloom_agg` — the same sketch
   *     InjectRuntimeFilter builds at runtime, surfaced as a PERSISTED
-  *     index artifact) plus the row count; written atomically
-  *     (tmp + rename) so readers mid-rebuild see the previous complete
-  *     index;
+  *     index artifact) plus the row count. The cast pins ONE hash space
+  *     for build and probe: xxhash64 over an IntegerType column hashes
+  *     4-byte values, the driver-side probe hashes an 8-byte long —
+  *     without the cast a non-long key column silently false-negatives,
+  *     violating the index's no-false-negative contract;
+  *     publish is READER-ATOMIC: each (re)build lands a new immutable
+  *     `v%05d` directory and then swings the `_CURRENT` pointer file —
+  *     a reader mid-rebuild resolves either the old or the new complete
+  *     version, never a missing or half-written directory (the
+  *     CorpusManifest versioned-artifact pattern; the previous version
+  *     is retained one cycle for in-flight readers);
   *  2. probe: the index is METADATA-sized (one row per partition), so
   *     membership tests run driver-side over the collected sketches —
   *     the billions of data rows never move;
@@ -49,9 +58,63 @@ object BloomIndex {
           .toAggregateExpression()
       }, "built-in")
 
+  /** Resolve the current index version under `indexDir`: the `_CURRENT`
+    * pointer if present, else the highest `v%05d` directory (covers a
+    * crash between version write and pointer swing — the newest COMPLETE
+    * version wins because version dirs are written before the pointer).
+    * Returns -1 when no version exists yet.
+    */
+  private def currentVersion(fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Int = {
+    val ptr = new Path(indexDir, "_CURRENT")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val root = new Path(indexDir)
+      if (!fs.exists(root)) -1
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt)
+        .foldLeft(-1)(math.max)
+    }
+  }
+
+  /** Publish one index frame as the next version and swing the pointer;
+    * retains exactly one prior version for in-flight readers.
+    */
+  private def publish(spark: SparkSession, indexDir: String, idx: DataFrame): Unit = {
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = currentVersion(fs, indexDir) + 1
+    idx.coalesce(1).write.mode("overwrite")
+      .parquet(f"$indexDir/v$next%05d")
+    val ptr = new Path(indexDir, "_CURRENT")
+    val tmp = new Path(indexDir, "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false) // readers fall back to max-version during this instant
+    if (!fs.rename(tmp, ptr))
+      throw new IllegalStateException(s"bloom index pointer swing failed: $tmp -> $ptr")
+    // keep version next-1 for readers that resolved before the swing
+    fs.listStatus(new Path(indexDir)).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d{5}") && p.getName.drop(1).toInt < next - 1)
+      .foreach(fs.delete(_, true))
+  }
+
+  /** The current index table: `(part, n_rows, bloom)`, one row per
+    * partition value. Reads the pointed-at immutable version (legacy
+    * root-level parquet files from a pre-versioned build are read
+    * directly).
+    */
+  def read(spark: SparkSession, indexDir: String): DataFrame = {
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v = currentVersion(fs, indexDir)
+    if (v >= 0) spark.read.parquet(f"$indexDir/v$v%05d")
+    else spark.read.parquet(indexDir)
+  }
+
   /** Build the index for `dataDir` (Hive-partitioned by `partCol`) over
     * `keyCol`: one row per partition value — `(part, n_rows, bloom)` —
-    * published atomically to `indexDir`.
+    * published reader-atomically to `indexDir` (versioned dir + pointer).
     */
   def build(spark: SparkSession, dataDir: String, indexDir: String,
       partCol: String, keyCol: String,
@@ -63,25 +126,18 @@ object BloomIndex {
     val idx = spark.read.parquet(dataDir)
       .groupBy(col(partCol).cast("string").as("part"))
       .agg(count(lit(1)).as("n_rows"),
-        call_function("bloom_agg", xxhash64(col(keyCol)),
+        call_function("bloom_agg", xxhash64(col(keyCol).cast("long")),
           lit(expectedPerPartition), lit(numBits)).as("bloom"))
-    val target = new Path(indexDir)
-    val tmp = new Path(indexDir + ".build")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
-    idx.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"bloom index publish rename failed: $tmp -> $target")
+    publish(spark, indexDir, idx)
   }
 
   /** INCREMENTAL maintenance: rebuild ONLY the touched partitions' index
     * rows after an append (a bloom can't subtract, but it can be rebuilt
     * per partition from that partition's data alone — cost follows the
     * append's locality, not table size). Untouched rows carry over
-    * byte-identical; the publish is the same atomic tmp+rename as
-    * [[build]], so readers mid-refresh stay on the previous complete
-    * index.
+    * byte-identical; the publish is the same reader-atomic versioned
+    * pointer swing as [[build]], so readers mid-refresh stay on the
+    * previous complete index.
     */
   def refreshPartitions(spark: SparkSession, dataDir: String, indexDir: String,
       partCol: String, keyCol: String, parts: Seq[String],
@@ -96,26 +152,20 @@ object BloomIndex {
       .parquet(parts.map(p => s"$dataDir/$partCol=$p"): _*)
       .groupBy(col(partCol).cast("string").as("part"))
       .agg(count(lit(1)).as("n_rows"),
-        call_function("bloom_agg", xxhash64(col(keyCol)),
+        call_function("bloom_agg", xxhash64(col(keyCol).cast("long")),
           lit(expectedPerPartition), lit(numBits)).as("bloom"))
-    val untouched = spark.read.parquet(indexDir)
+    val untouched = read(spark, indexDir)
       .filter(!col("part").isin(parts: _*))
-    val target = new Path(indexDir)
-    val tmp = new Path(indexDir + ".build")
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(tmp, true)
-    untouched.unionByName(touched).coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new IllegalStateException(s"bloom index refresh rename failed: $tmp -> $target")
+    // the new version must not lazily re-read rows from a version dir the
+    // publish is about to expire — pin the union before publishing
+    publish(spark, indexDir, untouched.unionByName(touched).localCheckpoint(true))
   }
 
   /** The candidate partition values for a point key: driver-side
     * membership tests over the metadata-sized index (|partitions| rows).
     */
   def candidateParts(spark: SparkSession, indexDir: String, key: Long): Seq[String] =
-    spark.read.parquet(indexDir).select(col("part"), col("bloom"))
+    read(spark, indexDir).select(col("part"), col("bloom"))
       .collect()
       .filter { r =>
         val bf = BloomFilter.readFrom(

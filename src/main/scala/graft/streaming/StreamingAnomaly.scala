@@ -85,7 +85,11 @@ object StreamingAnomaly {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       valueCol: String, ledgerDir: String, verdictDir: String,
       window: Int = 28, minHistory: Int = 4, zThreshold: Double = 3.0): Unit = {
-    if (batch.isEmpty) return
+    // EMPTY BATCHES ARE SCORED: kpi = 0 is a legitimate — maximally
+    // anomalous — observation, and a totally collapsed feed is exactly
+    // the failure this detector exists to catch. Skipping empties would
+    // leave a 0-row feed silent forever (the r9 ADVICE finding); the
+    // global aggregate in scoreBatch yields one (n_rows=0, kpi=0) row.
     val verdict = scoreBatch(spark, batch, batchId,
       valueCol, ledgerDir, window, minHistory, zThreshold)
       .localCheckpoint(true) // score BEFORE the ledger gains this batch

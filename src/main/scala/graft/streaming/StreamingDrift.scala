@@ -60,8 +60,11 @@ object StreamingDrift {
   /** Per-bin drift rows for one batch:
     * `(bin, n_batch, p_ppm, q_ppm, drift_contrib)` — a full outer
     * alignment, so reference-only bins (n_batch = 0) and novel bins
-    * (q_ppm = 0) both appear. Returns an empty-but-schema'd frame for a
-    * batch with no non-null values (the caller's sink skips the write).
+    * (q_ppm = 0) both appear. NOTE a batch with NO non-null values does
+    * not come back empty: the full-outer join returns every reference
+    * bin with n_batch = 0, summing to a spurious max-drift verdict —
+    * callers MUST apply the non-null-values guard before persisting
+    * (both [[sink]] and StreamingIntake.sinkFullIvfSplitMonitored do).
     */
   def screenBatch(batch: DataFrame, ref: Reference, valueCol: String): DataFrame = {
     val cell = batch

@@ -336,15 +336,21 @@ object StreamingIntake {
           // actually ADMITTED — the quantity downstream consumes
           val lens = batch.select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"))
-          val driftBins = StreamingDrift.screenBatch(lens, driftRef, "n_chars")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            driftBins.withColumn("__batch", lit(batchId))
-              .write.option("partitionOverwriteMode", "dynamic")
-              .mode("overwrite").partitionBy("__batch").parquet(driftBinsDir)
-            StreamingDrift.summarize(driftBins, driftThreshold)
-              .write.mode("overwrite").parquet(s"$driftSummaryDir/batch_id=$batchId")
-          } finally { driftBins.unpersist(); () }
+          // same non-null-values guard as StreamingDrift.sink: a batch
+          // whose valueCol is entirely null would otherwise persist every
+          // reference bin at n_batch=0 — a spurious max-drift alert (the
+          // screenBatch full-outer shape; see its scaladoc)
+          if (!lens.filter(col("n_chars").isNotNull).isEmpty) {
+            val driftBins = StreamingDrift.screenBatch(lens, driftRef, "n_chars")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              driftBins.withColumn("__batch", lit(batchId))
+                .write.option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite").partitionBy("__batch").parquet(driftBinsDir)
+              StreamingDrift.summarize(driftBins, driftThreshold)
+                .write.mode("overwrite").parquet(s"$driftSummaryDir/batch_id=$batchId")
+            } finally { driftBins.unpersist(); () }
+          }
           val admittedChars = verdicts.filter(col("admitted"))
             .select(col("doc_id"))
             .join(lens, "doc_id")
@@ -450,6 +456,21 @@ object StreamingIntake {
       .trigger(trigger)
       .outputMode("append")
 
+  /** One micro-batch of the full intake (content screens + quota):
+    * screen, gate, land ledger row + verdict partition. The
+    * [[sinkWithQuota]] body, public so a fault-injection harness (and
+    * direct replays) can run exactly what the sink runs.
+    */
+  def processBatchWithQuota(batch: DataFrame, batchId: Long, indexDir: String,
+      screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
+      verdictDir: String): Unit =
+    if (!batch.isEmpty) {
+      val verdicts =
+        screenBatchWithQuota(batch, indexDir, batchId, screen, quotaDf, ledgerDir)
+      try verdictWriter(verdictDir)(verdicts, batchId)
+      finally verdicts.unpersist()
+    }
+
   /** Streaming sink for the full intake (content screens + quota). */
   def sinkWithQuota(docs: DataFrame, indexDir: String,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
@@ -457,12 +478,8 @@ object StreamingIntake {
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val verdicts =
-            screenBatchWithQuota(batch, indexDir, batchId, screen, quotaDf, ledgerDir)
-          try verdictWriter(verdictDir)(verdicts, batchId)
-          finally verdicts.unpersist()
-        }
+        processBatchWithQuota(batch, batchId, indexDir, screen, quotaDf,
+          ledgerDir, verdictDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

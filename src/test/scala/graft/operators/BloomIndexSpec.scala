@@ -32,7 +32,7 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestKit {
     BloomIndex.build(spark, dataDir, idxDir, "lang", "k",
       expectedPerPartition = 4000L, fpp = 0.01)
 
-    val idx = spark.read.parquet(idxDir)
+    val idx = BloomIndex.read(spark, idxDir)
     assert(idx.count() == 8L)
     assert(idx.agg(sum($"n_rows")).head().getLong(0) == 16000L)
 
@@ -63,7 +63,7 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestKit {
     writeData(dataDir)
     BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
     def indexRows(): Map[String, (Long, String)] =
-      spark.read.parquet(idxDir).collect().map { r =>
+      BloomIndex.read(spark, idxDir).collect().map { r =>
         r.getAs[String]("part") -> ((r.getAs[Long]("n_rows"),
           r.getAs[Array[Byte]]("bloom").map("%02x".format(_)).mkString))
       }.toMap
@@ -94,7 +94,49 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestKit {
     BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
     assert(BloomIndex.candidateParts(spark, idxDir, 99999L).contains("lang0"))
     assert(BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", 99999L).count() == 1L)
-    assert(spark.read.parquet(idxDir)
+    assert(BloomIndex.read(spark, idxDir)
       .filter($"part" === "lang0").head().getAs[Long]("n_rows") == 2001L)
+  }
+
+  test("rebuild is reader-atomic: the prior version stays readable through the swing") {
+    val dataDir = tmp("bi-data4") + "/t"
+    val idxDir = tmp("bi-idx4") + "/ix"
+    writeData(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    // a reader that resolved v00000 before the rebuild must still be able
+    // to read that directory after the rebuild publishes v00001 (retention
+    // keeps exactly one prior version)
+    val v0 = s"$idxDir/v00000"
+    assert(spark.read.parquet(v0).count() == 8L)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    assert(spark.read.parquet(v0).count() == 8L, "prior version deleted too early")
+    assert(BloomIndex.read(spark, idxDir).count() == 8L)
+    // a third build expires v00000 (retain-one policy) but keeps v00001
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(v0)))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/v00001")))
+    assert(BloomIndex.candidateParts(spark, idxDir, 5L).contains("lang0"))
+  }
+
+  test("non-long key columns share the probe's hash space (no false negatives)") {
+    // the ADVICE repro: an IntegerType key hashed in its native width
+    // would occupy a different xxhash64 space than the driver-side
+    // long-typed probe — the build's cast-to-long pins one space
+    val dataDir = tmp("bi-data5") + "/t"
+    val idxDir = tmp("bi-idx5") + "/ix"
+    (0 until 4).flatMap { p =>
+      (0 until 500).map(i => (p * 1000 + i, s"lang$p", i))
+    }.toDF("k", "lang", "v")
+      .withColumn("k", $"k".cast("int"))
+      .write.partitionBy("lang").mode("overwrite").parquet(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 1000L)
+    for (key <- Seq(5L, 1017L, 3499L)) {
+      val expectedPart = s"lang${key / 1000}"
+      assert(BloomIndex.candidateParts(spark, idxDir, key).contains(expectedPart),
+        s"int-typed key $key false-negatived")
+      assert(BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", key).count() == 1L)
+    }
   }
 }

@@ -56,6 +56,24 @@ class StreamingAnomalySpec extends AnyFunSuite with SparkTestKit {
       s"spike z mismatch: got ${v(5L)}, want $zWant")
   }
 
+  test("a collapsed feed (empty batch) is scored and alerts") {
+    val ledger = tmp("an-eledger"); val verd = tmp("an-everd") + "/v"
+    kpis.take(5).zipWithIndex.foreach { case (t, i) =>
+      process(ledger, verd, i.toLong, t)
+    }
+    // batch 5 delivers ZERO rows — the broken-producer case; kpi = 0 must
+    // be scored against the warm history, not skipped
+    StreamingAnomaly.processBatch(spark, rows(10, 1000L).filter(lit(false)),
+      5L, "cents", ledger, verd, window = 28, minHistory = 4)
+    val v = verdictsOf(verd)
+    assert(v.contains(5L), "empty batch wrote no ledger/verdict row")
+    assert(v(5L)._1 == 0L)
+    assert(v(5L)._3, s"collapsed feed must alert: ${v(5L)}")
+    // and the zero-kpi batch joins the history for later scoring
+    process(ledger, verd, 6L, 1000L)
+    assert(v.size + 1 == verdictsOf(verd).size)
+  }
+
   test("checkpointed sink matches sequential processBatch; replay converges") {
     // sink path: one checkpoint, one file per micro-batch
     val src = tmp("an-src"); val ledger = tmp("an-sledger")
