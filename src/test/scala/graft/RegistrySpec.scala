@@ -17,6 +17,14 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("COVERAGE.md's generated gate map matches the registry (run `sbt coverageMap` after registry changes)") {
+    val cov = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")), "UTF-8")
+    val want = graft.tools.CoverageMap.generated()
+    assert(cov.contains(want),
+      "COVERAGE.md gate map is stale or missing — regenerate with `sbt coverageMap`")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
