@@ -903,15 +903,7 @@ object Dedup {
     (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val sh = shingles(s, dir).cache()
-      val dfSh = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
-      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val byRarity = org.apache.spark.sql.expressions.Window
-        .partitionBy($"doc_id").orderBy($"df", $"shingle")
-      val prefix = sh.join(dfSh, "shingle").join(sz, "doc_id")
-        .withColumn("rn", row_number().over(byRarity))
-        .filter($"rn" <= $"n" - expr("(n + 1) div 2") + 1)
-        .select($"doc_id", $"shingle", $"n")
+      val prefix = d17PrefixPostings(s, dir)
       val cand = prefix.select($"shingle", $"doc_id".as("doc_a"), $"n".as("n_a"))
         .join(prefix.select($"shingle", $"doc_id".as("doc_b"), $"n".as("n_b")), Seq("shingle"))
         .filter($"doc_a" < $"doc_b"
@@ -934,6 +926,24 @@ object Dedup {
           size($"ga").cast("long").as("na"),
           size($"gb").cast("long").as("nb"),
           (inter.cast("double") / (size($"ga") + size($"gb") - inter)).as("jaccard"))
+  }
+
+  /** d17's prefix-postings stage `(doc_id, shingle, n)` — factored out so
+    * [[graft.tools.DecadeSoak]] can price the candidate join from the
+    * posting dfs (Σ df·(df−1)/2) BEFORE deciding to run it at a scale
+    * where a saturated shingle universe makes the exact tier quadratic.
+    */
+  private[graft] def d17PrefixPostings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    val dfSh = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"df", $"shingle")
+    sh.join(dfSh, "shingle").join(sz, "doc_id")
+      .withColumn("rn", row_number().over(byRarity))
+      .filter($"rn" <= $"n" - expr("(n + 1) div 2") + 1)
+      .select($"doc_id", $"shingle", $"n")
   }
 
   /** D18: GOLDEN-RECORD consolidation — entity resolution's second half
@@ -1015,8 +1025,127 @@ object Dedup {
         .select($"golden_id", $"golden_name", $"n_members", $"acctbal_cents", $"segment")
   }
 
+  /** D19: FELLEGI–SUNTER probabilistic record linkage — the scoring
+    * model between d7's candidate generation and d18's merge: each
+    * blocked candidate pair gets a match-likelihood ratio Π m_f/u_f
+    * (agreeing fields) × Π (1−m_f)/(1−u_f) (disagreeing), the 1969
+    * theory behind every production MDM matcher.
+    *
+    * Parameter estimation is DATA-DRIVEN and deterministic (no EM):
+    *  - m_f (P(field agrees | match)) from the HIGH-PRECISION SEED set —
+    *    blocked pairs with name edit distance ≤ 1 (d7's output), the
+    *    standard bootstrap when no labels exist;
+    *  - u_f (P(field agrees | random pair)) from value frequencies:
+    *    Σ_v n_v² / N², the exact chance-agreement rate.
+    * Both are floor'd to ppm INTEGERS and clamped to [100, 999900], so
+    * every weight factor is exact int64 and no ratio exceeds 10⁴ per
+    * field — numerator/denominator products of 3 fields stay < 10¹⁸
+    * (int64-safe; beyond ~sf30 promote Σn_v² to decimal like mb1's lift
+    * note) and the final score is one 128-bit integer floor-division
+    * (Spark decimal `div` / DuckDB hugeint `//`) — hash-exact across
+    * engines with zero float ops.
+    *
+    * Scale shape: ONE blocked self-join builds the candidate pairs (the
+    * d7 shape — never all-pairs); m comes from an aggregate OVER those
+    * pairs, u from per-field value-frequency aggregates of the base
+    * table; the six ppm parameters ride into the scoring projection as
+    * a broadcast 1-row cross join (the mb1 n_baskets idiom). Output is
+    * pairs with ratio ≥ 1 (score_ppm ≥ 10⁶ — likelier match than
+    * chance), each with its agreement pattern for audit.
+    */
+  val fellegiSunter = Q("d19_fellegi_sunter",
+    """WITH c AS (
+      |  SELECT c_custkey, c_name,
+      |         substr(c_name, 1, length(c_name) - 1) AS blk,
+      |         c_nationkey AS nat, c_mktsegment AS seg,
+      |         CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT) AS band
+      |  FROM customer),
+      |cand AS (
+      |  SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      |         CASE WHEN a.nat = b.nat THEN 1 ELSE 0 END AS ag_nat,
+      |         CASE WHEN a.seg = b.seg THEN 1 ELSE 0 END AS ag_seg,
+      |         CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS ag_band,
+      |         CASE WHEN levenshtein(a.c_name, b.c_name) <= 1 THEN 1 ELSE 0 END AS is_seed
+      |  FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey),
+      |m AS (
+      |  SELECT greatest(least(1000000 * CAST(sum(ag_nat) AS BIGINT) // greatest(count(*), 1), 999900), 100) AS m_nat,
+      |         greatest(least(1000000 * CAST(sum(ag_seg) AS BIGINT) // greatest(count(*), 1), 999900), 100) AS m_seg,
+      |         greatest(least(1000000 * CAST(sum(ag_band) AS BIGINT) // greatest(count(*), 1), 999900), 100) AS m_band
+      |  FROM cand WHERE is_seed = 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM c),
+      |u AS (
+      |  SELECT
+      |    greatest(least((SELECT CAST(sum(nv * nv) AS BIGINT) FROM (SELECT count(*) AS nv FROM c GROUP BY nat))
+      |      * 1000000 // (n_cust * n_cust), 999900), 100) AS u_nat,
+      |    greatest(least((SELECT CAST(sum(nv * nv) AS BIGINT) FROM (SELECT count(*) AS nv FROM c GROUP BY seg))
+      |      * 1000000 // (n_cust * n_cust), 999900), 100) AS u_seg,
+      |    greatest(least((SELECT CAST(sum(nv * nv) AS BIGINT) FROM (SELECT count(*) AS nv FROM c GROUP BY band))
+      |      * 1000000 // (n_cust * n_cust), 999900), 100) AS u_band
+      |  FROM n),
+      |scored AS (
+      |  SELECT cust_a, cust_b,
+      |         CAST(ag_nat AS VARCHAR) || CAST(ag_seg AS VARCHAR) || CAST(ag_band AS VARCHAR) AS pattern,
+      |         CAST((CASE WHEN ag_nat = 1 THEN m_nat ELSE 1000000 - m_nat END)
+      |            * (CASE WHEN ag_seg = 1 THEN m_seg ELSE 1000000 - m_seg END)
+      |            * (CASE WHEN ag_band = 1 THEN m_band ELSE 1000000 - m_band END) AS BIGINT) AS num,
+      |         CAST((CASE WHEN ag_nat = 1 THEN u_nat ELSE 1000000 - u_nat END)
+      |            * (CASE WHEN ag_seg = 1 THEN u_seg ELSE 1000000 - u_seg END)
+      |            * (CASE WHEN ag_band = 1 THEN u_band ELSE 1000000 - u_band END) AS BIGINT) AS den
+      |  FROM cand, m, u)
+      |SELECT cust_a, cust_b, pattern, num, den,
+      |       CAST(CAST(num AS HUGEINT) * 1000000 // CAST(den AS HUGEINT) AS BIGINT) AS score_ppm
+      |FROM scored
+      |WHERE CAST(num AS HUGEINT) * 1000000 // CAST(den AS HUGEINT) >= 1000000""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir).select(
+        $"c_custkey", $"c_name",
+        expr("substr(c_name, 1, length(c_name) - 1)").as("blk"),
+        $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
+        floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"))
+      val a = c.select($"blk", $"c_custkey".as("cust_a"), $"c_name".as("name_a"),
+        $"nat".as("nat_a"), $"seg".as("seg_a"), $"band".as("band_a"))
+      val b = c.select($"blk".as("blk_b"), $"c_custkey".as("cust_b"), $"c_name".as("name_b"),
+        $"nat".as("nat_b"), $"seg".as("seg_b"), $"band".as("band_b"))
+      // one blocked self-join; agreement flags + the seed label computed
+      // once, reused by BOTH the m estimate and the scoring pass
+      val cand = a.join(b, $"blk" === $"blk_b" && $"cust_a" < $"cust_b")
+        .select($"cust_a", $"cust_b",
+          when($"nat_a" === $"nat_b", 1).otherwise(0).as("ag_nat"),
+          when($"seg_a" === $"seg_b", 1).otherwise(0).as("ag_seg"),
+          when($"band_a" === $"band_b", 1).otherwise(0).as("ag_band"),
+          when(levenshtein($"name_a", $"name_b") <= 1, 1).otherwise(0).as("is_seed"))
+        .cache()
+      def clampPpm(x: Column): Column = greatest(least(x, lit(999900L)), lit(100L))
+      val m = cand.filter($"is_seed" === 1).agg(
+        clampPpm(expr("1000000 * cast(sum(ag_nat) as bigint) div greatest(count(1), 1)")).as("m_nat"),
+        clampPpm(expr("1000000 * cast(sum(ag_seg) as bigint) div greatest(count(1), 1)")).as("m_seg"),
+        clampPpm(expr("1000000 * cast(sum(ag_band) as bigint) div greatest(count(1), 1)")).as("m_band"))
+      val nCust = c.agg(count(lit(1)).as("n_cust"))
+      def uOf(field: String, out: String) =
+        c.groupBy(col(field)).agg(count(lit(1)).as("nv"))
+          .agg(sum($"nv" * $"nv").as("s2"))
+          .crossJoin(nCust)
+          .select(clampPpm(expr("s2 * 1000000 div (n_cust * n_cust)")).as(out))
+      val stats = m.crossJoin(uOf("nat", "u_nat")).crossJoin(uOf("seg", "u_seg"))
+        .crossJoin(uOf("band", "u_band"))
+      def factor(ag: Column, ppm: Column): Column =
+        when(ag === 1, ppm).otherwise(lit(1000000L) - ppm)
+      cand.crossJoin(broadcast(stats))
+        .select($"cust_a", $"cust_b",
+          concat($"ag_nat".cast("string"), $"ag_seg".cast("string"),
+            $"ag_band".cast("string")).as("pattern"),
+          (factor($"ag_nat", $"m_nat") * factor($"ag_seg", $"m_seg")
+            * factor($"ag_band", $"m_band")).cast("long").as("num"),
+          (factor($"ag_nat", $"u_nat") * factor($"ag_seg", $"u_seg")
+            * factor($"ag_band", $"u_band")).cast("long").as("den"))
+        .withColumn("score_ppm",
+          expr("cast(cast(num as decimal(38,0)) * 1000000 div den as bigint)"))
+        .filter($"score_ppm" >= 1000000L)
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
     sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall,
-    clusterSizeHistogram, prefixFilterJoin, goldenRecord)
+    clusterSizeHistogram, prefixFilterJoin, goldenRecord, fellegiSunter)
 }

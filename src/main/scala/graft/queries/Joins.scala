@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -284,7 +285,16 @@ object Joins {
       |       least(s.e_us, b.b_e_us) - greatest(s.s_us, b.b_s_us) AS overlap_us
       |FROM sessions s JOIN bursts b
       |  ON s.s_us <= b.b_e_us AND b.b_s_us <= s.e_us""".stripMargin) {
-    (s, dir) =>
+    (s, dir) => intervalOverlapPlan(s, dir, bucketUs = 3600000000L)
+  }
+
+  /** j10's bucketed interval-overlap plan with the bucket width exposed —
+    * the dial [[graft.tools.DecadeSoak]] sweeps (fanout per interval =
+    * span/width; candidate dups per pair = shared buckets). The Q above
+    * pins the 1-hour default.
+    */
+  private[graft] def intervalOverlapPlan(
+      s: SparkSession, dir: String, bucketUs: Long): DataFrame = {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val ev = Tables.events(s, dir)
@@ -309,7 +319,7 @@ object Joins {
         .agg(min($"t").as("b_s_us"), max($"t").as("b_e_us"),
           count(lit(1)).as("n_err"))
         .filter($"n_err" >= 3).drop("n_err")
-      val W = 3600000000L // 1-hour buckets: fanout = interval span / W
+      val W = bucketUs // fanout = interval span / W
       val sB = sessions.withColumn("bucket",
         explode(expr(s"sequence(s_us div $W, e_us div $W)")))
       val bB = bursts.withColumn("bucket",

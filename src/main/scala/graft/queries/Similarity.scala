@@ -1818,10 +1818,84 @@ object Similarity {
         (num / (sqrt(vx) * sqrt(vy))).as("assortativity"))
   }
 
+  /** E32: RADIUS (range) similarity search — ALL neighbors with cosine
+    * ≥ τ per probe, not a top-k: the recall face of ANN (near-dup
+    * mining, "find everything similar to X" compliance sweeps, radius
+    * recall sets for graph building). τ = 0.25, probes = vec_id < 8.
+    *
+    * Scale shape: LOSSLESS IVF cell pruning over the e4/e17 quantized
+    * index's frozen assignment. One linear pass caps each cell in unit
+    * space: rep = the min-vec_id member (any representative yields a
+    * valid bound), rmax = max over members of ‖x̂ − r̂‖ =
+    * √(2 − 2·cos(x, rep)). For a unit probe q̂,
+    * q̂·x̂ = q̂·r̂ + q̂·(x̂−r̂) ≤ cos(q, rep) + rmax, so a cell with
+    * cos(q, rep) + rmax < τ − 10⁻⁹ cannot hold a qualifying neighbor
+    * and is pruned BEFORE any member dot product (the 10⁻⁹ margin
+    * dwarfs the ~10⁻¹⁴ relative error of a 64-dim double fold, so float
+    * slop can never prune a true neighbor). The corpus side streams —
+    * only probe × surviving-cell members pay the exact cosine, which is
+    * the e1 IEEE chain, so the surviving set hash-matches the oracle's
+    * BRUTE FORCE exactly: the approximation-free range query with the
+    * IVF cost model. RadiusSpec pins pruned ≡ brute force AND that
+    * pruning actually removed cells on the clustered corpus.
+    */
+  val radiusSearch = Q("e32_radius_search", {
+    val d = dotSql.format("q.embedding", "c.embedding")
+    val nq = dotSql.format("embedding", "embedding")
+    s"""WITH q AS (SELECT vec_id, embedding, sqrt($nq) AS nrm FROM embeddings WHERE vec_id < 8),
+       |c AS (SELECT vec_id, embedding, label, sqrt($nq) AS nrm FROM embeddings)
+       |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |       c.label AS neighbor_label, $d / (q.nrm * c.nrm) AS cosine
+       |FROM q, c
+       |WHERE q.vec_id <> c.vec_id
+       |  AND $d / (q.nrm * c.nrm) >= CAST(0.25 AS DOUBLE)""".stripMargin
+  }) {
+    (s, dir) => radiusSearchPlan(s, dir, tau = 0.25)
+  }
+
+  /** e32's surviving (query, cell) pairs — exposed so RadiusSpec can
+    * assert pruning actually removes cells on a clustered corpus (on
+    * geometry-free data the bound legitimately keeps everything: cell
+    * pruning buys what the data's cluster structure pays for; the
+    * LOSSLESSNESS never depends on it).
+    */
+  private[graft] def radiusCandCells(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    import s.implicits._
+    graft.functions.FloatVecDot.register(s)
+    val members = graft.operators.IvfIndex.indexQFor(s, dir).assigned
+    val reps = members.groupBy($"cell_id")
+      .agg(min_by($"embedding", $"vec_id").as("rep_emb"))
+      .select($"cell_id", $"rep_emb", norm($"rep_emb").as("rep_nrm"))
+    val caps = members.join(broadcast(reps), "cell_id")
+      .select($"cell_id",
+        (dot($"embedding", $"rep_emb") / (norm($"embedding") * $"rep_nrm")).as("cosr"))
+      .groupBy($"cell_id")
+      .agg(sqrt(lit(2.0) - lit(2.0) * min($"cosr")).as("rmax"))
+      .join(reps, "cell_id")
+    val q = Tables.embeddings(s, dir).filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        norm($"embedding").as("q_nrm"))
+    q.crossJoin(caps)
+      .filter(dot($"q_emb", $"rep_emb") / ($"q_nrm" * $"rep_nrm") + $"rmax"
+        >= lit(tau) - lit(1e-9))
+      .select($"query_id", $"cell_id", $"q_emb", $"q_nrm")
+  }
+
+  private[graft] def radiusSearchPlan(s: SparkSession, dir: String, tau: Double): DataFrame = {
+    import s.implicits._
+    val members = graft.operators.IvfIndex.indexQFor(s, dir).assigned
+    members.join(broadcast(radiusCandCells(s, dir, tau)), "cell_id")
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        $"label".as("neighbor_label"),
+        (dot($"q_emb", $"embedding") / ($"q_nrm" * norm($"embedding"))).as("cosine"))
+      .filter($"cosine" >= tau)
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
     powerIteration, kCore, allButTop, knnClassifier, linkPrediction, hits,
-    personalizedPagerank, modularity, mutualKnn, assortativity)
+    personalizedPagerank, modularity, mutualKnn, assortativity, radiusSearch)
 }

@@ -1143,9 +1143,75 @@ object TrainingPrep {
         .limit(20)
   }
 
+  /** M3: MULTIMODAL BATCH COMPOSITION — interleave two modalities into
+    * fixed-shape training batches at a declared ratio (6 text + 2 vision
+    * per 8-slot batch, vision pinned at slots 3 and 7 for even spacing),
+    * the step between per-modality curation (t-series, m1/m2) and the
+    * data loader: a multimodal trainer consumes BATCHES with a stable
+    * modality mix, not two independent streams.
+    *
+    * Determinism without `rand()`: each modality is shuffled by
+    * `md5(id)` (the engine's seeded-order idiom — portable, stable
+    * under partitioning), ranked once, and mapped to
+    * (batch = rank div per-batch-count, slot = fixed position map).
+    * Trailing items that cannot fill a COMPLETE batch in BOTH
+    * modalities are dropped — batch count = min(⌊text/6⌋, ⌊vision/2⌋) —
+    * so every emitted batch has the exact declared shape (ragged final
+    * batches break fixed-shape collation; the drop is the contract, and
+    * it is ≤ 7 items).
+    *
+    * Scale shape: one window rank per modality (total sort — at 100 TB
+    * replace with a per-partition rank + partition-offset table, the
+    * w19 prefix-scan idiom) + a 1-row batch-count broadcast; no joins
+    * between the modalities at all.
+    */
+  val modalityInterleave = Q("m3_modality_interleave",
+    """WITH t AS (
+      |  SELECT doc_id AS item_id,
+      |         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS rn
+      |  FROM documents),
+      |v AS (
+      |  SELECT vec_id AS item_id,
+      |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS rn
+      |  FROM embeddings),
+      |nb AS (
+      |  SELECT least((SELECT count(*) FROM t) // 6, (SELECT count(*) FROM v) // 2) AS n_batches)
+      |SELECT * FROM (
+      |  SELECT CAST(t.rn // 6 AS BIGINT) AS batch_id,
+      |         CAST(CASE WHEN t.rn % 6 < 3 THEN t.rn % 6 ELSE t.rn % 6 + 1 END AS BIGINT) AS slot,
+      |         'text' AS modality, CAST(t.item_id AS BIGINT) AS item_id
+      |  FROM t, nb WHERE t.rn // 6 < nb.n_batches
+      |  UNION ALL
+      |  SELECT CAST(v.rn // 2 AS BIGINT), CAST(3 + (v.rn % 2) * 4 AS BIGINT),
+      |         'vision', CAST(v.item_id AS BIGINT)
+      |  FROM v, nb WHERE v.rn // 2 < nb.n_batches)""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      def ranked(df: DataFrame, idCol: String): DataFrame =
+        df.select(col(idCol).as("item_id"))
+          .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(md5(col("item_id").cast("string")), col("item_id"))) - 1)
+      val t = ranked(Tables.documents(s, dir), "doc_id")
+      val v = ranked(Tables.embeddings(s, dir), "vec_id")
+      val nb = t.agg((count(lit(1)) / 6).cast("long").as("nt"))
+        .crossJoin(v.agg((count(lit(1)) / 2).cast("long").as("nv")))
+        .select(least($"nt", $"nv").as("n_batches"))
+      val text = t.crossJoin(broadcast(nb))
+        .filter(expr("rn div 6") < $"n_batches")
+        .select(expr("rn div 6").cast("long").as("batch_id"),
+          when($"rn" % 6 < 3, $"rn" % 6).otherwise($"rn" % 6 + 1).cast("long").as("slot"),
+          lit("text").as("modality"), $"item_id".cast("long").as("item_id"))
+      val vis = v.crossJoin(broadcast(nb))
+        .filter(expr("rn div 2") < $"n_batches")
+        .select(expr("rn div 2").cast("long").as("batch_id"),
+          (lit(3) + ($"rn" % 2) * 4).cast("long").as("slot"),
+          lit("vision").as("modality"), $"item_id".cast("long").as("item_id"))
+      text.unionByName(vis)
+  }
+
   val queries: Seq[Q] = Seq(gopherQuality, seqPacking, stratifiedSample, tfidfSearch,
     qualityDeciles, tokenBudgetMix, piiScrub, bigramLmScore, chunking, maxWordRun,
     importanceWeight, dupSpanFraction, corpusStats, curationFunnel, curationFunnelFuzzy,
     curationCanonical, corpusRelease, curriculumOrder, leakageSafeSplit, splitLeakageAudit,
-    epochUpsample, bm25Search)
+    epochUpsample, bm25Search, modalityInterleave)
 }

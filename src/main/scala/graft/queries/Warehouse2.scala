@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1168,11 +1169,77 @@ object Warehouse2 {
             .as("dev_contrib"))
   }
 
+  /** DQ12: FUNCTIONAL-DEPENDENCY audit — for declared candidate FDs
+    * A → B, measure how far the data is from satisfying them: keys with
+    * more than one distinct dependent value are violations. Schema
+    * designers use this to validate normalization assumptions before
+    * they become silent fanout bugs (j1b's hazard class: a "dimension"
+    * key that does NOT determine its attributes explodes any join that
+    * assumed it did).
+    *
+    * The audited set spans one FD that genuinely HOLDS (o_orderkey →
+    * o_custkey, a primary-key FD — the control row proving the audit
+    * can return zero) and three that plausibly-but-falsely hold
+    * (l_partkey → l_suppkey, o_custkey → o_orderpriority, c_nationkey →
+    * c_mktsegment).
+    *
+    * Scale shape: each FD is ONE map-side-combinable aggregate
+    * (groupBy determinant, count_distinct dependent) plus a tiny rollup;
+    * the four audits union to a 4-row result. countDistinct per key is
+    * exact (the violation verdict must not be approximate); at 100 TB
+    * the same audit runs per partition-of-determinant with no change.
+    */
+  val dq12FdAudit = Q("dq12_fd_audit",
+    """WITH fd1 AS (
+      |  SELECT 'orders: o_orderkey -> o_custkey' AS fd, o_orderkey AS k,
+      |         count(DISTINCT o_custkey) AS nd
+      |  FROM orders GROUP BY 2),
+      |fd2 AS (
+      |  SELECT 'lineitem: l_partkey -> l_suppkey' AS fd, l_partkey AS k,
+      |         count(DISTINCT l_suppkey) AS nd
+      |  FROM lineitem GROUP BY 2),
+      |fd3 AS (
+      |  SELECT 'orders: o_custkey -> o_orderpriority' AS fd, o_custkey AS k,
+      |         count(DISTINCT o_orderpriority) AS nd
+      |  FROM orders GROUP BY 2),
+      |fd4 AS (
+      |  SELECT 'customer: c_nationkey -> c_mktsegment' AS fd, c_nationkey AS k,
+      |         count(DISTINCT c_mktsegment) AS nd
+      |  FROM customer GROUP BY 2),
+      |uni AS (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      |        UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+      |SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+      |       CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) AS n_violating,
+      |       CAST(max(nd) AS BIGINT) AS max_distinct,
+      |       CAST(1000000 * CAST(count(*) FILTER (WHERE nd > 1) AS BIGINT) // count(*) AS BIGINT) AS violation_ppm
+      |FROM uni GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      def audit(df: DataFrame, label: String, k: String, dep: String): DataFrame =
+        df.groupBy(col(k).cast("long").as("k"))
+          .agg(countDistinct(col(dep)).as("nd"))
+          .select(lit(label).as("fd"), $"k", $"nd")
+      val uni = audit(Tables.orders(s, dir), "orders: o_orderkey -> o_custkey",
+          "o_orderkey", "o_custkey")
+        .unionByName(audit(Tables.lineitem(s, dir), "lineitem: l_partkey -> l_suppkey",
+          "l_partkey", "l_suppkey"))
+        .unionByName(audit(Tables.orders(s, dir), "orders: o_custkey -> o_orderpriority",
+          "o_custkey", "o_orderpriority"))
+        .unionByName(audit(Tables.customer(s, dir), "customer: c_nationkey -> c_mktsegment",
+          "c_nationkey", "c_mktsegment"))
+      uni.groupBy($"fd").agg(
+        count(lit(1)).cast("long").as("n_keys"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).cast("long").as("n_violating"),
+        max($"nd").cast("long").as("max_distinct"))
+        .withColumn("violation_ppm",
+          expr("1000000 * n_violating div n_keys").cast("long"))
+  }
+
   val queries: Seq[Q] = Seq(
     q2MinSupplier, q6ForecastRevenue, q8MarketShare, q9Profit, q10Returned, q11ImportantParts,
     q13CustDist, q15TopSupplier, q16SupplierCnt, q17SmallQuantity,
     q20ExcessSuppliers, q21SoleReturner, q22GlobalBalance, dq3KpiAnomaly, dq4Orphans,
     dq5DistributionDrift, dq6KAnonymity, dq7LDiversity, dq8TCloseness,
     dq9ColumnProfile, a29Anova, p13AccumulatingSnapshot, dq10Freshness,
-    dq11Benford)
+    dq11Benford, dq12FdAudit)
 }
