@@ -293,8 +293,13 @@ object Joins {
     * span/width; candidate dups per pair = shared buckets). The Q above
     * pins the 1-hour default.
     */
-  private[graft] def intervalOverlapPlan(
-      s: SparkSession, dir: String, bucketUs: Long): DataFrame = {
+  /** j10's two interval sets — exposed so [[graft.tools.DecadeSoak]] can
+    * price the bucket join (Σ_bucket nSessions × nBursts) before running
+    * it at a scale where fixed-window population densification makes the
+    * keyless overlap candidate-quadratic.
+    */
+  private[graft] def sessionsAndBursts(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       val ev = Tables.events(s, dir)
@@ -319,6 +324,13 @@ object Joins {
         .agg(min($"t").as("b_s_us"), max($"t").as("b_e_us"),
           count(lit(1)).as("n_err"))
         .filter($"n_err" >= 3).drop("n_err")
+      (sessions, bursts)
+  }
+
+  private[graft] def intervalOverlapPlan(
+      s: SparkSession, dir: String, bucketUs: Long): DataFrame = {
+      import s.implicits._
+      val (sessions, bursts) = sessionsAndBursts(s, dir)
       val W = bucketUs // fanout = interval span / W
       val sB = sessions.withColumn("bucket",
         explode(expr(s"sequence(s_us div $W, e_us div $W)")))

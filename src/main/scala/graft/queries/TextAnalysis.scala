@@ -485,7 +485,64 @@ object TextAnalysis {
             .as("vmr_ppm"))
   }
 
+  /** T37: HEAPS-LAW vocabulary-growth curve — distinct-token count after
+    * the first 10% / 25% / 50% / 100% of the corpus (by doc order): the
+    * diagnostic that tells you whether the token universe GROWS with the
+    * corpus or SATURATES. This is the load-bearing dial for every
+    * shingle-keyed operator in the engine (d17's prefix-filter join is
+    * output-bound on a saturated universe and subquadratic on a growing
+    * one — SCALE.md's decade rehearsal), so the curve is a first-class
+    * corpus audit, not a curiosity. All-integer output — no log fits, so
+    * no cross-engine float risk.
+    *
+    * Scale shape: ONE token explode + a min-first-seen aggregate
+    * (map-side combinable), then a 4-row cutoff table theta-joined in
+    * (broadcast, first_seen ≤ cutoff) and re-aggregated; per-doc token
+    * counts ride the same pattern. Nothing rescans text per cutoff.
+    */
+  val heapsLaw = Q("t37_heaps_law",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |         row_number() OVER (ORDER BY doc_id) AS rnk
+      |  FROM documents),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+      |cut AS (
+      |  SELECT pct, CAST(ceil(n_docs * pct / 100.0) AS BIGINT) AS cutoff
+      |  FROM n, (VALUES (10), (25), (50), (100)) AS p(pct)),
+      |tok AS (SELECT rnk, unnest(w) AS token FROM d),
+      |seen AS (SELECT token, min(rnk) AS first_seen,
+      |                count(*) AS occs FROM tok GROUP BY 1),
+      |dt AS (SELECT rnk, len(w) AS n_tok FROM d)
+      |SELECT CAST(c.pct AS BIGINT) AS pct, c.cutoff AS n_docs,
+      |       CAST((SELECT count(*) FROM seen s WHERE s.first_seen <= c.cutoff) AS BIGINT) AS vocab,
+      |       CAST((SELECT coalesce(sum(n_tok), 0) FROM dt WHERE dt.rnk <= c.cutoff) AS BIGINT) AS total_tokens
+      |FROM cut c""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val d = Tables.documents(s, dir)
+        .select($"doc_id", split($"text", " ").as("w"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy($"doc_id")))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val cut = n.crossJoin(Seq(10, 25, 50, 100).toDF("pct"))
+        .select($"pct".cast("long").as("pct"),
+          ceil($"n_docs" * $"pct" / 100.0).cast("long").as("cutoff"))
+      val seen = d.select($"rnk", explode($"w").as("token"))
+        .groupBy($"token").agg(min($"rnk").as("first_seen"))
+      val vocabAt = seen.join(broadcast(cut), $"first_seen" <= $"cutoff")
+        .groupBy($"pct", $"cutoff").agg(count(lit(1)).as("vocab"))
+      val tokensAt = d.select($"rnk", size($"w").as("n_tok"))
+        .join(broadcast(cut), $"rnk" <= $"cutoff")
+        .groupBy($"pct".as("pct2"), $"cutoff".as("cutoff2"))
+        .agg(coalesce(sum($"n_tok"), lit(0L)).as("total_tokens"))
+      vocabAt.join(tokensAt,
+          $"pct" === $"pct2" && $"cutoff" === $"cutoff2")
+        .select($"pct", $"cutoff".as("n_docs"),
+          $"vocab".cast("long").as("vocab"),
+          $"total_tokens".cast("long").as("total_tokens"))
+  }
+
   val queries: Seq[Q] = Seq(tokenCount, qualityScore, langId, fingerprint,
     ngramStats, sketchStats, langConfusion, ngramNovelty, rareTokenRatio,
-    keywordExtract, collocationLift, tokenBurstiness)
+    keywordExtract, collocationLift, tokenBurstiness, heapsLaw)
 }

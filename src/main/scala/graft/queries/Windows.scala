@@ -464,8 +464,56 @@ object Windows {
           - $"n_retained").cast("long").as("n_churned"))
   }
 
+  /** W27: LONGEST ACTIVITY STREAK per user — the gaps-and-islands
+    * pattern (day − rank(day) is constant within a consecutive run), the
+    * engagement metric behind every retention dashboard. Days are exact
+    * integer epoch-days (`epoch_us div 86_400_000_000` — no calendar
+    * arithmetic, so no timezone/DST cross-engine hazard), runs are one
+    * dense_rank over the per-user distinct-day set, and the result is
+    * all-integer.
+    *
+    * Scale shape: distinct (user, day) is one hash aggregate; the rank
+    * and the island grouping both partition by user_id — a single
+    * user-keyed shuffle end to end, no self-joins.
+    */
+  val longestStreak = Q("w27_longest_streak",
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (
+      |  SELECT user_id, day,
+      |         day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, grp, count(*) AS run_len, min(day) AS run_start
+      |  FROM g GROUP BY 1, 2)
+      |SELECT user_id,
+      |       CAST(sum(run_len) AS BIGINT) AS n_active_days,
+      |       CAST(count(*) AS BIGINT) AS n_streaks,
+      |       CAST(max(run_len) AS BIGINT) AS longest_streak,
+      |       CAST(min(CASE WHEN run_len = mx THEN run_start END) AS BIGINT) AS longest_start_day
+      |FROM (SELECT *, max(run_len) OVER (PARTITION BY user_id) AS mx FROM runs)
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val days = Tables.events(s, dir)
+        .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val byUser = Window.partitionBy($"user_id").orderBy($"day")
+      val runs = days
+        .withColumn("grp", $"day" - dense_rank().over(byUser))
+        .groupBy($"user_id", $"grp")
+        .agg(count(lit(1)).as("run_len"), min($"day").as("run_start"))
+      runs
+        .withColumn("mx", max($"run_len").over(Window.partitionBy($"user_id")))
+        .groupBy($"user_id")
+        .agg(sum($"run_len").cast("long").as("n_active_days"),
+          count(lit(1)).cast("long").as("n_streaks"),
+          max($"run_len").cast("long").as("longest_streak"),
+          min(when($"run_len" === $"mx", $"run_start")).cast("long").as("longest_start_day"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
     keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
     sessionWindow, runningDrawdown, periodOverPeriod, markovTransitions,
-    growthAccounting)
+    growthAccounting, longestStreak)
 }

@@ -171,16 +171,45 @@ object DecadeSoak {
     println("corpora ready")
 
     // ── j10: sf0.1 fidelity, decade, bucket-width dial ────────────────
-    val j10 = q("j10_interval_overlap")
-    val (jReal, jRealN) = time(j10.run(spark, real).count())
-    val (j1, j1n) = time(j10.run(spark, ev1).count())
-    val (j10t, j10n) = time(j10.run(spark, ev10).count())
-    println(f"j10: real sf0.1 $jReal%.2f s ($jRealN rows) | syn1x $j1%.2f s ($j1n) | " +
-      f"syn10x $j10t%.2f s ($j10n) | exponent ${expo(j1, j10t)}")
-    for (w <- Seq(900000000L, 3600000000L, 14400000000L)) {
-      val (t, n) = time(graft.queries.Joins.intervalOverlapPlan(spark, ev10, w).count())
-      println(f"j10 dial: bucket ${w / 60000000L}%d min at 10x -> $t%.2f s ($n rows)")
+    // The driver's own sf scaling densifies a FIXED 30-day window (10×
+    // users, constant per-user rate), so the keyless overlap's candidate
+    // count Σ_bucket nS·nB grows ~quadratically in sf. Price the join
+    // first (two linear aggregates); run the full query only under the
+    // cap — the projection is the decade datum either way.
+    val candCap = args.headOption.map(_.toLong).getOrElse(300000000L)
+    def j10Price(dir: String, w: Long): (Long, Long, Long) = {
+      val (sess, burst) = graft.queries.Joins.sessionsAndBursts(spark, dir)
+      val nS = sess.count(); val nB = burst.count()
+      val sB = sess.withColumn("bucket",
+        explode(expr(s"sequence(s_us div $w, e_us div $w)")))
+        .groupBy($"bucket").agg(count(lit(1)).as("ns"))
+      val bB = burst.withColumn("bucket",
+        explode(expr(s"sequence(b_s_us div $w, b_e_us div $w)")))
+        .groupBy($"bucket").agg(count(lit(1)).as("nb"))
+      val cand = sB.join(bB, "bucket")
+        .agg(coalesce(sum($"ns" * $"nb"), lit(0L)).cast("long")).as[Long].head()
+      (nS, nB, cand)
     }
+    def j10At(dir: String, tag: String, w: Long = 3600000000L): Option[Double] = {
+      val (nS, nB, cand) = j10Price(dir, w)
+      if (cand > candCap) {
+        println(f"j10 $tag (bucket ${w / 60000000L}%d min): $nS%,d sessions x $nB%,d bursts, " +
+          f"projected candidates $cand%,d > cap $candCap%,d -> SKIPPED " +
+          "(fixed-window densification makes the keyless overlap output-quadratic; " +
+          "the dial is population partitioning or the bucket/burst windows)")
+        None
+      } else {
+        val (t, n) = time(graft.queries.Joins.intervalOverlapPlan(spark, dir, w).count())
+        println(f"j10 $tag (bucket ${w / 60000000L}%d min): $nS%,d sessions x $nB%,d bursts, " +
+          f"candidates $cand%,d | $t%.2f s ($n rows)")
+        Some(t)
+      }
+    }
+    val jReal = j10At(real, "real sf0.1")
+    val j1 = j10At(ev1, "syn 1x")
+    val j10t = j10At(ev10, "syn 10x")
+    for (a <- j1; b <- j10t) println(s"j10 decade exponent: ${expo(a, b)}")
+    for (w <- Seq(900000000L, 3600000000L, 14400000000L)) j10At(ev10, "dial 10x", w)
 
     // ── mb1/mb2: fidelity, decade (scaled catalog), dials ─────────────
     for (name <- Seq("mb1_market_basket", "mb2_item_recommendation")) {
@@ -201,7 +230,6 @@ object DecadeSoak {
     }
 
     // ── d17: candidate pricing, then guarded runs per regime ──────────
-    val candCap = args.headOption.map(_.toLong).getOrElse(300000000L)
     def d17At(dir: String, tag: String): Option[Double] = {
       val c = graft.queries.Dedup.d17PrefixPostings(spark, dir)
         .groupBy($"shingle").agg(count(lit(1)).as("df"))
