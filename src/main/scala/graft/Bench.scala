@@ -144,10 +144,16 @@ object Bench {
     // A skewed calibration pair lowers the suspicion threshold.
     val skew = if (calStart > 0) calEnd / calStart else 1.0
     val factor = if (skew > 1.5 || skew < 1.0 / 1.5) 1.5 else 3.0
+    // anything past the REGRESSION line must also be a suspect: the
+    // tripwire may only fire after a rerun had its chance to absolve a
+    // load spike (r10: a 3× suspect bar over a 2× regression bar let a
+    // query be flagged without ever getting the third run)
     val suspects = registry.filter { q =>
       val v = firstPass(q.name)
       val p = prev.getOrElse(q.name, -1.0)
-      v > 0 && p > 0 && v > factor * p * calNorm && v > p * calNorm + rerunFloor
+      v > 0 && p > 0 &&
+        ((v > factor * p * calNorm && v > p * calNorm + rerunFloor) ||
+         (v > 2.0 * p * calNorm && v > p * calNorm + regrFloor))
     }
     // suspects get exactly ONE extra run (min of 3 total vs min of 2 for
     // everyone else — the "reruns" list in the artifact records who got

@@ -166,6 +166,35 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       version: Long): DataFrame =
     streaming.StreamingCdf.asOf(spark, snapshotDir, cdfDir, keyCol, version)
 
+  /** [[upsertWithCdf]] with DELETES: rows whose boolean `delCol` is set
+    * tombstone their key out of the live view (retained physically until
+    * [[vacuumTombstones]], so stale redeliveries can never resurrect a
+    * deleted key); the feed gains the `delete` change type. Read the
+    * live view with [[streaming.StreamingTombstone.snapshot]]; time
+    * travel with [[snapshotAsOfDeletes]].
+    */
+  def upsertWithDeletes(updates: DataFrame, keyCol: String, seqCol: String,
+      delCol: String, snapshotDir: String, cdfDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingTombstone.sink(updates, keyCol, seqCol, delCol,
+      snapshotDir, cdfDir, checkpoint).start()
+
+  /** [[snapshotAsOf]] over a delete-capable store — the feed's `delete`
+    * rows resurrect their old images on the way back.
+    */
+  def snapshotAsOfDeletes(snapshotDir: String, cdfDir: String, keyCol: String,
+      delCol: String, version: Long): DataFrame =
+    streaming.StreamingTombstone.asOf(spark, snapshotDir, cdfDir, keyCol,
+      delCol, version)
+
+  /** Reclaim tombstones at/below the redelivery horizon — see
+    * [[streaming.StreamingTombstone.vacuum]]. Returns the count removed.
+    */
+  def vacuumTombstones(snapshotDir: String, seqCol: String, delCol: String,
+      seqHorizon: Long): Long =
+    streaming.StreamingTombstone.vacuum(spark, snapshotDir, seqCol, delCol,
+      seqHorizon)
+
   /** Maintain a retractable count/sum/min/max view from a cdc1-shaped
     * change-feed stream (insert/update/delete with old + new images) —
     * see [[streaming.StreamingMv]] for the two-fence exactly-once

@@ -126,5 +126,125 @@ object Cdc {
           sum(($"price" * 100).cast("long")).cast("long").as("revenue_cents"))
   }
 
-  val queries: Seq[Q] = Seq(cdc1SnapshotDiff, cdc2ApplyFeed)
+  /** The cdc3/cdc4 fixture: a REAL [[graft.streaming.StreamingTombstone]]
+    * store driven by three deterministic delete-feed batches derived from
+    * `orders` (so the oracle can replay the exact winner algebra):
+    *
+    *   batch 0 (seq 1): every order, live;
+    *   batch 1 (seq 2): keys ≡0 (mod 89, not 97) price+1 updates;
+    *                    keys ≡0 (mod 97) TOMBSTONES;
+    *   batch 2 (seq 3): keys ≡0 (mod 101) price+2 upserts (re-inserting
+    *                    any 97-deleted overlaps); keys ≡0 (mod 103, not
+    *                    101) tombstones.
+    *
+    * Built once per testdata fingerprint (the s10 persisted-layout
+    * discipline); a partial previous build is wiped first, so the store
+    * the queries read is always the full three-batch lifecycle.
+    */
+  private[graft] def tombstoneStore(s: SparkSession, dir: String): String =
+    Memo.cachedValue(s, dir, "cdc3_tombstone_store") {
+      import s.implicits._
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_cdc3_" +
+        Memo.fingerprint(s, dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val base = Tables.orders(s, dir).select(
+        $"o_orderkey".as("k"), $"o_custkey",
+        Exact.dec2($"o_totalprice").as("price"), $"o_orderpriority".as("priority"))
+      def dec2(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val b0 = base.withColumn("seq", lit(1L)).withColumn("del", lit(false))
+      val b1 = base.filter($"k" % 89 === 0 && $"k" % 97 =!= 0)
+        .withColumn("price", dec2($"price" + 1))
+        .withColumn("seq", lit(2L)).withColumn("del", lit(false))
+        .unionByName(base.filter($"k" % 97 === 0)
+          .withColumn("seq", lit(2L)).withColumn("del", lit(true)))
+      val b2 = base.filter($"k" % 101 === 0)
+        .withColumn("price", dec2($"price" + 2))
+        .withColumn("seq", lit(3L)).withColumn("del", lit(false))
+        .unionByName(base.filter($"k" % 103 === 0 && $"k" % 101 =!= 0)
+          .withColumn("seq", lit(3L)).withColumn("del", lit(true)))
+      Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+        graft.streaming.StreamingTombstone.processBatch(
+          s, b, i.toLong, "k", "seq", "del", s"$root/snap", s"$root/cdf")
+      }
+      root
+    }
+
+  private val tombstoneOracleCtes =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+      |         o_orderpriority AS priority
+      |  FROM orders),
+      |b0 AS (SELECT k, price, priority, 1 AS seq, FALSE AS del FROM base),
+      |b1 AS (
+      |  SELECT k, CAST(price + 1 AS DECIMAL(18,2)) AS price, priority, 2 AS seq, FALSE AS del
+      |  FROM base WHERE k % 89 = 0 AND k % 97 <> 0
+      |  UNION ALL
+      |  SELECT k, price, priority, 2, TRUE FROM base WHERE k % 97 = 0),
+      |b2 AS (
+      |  SELECT k, CAST(price + 2 AS DECIMAL(18,2)) AS price, priority, 3 AS seq, FALSE AS del
+      |  FROM base WHERE k % 101 = 0
+      |  UNION ALL
+      |  SELECT k, price, priority, 3, TRUE FROM base WHERE k % 103 = 0 AND k % 101 <> 0)""".stripMargin
+
+  /** cdc3: the tombstone-upsert MERGE — the live view of the real
+    * three-batch [[graft.streaming.StreamingTombstone]] store, rolled up
+    * per priority; the oracle replays the winner algebra directly (max
+    * seq per key wins, winners whose tombstone flag is set are invisible).
+    * Proves delete stickiness, update-over-delete re-insertion, and the
+    * live filter in one hash-exact equality.
+    */
+  val cdc3TombstoneMerge = Q("cdc3_tombstone_merge",
+    s"""$tombstoneOracleCtes,
+      |allb AS (
+      |  SELECT * FROM b0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+      |w AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM allb)
+      |SELECT priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(price * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM w WHERE rn = 1 AND NOT del
+      |GROUP BY priority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val root = tombstoneStore(s, dir)
+      graft.streaming.StreamingTombstone.snapshot(s, s"$root/snap", "del")
+        .groupBy($"priority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(($"price" * 100).cast("long")).cast("long").as("revenue_cents"))
+  }
+
+  /** cdc4: TIME TRAVEL over the delete-capable store — `asOf(version 1)`
+    * reverse-applies the feed (dropping batch-2 inserts, resurrecting
+    * batch-2 deletes' old images) while the oracle recomputes the state
+    * FORWARD from the batch prefix ≤ 1. Reverse and forward derivations
+    * meeting hash-exactly is the contract that makes the feed's delete
+    * branch trustworthy for point-in-time reads.
+    */
+  val cdc4AsofDeletes = Q("cdc4_asof_deletes",
+    s"""$tombstoneOracleCtes,
+      |allb AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+      |w AS (
+      |  SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+      |  FROM allb)
+      |SELECT priority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(price * 100 AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM w WHERE rn = 1 AND NOT del
+      |GROUP BY priority""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val root = tombstoneStore(s, dir)
+      graft.streaming.StreamingTombstone
+        .asOf(s, s"$root/snap", s"$root/cdf", "k", "del", version = 1L)
+        .groupBy($"priority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(($"price" * 100).cast("long")).cast("long").as("revenue_cents"))
+  }
+
+  val queries: Seq[Q] = Seq(cdc1SnapshotDiff, cdc2ApplyFeed,
+    cdc3TombstoneMerge, cdc4AsofDeletes)
 }

@@ -344,6 +344,63 @@ object Joins {
         .distinct()
   }
 
+  /** J12: KEYED interval-overlap join — j10's sessions × error bursts
+    * restricted to the SAME user: "which of MY sessions ran during one
+    * of MY error bursts", the per-tenant incident view. This is the
+    * production shape the DecadeSoak rehearsal prescribes at scale
+    * (SCALE.md r10): the keyless j10 is output-quadratic under
+    * fixed-window population densification, while keying by the
+    * population axis makes candidates Σ_user nS(u)·nB(u) — linear in
+    * users at constant per-user activity — and turns the plan into ONE
+    * user-keyed shuffle with the overlap verified inside each key (no
+    * bucket explosion needed at all: the equi-key is the partitioner).
+    */
+  val keyedIntervalOverlap = Q("j12_keyed_interval_overlap",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+      |                OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id,
+      |         epoch_us(ts) AS t FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_id, min(t) AS s_us, max(t) AS e_us
+      |  FROM sess GROUP BY 1, 2),
+      |ef AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+      |  WHERE event_type = 'error'),
+      |eb AS (
+      |  SELECT *, CASE WHEN lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL
+      |                   OR t - lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) > 86400000000
+      |                 THEN 1 ELSE 0 END AS brk
+      |  FROM ef),
+      |eg AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM eb),
+      |bursts AS (
+      |  SELECT user_id AS b_user, grp AS burst_id, min(t) AS b_s_us, max(t) AS b_e_us
+      |  FROM eg GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT s.user_id, CAST(s.session_id AS BIGINT) AS session_id,
+      |       CAST(b.burst_id AS BIGINT) AS burst_id,
+      |       least(s.e_us, b.b_e_us) - greatest(s.s_us, b.b_s_us) AS overlap_us
+      |FROM sessions s JOIN bursts b
+      |  ON s.user_id = b.b_user AND s.s_us <= b.b_e_us AND b.b_s_us <= s.e_us""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val (sessions, bursts) = sessionsAndBursts(s, dir)
+      sessions.join(bursts,
+          $"user_id" === $"b_user" && $"s_us" <= $"b_e_us" && $"b_s_us" <= $"e_us")
+        .select($"user_id", $"session_id".cast("long").as("session_id"),
+          $"burst_id".cast("long").as("burst_id"),
+          (least($"e_us", $"b_e_us") - greatest($"s_us", $"b_s_us")).as("overlap_us"))
+  }
+
   val queries: Seq[Q] = Seq(j1LeftFill, j1bDedupeFanout, starJoin, semiJoin, antiJoin,
-    lateralTopK, temporalJoin, intervalOverlap)
+    lateralTopK, temporalJoin, intervalOverlap, keyedIntervalOverlap)
 }

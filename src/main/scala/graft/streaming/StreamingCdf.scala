@@ -22,8 +22,9 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   * batch rewrites its own feed dir, never appends). Old and new images
   * ride as structs so a consumer (an mv3-style maintained view, an
   * audit trail) needs no join back to any snapshot. Deletes don't exist
-  * in a Type-1 upsert stream; a tombstone-column extension would add
-  * them as a third branch with the same envelope.
+  * in a Type-1 upsert stream; [[StreamingTombstone]] is the
+  * tombstone-column extension that adds them as a third branch with the
+  * same envelope.
   *
   * The classification reuses the EXACT winner rule of
   * [[StreamingIngest.mergeIntoSnapshot]] (shared `batchWinners` +
@@ -122,8 +123,10 @@ object StreamingCdf {
     * Correct because the feed is complete and minimal by contract: one
     * row per (key, batch), no-ops and stale redeliveries suppressed, so
     * "first change after version" is exactly the transition out of the
-    * version-k state. Deletes would add a third branch symmetrical to
-    * insert (resurrect the old image) — Type-1 streams have none.
+    * version-k state. A `delete` first change (emitted by the
+    * [[StreamingTombstone]] store) is symmetrical to insert: the key
+    * EXISTED at `version` with that change's old image — resurrected.
+    * Type-1 feeds simply never contain the branch.
     *
     * Scale: one window over the post-`version` slice of the feed
     * (partition-pruned by `batch_id`, |changes| rows — not corpus rows)
@@ -131,15 +134,23 @@ object StreamingCdf {
     * CHANGE since the version, not store size.
     */
   def asOf(spark: SparkSession, snapshotDir: String, cdfDir: String,
-      keyCol: String, version: Long): DataFrame = {
+      keyCol: String, version: Long): DataFrame =
+    asOfFrom(spark.read.parquet(snapshotDir).drop("__bucket"),
+      feed(spark, cdfDir), keyCol)(version)
+
+  /** [[asOf]]'s reconstruction over an already-resolved live snapshot and
+    * feed — shared with [[StreamingTombstone.asOf]], whose snapshot side
+    * needs the tombstone filter applied first.
+    */
+  private[streaming] def asOfFrom(snap: DataFrame, fullFeed: DataFrame,
+      keyCol: String)(version: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val snap = spark.read.parquet(snapshotDir).drop("__bucket")
-    val later = feed(spark, cdfDir).filter(col("batch_id") > version)
+    val later = fullFeed.filter(col("batch_id") > version)
     val first = later
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("key")).orderBy(col("batch_id"))))
       .filter(col("rn") === 1)
-    val restored = first.filter(col("change_type") === "update")
+    val restored = first.filter(col("change_type").isin("update", "delete"))
       .select(col("old_image.*"))
     // the feed's envelope column is renamed before meeting the snapshot:
     // a data column named "key" must not capture the join predicate

@@ -283,7 +283,23 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e30_mutual_knn", "e31_assortativity",
       // t36/dq11: the 1-row corpus-total broadcast (t10 pattern); the
       // token/digit joins are keyed
-      "t36_token_burstiness", "dq11_benford")
+      "t36_token_burstiness", "dq11_benford",
+      // t37: the 4-ROW cutoff table theta-joined onto the first-seen
+      // aggregate (first_seen <= cutoff) — algorithm-constant broadcast
+      // side; the token explode + min-aggregate is one hash aggregate
+      "t37_heaps_law",
+      // d19: THREE 1-row parameter broadcasts (m estimates, u chance
+      // rates, n_cust — the t10 pattern); candidate generation is the
+      // d7 blocked equi-join
+      "d19_fellegi_sunter",
+      // m3: the 1-row n_batches broadcast onto each ranked modality
+      // (t10 pattern); the modalities never join each other
+      "m3_modality_interleave",
+      // e32: the 8-probe × nCells cell-cap join (the e1/e16 constant-
+      // probe-broadcast shape — cells are k-bounded, members equi-join
+      // on cell_id) plus the shared cached k-centroid index-build
+      // subtree (e4's justification)
+      "e32_radius_search")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
