@@ -39,11 +39,12 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * At 100 TB: the build is one linear map-side-combined pass emitting
   * one row per partition; each point lookup reads ~(1 + fpp·|parts|)
-  * partitions instead of all of them. Rebuild per compaction cycle like
-  * ZOrder; a bloom can't subtract, so APPENDS require a rebuild (or a
-  * per-batch side index, the StreamingProfile bitmap pattern) — the
+  * partitions instead of all of them. A bloom can't subtract, so APPENDS
+  * are maintained either by [[refreshPartitions]] (O(touched-partition)
+  * rebuild) or by [[appendSideIndex]] (O(batch) per-batch side blooms,
+  * folded back by [[compactSides]] per compaction cycle) — both in the
   * fail-safe direction: a stale index can only over-read, never miss,
-  * if rebuilt from a superset of the data.
+  * when every bloom is built from a superset slice of the data.
   */
 object BloomIndex {
 
@@ -161,21 +162,104 @@ object BloomIndex {
     publish(spark, indexDir, untouched.unionByName(touched).localCheckpoint(true))
   }
 
-  /** The candidate partition values for a point key: driver-side
-    * membership tests over the metadata-sized index (|partitions| rows).
+  // ---------------------------------------------------------------------
+  // PER-BATCH SIDE INDEXES — append maintenance that costs O(batch), not
+  // O(partition): a bloom can't subtract, but it CAN union. Each append
+  // lands a side index built from the batch rows alone under
+  // `indexDir/side/b%09d` (write-to-tmp + rename — a listed side dir is
+  // always complete); the probe ORs main + sides, so a key added by any
+  // un-folded append is still found (no false negatives, the fail-safe
+  // direction), at the price of one extra driver-side membership test
+  // per side. [[compactSides]] folds them back into the main index per
+  // compaction cycle (the StreamingProfile persisted-partial pattern).
+  // Crash anywhere: sides only ever ADD candidate partitions — a stale
+  // or duplicated side over-reads, never misses.
+  // ---------------------------------------------------------------------
+
+  private def sideRoot(indexDir: String) = new Path(indexDir, "side")
+
+  private def sideDirs(fs: org.apache.hadoop.fs.FileSystem,
+      indexDir: String): Seq[Path] = {
+    val root = sideRoot(indexDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.matches("b\\d{9}"))
+      .sortBy(_.getName)
+  }
+
+  /** Index ONLY an appended batch's rows as a side index — call after
+    * appending `batch` to the data layout. Cost follows the batch, not
+    * the partitions it lands in. Returns the side sequence number.
     */
-  def candidateParts(spark: SparkSession, indexDir: String, key: Long): Seq[String] =
-    read(spark, indexDir).select(col("part"), col("bloom"))
-      .collect()
-      .filter { r =>
-        val bf = BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-        // probe space = the build's: xxhash64 of the key
-        bf.mightContainLong(
-          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            key, org.apache.spark.sql.types.LongType, 42L))
-      }
-      .map(_.getAs[String]("part")).toSeq
+  def appendSideIndex(spark: SparkSession, indexDir: String,
+      partCol: String, keyCol: String, batch: DataFrame,
+      expectedItems: Long = 100000L, fpp: Double = 0.01): Long = {
+    register(spark)
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val side = batch
+      .groupBy(col(partCol).cast("string").as("part"))
+      .agg(count(lit(1)).as("n_rows"), // the batch's DELTA, not the total
+        call_function("bloom_agg", xxhash64(col(keyCol).cast("long")),
+          lit(expectedItems), lit(numBits)).as("bloom"))
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = sideDirs(fs, indexDir).lastOption
+      .map(_.getName.drop(1).toLong + 1).getOrElse(0L)
+    val tmp = new Path(sideRoot(indexDir), s".tmp-${java.util.UUID.randomUUID}")
+    side.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val dst = new Path(sideRoot(indexDir), f"b$next%09d")
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(s"side index publish failed: $tmp -> $dst")
+    next
+  }
+
+  /** Fold every side index back into the main index: one
+    * [[refreshPartitions]] over the union of side-touched partitions
+    * (rebuilt from the DATA, so the fold is exact regardless of how many
+    * batches stacked up), then drop the folded sides. Publish-then-drop
+    * ordering keeps a crash window fail-safe: the new main version
+    * already covers the appends, so a surviving side merely over-reads.
+    * Returns the partitions folded.
+    */
+  def compactSides(spark: SparkSession, dataDir: String, indexDir: String,
+      partCol: String, keyCol: String,
+      expectedPerPartition: Long = 1000000L, fpp: Double = 0.01): Seq[String] = {
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sides = sideDirs(fs, indexDir) // snapshot: later appends survive
+    if (sides.isEmpty) return Seq.empty
+    val parts = sides.flatMap { d =>
+      spark.read.parquet(d.toString).select(col("part"))
+        .collect().map(_.getString(0))
+    }.distinct
+    refreshPartitions(spark, dataDir, indexDir, partCol, keyCol, parts,
+      expectedPerPartition, fpp)
+    sides.foreach(fs.delete(_, true))
+    parts
+  }
+
+  /** The candidate partition values for a point key: driver-side
+    * membership tests over the metadata-sized index (|partitions| rows
+    * + one row per (un-folded side, partition)). A partition is a
+    * candidate when ANY of its blooms — main or side — might contain the
+    * key, so appends are visible before any fold.
+    */
+  def candidateParts(spark: SparkSession, indexDir: String, key: Long): Seq[String] = {
+    val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frames = read(spark, indexDir) +:
+      sideDirs(fs, indexDir).map(d => spark.read.parquet(d.toString))
+    val hashed = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      key, org.apache.spark.sql.types.LongType, 42L)
+    frames.flatMap {
+      _.select(col("part"), col("bloom")).collect()
+        .filter { r =>
+          val bf = BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+          // probe space = the build's: xxhash64 of the key
+          bf.mightContainLong(hashed)
+        }
+        .map(_.getAs[String]("part"))
+    }.distinct
+  }
 
   /** The driver-gated s10 artifact: `documents` rewritten Hive-partitioned
     * by `lang` with a bloom index on `doc_id` — built once per source

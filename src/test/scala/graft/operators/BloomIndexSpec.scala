@@ -120,6 +120,50 @@ class BloomIndexSpec extends AnyFunSuite with SparkTestKit {
     assert(BloomIndex.candidateParts(spark, idxDir, 5L).contains("lang0"))
   }
 
+  test("per-batch side index: appends visible at O(batch) cost, main index untouched") {
+    val dataDir = tmp("bi-data6") + "/t"
+    val idxDir = tmp("bi-idx6") + "/ix"
+    writeData(dataDir)
+    BloomIndex.build(spark, dataDir, idxDir, "lang", "k", 4000L)
+    def mainBytes(): Map[String, String] =
+      BloomIndex.read(spark, idxDir).collect().map { r =>
+        r.getAs[String]("part") ->
+          r.getAs[Array[Byte]]("bloom").map("%02x".format(_)).mkString
+      }.toMap
+    val before = mainBytes()
+    // two appends: one into an existing partition, one creating a NEW one
+    val b1 = Seq((77777L, "lang3", 1L)).toDF("k", "lang", "v")
+    b1.write.partitionBy("lang").mode("append").parquet(dataDir)
+    assert(BloomIndex.appendSideIndex(spark, idxDir, "lang", "k", b1, 1000L) == 0L)
+    val b2 = Seq((88801L, "lang9", 2L), (88802L, "lang3", 3L)).toDF("k", "lang", "v")
+    b2.write.partitionBy("lang").mode("append").parquet(dataDir)
+    assert(BloomIndex.appendSideIndex(spark, idxDir, "lang", "k", b2, 1000L) == 1L)
+    // main version untouched (no O(partition) work happened)
+    assert(mainBytes() == before, "side append must not rewrite the main index")
+    // appended keys are found through the sides; pre-existing keys still route
+    for ((key, part) <- Seq((77777L, "lang3"), (88801L, "lang9"),
+        (88802L, "lang3"), (30017L, "lang3"))) {
+      assert(BloomIndex.candidateParts(spark, idxDir, key).contains(part),
+        s"key $key lost with un-folded sides")
+      assert(BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", key).count() == 1L)
+    }
+    // fold: one refresh over the side-touched partitions, sides dropped
+    val folded = BloomIndex.compactSides(spark, dataDir, idxDir, "lang", "k", 4000L)
+    assert(folded.toSet == Set("lang3", "lang9"))
+    val after = mainBytes()
+    assert(after.keySet == before.keySet + "lang9")
+    assert(after("lang3") != before("lang3"), "folded partition must re-index")
+    (before.keySet - "lang3").foreach(p => assert(after(p) == before(p),
+      s"untouched partition $p drifted through the fold"))
+    val fs = new org.apache.hadoop.fs.Path(idxDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idxDir/side/b000000000")))
+    // post-fold: all keys still found, second compact is a no-op
+    for ((key, _) <- Seq((77777L, "lang3"), (88801L, "lang9"), (5L, "lang0")))
+      assert(BloomIndex.lookup(spark, dataDir, idxDir, "lang", "k", key).count() == 1L)
+    assert(BloomIndex.compactSides(spark, dataDir, idxDir, "lang", "k", 4000L).isEmpty)
+  }
+
   test("non-long key columns share the probe's hash space (no false negatives)") {
     // the ADVICE repro: an IntegerType key hashed in its native width
     // would occupy a different xxhash64 space than the driver-side
