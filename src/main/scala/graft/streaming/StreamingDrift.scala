@@ -94,6 +94,108 @@ object StreamingDrift {
       sum(col("drift_contrib")).cast("long").as("total_drift"))
       .withColumn("is_alert", col("total_drift") > alertThreshold)
 
+  // ---------------------------------------------------------------------
+  // REFERENCE REFRESH — "frozen at stream start" is a policy choice, not
+  // a law: a reference cut from last quarter's corpus eventually flags
+  // healthy seasonal movement. The refreshing sink re-freezes per
+  // RELEASE CUT instead: each corpus release publishes its histogram as
+  // an immutable `version=N` artifact (the CorpusManifest layout — use
+  // the SAME version number as the release's manifest so the drift
+  // reference is traceable to the exact corpus it summarizes), and every
+  // batch scores against the NEWEST published version. Replay stays
+  // byte-identical across refreshes because the scoring version is
+  // PINNED per batch: the first processing records `ref_version` in the
+  // batch's ledger row, and a replay reads the pin back instead of
+  // resolving latest — so retention must keep a version until no replay
+  // can still need it (the CorpusManifest.expire keepLast contract).
+  // ---------------------------------------------------------------------
+
+  /** Publish `refRows`' histogram as reference `version` under
+    * `refStoreDir/version=N` — byte-deterministic (one file, bin order),
+    * immutable once written. Pair the version with the release's
+    * [[graft.operators.CorpusManifest]] version.
+    */
+  def publishReference(spark: org.apache.spark.sql.SparkSession,
+      refStoreDir: String, version: Long, refRows: DataFrame,
+      valueCol: String, binWidth: Long): Unit = {
+    val ref = prepare(refRows, valueCol, binWidth)
+    try ref.bins.withColumn("bin_width", lit(binWidth))
+      .coalesce(1).sortWithinPartitions("bin")
+      .write.mode("overwrite").parquet(s"$refStoreDir/version=$version")
+    finally { ref.bins.unpersist(); () }
+  }
+
+  /** Load a published reference version (cached like [[prepare]]'s). */
+  def loadReference(spark: org.apache.spark.sql.SparkSession,
+      refStoreDir: String, version: Long): Reference = {
+    val stored = spark.read.parquet(s"$refStoreDir/version=$version")
+    val width = stored.select(col("bin_width")).limit(1)
+      .collect().headOption
+      .getOrElse(throw new IllegalStateException(
+        s"drift reference $refStoreDir/version=$version is empty"))
+      .getLong(0)
+    val bins = stored.select(col("bin"), col("q_ppm")).cache()
+    bins.count()
+    Reference(bins, width)
+  }
+
+  /** One micro-batch of the refreshing sink — public so a replay can be
+    * driven directly in tests. Resolves the batch's reference version
+    * (the ledger pin if this batch ran before, else the newest published
+    * version), scores, and writes bins + a ledger row carrying
+    * `ref_version`.
+    */
+  def processBatchRefreshing(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, batchId: Long, refStoreDir: String, valueCol: String,
+      binsDir: String, summaryDir: String, alertThreshold: Long): Unit = {
+    if (batch.filter(col(valueCol).isNotNull).isEmpty) return
+    val ledgerPath = s"$summaryDir/batch_id=$batchId"
+    val fs = new org.apache.hadoop.fs.Path(ledgerPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pinned: Option[Long] =
+      if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+        spark.read.parquet(ledgerPath).select(col("ref_version"))
+          .collect().headOption.map(_.getLong(0))
+      else None
+    val version = pinned.getOrElse {
+      val vs = graft.operators.CorpusManifest.versions(spark, refStoreDir)
+      require(vs.nonEmpty, s"no drift reference published under $refStoreDir")
+      vs.max
+    }
+    val ref = loadReference(spark, refStoreDir, version)
+    try {
+      val bins = screenBatch(batch, ref, valueCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        bins.withColumn("__batch", lit(batchId))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("__batch")
+          .parquet(binsDir)
+        summarize(bins, alertThreshold)
+          .withColumn("ref_version", lit(version))
+          .write.mode("overwrite").parquet(ledgerPath)
+      } finally { bins.unpersist(); () }
+    } finally { ref.bins.unpersist(); () }
+  }
+
+  /** The refreshing streaming sink — [[sink]]'s contract with the
+    * re-freeze-per-release policy above.
+    */
+  def sinkRefreshing(rows: DataFrame, refStoreDir: String, valueCol: String,
+      binsDir: String, summaryDir: String, alertThreshold: Long,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatchRefreshing(batch.sparkSession, batch, batchId,
+          refStoreDir, valueCol, binsDir, summaryDir, alertThreshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+
   /** Streaming sink: per-batch bin table (`__batch` dynamic overwrite)
     * plus the per-batch summary ledger at `batch_id=N` — both
     * replay-idempotent. Batches with no non-null values write nothing

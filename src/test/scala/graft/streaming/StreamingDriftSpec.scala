@@ -115,4 +115,45 @@ class StreamingDriftSpec extends AnyFunSuite with SparkTestKit {
     assert(spark.read.parquet(s"$sumDir/batch_id=0")
       .collect().map(_.toString).sorted.toSeq == firstSum)
   }
+
+  test("refreshing sink re-freezes on a new published reference; replay keeps its pin") {
+    val refStore = tmp("drift-refstore")
+    val binsDir = tmp("drift-bins3") + "/b"
+    val sumDir = tmp("drift-sum3")
+    val shifted = inDist(0 until 3000).map { case (i, v) => (i, v + 3 * width) }
+    // v0 = the original distribution
+    StreamingDrift.publishReference(spark, refStore, 0L,
+      inDist(0 until 3000).toDF("id", "cents"), "cents", width)
+
+    def process(b: Long, rows: Seq[(Long, Long)]): Unit =
+      StreamingDrift.processBatchRefreshing(spark, rows.toDF("id", "cents"),
+        b, refStore, "cents", binsDir, sumDir, alertThreshold = 200000L)
+    def summary(b: Long): (Long, Boolean, Long) = {
+      val r = spark.read.parquet(s"$sumDir/batch_id=$b")
+        .select($"total_drift", $"is_alert", $"ref_version").head()
+      (r.getLong(0), r.getBoolean(1), r.getLong(2))
+    }
+
+    // batch 0: shifted traffic vs v0 → alert, pinned to version 0
+    process(0L, shifted.slice(0, 1500))
+    val s0 = summary(0L)
+    assert(s0._2 && s0._3 == 0L, s"shifted batch vs v0 must alert: $s0")
+
+    // the corpus re-releases around the shift: v1 = shifted distribution
+    StreamingDrift.publishReference(spark, refStore, 1L,
+      shifted.toDF("id", "cents"), "cents", width)
+
+    // batch 1: same shifted traffic now scores vs v1 → quiet
+    process(1L, shifted.slice(1500, 3000))
+    val s1 = summary(1L)
+    assert(!s1._2 && s1._3 == 1L,
+      s"post-refresh batch must score against v1 and stay quiet: $s1")
+
+    // REPLAY of batch 0 after the refresh: the pin holds — still scored
+    // against v0, summary and bins byte-identical
+    val bins0 = readBins(binsDir, 0L)
+    process(0L, shifted.slice(0, 1500))
+    assert(summary(0L) == s0, "replay must reuse the pinned reference version")
+    assert(readBins(binsDir, 0L) == bins0)
+  }
 }
