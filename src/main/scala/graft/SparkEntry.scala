@@ -106,6 +106,7 @@ object SparkEntry {
       // union-find/BSP equivalence gate lives in DupClustersSpec
       graft.operators.DupClusters.dupClustersQ,
       graft.operators.DupClusters.canonicalQ,
+      graft.operators.DupClusters.clusterHistogramQ,
       // deterministic per-group bottom-k sampling via the custom
       // TypedImperativeAggregate. The selection key is md5("seed:value"),
       // so the oracle derives the identical sample with a window over

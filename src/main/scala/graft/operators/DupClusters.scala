@@ -176,6 +176,48 @@ object DupClusters {
     (s, dir) => canonicalQuery(s, dir)
   }
 
+  /** D20: CLUSTER-SIZE HISTOGRAM — the duplication-factor curve every
+    * dedup report leads with: for each cluster size k, how many clusters,
+    * how many docs sit in them, how many are REMOVABLE copies (k−1 per
+    * cluster — the exact row count canonical selection would drop), and
+    * their total chars (the byte-weighted version of the same story).
+    * Singleton rows (size 1, n_removable 0) anchor the curve so the
+    * duplicated share reads directly off the table. All-integer.
+    *
+    * Scale shape: the memoized cluster labels + one doc-key equi-join,
+    * then TWO hash aggregates (per-cluster, then per-size — both
+    * map-side combinable); the output is |distinct sizes| rows. Nothing
+    * beyond the label join touches corpus-sized data twice.
+    */
+  val clusterHistogramQ: graft.queries.Q = graft.queries.Q("d20_cluster_size_histogram",
+    s"""WITH RECURSIVE ${Dedup.minhashCtes},
+       |pairs AS (${Dedup.minhashSelect}),
+       |$ccCtes,
+       |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |per_cluster AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+       |         CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS chars
+       |  FROM lab GROUP BY cluster_id)
+       |SELECT sz AS cluster_size,
+       |       CAST(count(*) AS BIGINT) AS n_clusters,
+       |       CAST(sum(sz) AS BIGINT) AS n_docs,
+       |       CAST(sum(sz - 1) AS BIGINT) AS n_removable,
+       |       CAST(sum(chars) AS BIGINT) AS chars_total
+       |FROM per_cluster GROUP BY sz""".stripMargin) {
+    (s, dir) =>
+      val sized = dupClustersQuery(s, dir).select(col("doc_id"), col("cluster_id"))
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+          Seq("doc_id"))
+      sized.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("sz"), sum(col("n_chars").cast("long")).as("chars"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("sz") - 1).as("n_removable"),
+          sum(col("chars")).cast("long").as("chars_total"))
+  }
+
   val dupClustersQ: graft.queries.Q = graft.queries.Q("d5_dup_clusters",
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),

@@ -1892,10 +1892,43 @@ object Similarity {
       .filter($"cosine" >= tau)
   }
 
+  /** E33: IVF CELL-BALANCE audit — postings-per-cell histogram with a
+    * load ratio in ppm of the perfectly-balanced share (load_ppm = 10⁶ ⇔
+    * the cell holds exactly N/k vectors): the index-health metric that
+    * decides when an IVF layout needs retraining or cell splitting,
+    * because probe latency at nprobe cells follows the LARGEST probed
+    * cell, not the average (the e10 fine-cell lesson, made measurable).
+    * All-integer; empty cells drop in training on both engines (the e4
+    * contract), so the histogram is over live cells only.
+    *
+    * Scale shape: one hash aggregate over the memoized assignment (|N|
+    * rows → ≤ k groups) + a 1-row total broadcast. The index build
+    * subtree is shared with e4/e17 via the session memo.
+    */
+  val ivfCellBalance = Q("e33_ivf_cell_balance",
+    s"""WITH ${graft.operators.IvfIndex.lloydCtes(16, 3, 64)},
+       |sizes AS (
+       |  SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs
+       |  FROM assign4 GROUP BY cell_id),
+       |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n FROM sizes)
+       |SELECT CAST(cell_id AS BIGINT) AS cell_id, n_vecs,
+       |       CAST(n_vecs * 16 * 1000000 // n AS BIGINT) AS load_ppm
+       |FROM sizes, tot""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val sizes = graft.operators.IvfIndex.indexQFor(s, dir).assigned
+        .groupBy($"cell_id").agg(count(lit(1)).as("n_vecs"))
+      val tot = sizes.agg(sum($"n_vecs").cast("long").as("n"))
+      sizes.crossJoin(broadcast(tot))
+        .select($"cell_id".cast("long").as("cell_id"), $"n_vecs",
+          expr("n_vecs * 16 * 1000000 div n").cast("long").as("load_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(cosineTopK, annSignBucket, cosineNearDup, annMultiProbe,
     annRandomHyperplane, knnGraph, graphDownsample, graphPagerank,
     graphPagerankRedistributed, labelPropagation, mmrDiversify, sq8Ann,
     triangleCount, annRecall, centroidDrift, clusteringCoefficient, bfsHops,
     powerIteration, kCore, allButTop, knnClassifier, linkPrediction, hits,
-    personalizedPagerank, modularity, mutualKnn, assortativity, radiusSearch)
+    personalizedPagerank, modularity, mutualKnn, assortativity, radiusSearch,
+    ivfCellBalance)
 }

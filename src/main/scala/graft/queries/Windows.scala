@@ -512,8 +512,43 @@ object Windows {
           min(when($"run_len" === $"mx", $"run_start")).cast("long").as("longest_start_day"))
   }
 
+  /** W28: INTER-ARRIVAL-TIME histogram — per-user consecutive event gaps
+    * bucketed by power of two (the a22 `length(bin(x))−1` idiom, exact on
+    * both engines), the load-model diagnostic behind session-gap and
+    * burst-window dials (w4's 30-minute gap, w14's burst window, j10's
+    * bucket width are all calibrated off exactly this curve). Min/max per
+    * bucket ride along so the tail is readable without a second pass.
+    * All-integer µs — no float risk.
+    *
+    * Scale shape: one user-keyed window (the w4 sessionize shuffle) + one
+    * hash aggregate onto ≤ 64 bucket keys; output is |buckets| rows.
+    */
+  val interarrivalHistogram = Q("w28_interarrival_histogram",
+    """WITH g AS (
+      |  SELECT epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT CAST(length(bin(gap_us)) - 1 AS BIGINT) AS gap_bucket,
+      |       CAST(count(*) AS BIGINT) AS n_gaps,
+      |       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+      |       CAST(max(gap_us) AS BIGINT) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      Tables.events(s, dir)
+        .select($"user_id", $"event_id", expr("unix_micros(ts)").as("t"))
+        .withColumn("gap_us", $"t" - lag($"t", 1).over(
+          Window.partitionBy($"user_id").orderBy($"t", $"event_id")))
+        .filter($"gap_us".isNotNull)
+        .groupBy((length(bin($"gap_us")) - 1).cast("long").as("gap_bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap_us").cast("long").as("min_gap_us"),
+          max($"gap_us").cast("long").as("max_gap_us"))
+  }
+
   val queries: Seq[Q] = Seq(topkPerGroup, runningSum, lagDays, topkGlobal,
     keysetPagination, rankFamily, valueFrames, runningDistinct, hoppingWindow,
     sessionWindow, runningDrawdown, periodOverPeriod, markovTransitions,
-    growthAccounting, longestStreak)
+    growthAccounting, longestStreak, interarrivalHistogram)
 }

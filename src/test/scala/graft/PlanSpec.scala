@@ -299,7 +299,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // probe-broadcast shape — cells are k-bounded, members equi-join
       // on cell_id) plus the shared cached k-centroid index-build
       // subtree (e4's justification)
-      "e32_radius_search")
+      "e32_radius_search",
+      // e33: the 1-row total broadcast onto the ≤k-row cell histogram
+      // (t10 pattern) + the shared cached index-build subtree
+      "e33_ivf_cell_balance")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
