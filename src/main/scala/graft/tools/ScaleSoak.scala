@@ -76,7 +76,8 @@ object ScaleSoak {
     // does not carry). d7/t13 are dropped EXPLICITLY: they operate on
     // the customer table, so their cost scales with customer rows, not
     // this corpus — soaking them here would measure nothing.
-    val excluded = Set("d7_fuzzy_match", "t13_pii_scrub", "d18_golden_record")
+    val excluded = Set("d7_fuzzy_match", "t13_pii_scrub", "d18_golden_record",
+      "d19_fellegi_sunter")
     // optional arg: regex narrowing the soak to specific queries
     val fam = args.headOption.getOrElse("^(d\\d|e\\d|t\\d|c\\d)").r
     val qs = graft.SparkEntry.registry.filter(q =>
