@@ -213,4 +213,60 @@ class FaultInjectionSpec extends AnyFunSuite with SparkTestKit {
     assert(v0 == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
       s"asOf(0) over the replayed feed drifted: $v0")
   }
+
+  // ------------------------------------------------------------- tombstones
+
+  test("StreamingTombstone: crash after a batch carrying a DELETE, restart, live view/feed/asOf converge") {
+    val schema = "k bigint, v string, seq bigint, del boolean"
+    val b0 = Seq((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false))
+      .toDF("k", "v", "seq", "del")
+    // batch 1: delete + update + insert — the full branch set in the
+    // crashed batch, so the replay must re-suppress all three correctly
+    val b1 = Seq((1L, "a", 2L, true), (2L, "b2", 2L, false), (4L, "d", 2L, false))
+      .toDF("k", "v", "seq", "del")
+
+    def run(srcDir: String, ckpt: String, snap: String, cdf: String,
+        failAfter: Option[Long]): Option[Throwable] =
+      runPass(srcDir, schema, ckpt, failAfter) { (b, id) =>
+        StreamingTombstone.processBatch(b.sparkSession, b, id, "k", "seq",
+          "del", snap, cdf, nBuckets = 4)
+      }
+
+    val (cSrc, cCkpt) = (tmp("fi-ts-csrc"), tmp("fi-ts-cckpt"))
+    val (cSnap, cCdf) = (tmp("fi-ts-csnap") + "/s", tmp("fi-ts-ccdf") + "/f")
+    b0.write.mode("append").json(cSrc)
+    assert(run(cSrc, cCkpt, cSnap, cCdf, None).isEmpty)
+    b1.write.mode("append").json(cSrc)
+    assert(run(cSrc, cCkpt, cSnap, cCdf, None).isEmpty)
+
+    val (fSrc, fCkpt) = (tmp("fi-ts-fsrc"), tmp("fi-ts-fckpt"))
+    val (fSnap, fCdf) = (tmp("fi-ts-fsnap") + "/s", tmp("fi-ts-fcdf") + "/f")
+    b0.write.mode("append").json(fSrc)
+    assert(run(fSrc, fCkpt, fSnap, fCdf, None).isEmpty)
+    b1.write.mode("append").json(fSrc)
+    val failure = run(fSrc, fCkpt, fSnap, fCdf, Some(1L))
+    assert(failure.nonEmpty, "injected crash did not fire")
+    // the delete DID land before the crash: tombstone row present, key gone live
+    assert(spark.read.parquet(fSnap)
+      .filter($"k" === 1L && $"del").count() == 1L,
+      "crash fired before the merge — wrong injection point")
+    assert(StreamingCdf.feed(spark, fCdf)
+      .filter($"batch_id" === 1L && $"change_type" === "delete").count() == 1L,
+      "crash fired before the feed write — wrong injection point")
+    assert(run(fSrc, fCkpt, fSnap, fCdf, None).isEmpty, "restart failed")
+
+    // replay against the already-merged store: the re-arriving tombstone
+    // hits an already-deleted key (noop), the update/insert hit their own
+    // images (noop) — feed and snapshot must equal the uninterrupted run
+    assert(rowsOf(fCdf) == rowsOf(cCdf), "change feed diverged after crash-replay")
+    assert(rowsOf(fSnap) == rowsOf(cSnap), "snapshot diverged after crash-replay")
+    val live = StreamingTombstone.snapshot(spark, fSnap, "del")
+      .select($"k", $"v", $"seq").as[(Long, String, Long)].collect().toSet
+    assert(live == Set((2L, "b2", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+    // time travel across the crashed delete still resurrects version 0
+    val v0 = StreamingTombstone.asOf(spark, fSnap, fCdf, "k", "del", 0L)
+      .select($"k", $"v", $"seq").as[(Long, String, Long)].collect().toSet
+    assert(v0 == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      s"asOf(0) over the crash-replayed delete feed drifted: $v0")
+  }
 }
