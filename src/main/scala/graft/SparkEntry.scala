@@ -107,6 +107,7 @@ object SparkEntry {
       graft.operators.DupClusters.dupClustersQ,
       graft.operators.DupClusters.canonicalQ,
       graft.operators.DupClusters.clusterHistogramQ,
+      graft.operators.PqIndex.distortionQ,
       // deterministic per-group bottom-k sampling via the custom
       // TypedImperativeAggregate. The selection key is md5("seed:value"),
       // so the oracle derives the identical sample with a window over

@@ -367,4 +367,67 @@ object PqIndex {
        |                               ORDER BY exact_d2, neighbor_id) AS rnk
        |  FROM ref) WHERE rnk = 1""".stripMargin
   }
+
+  /** E34: PQ DISTORTION audit — per-subspace quantization-error energy
+    * (Σ‖sub-vector − assigned centroid‖² in the quantized integer space,
+    * plus the per-vector floor average): e33's companion on the CODE
+    * side of the index-health pair. Distortion is what decides code
+    * width (the r5 4-bit→8-bit lesson was exactly "distortion exceeded
+    * within-cluster spread") and which subspace needs its codebook
+    * retrained after drift — so it's a first-class audit, not a debug
+    * print. All-integer; totals ride in DECIMAL(38,0) because Σ over the
+    * corpus of 8·(2²¹)²-scale terms can pass int64.
+    *
+    * Scale shape: the memoized encode (corpus × m code rows) + one
+    * broadcast join against the m·k-row codebook + one hash aggregate to
+    * m rows. Nothing rescans raw vectors beyond the shared quantize.
+    */
+  def distortionQ: graft.queries.Q = {
+    val dsub = 64 / m
+    graft.queries.Q("e34_pq_distortion",
+      s"""WITH qv AS (
+         |  SELECT vec_id, embedding, label,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) + 1048576) AS q
+         |  FROM embeddings),
+         |${pqTrainEncodeCtes()},
+         |err AS (
+         |  SELECT v.j, ${qd2Sql("v.sv", "c.cq")} AS d2
+         |  FROM vsub v
+         |  JOIN enc e ON v.vec_id = e.vec_id AND v.j = e.j
+         |  JOIN cb10 c ON c.j = e.j AND c.c = e.c)
+         |SELECT CAST(j AS BIGINT) AS subspace,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CAST(d2 AS HUGEINT)) AS DECIMAL(38,0)) AS sq_err_total,
+         |       CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS sq_err_avg
+         |FROM err GROUP BY j""".stripMargin) {
+      (s, dir) =>
+        import org.apache.spark.sql.types.DecimalType
+        val pq = indexFor(s, dir)
+        val cb = {
+          import s.implicits._
+          (for (j <- pq.codebook.indices; c <- pq.codebook(j).indices)
+            yield (j, c, pq.codebook(j)(c))).toDF("j", "c", "cq")
+        }
+        val vsub = pq.raw
+          .select(col("vec_id"), quantize(col("embedding")).as("q"))
+          .select(col("vec_id"),
+            explode(sequence(lit(0), lit(m - 1))).as("j"), col("q"))
+          .select(col("vec_id"), col("j"),
+            expr(s"slice(q, j * $dsub + 1, $dsub)").as("sv"))
+        val enc = pq.encoded.select(col("vec_id"),
+          posexplode(col("codes")).as(Seq("j", "c")))
+        vsub.join(enc, Seq("vec_id", "j"))
+          .join(broadcast(cb), Seq("j", "c"))
+          .select(col("j"), expr(
+            "aggregate(zip_with(sv, cq, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+          .groupBy(col("j").cast("long").as("subspace"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("d2").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+              .as("sq_err_total"),
+            expr("CAST(sum(CAST(d2 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+              .as("sq_err_avg"))
+    }
+  }
 }
