@@ -245,8 +245,13 @@ object BloomIndex {
     */
   def candidateParts(spark: SparkSession, indexDir: String, key: Long): Seq[String] = {
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sides = sideDirs(fs, indexDir)
+    // ONE multi-path read for every side (identical schemas): a read per
+    // side dir is a Spark job per side — measured 0.1 s/side/probe, which
+    // dominates probe latency once appends stack up (BloomSideSoak)
     val frames = read(spark, indexDir) +:
-      sideDirs(fs, indexDir).map(d => spark.read.parquet(d.toString))
+      (if (sides.isEmpty) Seq.empty
+       else Seq(spark.read.parquet(sides.map(_.toString): _*)))
     val hashed = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       key, org.apache.spark.sql.types.LongType, 42L)
     frames.flatMap {

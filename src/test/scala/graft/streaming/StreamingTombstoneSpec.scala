@@ -172,6 +172,43 @@ class StreamingTombstoneSpec extends AnyFunSuite with SparkTestKit {
     assert(live(snap) == settledLive, "replay changed the snapshot")
   }
 
+  test("delete feed drives a retractable MV to the live snapshot's own aggregate") {
+    // the tombstone store's feed is EXACTLY the cdc1 envelope StreamingMv
+    // consumes — delete rows retract their old image, so the maintained
+    // view tracks the LIVE view through deletions and re-inserts without
+    // ever reading the snapshot (store → feed → view with deletes)
+    val snap = tmp("ts-mvsnap"); val cdf = tmp("ts-mvfeed"); val mv = tmp("ts-mv")
+    // rows: (id, seq, cents, del); grp = id % 2 for a 2-group view
+    def withGrp(rows: Seq[(Long, Long, Long, Boolean)]) = rows
+    val batches = Seq(
+      Seq((1L, 10L, 100L, false), (2L, 10L, 200L, false), (3L, 10L, 300L, false),
+        (4L, 10L, 400L, false)),
+      Seq((1L, 20L, 0L, true), (2L, 20L, 250L, false)),   // delete + update
+      Seq((1L, 30L, 150L, false), (3L, 30L, 0L, true)),    // re-insert + delete
+      Seq((4L, 40L, 0L, true), (2L, 5L, 999L, false)))     // delete + stale noop
+    batches.zipWithIndex.foreach { case (rows, b) =>
+      StreamingTombstone.processBatch(spark, withGrp(rows).toDF("id", "seq", "cents", "del"),
+        b.toLong, "id", "seq", "del", snap, cdf)
+      val feed = StreamingCdf.feed(spark, cdf).filter($"batch_id" === b.toLong)
+        .select($"key", $"change_type",
+          ($"old_image.id" % 2).as("old_grp"), $"old_image.cents".as("old_cents"),
+          ($"new_image.id" % 2).as("new_grp"), $"new_image.cents".as("new_cents"))
+      StreamingMv.processBatch(spark, feed, b.toLong, mv)
+    }
+    val viewRows = StreamingMv.view(spark, mv)
+      .select($"grp", $"n_rows", $"sum_cents", $"min_cents", $"max_cents")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val liveAgg = StreamingTombstone.snapshot(spark, snap, "del")
+      .groupBy(($"id" % 2).as("grp"))
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+        min($"cents").as("min_cents"), max($"cents").as("max_cents"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viewRows == liveAgg,
+      s"MV over the delete feed diverged from the live view: $viewRows vs $liveAgg")
+    // final live state sanity: 1 re-inserted, 2 updated, 3 and 4 deleted
+    assert(live(snap) == Set((1L, 30L, 150L), (2L, 20L, 250L)))
+  }
+
   test("streaming sink end-to-end: two AvailableNow drains") {
     val snap = tmp("ts-ssnap"); val cdf = tmp("ts-sfeed")
     val ckpt = Files.createTempDirectory("ts-ckpt").toString
