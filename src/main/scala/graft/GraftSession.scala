@@ -147,6 +147,17 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     streaming.StreamingBackfill.liveSink(stream, tsCol, root, checkpoint).start()
 
+  /** Split every hot cell of a maintained streaming-IVF index (postings
+    * above `thresholdPpm` of the balanced share — the e33 load signal);
+    * run at a quiescent point like any OPTIMIZE-class rewrite. Returns
+    * retired cell → its new sub-cells. See
+    * [[streaming.StreamingIvf.splitCell]].
+    */
+  def splitHotCells(indexDir: String,
+      thresholdPpm: Long = 4000000L): Map[Int, Seq[Int]] =
+    streaming.StreamingIvf.hotCells(spark, indexDir, thresholdPpm)
+      .map(c => c -> streaming.StreamingIvf.splitCell(spark, indexDir, c)).toMap
+
   /** Maintain the Type-1 upsert snapshot AND emit its change-data feed
     * (insert/update with old + new images, no-ops suppressed) — the
     * store→feed half of the CDC loop; pipe the feed into

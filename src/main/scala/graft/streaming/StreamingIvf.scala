@@ -65,12 +65,61 @@ object StreamingIvf {
     }
   }
 
+  private def codebookDir(indexDir: String) = s"$indexDir/codebook"
+
+  /** Current codebook version under `codebook/` (−1 = none; the index is
+    * still on its original frozen `centroids/` publish). `_CURRENT`
+    * pointer, falling back to the highest complete `v%05d` dir — the
+    * BloomIndex reader-atomic versioning pattern.
+    */
+  private def currentCodebookVersion(
+      fs: org.apache.hadoop.fs.FileSystem, indexDir: String): Int = {
+    val ptr = new Path(codebookDir(indexDir), "_CURRENT")
+    if (fs.exists(ptr)) {
+      val in = fs.open(ptr)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    } else {
+      val root = new Path(codebookDir(indexDir))
+      if (!fs.exists(root)) -1
+      else fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt)
+        .foldLeft(-1)(math.max)
+    }
+  }
+
+  private def publishCodebookVersion(spark: SparkSession, indexDir: String,
+      cb: DataFrame): Unit = {
+    val (fs, _) = PartitionedIndex.fsFor(spark, codebookDir(indexDir))
+    val next = currentCodebookVersion(fs, indexDir) + 1
+    cb.coalesce(1).sortWithinPartitions("cell_id")
+      .write.mode("overwrite").parquet(f"${codebookDir(indexDir)}/v$next%05d")
+    val ptr = new Path(codebookDir(indexDir), "_CURRENT")
+    val tmp = new Path(codebookDir(indexDir), "_CURRENT.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(ptr, false)
+    if (!fs.rename(tmp, ptr))
+      throw new IllegalStateException(s"codebook pointer swing failed: $tmp -> $ptr")
+    // retain exactly one prior version for in-flight readers
+    fs.listStatus(new Path(codebookDir(indexDir))).map(_.getPath)
+      .filter(p => p.getName.matches("v\\d{5}") && p.getName.drop(1).toInt < next - 1)
+      .foreach(fs.delete(_, true))
+  }
+
+  /** The LIVE codebook: the newest `codebook/` version when one exists
+    * (published by [[splitCell]]), else the original frozen publish.
+    */
   def centroids(spark: SparkSession, indexDir: String): DataFrame = {
     val (fs, root) = PartitionedIndex.fsFor(spark, centroidsDir(indexDir))
-    require(fs.exists(root),
-      s"no frozen centroids at $root — publishCentroids (or ingest a " +
-        "first batch with trainOnFirstBatch) before ingesting")
-    spark.read.parquet(root.toString)
+    val v = currentCodebookVersion(fs, indexDir)
+    if (v >= 0) spark.read.parquet(f"${codebookDir(indexDir)}/v$v%05d")
+    else {
+      require(fs.exists(root),
+        s"no frozen centroids at $root — publishCentroids (or ingest a " +
+          "first batch with trainOnFirstBatch) before ingesting")
+      spark.read.parquet(root.toString)
+    }
   }
 
   /** Ingest one micro-batch of `(vec_id, embedding, label)` rows: assign
@@ -292,6 +341,107 @@ object StreamingIvf {
       dedupKeys = Seq("vec_id"),
       targetFileBytes = targetFileBytes, fullRefoldAt = fullRefoldAt,
       partitionCols = Seq("cell_id"))
+
+  /** Cells whose postings exceed `thresholdPpm` of the perfectly-balanced
+    * share (10⁶ = exactly N/k — the e33 `load_ppm` arithmetic): the
+    * split-policy input. Probe latency at nprobe cells follows the
+    * LARGEST probed cell, so a cell at 4–8× the balanced share is the
+    * signal to [[splitCell]] it. ≤ k rows collected.
+    */
+  def hotCells(spark: SparkSession, indexDir: String,
+      thresholdPpm: Long = 4000000L): Seq[Int] =
+    scanPostings(spark, indexDir) match {
+      case None => Seq.empty
+      case Some(all) =>
+        val sizes = all.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        sizes.crossJoin(broadcast(sizes.agg(sum(col("n")).as("tot"),
+            count(lit(1)).as("nc"))))
+          .filter(expr(s"n * nc * 1000000 div tot") >= thresholdPpm)
+          .select(col("cell_id")).collect().map(_.getInt(0)).toSeq
+    }
+
+  /** SPLIT a hot cell — the maintenance move when ingest skew outgrows
+    * the frozen codebook (the e33/[[hotCells]] signal): cell `cell` is
+    * RETIRED and its postings strictly refined into `splitInto` new
+    * sub-cells (ids above the current max), whose centroids train on the
+    * cell's own members with the same deterministic quantized Lloyd as
+    * every other codebook in the engine. The codebook stays FLAT —
+    * [[probe]], [[screenBatch]] and [[ingestBatch]] pick the new version
+    * up through [[centroids]] with zero code-path changes — and the
+    * at-rest invariant is preserved: only this cell's rows move, every
+    * other posting byte stays put.
+    *
+    * Sequencing (roll-forward crash contract):
+    *  1. train sub-centroids, write the refined postings ADDITIVELY
+    *     (`cell_id=new` dirs inside each partition that held the cell);
+    *  2. publish the new codebook version (pointer swing — the commit
+    *     point: probes stop planning the retired id, so its dirs go
+    *     unread even before they are removed);
+    *  3. drop the retired cell's dirs.
+    * A crash before 2 leaves unreferenced new dirs (duplicates visible
+    * only to full scans, and `compactIndex`'s vec_id dedup heals them);
+    * re-running splitCell completes the job. Run at a QUIESCENT point
+    * (between drains, post-compaction) like any OPTIMIZE-class rewrite;
+    * a replay of a pre-split batch re-assigns under the new codebook, so
+    * follow such a replay with [[compactIndex]] to dedup strays.
+    *
+    * Recall note: refinement keeps members inside the retired cell's
+    * children even when the full-codebook argmin would prefer another
+    * cell, so the candidate rule stays "b's PLACED cell among a's nprobe
+    * nearest"; at `nprobe = |codebook|` the screen/probe remain exactly
+    * brute force (the lossless gate — spec-pinned).
+    *
+    * Returns the new cell ids.
+    */
+  def splitCell(spark: SparkSession, indexDir: String, cell: Int,
+      splitInto: Int = 2): Seq[Int] = {
+    require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
+    FloatVecDot.register(spark)
+    val cents = centroids(spark, indexDir)
+    require(cents.filter(col("cell_id") === cell).count() == 1,
+      s"cell $cell is not in the live codebook (already split, or never existed)")
+    val all = scanPostings(spark, indexDir).getOrElse(
+      throw new IllegalStateException(s"no postings at $indexDir to split"))
+    val members = all.filter(col("cell_id") === cell)
+      .select(col("vec_id"), col("embedding"), col("label"), col("__batch"))
+      .localCheckpoint(true) // pin BEFORE the dirs move under the plan
+    val n = members.count()
+    require(n >= splitInto.toLong,
+      s"cell $cell holds $n rows — nothing to split into $splitInto")
+    val maxId = cents.agg(max(col("cell_id"))).head().getInt(0)
+    // deterministic sub-codebook on the cell's own members, ids remapped
+    // above the current max (the retired id is never reused)
+    val sub = IvfIndex.buildQuantized(spark,
+        members.select(col("vec_id"), col("embedding"), col("label")),
+        k = splitInto).centroids
+      .select((col("cell_id") + lit(maxId + 1)).cast("int").as("cell_id"), col("cq"))
+      .localCheckpoint(true)
+    val newIds = sub.select(col("cell_id")).collect().map(_.getInt(0)).toSeq
+
+    // 1. refined postings, additively — each row keeps its __batch so
+    // the partition grain (replay/compaction semantics) is untouched
+    IvfIndex.assignTo(members.select(col("vec_id"), col("embedding"), col("label")), sub)
+      .join(members.select(col("vec_id"), col("__batch")), Seq("vec_id"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__batch", "cell_id")
+      .parquet(postingsDir(indexDir))
+
+    // 2. commit: the retired id leaves the codebook
+    publishCodebookVersion(spark, indexDir,
+      cents.filter(col("cell_id") =!= cell).unionByName(sub))
+
+    // 3. drop the retired cell's dirs (probes already can't plan them)
+    val (fs, pRoot) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+    if (fs.exists(pRoot))
+      fs.listStatus(pRoot).map(_.getPath)
+        .filter(_.getName.startsWith("__batch="))
+        .map(p => new Path(p, s"cell_id=$cell"))
+        .filter(fs.exists)
+        .foreach(fs.delete(_, true))
+    newIds
+  }
 
   /** Streaming sink: maintain the index from a `(vec_id, embedding,
     * label)` stream, compacting every `compactEvery` batches.

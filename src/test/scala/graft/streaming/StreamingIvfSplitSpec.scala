@@ -1,0 +1,136 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+import graft.functions.FloatVecDot
+
+/** splitCell — codebook evolution under ingest skew. Contracts:
+  *  - strict refinement: the retired cell's members land in its children
+  *    and NOTHING else moves (postings vec_id set and every other cell's
+  *    membership byte-stable);
+  *  - losslessness at full probe: `probe(nprobe = |codebook|)` equals
+  *    brute-force cosine top-k BEFORE and AFTER the split;
+  *  - the retired id leaves both the codebook and the directory layout;
+  *    ingest after the split assigns into the new codebook only;
+  *  - hotCells flags exactly the engineered hot cell;
+  *  - splitting a non-live cell throws (idempotence guard).
+  */
+class StreamingIvfSplitSpec extends AnyFunSuite with SparkTestKit {
+
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  // engineered skew: 85% of vectors in one tight cluster, the rest spread
+  // over 7 others — the hot cell emerges regardless of trained boundaries.
+  // LCG directions per the r7 fixture lesson (structured families can't
+  // model separation).
+  private def mix(i: Long, salt: Long): Float = {
+    val x = (i * 6364136223846793005L + salt * 1442695040888963407L + 11L)
+    ((x >>> 33).toInt % 1000) / 1000.0f
+  }
+  private def vecs(n: Int): DataFrame =
+    (0 until n).map { i =>
+      val hot = i % 20 < 17 // 85%
+      val base = if (hot) 0 else 1 + i % 7
+      val emb = Array.tabulate(16) { j =>
+        10f * (if (j == base) 1f else 0f) + 0.3f * mix(i.toLong, j.toLong + 1)
+      }.toSeq
+      (i.toLong, emb, base)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label")
+
+  private def bruteTop1(all: DataFrame, probes: DataFrame): Set[(Long, Long)] = {
+    FloatVecDot.register(spark)
+    val q = probes.select($"vec_id".as("query_id"), $"embedding".as("q_emb"))
+    val dot = (a: String, b: String) => call_function("vec_dot", col(a), col(b))
+    q.crossJoin(all.select($"vec_id".as("n_id"), $"embedding".as("n_emb")))
+      .filter($"query_id" =!= $"n_id")
+      .select($"query_id", $"n_id",
+        (dot("q_emb", "n_emb") /
+          (sqrt(dot("q_emb", "q_emb")) * sqrt(dot("n_emb", "n_emb")))).as("cos"))
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy(desc("cos"), $"n_id")))
+      .filter($"rk" === 1)
+      .select($"query_id", $"n_id").as[(Long, Long)].collect().toSet
+  }
+
+  private def postingsSet(dir: String): Set[(Long, Int)] =
+    StreamingIvf.scanPostings(spark, dir).get
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toSet
+
+  test("split: refinement, losslessness at full probe, retirement, post-split ingest") {
+    val dir = tmp("ivfsplit") + "/ix"
+    val all = vecs(800).cache()
+    val probes = all.filter($"vec_id" % 100 === 3)
+    // 2 batches, codebook trained on the first (k = 8)
+    StreamingIvf.ingestBatch(all.filter($"vec_id" < 400), dir, 0L,
+      trainOnFirstBatch = true, k = 8)
+    StreamingIvf.ingestBatch(all.filter($"vec_id" >= 400), dir, 1L)
+
+    val hot = StreamingIvf.hotCells(spark, dir, thresholdPpm = 3000000L)
+    assert(hot.size == 1, s"exactly one engineered hot cell expected, got $hot")
+    val cell = hot.head
+
+    val before = postingsSet(dir)
+    val beforeOthers = before.filter(_._2 != cell)
+    val hotMembers = before.filter(_._2 == cell).map(_._1)
+    val brute = bruteTop1(all, probes)
+    val kBefore = StreamingIvf.centroids(spark, dir).count().toInt
+    assert(probeSetTop1(dir, probes, kBefore) == brute,
+      "pre-split full probe must equal brute force")
+
+    val newIds = StreamingIvf.splitCell(spark, dir, cell)
+    assert(newIds.size == 2 && newIds.forall(_ > cell))
+
+    // codebook: retired id gone, children present, flat k+1 cells
+    val cbIds = StreamingIvf.centroids(spark, dir)
+      .select($"cell_id").as[Int].collect().toSet
+    assert(!cbIds.contains(cell) && newIds.forall(cbIds.contains) &&
+      cbIds.size == kBefore + 1)
+
+    // strict refinement: hot members split among the children, everything
+    // else byte-stable, nothing lost or duplicated
+    val after = postingsSet(dir)
+    assert(after.filter(t => !newIds.contains(t._2)) == beforeOthers,
+      "non-split cells must not move")
+    assert(after.filter(t => newIds.contains(t._2)).map(_._1) == hotMembers,
+      "children must hold exactly the retired cell's members")
+    assert(after.size == before.size)
+    newIds.foreach { c =>
+      assert(after.exists(_._2 == c), s"child $c ended empty — not a split")
+    }
+    // retired dirs gone
+    val (fs, pRoot) = PartitionedIndex.fsFor(spark, s"$dir/postings")
+    fs.listStatus(pRoot).map(_.getPath).filter(_.getName.startsWith("__batch="))
+      .foreach { p =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(p, s"cell_id=$cell")),
+          s"retired cell dir survived under $p")
+      }
+
+    // losslessness: full probe over the evolved codebook still == brute force
+    assert(probeSetTop1(dir, probes, kBefore + 1) == brute,
+      "post-split full probe must equal brute force")
+
+    // post-split ingest assigns into the new codebook only
+    val extra = vecs(820).filter($"vec_id" >= 800)
+    StreamingIvf.ingestBatch(extra, dir, 2L)
+    val post = postingsSet(dir)
+    assert(post.size == 820 && !post.exists(_._2 == cell),
+      "post-split ingest must never touch the retired id")
+
+    // splitting the retired cell again throws
+    intercept[IllegalArgumentException] {
+      StreamingIvf.splitCell(spark, dir, cell)
+    }
+    all.unpersist()
+  }
+
+  private def probeSetTop1(dir: String, probes: DataFrame, nprobe: Int): Set[(Long, Long)] =
+    StreamingIvf.probe(spark, dir, probes, nprobe = nprobe, topK = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+}
