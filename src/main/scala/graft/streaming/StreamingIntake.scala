@@ -323,6 +323,65 @@ object StreamingIntake {
       checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
       compactEvery: Int = 8,
       trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
+      releaseDir, labelDir, verdictDir,
+      // frozen-reference drift scoring, with the non-null-values guard of
+      // StreamingDrift.sink: a batch whose valueCol is entirely null would
+      // otherwise persist every reference bin at n_batch=0 — a spurious
+      // max-drift alert (the screenBatch full-outer shape; see its scaladoc)
+      scoreDrift = (lens, batchId) =>
+        if (!lens.filter(col("n_chars").isNotNull).isEmpty) {
+          val driftBins = StreamingDrift.screenBatch(lens, driftRef, "n_chars")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            driftBins.withColumn("__batch", lit(batchId))
+              .write.option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite").partitionBy("__batch").parquet(driftBinsDir)
+            StreamingDrift.summarize(driftBins, driftThreshold)
+              .write.mode("overwrite").parquet(s"$driftSummaryDir/batch_id=$batchId")
+          } finally { driftBins.unpersist(); () }
+        },
+      kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
+      profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger)
+
+  /** [[sinkFullIvfSplitMonitored]] with the RE-FREEZING drift reference
+    * ([[StreamingDrift.processBatchRefreshing]]): each batch scores
+    * against the newest reference published under `driftRefStoreDir`
+    * (one `version=N` per corpus release cut — share the release's
+    * manifest version) and pins `ref_version` in its ledger row, so
+    * replays stay byte-identical across refreshes. The admission half is
+    * untouched.
+    */
+  def sinkFullIvfSplitMonitoredRefreshing(docs: DataFrame, indexDir: String,
+      embIndexDir: String, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String, labelDir: String, verdictDir: String,
+      driftRefStoreDir: String, driftBinsDir: String,
+      driftSummaryDir: String, driftThreshold: Long,
+      kpiLedgerDir: String, kpiVerdictDir: String,
+      profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
+      checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
+      compactEvery: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
+      releaseDir, labelDir, verdictDir,
+      scoreDrift = (lens, batchId) =>
+        StreamingDrift.processBatchRefreshing(lens.sparkSession, lens, batchId,
+          driftRefStoreDir, "n_chars", driftBinsDir, driftSummaryDir,
+          driftThreshold),
+      kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
+      profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger)
+
+  /** The shared monitored-intake body — drift scoring is the one policy
+    * choice, injected by the two public variants above.
+    */
+  private def monitoredSink(docs: DataFrame, indexDir: String,
+      embIndexDir: String, screen: StreamingDecontam.Screen, quotaDf: DataFrame,
+      ledgerDir: String, releaseDir: String, labelDir: String, verdictDir: String,
+      scoreDrift: (DataFrame, Long) => Unit,
+      kpiLedgerDir: String, kpiVerdictDir: String,
+      profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
+      checkpointDir: String, k: Int, tau: Double, nprobe: Int,
+      compactEvery: Int, trigger: Trigger): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -336,21 +395,7 @@ object StreamingIntake {
           // actually ADMITTED — the quantity downstream consumes
           val lens = batch.select(col("doc_id"),
             length(col("text")).cast("long").as("n_chars"))
-          // same non-null-values guard as StreamingDrift.sink: a batch
-          // whose valueCol is entirely null would otherwise persist every
-          // reference bin at n_batch=0 — a spurious max-drift alert (the
-          // screenBatch full-outer shape; see its scaladoc)
-          if (!lens.filter(col("n_chars").isNotNull).isEmpty) {
-            val driftBins = StreamingDrift.screenBatch(lens, driftRef, "n_chars")
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            try {
-              driftBins.withColumn("__batch", lit(batchId))
-                .write.option("partitionOverwriteMode", "dynamic")
-                .mode("overwrite").partitionBy("__batch").parquet(driftBinsDir)
-              StreamingDrift.summarize(driftBins, driftThreshold)
-                .write.mode("overwrite").parquet(s"$driftSummaryDir/batch_id=$batchId")
-            } finally { driftBins.unpersist(); () }
-          }
+          scoreDrift(lens, batchId)
           val admittedChars = verdicts.filter(col("admitted"))
             .select(col("doc_id"))
             .join(lens, "doc_id")

@@ -551,6 +551,77 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     assert(snap(dirs) == before)
   }
 
+  test("monitored intake with the RE-FREEZING drift reference: refresh + replay pin") {
+    val screen = StreamingDecontam.prepare(evalDocs)
+    val indexDir = tmp("rmon-index") + "/index"
+    val embIndexDir = tmp("rmon-emb") + "/index"
+    val ledgerDir = tmp("rmon-ledger"); val releaseDir = tmp("rmon-release")
+    val labelDir = tmp("rmon-labels") + "/labels"
+    val verdictDir = tmp("rmon-verd") + "/v"
+    val driftBins = tmp("rmon-dbins") + "/b"; val driftSum = tmp("rmon-dsum")
+    val refStore = tmp("rmon-refstore")
+    val kpiLedger = tmp("rmon-kledger"); val kpiVerd = tmp("rmon-kverd") + "/v"
+    val profStats = tmp("rmon-pstats") + "/s"; val profBm = tmp("rmon-pbm") + "/b"
+    val srcDir = tmp("rmon-src"); val ckpt = tmp("rmon-ckpt")
+    val quota = Seq(("en", 100L)).toDF("lang", "quota")
+    // v0 reference: the SHORT length family — batch docs (12-word
+    // sentences) land far above it, so batch 0 must alert
+    StreamingDrift.publishReference(spark, refStore, 0L,
+      Seq.tabulate(100)(i => (i.toLong, 20L + i % 3)).toDF("id", "n_chars"),
+      "n_chars", binWidth = 20L)
+
+    def run(): Unit = {
+      val q = StreamingIntake.sinkFullIvfSplitMonitoredRefreshing(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id bigint, text string, lang string, embedding array<float>"))
+          .json(srcDir),
+        indexDir, embIndexDir, screen, quota, ledgerDir, releaseDir, labelDir,
+        verdictDir, refStore, driftBins, driftSum, driftThreshold = 500000L,
+        kpiLedgerDir = kpiLedger, kpiVerdictDir = kpiVerd,
+        profileStatsDir = profStats, profileBitmapDir = profBm,
+        profileDomain = 1000, checkpointDir = ckpt,
+        k = 3, tau = 0.9, nprobe = 3).start()
+      q.awaitTermination()
+    }
+    def summary(b: Long): (Boolean, Long) = {
+      val r = spark.read.parquet(s"$driftSum/batch_id=$b")
+        .select($"is_alert", $"ref_version").head()
+      (r.getBoolean(0), r.getLong(1))
+    }
+
+    val b1 = Seq((0L, sentence(50), "en", emb(0)), (3L, sentence(51), "en", emb(1)))
+    b1.toDF("doc_id", "text", "lang", "embedding").write.mode("append").json(srcDir)
+    run()
+    assert(summary(0L) == ((true, 0L)),
+      "batch 0 must alert against the short-text v0 reference and pin version 0")
+
+    // the corpus re-releases with the real length family → v1
+    StreamingDrift.publishReference(spark, refStore, 1L,
+      Seq.tabulate(200)(i => (i.toLong, sentence(60 + i % 4).length.toLong))
+        .toDF("id", "n_chars"), "n_chars", binWidth = 20L)
+    val b2 = Seq((12L, sentence(52), "en", emb(5)), (13L, sentence(54), "en", emb(4)))
+    b2.toDF("doc_id", "text", "lang", "embedding").write.mode("append").json(srcDir)
+    run()
+    assert(summary(1L) == ((false, 1L)),
+      "batch 1 must score quiet against the refreshed v1 reference")
+
+    // replay batch 0 directly: the ledger pin routes it back to v0 —
+    // summary byte-identical even though v1 is now the newest version
+    val before0 = spark.read.parquet(s"$driftSum/batch_id=0")
+      .collect().map(_.toString).sorted.toSeq
+    StreamingDrift.processBatchRefreshing(spark,
+      b1.toDF("doc_id", "text", "lang", "embedding")
+        .select($"doc_id", length($"text").cast("long").as("n_chars")),
+      0L, refStore, "n_chars", driftBins, driftSum, 500000L)
+    assert(spark.read.parquet(s"$driftSum/batch_id=0")
+      .collect().map(_.toString).sorted.toSeq == before0,
+      "replay must reuse the pinned v0 reference")
+    // the admission half is unchanged by the drift policy
+    assert(spark.read.parquet(verdictDir).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L, 12L, 13L))
+  }
+
   test("the composed screen plan stays nested-loop-free") {
     val screen = StreamingDecontam.prepare(evalDocs)
     val indexDir = tmp("in-plan") + "/index"
