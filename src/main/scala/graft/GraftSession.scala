@@ -206,6 +206,33 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
     streaming.StreamingTombstone.vacuum(spark, snapshotDir, seqCol, delCol,
       seqHorizon)
 
+  /** TAKEDOWN (GDPR erasure / post-hoc contamination finding): tombstone
+    * the docs out of the admitted-corpus store AND retract their
+    * fingerprints from the release ledger, in one batch. The retraction
+    * source is the store's own delete feed — double-deletes and
+    * never-admitted keys are suppressed by construction, so the release
+    * keeps tracking the live view exactly (spec-pinned in
+    * StreamingReleaseSpec). `takedowns` rows carry the store schema
+    * (including `doc_id`, `lang`, `text` for the fingerprint) with the
+    * tombstone flag set and a seq newer than the admitted rows'. Returns
+    * the number of docs actually erased.
+    */
+  def takedown(takedowns: DataFrame, seqCol: String, delCol: String,
+      snapshotDir: String, cdfDir: String, releaseDir: String,
+      batchId: Long): Long = {
+    streaming.StreamingTombstone.processBatch(spark, takedowns, batchId,
+      "doc_id", seqCol, delCol, snapshotDir, cdfDir)
+    val deletes = streaming.StreamingCdf.feed(spark, cdfDir)
+      .filter(org.apache.spark.sql.functions.col("batch_id") === batchId &&
+        org.apache.spark.sql.functions.col("change_type") === "delete")
+      .select(org.apache.spark.sql.functions.col("old_image.doc_id").as("doc_id"),
+        org.apache.spark.sql.functions.col("old_image.lang").as("lang"),
+        org.apache.spark.sql.functions.col("old_image.text").as("text"))
+    val n = deletes.count()
+    if (n > 0) streaming.StreamingRelease.retractBatch(deletes, releaseDir, batchId)
+    n
+  }
+
   /** Maintain a retractable count/sum/min/max view from a cdc1-shaped
     * change-feed stream (insert/update/delete with old + new images) —
     * see [[streaming.StreamingMv]] for the two-fence exactly-once

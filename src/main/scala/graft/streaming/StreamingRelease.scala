@@ -53,7 +53,47 @@ object StreamingRelease {
       .partitionBy("__batch")
       .parquet(releaseDir)
 
-  /** The current release: fold every batch's partial fingerprints. */
+  /** RETRACT documents from the release — the takedown path (GDPR
+    * erasure, court order, post-hoc contamination finding): append the
+    * NEGATED partial for the taken-down docs. Exact because every
+    * fingerprint component is a GROUP under the fold: counts and char
+    * totals negate, and bit_xor is its own inverse — after the
+    * retraction lands, [[currentRelease]] equals the fingerprint of the
+    * SURVIVING docs computed from scratch (spec-pinned), with one
+    * documented exception: `watermark` is deliberately HIGH-WATER
+    * (monotone max of every doc_id ever admitted — an audit cursor, not
+    * a survivor statistic), so retracting the max doc does not lower it.
+    *
+    * Retraction partitions live in their own id namespace
+    * (`__batch = −(batchId)−1`): takedowns arrive on their own stream
+    * with their own batch sequence, and a shared namespace would let a
+    * retraction dynamic-overwrite an admission partition. Replays
+    * rewrite the same negative partition — idempotent like admission.
+    *
+    * Caller contract: retract only docs previously admitted, exactly
+    * once each. The natural source honoring that automatically is a
+    * [[StreamingTombstone]] store of the admitted corpus: its delete
+    * feed suppresses double-deletes and deletes-of-absent-keys by
+    * construction, and each delete's `old_image` carries exactly the
+    * columns this fingerprint needs (spec-pinned composition).
+    */
+  def retractBatch(takedowns: DataFrame, releaseDir: String, batchId: Long): Unit =
+    releaseBatch(takedowns)
+      .select(col("lang"),
+        (-col("n_docs")).as("n_docs"),
+        (-col("n_chars")).as("n_chars"),
+        col("xor_hash"), col("watermark"))
+      .withColumn("__batch", lit(-batchId - 1))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__batch")
+      .parquet(releaseDir)
+
+  /** The current release: fold every batch's partial fingerprints
+    * (admissions and retractions alike — the fold can't tell them apart,
+    * which is the point).
+    */
   def currentRelease(spark: SparkSession, releaseDir: String): DataFrame =
     spark.read.option("basePath", releaseDir).parquet(releaseDir)
       .groupBy(col("lang"))

@@ -77,4 +77,65 @@ class StreamingReleaseSpec extends AnyFunSuite with SparkTestKit {
     assert(sorted(StreamingRelease.currentRelease(spark, releaseDir)) ==
       sorted(StreamingRelease.releaseBatch(admittedDf)))
   }
+
+  test("retraction: the fold lands exactly on the survivors' fingerprint") {
+    val dir = tmp("rel-ret")
+    val b0 = docs(0 until 20, "en").union(docs(100 until 110, "de"))
+    val b1 = docs(20 until 45, "en")
+    StreamingRelease.appendBatch(b0, dir, 0L)
+    StreamingRelease.appendBatch(b1, dir, 1L)
+    // take down 5 en docs (incl. the watermark doc 44) and 3 de docs
+    val takedown = docs(40 until 45, "en").union(docs(100 until 103, "de"))
+    StreamingRelease.retractBatch(takedown, dir, 0L)
+    val survivors = docs(0 until 40, "en").union(docs(103 until 110, "de"))
+    val folded = StreamingRelease.currentRelease(spark, dir)
+    val fromScratch = StreamingRelease.releaseBatch(survivors)
+    // exact on every GROUP component; watermark is high-water by design
+    assert(sorted(folded.drop("watermark")) == sorted(fromScratch.drop("watermark")),
+      "retraction must land the fold on the survivors' fingerprint")
+    assert(folded.filter($"lang" === "en").head().getAs[Long]("watermark") == 44L,
+      "watermark is the high-water audit cursor, not a survivor statistic")
+    // replaying the retraction converges (own negative partition)
+    val settled = sorted(folded)
+    StreamingRelease.retractBatch(takedown, dir, 0L)
+    assert(sorted(StreamingRelease.currentRelease(spark, dir)) == settled)
+    // and a retraction batch id never collides with an admission id
+    val parts = spark.read.option("basePath", dir).parquet(dir)
+      .select($"__batch").distinct().as[Long].collect().toSet
+    assert(parts == Set(0L, 1L, -1L), s"unexpected partition ids: $parts")
+  }
+
+  test("takedown composition: tombstone delete feed drives the retraction") {
+    // the admitted corpus lives in a tombstone store; a takedown batch
+    // deletes keys there, and the delete feed's old images — which
+    // suppress double-deletes and unknown keys by construction — are the
+    // retraction source. Release ≡ cut over the store's LIVE view.
+    val snap = tmp("rel-ts") + "/s"; val cdf = tmp("rel-tscdf") + "/f"
+    val relDir = tmp("rel-tsrel")
+    val admitted = docs(0 until 30, "en").union(docs(100 until 108, "de"))
+      .withColumn("seq", lit(1L)).withColumn("del", lit(false))
+    StreamingTombstone.processBatch(spark, admitted, 0L, "doc_id", "seq", "del",
+      snap, cdf)
+    StreamingRelease.appendBatch(admitted.drop("seq", "del"), relDir, 0L)
+    // takedown: two real docs, one double-delete candidate, one unknown
+    // key — the feed must emit exactly the two real deletes
+    val takedown = Seq(
+      (5L, "en", "text of document number 5 with some words", 2L, true),
+      (100L, "de", "text of document number 100 with some words", 2L, true),
+      (999L, "xx", "never admitted", 2L, true))
+      .toDF("doc_id", "lang", "text", "seq", "del")
+    StreamingTombstone.processBatch(spark, takedown, 1L, "doc_id", "seq", "del",
+      snap, cdf)
+    val deletes = StreamingCdf.feed(spark, cdf)
+      .filter($"batch_id" === 1L && $"change_type" === "delete")
+      .select($"old_image.doc_id".as("doc_id"), $"old_image.lang".as("lang"),
+        $"old_image.text".as("text"))
+    assert(deletes.count() == 2L)
+    StreamingRelease.retractBatch(deletes, relDir, 1L)
+    val live = StreamingTombstone.snapshot(spark, snap, "del")
+      .select($"doc_id", $"lang", $"text")
+    assert(sorted(StreamingRelease.currentRelease(spark, relDir).drop("watermark")) ==
+      sorted(StreamingRelease.releaseBatch(live).drop("watermark")),
+      "release must track the tombstone store's live view through takedowns")
+  }
 }
