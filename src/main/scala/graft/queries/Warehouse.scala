@@ -1237,11 +1237,78 @@ object Warehouse {
           .as("gini_ppm"))
   }
 
+  /** A31: EXACT two-sample Kolmogorov–Smirnov distance — the
+    * distribution-comparison statistic dq5's binned drift can't give you
+    * (KS is binless: sup over every observed threshold of the empirical
+    * CDF gap). Here: urgent-priority vs low-priority order values. The
+    * sup runs over DISTINCT values with cumulative counts AFTER each
+    * value (per-row cumulatives inside a tie would overstate D), and
+    * everything stays integer: D = max |cum1·n2 − cum2·n1| over the
+    * merged value grid, reported as ppm of n1·n2, plus the threshold
+    * where the max is attained (min such value — deterministic).
+    *
+    * Scale shape: one filtered scan → per-value hash aggregate → TWO
+    * PrefixScan global cumulatives (the a30 bucketed two-level scan;
+    * never a single-partition window) → a 1-row totals broadcast → one
+    * max aggregate. Products ride in DECIMAL(38,0)/HUGEINT so the
+    * arithmetic survives n ~ 10¹⁰.
+    */
+  val ksTest = Q("a31_ks_test",
+    """WITH s AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS f1,
+      |         CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS f2
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+      |pv AS (
+      |  SELECT cents, CAST(sum(f1) AS BIGINT) AS c1, CAST(sum(f2) AS BIGINT) AS c2
+      |  FROM s GROUP BY 1),
+      |cum AS (
+      |  SELECT cents,
+      |         CAST(sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1,
+      |         CAST(sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum2
+      |  FROM pv),
+      |n AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM pv),
+      |d AS (
+      |  SELECT cents,
+      |         abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) AS dn,
+      |         n1, n2
+      |  FROM cum, n)
+      |SELECT n1, n2,
+      |       CAST(max(dn) * 1000000 // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_ppm,
+      |       CAST(-max(struct_pack(dn := dn, negc := -cents)).negc AS BIGINT) AS at_cents
+      |FROM d GROUP BY n1, n2""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val base = Tables.orders(s, dir)
+        .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+        .select((Exact.dec2($"o_totalprice") * 100).cast("long").as("cents"),
+          when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L).as("f1"),
+          when($"o_orderpriority" === "5-LOW", 1L).otherwise(0L).as("f2"))
+      val pv = base.groupBy($"cents")
+        .agg(sum($"f1").as("c1"), sum($"f2").as("c2"))
+      val cum = graft.operators.PrefixScan.runningSum(
+        graft.operators.PrefixScan.runningSum(
+          pv, expr("cents div 100000"), Seq($"cents"), $"c1", "cum1"),
+        expr("cents div 100000"), Seq($"cents"), $"c2", "cum2")
+      val n = pv.agg(sum($"c1").cast("long").as("n1"),
+        sum($"c2").cast("long").as("n2"))
+      val d = cum.crossJoin(broadcast(n))
+        .select($"cents", $"n1", $"n2",
+          abs($"cum1".cast(DecimalType(38, 0)) * $"n2"
+            - $"cum2".cast(DecimalType(38, 0)) * $"n1").as("dn"))
+      d.groupBy($"n1", $"n2")
+        .agg(expr("""CAST((max(dn) * 1000000)
+                     div (CAST(n1 AS DECIMAL(19,0)) * n2) AS BIGINT)""").as("ks_ppm"),
+          expr("CAST(-max(struct(dn, -cents AS negc)).negc AS BIGINT)").as("at_cents"))
+        .select($"n1", $"n2", $"ks_ppm", $"at_cents")
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, q7Volume, q4OrderPriority, q12PriorityShipping,
     q14PromoRevenue, q19Disjunctive, dq2Reconciliation, pctOfTotal, aggPack,
     weightedMix, temperatureMix, winsorize, topKNative, zorderKey, gapFill,
-    corrEvidence, autocorr, gini)
+    corrEvidence, autocorr, gini, ksTest)
 }

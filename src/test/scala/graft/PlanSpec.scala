@@ -302,7 +302,11 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       "e32_radius_search",
       // e33: the 1-row total broadcast onto the ≤k-row cell histogram
       // (t10 pattern) + the shared cached index-build subtree
-      "e33_ivf_cell_balance")
+      "e33_ivf_cell_balance",
+      // a31: the 1-row (n1, n2) totals broadcast onto the distinct-value
+      // CDF grid (t10 pattern); the cumulatives are PrefixScan's bucketed
+      // windows, the rest is hash aggregates
+      "a31_ks_test")
     val offenders = SparkEntry.registry
       .filterNot(q => whitelist.contains(q.name))
       .flatMap { q =>
