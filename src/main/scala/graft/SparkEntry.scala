@@ -108,6 +108,7 @@ object SparkEntry {
       graft.operators.DupClusters.canonicalQ,
       graft.operators.DupClusters.clusterHistogramQ,
       graft.operators.PqIndex.distortionQ,
+      graft.operators.DupClusters.sourceDedupImpactQ,
       // deterministic per-group bottom-k sampling via the custom
       // TypedImperativeAggregate. The selection key is md5("seed:value"),
       // so the oracle derives the identical sample with a window over

@@ -218,6 +218,53 @@ object DupClusters {
           sum(col("chars")).cast("long").as("chars_total"))
   }
 
+  /** D21: SOURCE DEDUP IMPACT — what canonical selection costs each
+    * source: per source, docs in vs docs kept (d10's longest-copy-wins
+    * keep flag), chars in vs chars kept, and the loss in ppm — the
+    * report that feeds mixture REWEIGHTING (a source that loses 40% of
+    * its mass to dedup needs its t12/t17 budget weight cut BEFORE
+    * sampling, or the post-dedup mix silently drifts from the recipe).
+    * All-integer.
+    *
+    * Scale shape: the session-memoized d10 keep table (fixed-width
+    * doc_id/cluster_id/n_chars/keep — no payload) + one doc-key
+    * equi-join for the source column + ONE hash aggregate to |sources|
+    * rows.
+    */
+  val sourceDedupImpactQ: graft.queries.Q = graft.queries.Q("d21_source_dedup_impact",
+    s"""WITH RECURSIVE ${Dedup.minhashCtes},
+       |pairs AS (${Dedup.minhashSelect}),
+       |$ccCtes,
+       |lab AS (SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |               d.n_chars, d.source
+       |        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+       |canon AS (SELECT cluster_id,
+       |                 -max(struct_pack(n_chars := n_chars, neg_id := -doc_id)).neg_id AS kept_doc
+       |          FROM lab GROUP BY cluster_id)
+       |SELECT lab.source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(CASE WHEN lab.doc_id = c.kept_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CAST(lab.n_chars AS BIGINT)) AS BIGINT) AS chars_in,
+       |       CAST(sum(CASE WHEN lab.doc_id = c.kept_doc THEN CAST(lab.n_chars AS BIGINT) ELSE 0 END) AS BIGINT) AS chars_kept,
+       |       CAST(sum(CASE WHEN lab.doc_id = c.kept_doc THEN 0 ELSE CAST(lab.n_chars AS BIGINT) END) * 1000000
+       |            // greatest(sum(CAST(lab.n_chars AS BIGINT)), 1) AS BIGINT) AS char_loss_ppm
+       |FROM lab JOIN canon c ON lab.cluster_id = c.cluster_id
+       |GROUP BY lab.source""".stripMargin) {
+    (s, dir) =>
+      val kept = canonicalQuery(s, dir) // memoized: doc_id, cluster_id, n_chars, keep
+      kept.join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(col("n_chars").cast("long")).cast("long").as("chars_in"),
+          sum(when(col("keep"), col("n_chars").cast("long")).otherwise(0L))
+            .cast("long").as("chars_kept"),
+          expr("""CAST(sum(CASE WHEN keep THEN 0L ELSE CAST(n_chars AS BIGINT) END) * 1000000
+                  div greatest(sum(CAST(n_chars AS BIGINT)), 1) AS BIGINT)""")
+            .as("char_loss_ppm"))
+  }
+
   val dupClustersQ: graft.queries.Q = graft.queries.Q("d5_dup_clusters",
     s"""WITH RECURSIVE ${Dedup.minhashCtes},
        |pairs AS (${Dedup.minhashSelect}),
