@@ -375,8 +375,14 @@ object PqIndex {
     * width (the r5 4-bit→8-bit lesson was exactly "distortion exceeded
     * within-cluster spread") and which subspace needs its codebook
     * retrained after drift — so it's a first-class audit, not a debug
-    * print. All-integer; totals ride in DECIMAL(38,0) because Σ over the
-    * corpus of 8·(2²¹)²-scale terms can pass int64.
+    * print. All-integer; the total ACCUMULATES in DECIMAL(38,0)/HUGEINT
+    * (Σ over a corpus of 8·(2²¹)²-scale terms can pass int64 at extreme
+    * corpus sizes) but is SURFACED as BIGINT: at every gate SF the total
+    * is ≈7.6×10¹³ ≪ 2⁶³, and DECIMAL(38,0) output defeats the driver's
+    * cross-engine hash canonicalization (r10's one red row). At a corpus
+    * size where the BIGINT surface could overflow (≳10⁵ PB of vectors),
+    * widen the surfaced column to a digit-string — the accumulation
+    * already has the headroom.
     *
     * Scale shape: the memoized encode (corpus × m code rows) + one
     * broadcast join against the m·k-row codebook + one hash aggregate to
@@ -398,7 +404,7 @@ object PqIndex {
          |  JOIN cb10 c ON c.j = e.j AND c.c = e.c)
          |SELECT CAST(j AS BIGINT) AS subspace,
          |       CAST(count(*) AS BIGINT) AS n_vecs,
-         |       CAST(sum(CAST(d2 AS HUGEINT)) AS DECIMAL(38,0)) AS sq_err_total,
+         |       CAST(sum(CAST(d2 AS HUGEINT)) AS BIGINT) AS sq_err_total,
          |       CAST(sum(CAST(d2 AS HUGEINT)) // count(*) AS BIGINT) AS sq_err_avg
          |FROM err GROUP BY j""".stripMargin) {
       (s, dir) =>
@@ -424,7 +430,7 @@ object PqIndex {
             .as("d2"))
           .groupBy(col("j").cast("long").as("subspace"))
           .agg(count(lit(1)).as("n_vecs"),
-            sum(col("d2").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+            sum(col("d2").cast(DecimalType(38, 0))).cast("long")
               .as("sq_err_total"),
             expr("CAST(sum(CAST(d2 AS DECIMAL(38,0))) div count(1) AS BIGINT)")
               .as("sq_err_avg"))

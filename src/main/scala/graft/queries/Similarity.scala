@@ -1859,19 +1859,45 @@ object Similarity {
     * pruning buys what the data's cluster structure pays for; the
     * LOSSLESSNESS never depends on it).
     */
+  /** The ≤k-row per-cell cap table (cell_id, rmax, rep_emb, rep_nrm),
+    * MATERIALIZED on the driver and memoized per source fingerprint.
+    * Two reasons, both scale-shaped: (1) the `reps` aggregate (a
+    * full-corpus min_by groupBy) fed the caps join AND the output
+    * columns, so leaving it lazy evaluated that aggregate TWICE per
+    * radius query (r10's e32 bench regression); (2) the result is one
+    * row per IVF cell — k rows regardless of corpus size — so a
+    * driver-local relation is the correct physical form: downstream
+    * plans broadcast a LocalRelation instead of re-running two corpus
+    * passes. Memo keys on the dir fingerprint like indexQFor, so a
+    * changed corpus rebuilds the caps.
+    */
+  private[graft] def radiusCellCaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (schema, rows) =
+      graft.queries.Memo.cachedValue(s, dir, "e32_cell_caps") {
+        graft.functions.FloatVecDot.register(s)
+        val members = graft.operators.IvfIndex.indexQFor(s, dir).assigned
+        val reps = members.groupBy($"cell_id")
+          .agg(min_by($"embedding", $"vec_id").as("rep_emb"))
+          .select($"cell_id", $"rep_emb", norm($"rep_emb").as("rep_nrm"))
+          .persist()
+        val caps = members.join(broadcast(reps), "cell_id")
+          .select($"cell_id",
+            (dot($"embedding", $"rep_emb") / (norm($"embedding") * $"rep_nrm")).as("cosr"))
+          .groupBy($"cell_id")
+          .agg(sqrt(lit(2.0) - lit(2.0) * min($"cosr")).as("rmax"))
+          .join(reps, "cell_id")
+        val out = (caps.schema, caps.collect().toSeq)
+        reps.unpersist()
+        out
+      }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+  }
+
   private[graft] def radiusCandCells(s: SparkSession, dir: String, tau: Double): DataFrame = {
     import s.implicits._
     graft.functions.FloatVecDot.register(s)
-    val members = graft.operators.IvfIndex.indexQFor(s, dir).assigned
-    val reps = members.groupBy($"cell_id")
-      .agg(min_by($"embedding", $"vec_id").as("rep_emb"))
-      .select($"cell_id", $"rep_emb", norm($"rep_emb").as("rep_nrm"))
-    val caps = members.join(broadcast(reps), "cell_id")
-      .select($"cell_id",
-        (dot($"embedding", $"rep_emb") / (norm($"embedding") * $"rep_nrm")).as("cosr"))
-      .groupBy($"cell_id")
-      .agg(sqrt(lit(2.0) - lit(2.0) * min($"cosr")).as("rmax"))
-      .join(reps, "cell_id")
+    val caps = radiusCellCaps(s, dir)
     val q = Tables.embeddings(s, dir).filter($"vec_id" < 8)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         norm($"embedding").as("q_nrm"))

@@ -68,6 +68,25 @@ class RegistrySpec extends AnyFunSuite with SparkTestKit {
     assert(dups.isEmpty, s"identical oracle SQL for: ${dups.mkString(", ")}")
   }
 
+  test("no gated query surfaces a decimal-typed output column") {
+    // The driver's cross-engine hash canonicalizes Spark and DuckDB
+    // results through pandas; DECIMAL columns take different object
+    // representations on the two paths and hash-mismatch even when every
+    // value is identical (r10's e34: rows+schema green, hash red, values
+    // byte-identical on re-execution). Decimals are fine INTERNALLY for
+    // overflow-safe accumulation — but a gated query must surface BIGINT
+    // / DOUBLE / STRING. This pin makes the class of bug impossible to
+    // reintroduce.
+    val offenders = for {
+      q <- SparkEntry.registry
+      if SparkEntry.oracleSql.contains(q.name)
+      f <- q.run(spark, sfDir).schema.fields
+      if f.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+    } yield s"${q.name}.${f.name}: ${f.dataType.sql}"
+    assert(offenders.isEmpty,
+      s"decimal-typed output columns in gated queries: ${offenders.mkString(", ")}")
+  }
+
   for (q <- SparkEntry.registry) {
     test(s"${q.name} runs and is deterministic at sf0.001") {
       val df1 = q.run(spark, sfDir)
