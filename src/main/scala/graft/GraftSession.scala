@@ -216,10 +216,48 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
     * (including `doc_id`, `lang`, `text` for the fingerprint) with the
     * tombstone flag set and a seq newer than the admitted rows'. Returns
     * the number of docs actually erased.
+    *
+    * `batchId` must sit ABOVE the feed's current high-water mark:
+    * processBatch dynamic-overwrites the feed's `batch_id=N` partition,
+    * and the admission stream checkpoints its own 0..N sequence on the
+    * SAME cdfDir — a colliding id would silently destroy that batch's
+    * feed history and corrupt every `snapshotAsOfDeletes` read at or
+    * behind it. The guard fails fast on any id ≤ the high-water mark,
+    * with ONE admission: an id equal to the mark whose existing feed
+    * batch is recognizably this takedown's own prior attempt (all-delete
+    * rows over a subset of these keys) — the crash-replay shape, where
+    * re-running with the original id is exactly what restores the
+    * release retraction.
     */
   def takedown(takedowns: DataFrame, seqCol: String, delCol: String,
       snapshotDir: String, cdfDir: String, releaseDir: String,
       batchId: Long): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    val cdfPath = new org.apache.hadoop.fs.Path(cdfDir)
+    val fs = cdfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val maxExisting =
+      if (!fs.exists(cdfPath)) -1L
+      else {
+        val r = streaming.StreamingCdf.feed(spark, cdfDir)
+          .agg(max(col("batch_id"))).head()
+        if (r.isNullAt(0)) -1L else r.getLong(0)
+      }
+    if (batchId <= maxExisting) {
+      require(batchId == maxExisting,
+        s"takedown batch id $batchId would overwrite feed history " +
+          s"(feed high-water mark is $maxExisting) — pass an id above the mark")
+      val prior = streaming.StreamingCdf.feed(spark, cdfDir)
+        .filter(col("batch_id") === batchId)
+      val nonDelete = prior.filter(col("change_type") =!= "delete").count()
+      val foreignKeys = prior
+        .select(col("old_image.doc_id").as("doc_id"))
+        .join(takedowns.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_anti").count()
+      require(nonDelete == 0 && foreignKeys == 0,
+        s"takedown batch id $batchId collides with an existing feed batch " +
+          "that is not a prior attempt of this takedown — pass a fresh id " +
+          "above the high-water mark")
+    }
     streaming.StreamingTombstone.processBatch(spark, takedowns, batchId,
       "doc_id", seqCol, delCol, snapshotDir, cdfDir)
     val deletes = streaming.StreamingCdf.feed(spark, cdfDir)

@@ -44,7 +44,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * rebuild) or by [[appendSideIndex]] (O(batch) per-batch side blooms,
   * folded back by [[compactSides]] per compaction cycle) — both in the
   * fail-safe direction: a stale index can only over-read, never miss,
-  * when every bloom is built from a superset slice of the data.
+  * when every bloom is built from a superset slice of the data. For the
+  * side-index path that superset discipline is an ORDERING contract:
+  * publish the side bloom BEFORE the data append (see
+  * [[appendSideIndex]]) so a crash between the two leaves a bloom with
+  * keys whose rows never landed — an over-read — rather than landed rows
+  * in no bloom — a miss.
   */
 object BloomIndex {
 
@@ -187,9 +192,18 @@ object BloomIndex {
       .sortBy(_.getName)
   }
 
-  /** Index ONLY an appended batch's rows as a side index — call after
-    * appending `batch` to the data layout. Cost follows the batch, not
-    * the partitions it lands in. Returns the side sequence number.
+  /** Index ONLY an appended batch's rows as a side index — call BEFORE
+    * appending `batch` to the data layout (the side needs nothing from
+    * disk, only the batch rows the caller already holds). The ordering
+    * is the crash contract: side-first means a crash between the two
+    * steps leaves a bloom advertising keys whose rows never landed —
+    * candidateParts over-reads and the data scan finds nothing, which is
+    * correct. Data-first would invert it: landed rows in no bloom are a
+    * FALSE NEGATIVE, the one failure the index promises away. If an
+    * existing pipeline already appended data without a side, repair with
+    * [[refreshPartitions]] over the touched partitions. Cost follows the
+    * batch, not the partitions it lands in. Returns the side sequence
+    * number.
     */
   def appendSideIndex(spark: SparkSession, indexDir: String,
       partCol: String, keyCol: String, batch: DataFrame,

@@ -185,20 +185,63 @@ object IvfIndex {
 
   def buildQuantized(spark: SparkSession, vectors: DataFrame, k: Int = 16,
       iters: Int = 3): Ivf = {
-    import spark.implicits._
     val qv = vectors.select(col("vec_id"), col("embedding"), col("label"),
       quantize(col("embedding")).as("q"))
-
-    def centsDf(cents: Seq[(Int, Seq[Long])]): DataFrame =
-      spark.createDataFrame(cents).toDF("cell_id", "cq")
-
     // seed centroids: the k md5-ordered vectors (k×64 longs — a bounded,
     // algorithm-constant collect, like PqIndex's trainCap sample)
-    var cents: Seq[(Int, Seq[Long])] = qv
+    val seeds: Seq[(Int, Seq[Long])] = qv
       .select(col("vec_id"), col("q"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(k).collect().toIndexedSeq
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Long](1)) }
+    lloydFrom(spark, qv, seeds, iters)
+  }
+
+  /** [[buildQuantized]] with FARTHEST-FIRST (Gonzalez) seeding instead of
+    * md5 order — the SPLIT trainer ([[graft.streaming.StreamingIvf
+    * .splitCell]]). Rationale: md5 seeding is engine-neutral random,
+    * which is right for a whole corpus (and is what the e4/e17/e33
+    * DuckDB oracles replay, so it must not change there) — but a split
+    * trains on ONE tight cell, where two random members sit a noise-width
+    * apart and 3 Lloyd rounds from near-identical seeds can converge
+    * arbitrarily lopsided (measured: a 146 k-row hot cell split 94/6 —
+    * a near-no-op that would make the maintenance loop crawl). Farthest-
+    * first seeds span the cell's true diameter, so the first assignment
+    * already cuts along its widest direction. Deterministic: seed 0 is
+    * the md5-first member; each next seed maximizes the exact integer
+    * min-distance to the chosen set, ties broken by vec_id. Cost: k−1
+    * extra linear passes over the cell's members — a maintenance-time
+    * op on one cell, not a query-path cost.
+    */
+  def buildQuantizedSpread(spark: SparkSession, vectors: DataFrame, k: Int = 16,
+      iters: Int = 3): Ivf = {
+    val qv = vectors.select(col("vec_id"), col("embedding"), col("label"),
+      quantize(col("embedding")).as("q")).localCheckpoint(true)
+    val seed0 = qv.select(col("vec_id"), col("q"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(1).collect().head.getSeq[Long](1)
+    var seeds: Seq[(Int, Seq[Long])] = IndexedSeq((0, seed0))
+    for (i <- 1 until k) {
+      val sdf = spark.createDataFrame(seeds).toDF("cell_id", "cq")
+      val next = qv.select(col("vec_id"), col("q"))
+        .join(broadcast(sdf))
+        .select(col("vec_id"), col("q"), qd2(col("q"), col("cq")).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("d2")).as("dmin"), first(col("q")).as("q"))
+        .orderBy(desc("dmin"), col("vec_id"))
+        .limit(1).collect().head.getSeq[Long](2)
+      seeds = seeds :+ ((i, next))
+    }
+    lloydFrom(spark, qv, seeds, iters)
+  }
+
+  private def lloydFrom(spark: SparkSession, qv: DataFrame,
+      init: Seq[(Int, Seq[Long])], iters: Int): Ivf = {
+    import spark.implicits._
+    var cents: Seq[(Int, Seq[Long])] = init
+
+    def centsDf(cents: Seq[(Int, Seq[Long])]): DataFrame =
+      spark.createDataFrame(cents).toDF("cell_id", "cq")
 
     def assign(c: DataFrame): DataFrame = qv
       .join(broadcast(c))

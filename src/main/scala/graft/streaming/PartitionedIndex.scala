@@ -109,13 +109,24 @@ object PartitionedIndex {
     * duplicate rows a crash between publish and manifest write can leave
     * (the keys that identify one index row).
     *
+    * `dedupOrder`: which copy survives when duplicates ARE found. Empty
+    * (default) = arbitrary keep (fine when every copy is byte-identical,
+    * the crash-duplicate shape for plain appends). Non-empty = keep the
+    * FIRST row per key under this ordering — required when copies can
+    * legitimately DIFFER (e.g. a splitCell crash leaves a vector under
+    * both the retired cell_id and its new sub-cell: an arbitrary keep
+    * could retain the copy no live codebook plans, silently hiding the
+    * vector from pruned probes). The caller must make the ordering total
+    * over its duplicate shapes or the keep is still arbitrary within ties.
+    *
     * Returns (partitions folded, files before, files after).
     */
   def compact(spark: SparkSession, indexDir: String, liveBatchId: Long,
       dedupKeys: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024,
       fullRefoldAt: Int = 16,
-      partitionCols: Seq[String] = Nil): (Int, Int, Int) = {
+      partitionCols: Seq[String] = Nil,
+      dedupOrder: Seq[org.apache.spark.sql.Column] = Nil): (Int, Int, Int) = {
     val (fs, root) = fsFor(spark, indexDir)
     if (!fs.exists(root)) return (0, 0, 0)
     val tmp = new Path(indexDir + ".consolidate.tmp")
@@ -163,12 +174,20 @@ object PartitionedIndex {
     // partition gets its batch id from its own dir name); the repartition
     // keys on the partition cols so each value's rows land in few files,
     // and partitionBy preserves the directory layout probes prune on
-    val deduped = (if (partitionCols.isEmpty)
+    val raw = if (partitionCols.isEmpty)
         spark.read.parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
       else spark.read.option("basePath", root.toString)
         .parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
-        .drop("__batch"))
-      .dropDuplicates(dedupKeys)
+        .drop("__batch")
+    val deduped =
+      if (dedupOrder.isEmpty) raw.dropDuplicates(dedupKeys)
+      else {
+        import org.apache.spark.sql.functions.{col, row_number}
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(dedupKeys.map(col): _*).orderBy(dedupOrder: _*)
+        raw.withColumn("__graft_rn", row_number().over(w))
+          .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      }
     val shaped =
       if (partitionCols.isEmpty) deduped.repartition(n)
       else deduped.repartition(n, partitionCols.map(org.apache.spark.sql.functions.col): _*)

@@ -141,26 +141,56 @@ object StreamingDrift {
 
   /** One micro-batch of the refreshing sink — public so a replay can be
     * driven directly in tests. Resolves the batch's reference version
-    * (the ledger pin if this batch ran before, else the newest published
-    * version), scores, and writes bins + a ledger row carrying
-    * `ref_version`.
+    * and persists it as a pin file BEFORE any scoring output, then
+    * scores and writes bins + a ledger row carrying `ref_version`.
+    *
+    * Pin-before-score is the replay contract (r10 advice): the old
+    * shape pinned the version in the LEDGER row, written after the bins
+    * — a crash between the two let the replay resolve a newer published
+    * reference and rescore the same batch differently, failing the
+    * byte-identical-replay guarantee in exactly the window it exists
+    * for. The pin lives at `summaryDir/_pins/batch_id=N` (write-then-
+    * rename, so never torn); resolution order is pin file → readable
+    * ledger row (stores written before the pin file existed) → newest
+    * published version. A partially-written ledger dir reads as no-pin
+    * instead of throwing.
     */
   def processBatchRefreshing(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, batchId: Long, refStoreDir: String, valueCol: String,
       binsDir: String, summaryDir: String, alertThreshold: Long): Unit = {
     if (batch.filter(col(valueCol).isNotNull).isEmpty) return
     val ledgerPath = s"$summaryDir/batch_id=$batchId"
+    val pinPath = new org.apache.hadoop.fs.Path(s"$summaryDir/_pins/batch_id=$batchId")
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val pinned: Option[Long] =
-      if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
-        spark.read.parquet(ledgerPath).select(col("ref_version"))
-          .collect().headOption.map(_.getLong(0))
-      else None
-    val version = pinned.getOrElse {
+    val filePin: Option[Long] =
+      if (!fs.exists(pinPath)) None
+      else {
+        val in = fs.open(pinPath)
+        try Some(new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    val ledgerPin: Option[Long] =
+      try {
+        if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
+          spark.read.parquet(ledgerPath).select(col("ref_version"))
+            .collect().headOption.map(_.getLong(0))
+        else None
+      } catch { case _: Throwable => None } // partial ledger dir = no pin
+    val version = filePin.orElse(ledgerPin).getOrElse {
       val vs = graft.operators.CorpusManifest.versions(spark, refStoreDir)
       require(vs.nonEmpty, s"no drift reference published under $refStoreDir")
       vs.max
+    }
+    if (filePin.isEmpty) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$summaryDir/_pins/.tmp-batch_id=$batchId")
+      val out = fs.create(tmp, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(pinPath, false)
+      if (!fs.rename(tmp, pinPath))
+        throw new IllegalStateException(s"drift pin publish failed: $pinPath")
     }
     val ref = loadReference(spark, refStoreDir, version)
     try {

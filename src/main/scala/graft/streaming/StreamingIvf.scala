@@ -336,11 +336,29 @@ object StreamingIvf {
     */
   def compactIndex(spark: SparkSession, indexDir: String, liveBatchId: Long,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      fullRefoldAt: Int = 16): (Int, Int, Int) =
+      fullRefoldAt: Int = 16): (Int, Int, Int) = {
+    // Codebook-aware duplicate resolution: a crash inside [[splitCell]]
+    // (between the additive sub-cell write and the codebook publish, or a
+    // replayed pre-split batch) leaves a vec_id under BOTH the retired
+    // cell_id and a new sub-cell. An arbitrary-keep dedup could retain the
+    // copy whose cell_id the live codebook no longer plans — the vector
+    // would survive on disk but be invisible to every pruned probe
+    // (silent recall loss, breaking the nprobe=|codebook| lossless gate).
+    // Prefer the copy whose cell_id IS in the live codebook; tiebreak on
+    // cell_id so the keep is deterministic even among live copies. ≤ k
+    // cell ids, collected once — a constant-size literal in the filter.
+    val liveCells: Set[Int] =
+      try centroids(spark, indexDir).select(col("cell_id"))
+        .collect().map(_.getInt(0)).toSet
+      catch { case _: IllegalArgumentException => Set.empty }
+    val order = if (liveCells.isEmpty) Nil
+      else Seq(when(col("cell_id").isInCollection(liveCells), 0).otherwise(1),
+        col("cell_id"))
     PartitionedIndex.compact(spark, postingsDir(indexDir), liveBatchId,
       dedupKeys = Seq("vec_id"),
       targetFileBytes = targetFileBytes, fullRefoldAt = fullRefoldAt,
-      partitionCols = Seq("cell_id"))
+      partitionCols = Seq("cell_id"), dedupOrder = order)
+  }
 
   /** Cells whose postings exceed `thresholdPpm` of the perfectly-balanced
     * share (10⁶ = exactly N/k — the e33 `load_ppm` arithmetic): the
@@ -354,9 +372,16 @@ object StreamingIvf {
       case None => Seq.empty
       case Some(all) =>
         val sizes = all.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        // load_ppm test in DECIMAL(38,0): n·nc·10⁶ overflows int64 once a
+        // cell holds ~10¹⁰ postings with thousands of cells — exactly the
+        // regime this audit exists for (the same overflow discipline as
+        // e34's HUGEINT accumulation). Cross-multiplied (n·nc·10⁶ ≥
+        // threshold·tot ⟺ the integer-div load_ppm ≥ threshold, since the
+        // threshold is integral) so no division rounds.
         sizes.crossJoin(broadcast(sizes.agg(sum(col("n")).as("tot"),
             count(lit(1)).as("nc"))))
-          .filter(expr(s"n * nc * 1000000 div tot") >= thresholdPpm)
+          .filter(expr("CAST(n AS DECIMAL(38,0)) * nc * 1000000") >=
+            expr(s"CAST($thresholdPpm AS DECIMAL(38,0)) * tot"))
           .select(col("cell_id")).collect().map(_.getInt(0)).toSeq
     }
 
@@ -379,8 +404,16 @@ object StreamingIvf {
     *     unread even before they are removed);
     *  3. drop the retired cell's dirs.
     * A crash before 2 leaves unreferenced new dirs (duplicates visible
-    * only to full scans, and `compactIndex`'s vec_id dedup heals them);
-    * re-running splitCell completes the job. Run at a QUIESCENT point
+    * only to full scans, and `compactIndex`'s codebook-aware vec_id dedup
+    * heals them — it keeps the copy under a LIVE cell_id, never the
+    * orphan); re-running splitCell completes the job (the deterministic
+    * Lloyd re-derives the same sub-codebook, so the dynamic overwrite
+    * rewrites the same dirs with identical content). A crash BETWEEN 2
+    * and 3 leaves retired dirs the published codebook can no longer
+    * plan: re-running splitCell on the same cell detects that shape
+    * (cell absent from the codebook, `cell_id=<cell>` dirs still on
+    * disk) and ROLLS FORWARD — finishes step 3 and returns empty, since
+    * the children are already live. Run at a QUIESCENT point
     * (between drains, post-compaction) like any OPTIMIZE-class rewrite;
     * a replay of a pre-split batch re-assigns under the new codebook, so
     * follow such a replay with [[compactIndex]] to dedup strays.
@@ -398,8 +431,27 @@ object StreamingIvf {
     require(splitInto >= 2, s"splitInto must be >= 2, got $splitInto")
     FloatVecDot.register(spark)
     val cents = centroids(spark, indexDir)
-    require(cents.filter(col("cell_id") === cell).count() == 1,
-      s"cell $cell is not in the live codebook (already split, or never existed)")
+    def retiredDirs(): Array[Path] = {
+      val (fs, pRoot) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+      if (!fs.exists(pRoot)) Array.empty
+      else fs.listStatus(pRoot).map(_.getPath)
+        .filter(_.getName.startsWith("__batch="))
+        .map(p => new Path(p, s"cell_id=$cell"))
+        .filter(fs.exists)
+    }
+    if (cents.filter(col("cell_id") === cell).count() != 1) {
+      // Roll-forward: a crash between step 2 (codebook publish) and step
+      // 3 (dir drop) leaves the cell OUT of the codebook with its dirs
+      // still on disk. Finish step 3 here; the sub-cells are already
+      // live, so there is nothing to train or return. A cell absent from
+      // BOTH the codebook and the dirs is genuine misuse — fail loud.
+      val leftover = retiredDirs()
+      require(leftover.nonEmpty,
+        s"cell $cell is not in the live codebook (already split, or never existed)")
+      val (fs, _) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+      leftover.foreach(fs.delete(_, true))
+      return Seq.empty
+    }
     val all = scanPostings(spark, indexDir).getOrElse(
       throw new IllegalStateException(s"no postings at $indexDir to split"))
     val members = all.filter(col("cell_id") === cell)
@@ -410,8 +462,12 @@ object StreamingIvf {
       s"cell $cell holds $n rows — nothing to split into $splitInto")
     val maxId = cents.agg(max(col("cell_id"))).head().getInt(0)
     // deterministic sub-codebook on the cell's own members, ids remapped
-    // above the current max (the retired id is never reused)
-    val sub = IvfIndex.buildQuantized(spark,
+    // above the current max (the retired id is never reused). Farthest-
+    // first seeding ([[IvfIndex.buildQuantizedSpread]]): md5-random seeds
+    // inside one tight cell sit a noise-width apart and can converge
+    // arbitrarily lopsided (a measured 94/6 split on a 146k-row cell);
+    // diameter-spanning seeds cut along the cell's widest direction.
+    val sub = IvfIndex.buildQuantizedSpread(spark,
         members.select(col("vec_id"), col("embedding"), col("label")),
         k = splitInto).centroids
       .select((col("cell_id") + lit(maxId + 1)).cast("int").as("cell_id"), col("cq"))
@@ -433,13 +489,8 @@ object StreamingIvf {
       cents.filter(col("cell_id") =!= cell).unionByName(sub))
 
     // 3. drop the retired cell's dirs (probes already can't plan them)
-    val (fs, pRoot) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
-    if (fs.exists(pRoot))
-      fs.listStatus(pRoot).map(_.getPath)
-        .filter(_.getName.startsWith("__batch="))
-        .map(p => new Path(p, s"cell_id=$cell"))
-        .filter(fs.exists)
-        .foreach(fs.delete(_, true))
+    val (fs, _) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+    retiredDirs().foreach(fs.delete(_, true))
     newIds
   }
 

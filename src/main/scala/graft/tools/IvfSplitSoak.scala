@@ -78,21 +78,66 @@ object IvfSplitSoak {
       f"maxCell=${pre.values.max} hot=$hot probeWall=$preWall%.2fs")
     assert(hot.nonEmpty, "engineered skew must flag a hot cell")
 
-    val (newIds, splitWall) = time(StreamingIvf.splitCell(spark, dir, hot.head))
-    val post = cellSizes()
+    // recall gate across the swing: full-nprobe top-1 must equal brute
+    // force BEFORE and AFTER the split (the lossless contract, priced
+    // here on the soak corpus, pinned in StreamingIvfSplitSpec)
+    import org.apache.spark.sql.DataFrame
+    graft.functions.FloatVecDot.register(spark)
+    def bruteTop1(corpus: DataFrame): Set[String] = {
+      val d = (a: String, b: String) => call_function("vec_dot", col(a), col(b))
+      probes.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+        .crossJoin(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")))
+        .filter(col("query_id") =!= col("n_id"))
+        .select(col("query_id"), col("n_id"),
+          (d("q_emb", "n_emb") / (sqrt(d("q_emb", "q_emb")) * sqrt(d("n_emb", "n_emb"))))
+            .as("cos"))
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id")).orderBy(desc("cos"), col("n_id"))))
+        .filter(col("rk") === 1).select(col("query_id"), col("n_id"))
+        .collect().map(_.mkString("|")).toSet
+    }
+    def fullProbeTop1(nprobe: Int): Set[String] =
+      StreamingIvf.probe(spark, dir, probes, nprobe = nprobe, topK = 1)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(_.mkString("|")).toSet
+    val brute = bruteTop1(vecsBetween(0, nVecs))
+    assert(fullProbeTop1(pre.size) == brute,
+      "pre-split full probe must equal brute force")
+
+    // the production maintenance loop: rounds of hotCells -> split until
+    // the load audit goes quiet (or maxRounds). Round 1 typically
+    // separates the point-mass from the stragglers that happened to share
+    // its cell; later rounds cut the point-mass itself along its noise
+    // diameter — each round halves maxCell only once the cell is a pure
+    // blob, which is why a single split is NOT the whole story at scale.
+    val maxRounds = args.drop(1).headOption.map(_.toInt).getOrElse(4)
+    var round = 0
+    var post = pre
+    while (round < maxRounds &&
+        StreamingIvf.hotCells(spark, dir, thresholdPpm = 3000000L).nonEmpty) {
+      val cells = StreamingIvf.hotCells(spark, dir, thresholdPpm = 3000000L)
+      val (splits, splitWall) = time(
+        cells.map(c => c -> StreamingIvf.splitCell(spark, dir, c)))
+      post = cellSizes()
+      val (_, w) = probeOnce()
+      round += 1
+      println(f"[ivf-split-soak] round $round: split $splits in " +
+        f"$splitWall%.1fs -> cells=${post.size} maxCell=${post.values.max} " +
+        f"probeWall=$w%.2fs")
+    }
     val (_, postWall) = probeOnce()
-    println(f"[ivf-split-soak] split -> $newIds in $splitWall%.1fs; " +
-      f"post: cells=${post.size} maxCell=${post.values.max} probeWall=$postWall%.2fs")
     assert(post.values.sum == pre.values.sum, "split lost or duplicated postings")
     assert(post.values.max < pre.values.max,
-      "split must shrink the largest cell")
+      "splitting must shrink the largest cell")
+    assert(fullProbeTop1(post.size) == brute,
+      "post-split full probe must equal brute force (recall held across the swing)")
 
     // the evolved codebook serves the live stream
-    StreamingIvf.ingestBatch(vecsBetween(nVecs.toLong, nVecs + 2000L), dir, 6L)
+    StreamingIvf.ingestBatch(vecsBetween(nVecs.toLong, nVecs + 2000L), dir, 99L)
     val after = cellSizes()
     assert(!after.contains(hot.head), "retired id resurfaced after ingest")
     assert(after.values.sum == pre.values.sum + 2000)
-    println(f"[ivf-split-soak] post-split ingest ok; " +
+    println(f"[ivf-split-soak] post-split ingest ok; $round rounds, " +
       f"maxCell ${pre.values.max} -> ${post.values.max} " +
       f"(${100.0 * post.values.max / pre.values.max}%.0f%%), " +
       f"probe $preWall%.2fs -> $postWall%.2fs")

@@ -156,4 +156,53 @@ class StreamingDriftSpec extends AnyFunSuite with SparkTestKit {
     assert(summary(0L) == s0, "replay must reuse the pinned reference version")
     assert(readBins(binsDir, 0L) == bins0)
   }
+
+  test("pin survives a crash between bins and ledger; a torn ledger reads as no-pin") {
+    // r10 advice: the old shape pinned ref_version only in the LEDGER
+    // row (written after the bins), so a crash between the two writes
+    // let the replay resolve a newer reference and rescore differently.
+    // The pin file is now persisted BEFORE scoring — simulate the crash
+    // by deleting the ledger dir and verify the replay still scores
+    // against the pinned version.
+    val refStore = tmp("drift-refstore4")
+    val binsDir = tmp("drift-bins4") + "/b"
+    val sumDir = tmp("drift-sum4")
+    val shifted = inDist(0 until 3000).map { case (i, v) => (i, v + 3 * width) }
+    StreamingDrift.publishReference(spark, refStore, 0L,
+      inDist(0 until 3000).toDF("id", "cents"), "cents", width)
+    def process(b: Long, rows: Seq[(Long, Long)]): Unit =
+      StreamingDrift.processBatchRefreshing(spark, rows.toDF("id", "cents"),
+        b, refStore, "cents", binsDir, sumDir, alertThreshold = 200000L)
+    def summary(b: Long): (Long, Boolean, Long) = {
+      val r = spark.read.parquet(s"$sumDir/batch_id=$b")
+        .select($"total_drift", $"is_alert", $"ref_version").head()
+      (r.getLong(0), r.getBoolean(1), r.getLong(2))
+    }
+
+    process(0L, shifted.slice(0, 1500))
+    val s0 = summary(0L)
+    assert(s0._2 && s0._3 == 0L)
+    // crash window: bins + pin landed, ledger did not; then the corpus
+    // re-releases around the shift before the replay arrives
+    val fs = new org.apache.hadoop.fs.Path(sumDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$sumDir/batch_id=0"), true)
+    StreamingDrift.publishReference(spark, refStore, 1L,
+      shifted.toDF("id", "cents"), "cents", width)
+    process(0L, shifted.slice(0, 1500))
+    assert(summary(0L) == s0,
+      "replay after a bins-but-no-ledger crash must rescore against the " +
+        "PINNED v0 (alerting), not the newly published v1")
+
+    // a torn (unreadable) ledger dir with no pin must read as no-pin,
+    // not throw: batch 1 with garbage pre-staged in its ledger path
+    val torn = new org.apache.hadoop.fs.Path(s"$sumDir/batch_id=1")
+    fs.mkdirs(torn)
+    val out = fs.create(new org.apache.hadoop.fs.Path(torn, "part-garbage.parquet"), true)
+    try out.write("not parquet".getBytes("UTF-8")) finally out.close()
+    process(1L, shifted.slice(1500, 3000))
+    val s1 = summary(1L)
+    assert(!s1._2 && s1._3 == 1L,
+      s"torn ledger must fall through to newest published version: $s1")
+  }
 }

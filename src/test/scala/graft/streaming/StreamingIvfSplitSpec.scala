@@ -133,4 +133,121 @@ class StreamingIvfSplitSpec extends AnyFunSuite with SparkTestKit {
   private def probeSetTop1(dir: String, probes: DataFrame, nprobe: Int): Set[(Long, Long)] =
     StreamingIvf.probe(spark, dir, probes, nprobe = nprobe, topK = 1)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("mid-stream split: a checkpointed sink swings onto the evolved codebook") {
+    // The swing the soak prices, spec-pinned end-to-end through the REAL
+    // streaming machinery: file-source stream -> StreamingIvf.sink with a
+    // checkpoint, drained; hotCells -> splitCell at the drain boundary;
+    // the SAME checkpointed sink restarted over newly-arrived source
+    // files. The index must stay lossless at full probe across the swing
+    // and the post-split drain must assign into the evolved codebook only.
+    val root = tmp("ivfsplitms")
+    val src = s"$root/src"; val dir = s"$root/ix"; val ckpt = s"$root/ckpt"
+    val all = vecs(900).cache()
+    val schema = all.schema
+    def drain(): Unit =
+      StreamingIvf.sink(spark.readStream.schema(schema).json(src), dir, ckpt,
+        trainOnFirstBatch = true, k = 8, compactEvery = 0).start()
+        .awaitTermination()
+
+    all.filter($"vec_id" < 400).write.mode("append").json(src)
+    drain() // batch 0: trains + publishes the codebook
+    all.filter($"vec_id" >= 400 && $"vec_id" < 800).write.mode("append").json(src)
+    drain() // batch 1: assigns under the frozen codebook
+
+    val cell = StreamingIvf.hotCells(spark, dir, thresholdPpm = 3000000L).head
+    val kBefore = StreamingIvf.centroids(spark, dir).count().toInt
+    assert(StreamingIvf.splitCell(spark, dir, cell).size == 2)
+
+    all.filter($"vec_id" >= 800).write.mode("append").json(src)
+    drain() // batch 2: the same checkpointed sink, now on the evolved codebook
+
+    // ground truth from the index's own rows (json float round-trip safe)
+    val corpus = StreamingIvf.scanPostings(spark, dir).get
+      .select($"vec_id", $"embedding").cache()
+    assert(corpus.count() == 900)
+    val probes = corpus.filter($"vec_id" % 100 === 3)
+    assert(probeSetTop1(dir, probes, kBefore + 1) == bruteTop1(corpus, probes),
+      "full probe after the mid-stream swing must equal brute force")
+    val post = postingsSet(dir)
+    assert(!post.exists(_._2 == cell), "retired id must be gone from postings")
+    val liveIds = StreamingIvf.centroids(spark, dir)
+      .select($"cell_id").as[Int].collect().toSet
+    assert(post.filter(_._1 >= 800).forall(t => liveIds.contains(t._2)),
+      "post-split drain must assign into the live codebook only")
+    corpus.unpersist(); all.unpersist()
+  }
+
+  test("crash between codebook publish and dir drop: splitCell rolls forward") {
+    val dir = tmp("ivfsplitrf") + "/ix"
+    val all = vecs(800).cache()
+    StreamingIvf.ingestBatch(all.filter($"vec_id" < 400), dir, 0L,
+      trainOnFirstBatch = true, k = 8)
+    StreamingIvf.ingestBatch(all.filter($"vec_id" >= 400), dir, 1L)
+    val cell = StreamingIvf.hotCells(spark, dir, thresholdPpm = 3000000L).head
+    val hotRows = StreamingIvf.scanPostings(spark, dir).get
+      .filter($"cell_id" === cell)
+      .select($"vec_id", $"embedding", $"label", $"__batch", $"cell_id")
+      .collect()
+
+    assert(StreamingIvf.splitCell(spark, dir, cell).size == 2)
+    val healthy = postingsSet(dir)
+
+    // re-create the crash-between-2-and-3 state: codebook already lacks
+    // `cell`, but its dirs are back on disk (rows live under BOTH the
+    // retired id and the children)
+    spark.createDataFrame(java.util.Arrays.asList(hotRows: _*),
+        StreamingIvf.scanPostings(spark, dir).get
+          .select($"vec_id", $"embedding", $"label", $"__batch", $"cell_id").schema)
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("__batch", "cell_id")
+      .parquet(s"$dir/postings")
+    assert(postingsSet(dir).size > healthy.size, "orphan dirs must be back")
+
+    // the pre-fix require would throw here; roll-forward finishes step 3
+    assert(StreamingIvf.splitCell(spark, dir, cell) == Seq.empty)
+    assert(postingsSet(dir) == healthy,
+      "roll-forward must restore exactly the healthy post-split layout")
+    // a cell in NEITHER the codebook nor the dirs is still misuse
+    intercept[IllegalArgumentException] {
+      StreamingIvf.splitCell(spark, dir, cell)
+    }
+    all.unpersist()
+  }
+
+  test("crash before codebook publish: compactIndex keeps the LIVE copy, not the orphan") {
+    val dir = tmp("ivfsplitdd") + "/ix"
+    val all = vecs(800).cache()
+    StreamingIvf.ingestBatch(all.filter($"vec_id" < 400), dir, 0L,
+      trainOnFirstBatch = true, k = 8)
+    StreamingIvf.ingestBatch(all.filter($"vec_id" >= 400), dir, 1L)
+    val liveIds = StreamingIvf.centroids(spark, dir)
+      .select($"cell_id").as[Int].collect().toSet
+    val cell = StreamingIvf.hotCells(spark, dir, thresholdPpm = 3000000L).head
+
+    // crash-between-1-and-2 state: refined postings landed under NEW ids
+    // the codebook never published — duplicates of the hot cell's rows
+    // under orphan cell ids
+    val orphanId = liveIds.max + 50
+    val base = StreamingIvf.scanPostings(spark, dir).get
+      .select($"vec_id", $"embedding", $"label", $"__batch", $"cell_id")
+    base.filter($"cell_id" === cell)
+      .withColumn("cell_id", lit(orphanId))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").partitionBy("__batch", "cell_id")
+      .parquet(s"$dir/postings")
+
+    val brute = bruteTop1(all, all.filter($"vec_id" % 100 === 3))
+    StreamingIvf.compactIndex(spark, dir, liveBatchId = 2L)
+    val after = postingsSet(dir)
+    assert(after.map(_._1).size == after.size, "dedup must leave one copy per vec_id")
+    assert(after.forall(t => liveIds.contains(t._2)),
+      s"every kept copy must sit under a LIVE cell id — offenders: " +
+        after.filterNot(t => liveIds.contains(t._2)).take(5))
+    assert(after.size == 800)
+    // and the lossless gate survives the heal
+    assert(probeSetTop1(dir, all.filter($"vec_id" % 100 === 3), liveIds.size) == brute,
+      "full probe after the heal must equal brute force")
+    all.unpersist()
+  }
 }

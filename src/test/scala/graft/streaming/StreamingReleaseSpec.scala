@@ -138,4 +138,51 @@ class StreamingReleaseSpec extends AnyFunSuite with SparkTestKit {
       sorted(StreamingRelease.releaseBatch(live).drop("watermark")),
       "release must track the tombstone store's live view through takedowns")
   }
+
+  test("facade takedown: feed-history collision guard, crash-replay admission") {
+    // GraftSession.takedown dynamic-overwrites the feed's batch_id=N —
+    // an id colliding with an admission batch would silently destroy
+    // that batch's feed history (r10 advice). The guard: ids ≤ the feed
+    // high-water mark fail fast, EXCEPT an equal-to-max id whose
+    // existing batch is this takedown's own prior attempt (the crash-
+    // replay shape, which must keep working for exactly-once).
+    val g = graft.GraftSession.attach(spark, sfDir)
+    val snap = tmp("rel-gd") + "/s"; val cdf = tmp("rel-gdcdf") + "/f"
+    val relDir = tmp("rel-gdrel")
+    val admitted = docs(0 until 20, "en")
+      .withColumn("seq", lit(1L)).withColumn("del", lit(false))
+    StreamingTombstone.processBatch(spark, admitted, 0L, "doc_id", "seq", "del",
+      snap, cdf)
+    StreamingRelease.appendBatch(admitted.drop("seq", "del"), relDir, 0L)
+    StreamingTombstone.processBatch(spark,
+      docs(20 until 25, "en").withColumn("seq", lit(2L)).withColumn("del", lit(false)),
+      1L, "doc_id", "seq", "del", snap, cdf)
+
+    val erase = Seq((3L, "en", "text of document number 3 with some words", 9L, true))
+      .toDF("doc_id", "lang", "text", "seq", "del")
+    // colliding with admission history (0 < max, 1 == max but an insert
+    // batch over foreign keys) → fail fast, feed untouched
+    val feedBefore = sorted(StreamingCdf.feed(spark, cdf))
+    intercept[IllegalArgumentException] {
+      g.takedown(erase, "seq", "del", snap, cdf, relDir, batchId = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      g.takedown(erase, "seq", "del", snap, cdf, relDir, batchId = 1L)
+    }
+    assert(sorted(StreamingCdf.feed(spark, cdf)) == feedBefore,
+      "a rejected takedown must not touch the feed")
+    // fresh id above the mark: works
+    assert(g.takedown(erase, "seq", "del", snap, cdf, relDir, batchId = 2L) == 1L)
+    // crash-replay with the SAME id: recognized as the prior attempt,
+    // idempotent end state
+    val afterFirst = sorted(StreamingCdf.feed(spark, cdf))
+    assert(g.takedown(erase, "seq", "del", snap, cdf, relDir, batchId = 2L) == 1L)
+    assert(sorted(StreamingCdf.feed(spark, cdf)) == afterFirst)
+    // but a DIFFERENT takedown may not reuse that id
+    val other = Seq((7L, "en", "text of document number 7 with some words", 10L, true))
+      .toDF("doc_id", "lang", "text", "seq", "del")
+    intercept[IllegalArgumentException] {
+      g.takedown(other, "seq", "del", snap, cdf, relDir, batchId = 2L)
+    }
+  }
 }
