@@ -285,7 +285,11 @@ object Joins {
       |       least(s.e_us, b.b_e_us) - greatest(s.s_us, b.b_s_us) AS overlap_us
       |FROM sessions s JOIN bursts b
       |  ON s.s_us <= b.b_e_us AND b.b_s_us <= s.e_us""".stripMargin) {
-    (s, dir) => intervalOverlapPlan(s, dir, bucketUs = 3600000000L)
+    // priced before run: the cap is ~half the decade rehearsal's measured
+    // sf1 projection (626 M) — generous for every gate SF (sf0.1 projects
+    // ~6 M), a hard stop before the quadratic regime
+    (s, dir) => intervalOverlapPlanPriced(s, dir, bucketUs = 3600000000L,
+      candCap = 300000000L)
   }
 
   /** j10's bucketed interval-overlap plan with the bucket width exposed —
@@ -329,8 +333,13 @@ object Joins {
 
   private[graft] def intervalOverlapPlan(
       s: SparkSession, dir: String, bucketUs: Long): DataFrame = {
-      import s.implicits._
       val (sessions, bursts) = sessionsAndBursts(s, dir)
+      overlapJoin(s, sessions, bursts, bucketUs)
+  }
+
+  private def overlapJoin(s: SparkSession, sessions: DataFrame,
+      bursts: DataFrame, bucketUs: Long): DataFrame = {
+      import s.implicits._
       val W = bucketUs // fanout = interval span / W
       val sB = sessions.withColumn("bucket",
         explode(expr(s"sequence(s_us div $W, e_us div $W)")))
@@ -342,6 +351,44 @@ object Joins {
           $"b_user", $"burst_id".cast("long").as("burst_id"),
           (least($"e_us", $"b_e_us") - greatest($"s_us", $"b_s_us")).as("overlap_us"))
         .distinct()
+  }
+
+  /** j10's plan PRICED BEFORE RUN (d17's discipline, promoted here per
+    * the r10 decade rehearsal): the keyless overlap's candidate count
+    * Σ_bucket nS·nB is OUTPUT-quadratic under fixed-window population
+    * densification (SCALE.md measured ~626 M projected candidates at
+    * sf1, ~95% true overlaps — bucket width is not the lever), so the
+    * safe production move is to refuse to start a run whose cost is
+    * already visible in two LINEAR aggregates. Sessions/bursts
+    * materialize once (localCheckpoint) and feed both the pricer and —
+    * under the cap — the join itself, so the guard costs two
+    * metadata-sized aggregates over already-computed frames, not a
+    * recompute. Past the cap it fails loud and names the levers: key the
+    * join by the population axis (j12, linear in users), or narrow the
+    * burst/session windows.
+    */
+  private[graft] def intervalOverlapPlanPriced(s: SparkSession, dir: String,
+      bucketUs: Long, candCap: Long): DataFrame = {
+      import s.implicits._
+      val (sessions0, bursts0) = sessionsAndBursts(s, dir)
+      val sessions = sessions0.localCheckpoint(true)
+      val bursts = bursts0.localCheckpoint(true)
+      val W = bucketUs
+      val ns = sessions.withColumn("bucket",
+          explode(expr(s"sequence(s_us div $W, e_us div $W)")))
+        .groupBy($"bucket").agg(count(lit(1)).as("ns"))
+      val nb = bursts.withColumn("bucket",
+          explode(expr(s"sequence(b_s_us div $W, b_e_us div $W)")))
+        .groupBy($"bucket").agg(count(lit(1)).as("nb"))
+      val cand = ns.join(nb, "bucket")
+        .agg(coalesce(sum($"ns" * $"nb"), lit(0L)).cast("long")).as[Long].head()
+      require(cand <= candCap,
+        s"j10 keyless interval overlap: projected bucket-join candidates " +
+          s"$cand exceed the cap $candCap — this shape is output-quadratic " +
+          "under population densification (SCALE.md, decade rehearsal). " +
+          "Use j12_keyed_interval_overlap (key by the population axis; " +
+          "linear in users) or narrow the session/burst windows.")
+      overlapJoin(s, sessions, bursts, bucketUs)
   }
 
   /** J12: KEYED interval-overlap join — j10's sessions × error bursts

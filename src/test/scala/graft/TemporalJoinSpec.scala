@@ -56,4 +56,24 @@ class TemporalJoinSpec extends AnyFunSuite with SparkTestKit {
       "is-current join gave identical counts — the fixture has no priority history " +
         "and the temporal join is untestable against it")
   }
+
+  test("j10 candidate-cap pricer: fails loud past the cap, names j12 as the lever") {
+    // the decade rehearsal proved keyless interval overlap is
+    // output-quadratic under population densification (SCALE.md r10);
+    // the priced plan must refuse to start a run whose projected
+    // bucket-join candidates exceed the cap — BEFORE paying for the join
+    val e = intercept[IllegalArgumentException] {
+      Joins.intervalOverlapPlanPriced(spark, sfDir,
+        bucketUs = 3600000000L, candCap = 0L).count()
+    }
+    assert(e.getMessage.contains("j12_keyed_interval_overlap"),
+      s"cap message must point at the keyed production shape: ${e.getMessage}")
+    // under the cap, the priced plan is exactly the unpriced plan
+    val priced = Joins.intervalOverlapPlanPriced(spark, sfDir,
+      bucketUs = 3600000000L, candCap = Long.MaxValue)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val plain = Joins.intervalOverlapPlan(spark, sfDir, bucketUs = 3600000000L)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(priced == plain)
+  }
 }
