@@ -232,16 +232,18 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
   def takedown(takedowns: DataFrame, seqCol: String, delCol: String,
       snapshotDir: String, cdfDir: String, releaseDir: String,
       batchId: Long): Long = {
-    import org.apache.spark.sql.functions.{col, max}
+    import org.apache.spark.sql.functions.col
     val cdfPath = new org.apache.hadoop.fs.Path(cdfDir)
     val fs = cdfPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // high-water mark from the partition DIR NAMES — metadata-only, never
+    // a feed scan (max over a partition column would read data files at
+    // scale; the feed layout IS batch_id=N dirs)
     val maxExisting =
       if (!fs.exists(cdfPath)) -1L
-      else {
-        val r = streaming.StreamingCdf.feed(spark, cdfDir)
-          .agg(max(col("batch_id"))).head()
-        if (r.isNullAt(0)) -1L else r.getLong(0)
-      }
+      else fs.listStatus(cdfPath).map(_.getPath.getName)
+        .filter(_.startsWith("batch_id="))
+        .flatMap(n => n.stripPrefix("batch_id=").toLongOption)
+        .foldLeft(-1L)(math.max)
     if (batchId <= maxExisting) {
       require(batchId == maxExisting,
         s"takedown batch id $batchId would overwrite feed history " +
