@@ -292,9 +292,14 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val g = Ngrams.postingsWithPos(Tables.documents(s, dir), n = 8, outCol = "g")
-    val du = g.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" > 1).select($"g")
-    val hits = g.join(du, "g")
+    // cross-doc duplication test as a gram-partitioned window (min ≠ max
+    // doc_id ⟺ >1 distinct doc) over the SINGLE explode — the aggregate
+    // joined back re-derived the explode on both shuffle sides (the
+    // t28/e32 double-eval class, r11)
+    val byG = Window.partitionBy($"g")
+    val hits = g
+      .withColumn("dup", min($"doc_id").over(byG) =!= max($"doc_id").over(byG))
+      .filter($"dup")
       .select($"doc_id", $"pos".as("s"), ($"pos" + 7).as("e"))
     val byPos = Window.partitionBy($"doc_id").orderBy($"s")
     val pmax = max($"e").over(byPos.rowsBetween(Window.unboundedPreceding, -1))

@@ -241,10 +241,13 @@ object TextAnalysis {
     * N-way redundancy; novelty can). doc_id order stands in for
     * ingestion order.
     *
-    * Scale: postings explode (linear in corpus tokens), ONE min-aggregate
-    * per distinct gram, one postings-to-owner equi-join, one per-doc
-    * aggregate — no pairwise anything; the gram-keyed shuffles are
-    * uniform under the same hash reasoning as d6.
+    * Scale: postings explode ONCE (linear in corpus tokens), the
+    * first-owner min as a gram-partitioned WINDOW over that single
+    * explode, one per-doc aggregate — no pairwise anything, and no
+    * owner-join that would re-derive the explode on both shuffle sides
+    * (the r11 fix: the join shape evaluated the gram build twice, the
+    * same double-eval class as e32's caps subtree). The gram-keyed
+    * shuffle is uniform under the same hash reasoning as d6.
     */
   val ngramNovelty = Q("t28_ngram_novelty",
     """WITH g AS (
@@ -263,8 +266,8 @@ object TextAnalysis {
     import s.implicits._
     val g = Ngrams.postings(graft.Tables.documents(s, dir), n = 8,
       distinct = true, outCol = "g")
-    val own = g.groupBy($"g".as("own_g")).agg(min($"doc_id").as("first_doc"))
-    g.join(own, $"g" === $"own_g")
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    g.withColumn("first_doc", min($"doc_id").over(byGram))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
@@ -301,8 +304,11 @@ object TextAnalysis {
       import s.implicits._
       val toks = Tables.documents(s, dir)
         .select($"doc_id", explode(array_distinct(split($"text", " "))).as("tok"))
-      val dfreq = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
-      toks.join(dfreq, "tok")
+      // document frequency as a token-partitioned window over the SINGLE
+      // explode — the agg-then-join-back shape evaluated the explode on
+      // both shuffle sides (the t28/e32 double-eval class, fixed r11)
+      val byTok = org.apache.spark.sql.expressions.Window.partitionBy($"tok")
+      toks.withColumn("df", count(lit(1)).over(byTok))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_distinct_tokens"),
           sum(when($"df" <= 2, 1L).otherwise(0L)).as("n_rare"))

@@ -477,13 +477,17 @@ object TrainingPrep {
     import s.implicits._
     val g = Ngrams.postings(Tables.documents(s, dir), n = 8, distinct = false,
       outCol = "g")
-    val du = g.groupBy($"g").agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" > 1).select($"g".as("dg"))
-    g.join(du, $"g" === $"dg", "left")
+    // "gram appears in >1 distinct doc" ⟺ min(doc_id) ≠ max(doc_id)
+    // within the gram's window — one pass over the single explode instead
+    // of a countDistinct aggregate joined back (which re-derived the
+    // explode on both shuffle sides; the t28/e32 double-eval class, r11)
+    val byG = org.apache.spark.sql.expressions.Window.partitionBy($"g")
+    g.withColumn("dup",
+        min($"doc_id").over(byG) =!= max($"doc_id").over(byG))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_grams"),
-        count($"dg").as("n_dup"))
+        sum(when($"dup", 1L).otherwise(0L)).as("n_dup"))
       .select($"doc_id", $"n_grams", $"n_dup",
         ($"n_dup".cast("double") / $"n_grams").as("dup_fraction"))
   }
