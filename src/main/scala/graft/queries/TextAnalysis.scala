@@ -354,9 +354,15 @@ object TextAnalysis {
     val docs = graft.Tables.documents(s, dir)
     val tf = Ngrams.postings(docs, n = 2, distinct = false, outCol = "phrase")
       .groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("tf"))
-    val dft = tf.groupBy($"phrase").agg(count(lit(1)).as("df"))
+    // document frequency as a phrase-partitioned window over the SINGLE
+    // tf relation: the dft-join-back shape re-derived the explode + tf
+    // aggregate on both shuffle sides (the t28/e32 double-eval class —
+    // ReusedExchange can't help because the two subtrees differ, one
+    // being the aggregate of the other)
+    val byPhrase = org.apache.spark.sql.expressions.Window.partitionBy($"phrase")
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val scored = tf.join(dft, "phrase").join(broadcast(n))
+    val scored = tf.withColumn("df", count(lit(1)).over(byPhrase))
+      .join(broadcast(n))
       .filter(($"df" * 2).cast("double") <= $"n")
       .select($"doc_id", $"phrase", $"tf",
         ($"tf".cast("double") * ($"n" / $"df".cast("double"))).as("score"))
