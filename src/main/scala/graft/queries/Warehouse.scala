@@ -1304,11 +1304,107 @@ object Warehouse {
         .select($"n1", $"n2", $"ks_ppm", $"at_cents")
   }
 
+  /** A32: CUSUM CHANGE-POINT screen over the daily revenue series —
+    * dq3's complement: the z-score window catches SPIKES (one day far
+    * from its trailing 28), CUSUM catches sustained SMALL SHIFTS (a 5%
+    * drift that never trips any single-day z but accumulates — the
+    * classic silent-regression shape in KPI monitoring and the standard
+    * sequential test for it, Page 1954).
+    *
+    * One-sided upper CUSUM with the recursion eliminated: C_t =
+    * max(0, C_{t-1} + x_t − μ − k) has no window-function form, but the
+    * closed form C_t = S_t − min(0, min_{j≤t} S_j) over the running sum
+    * S of slack-adjusted deviations is two stacked windows on the same
+    * (global, day-ordered) sort. The reference mean μ comes from the
+    * FIRST HALF of the series, not the pooled whole: a pooled mean is
+    * contaminated by the very shift being hunted (the first draft used
+    * it and an 8% shift with 5% slack accrued only ~0.2%/day of
+    * evidence — the monitor had desensitized itself; the spec's
+    * synthetic shift caught this). ALL-INTEGER: deviations are scaled
+    * by the reference count (dev = N_r·x − T_r where T_r = Σ reference
+    * x, so μ never divides), slack = T_r/20 (5% of the reference mean
+    * per day, floor-div), alarm when the cumulative excess passes one
+    * full reference day (C > T_r) — exact on both engines, products
+    * ride DECIMAL(38,0)/HUGEINT, surfaced BIGINT (registry
+    * decimal-output pin).
+    *
+    * Scale: the windows run over the |days|-row daily rollup (the dq3
+    * precedent — calendar-bounded, never |orders|); everything upstream
+    * is one map-side-combined aggregate.
+    */
+  val cusumChangepoint = Q("a32_cusum_changepoint",
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)))
+      |              AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |rn AS (SELECT day, rev_c,
+      |              row_number() OVER (ORDER BY day) AS rn,
+      |              count(*) OVER () AS nd
+      |       FROM daily),
+      |ref AS (SELECT CAST(sum(rev_c) AS HUGEINT) AS tr,
+      |               CAST(count(*) AS HUGEINT) AS nr
+      |        FROM rn WHERE rn <= nd // 2),
+      |d AS (
+      |  SELECT day, rev_c, tr,
+      |         CAST(rev_c AS HUGEINT) * nr - tr AS dev,
+      |         tr // 20 AS slack
+      |  FROM daily, ref),
+      |s AS (
+      |  SELECT day, rev_c, tr,
+      |         sum(dev - slack) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM d),
+      |c AS (
+      |  SELECT day, rev_c, tr,
+      |         s - least(CAST(0 AS HUGEINT),
+      |                   min(s) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum
+      |  FROM s)
+      |SELECT day, rev_c, CAST(cusum AS BIGINT) AS cusum_scaled,
+      |       CASE WHEN cusum > tr THEN 1 ELSE 0 END AS is_alarm
+      |FROM c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date($"o_orderdate").as("day"))
+      .agg(sum((Exact.dec2($"o_totalprice") * 100).cast(DecimalType(18, 0)))
+        .cast("long").as("rev_c"))
+    cusumOver(daily)
+  }
+
+  /** The a32 CUSUM algebra over a `(day, rev_c)` series — factored out so
+    * WarehouseSpec can drive a synthetic level-shifted series (alarm
+    * fires after the shift, never before).
+    */
+  private[graft] def cusumOver(
+      daily: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val byDay = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val ref = daily
+      .withColumn("rn", row_number().over(byDay))
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter(col("rn") <= expr("nd div 2"))
+      .agg(sum(col("rev_c")).cast(DecimalType(38, 0)).as("tr"),
+        count(lit(1)).cast(DecimalType(38, 0)).as("nr"))
+    val w = byDay.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val cusum = col("s") - least(lit(0).cast(DecimalType(38, 0)), col("smin"))
+    daily.crossJoin(broadcast(ref))
+      .withColumn("dev", col("rev_c").cast(DecimalType(38, 0)) * col("nr") - col("tr"))
+      .withColumn("slack", expr("tr div 20"))
+      .withColumn("s", sum(col("dev") - col("slack")).over(w))
+      .withColumn("smin", min(col("s")).over(w))
+      .select(col("day"), col("rev_c"),
+        cusum.cast("long").as("cusum_scaled"),
+        when(cusum > col("tr"), 1).otherwise(0).as("is_alarm"))
+  }
+
   val queries: Seq[Q] = Seq(groupingSetsAgg, rangeWindow, exactPercentiles,
     modeStatus, q3ShippingPriority, q5LocalSupplier, scd2, dqExpectations,
     unpivotMeasures, saltedSkewJoin, mergeUpsert,
     q18BigOrders, q7Volume, q4OrderPriority, q12PriorityShipping,
     q14PromoRevenue, q19Disjunctive, dq2Reconciliation, pctOfTotal, aggPack,
     weightedMix, temperatureMix, winsorize, topKNative, zorderKey, gapFill,
-    corrEvidence, autocorr, gini, ksTest)
+    corrEvidence, autocorr, gini, ksTest, cusumChangepoint)
 }

@@ -255,4 +255,37 @@ class WarehouseSpec extends AnyFunSuite with SparkTestKit {
     for (r <- rows)
       assert(r.getAs[Long]("n_violations") == 0L, r.getAs[String]("check_name"))
   }
+
+  test("a32: CUSUM fires on a sustained small shift and only after it") {
+    // 200 stationary days at 1000 cents, then a +8% level shift — small
+    // enough that dq3's 3σ single-day z-score never fires (each day is
+    // within the noise), but the cumulative excess must cross the alarm
+    // line a bounded time after day 200 and STAY in alarm. Deterministic
+    // ±2% hash noise, no Random.
+    def noise(i: Int): Long = (math.abs((i * 2654435761L) % 41) - 20) // ±20 = ±2%
+    val series = (1 to 300).map { i =>
+      val base = if (i <= 200) 1000L else 1080L
+      (java.sql.Date.valueOf(f"2024-01-01").toLocalDate.plusDays(i.toLong).toString,
+        base + noise(i))
+    }.toDF("day", "rev_c").selectExpr("CAST(day AS DATE) AS day", "rev_c")
+    val out = Warehouse.cusumOver(series)
+      .select($"day", $"is_alarm").collect()
+      .map(r => r.getDate(0).toLocalDate.toString -> r.getInt(1)).sortBy(_._1)
+    val firstAlarm = out.collectFirst { case (d, 1) => d }
+    assert(firstAlarm.isDefined, "a sustained +8% shift must eventually alarm")
+    val shiftDay = java.time.LocalDate.of(2024, 1, 1).plusDays(201).toString
+    assert(firstAlarm.get >= shiftDay,
+      s"alarm at ${firstAlarm.get} precedes the shift at $shiftDay")
+    // detection delay bounded: slack is ~5% of mean, the shift is 8%, so
+    // excess accrues ~3%/day scaled — one average day's worth (the alarm
+    // line) within ~40 days
+    assert(firstAlarm.get <= java.time.LocalDate.of(2024, 1, 1)
+      .plusDays(245).toString, s"detection too slow: ${firstAlarm.get}")
+    // and once in alarm under a sustained shift, it stays in alarm
+    val afterFirst = out.dropWhile(_._2 == 0)
+    assert(afterFirst.forall(_._2 == 1),
+      "alarm must be sustained while the shift persists")
+    // pre-shift: no alarm anywhere in the stationary prefix
+    assert(out.takeWhile(_._1 < shiftDay).forall(_._2 == 0))
+  }
 }
