@@ -1,0 +1,131 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.DecimalType
+
+/** LIVE CUSUM SHIFT DETECTION — a32's streaming face and
+  * [[StreamingAnomaly]]'s complement in the monitor triad (z-score =
+  * spikes, drift = distribution shape, CUSUM = sustained SMALL shifts):
+  * every micro-batch's KPI is one observation of a one-sided upper CUSUM
+  * whose reference freezes on the first `refBatches` warm-up batches. A
+  * feed that creeps up 5–10% per batch — too small for any single-batch
+  * z to trip — accumulates evidence here and alarms a bounded number of
+  * batches later (a32's calendar-day discipline transplanted to the
+  * batch sequence, exactly as StreamingAnomaly transplanted dq3's).
+  *
+  * State is the LEDGER ITSELF (the StreamingAnomaly pattern): each batch
+  * appends one `(n_rows, kpi, s, smin, cusum_scaled, is_alarm)` row
+  * under `batch_id=N`; batch N needs only its PREDECESSOR row (the
+  * running sum/min recurrence carries all history) plus, once, the
+  * ≤`refBatches`-row reference prefix — metadata-sized reads, no RocksDB
+  * state, an auditable plain table. The reference is DERIVED from the
+  * ledger prefix rather than pinned in a separate artifact, so there is
+  * no pin-ordering crash window at all (the r10 StreamingDrift lesson,
+  * solved here by construction): replays of warm-up batches rewrite
+  * byte-identical rows, and every later batch recomputes the same
+  * reference from the same immutable prefix.
+  *
+  * Arithmetic is a32's verbatim: dev = nr·kpi − tr (the reference mean
+  * never divides), slack = tr/20, recursion eliminated via
+  * C_t = S_t − min(0, min_{j≤t} S_j) — here carried incrementally as
+  * s_N = s_{N−1} + (dev − slack), smin_N = min(smin_{N−1}, s_N) — and
+  * the alarm line is one full reference batch (C > tr). All products
+  * ride DECIMAL(38,0); the surfaced columns are BIGINT.
+  */
+object StreamingCusum {
+
+  /** Ledger rows strictly before `batchId` (replays never see their own
+    * or later rows — the StreamingAdmission fence).
+    */
+  def ledgerBefore(spark: SparkSession, ledgerDir: String, batchId: Long): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+    if (!hasData)
+      return spark.range(0).selectExpr("id AS batch_id", "id AS n_rows",
+        "id AS kpi", "CAST(id AS DECIMAL(38,0)) AS s",
+        "CAST(id AS DECIMAL(38,0)) AS smin")
+    spark.read.parquet(ledgerDir)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+      .filter(col("batch_id") < batchId)
+  }
+
+  /** The CUSUM verdict for one batch given the ledger of earlier batches:
+    * `(batch_id, n_rows, kpi, s, smin, cusum_scaled, is_alarm)`. Warm-up
+    * batches (fewer than `refBatches` predecessors) carry s = smin = 0
+    * and a NULL cusum — they ARE the reference, so they can never alarm.
+    */
+  def scoreBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      valueCol: String, ledgerDir: String, refBatches: Int = 8): DataFrame = {
+    val cur = batch.agg(
+      count(lit(1)).as("n_rows"),
+      coalesce(sum(col(valueCol)), lit(0L)).cast("long").as("kpi"))
+      .withColumn("batch_id", lit(batchId))
+    val prior = ledgerBefore(spark, ledgerDir, batchId)
+    // the reference prefix: the first refBatches ledger rows by batch id
+    // (immutable once written — replays rewrite identical content)
+    val ref = prior.orderBy(col("batch_id")).limit(refBatches)
+      .agg(count(lit(1)).as("n_ref"),
+        coalesce(sum(col("kpi")), lit(0L)).cast(DecimalType(38, 0)).as("tr"))
+    // the recurrence seed: the predecessor row's (s, smin) — an aggregate
+    // so "no predecessor at all" (batch 0) falls out as one zeros row
+    val seed = prior.agg(
+      coalesce(max_by(col("s"), col("batch_id")),
+        lit(0).cast(DecimalType(38, 0))).as("s_prev"),
+      coalesce(max_by(col("smin"), col("batch_id")),
+        lit(0).cast(DecimalType(38, 0))).as("smin_prev"))
+    val seeded = cur.crossJoin(broadcast(ref)).crossJoin(broadcast(seed))
+    val warm = col("n_ref") < refBatches
+    val dev = col("kpi").cast(DecimalType(38, 0)) * col("n_ref") - col("tr")
+    val slack = expr("tr div 20")
+    val s = col("s_prev") + (dev - slack)
+    val smin = least(col("smin_prev"), s)
+    val cusum = s - smin
+    seeded.select(col("batch_id"), col("n_rows"), col("kpi"),
+      when(warm, lit(0).cast(DecimalType(38, 0))).otherwise(s).as("s"),
+      when(warm, lit(0).cast(DecimalType(38, 0))).otherwise(smin).as("smin"),
+      when(warm, lit(null).cast("long")).otherwise(cusum.cast("long"))
+        .as("cusum_scaled"),
+      coalesce(when(!warm, cusum > col("tr")), lit(false)).as("is_alarm"))
+  }
+
+  /** One micro-batch: score against the ledger, land the ledger row and
+    * the verdict — both batch-scoped (replay-idempotent: the score reads
+    * strictly-earlier rows only). Public for direct replay.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      valueCol: String, ledgerDir: String, verdictDir: String,
+      refBatches: Int = 8): Unit = {
+    // empty batches are scored: kpi = 0 is the maximally-shifted-DOWN
+    // observation; for the one-sided UPPER cusum it simply drains C
+    // toward 0 — still a legitimate observation, never a skip
+    val verdict = scoreBatch(spark, batch, batchId, valueCol, ledgerDir,
+      refBatches).localCheckpoint(true) // score BEFORE the ledger grows
+    verdict.select(col("n_rows"), col("kpi"), col("s"), col("smin"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+    verdict.select(col("batch_id"), col("n_rows"), col("kpi"),
+      col("cusum_scaled"), col("is_alarm"))
+      .withColumn("__batch", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .partitionBy("__batch")
+      .parquet(verdictDir)
+  }
+
+  /** Streaming sink over [[processBatch]]. */
+  def sink(rows: DataFrame, valueCol: String, ledgerDir: String,
+      verdictDir: String, checkpointDir: String, refBatches: Int = 8,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, valueCol,
+          ledgerDir, verdictDir, refBatches)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+}
