@@ -8,15 +8,18 @@ import org.apache.spark.sql.types.DecimalType
 /** LIVE CUSUM SHIFT DETECTION — a32's streaming face and
   * [[StreamingAnomaly]]'s complement in the monitor triad (z-score =
   * spikes, drift = distribution shape, CUSUM = sustained SMALL shifts):
-  * every micro-batch's KPI is one observation of a one-sided upper CUSUM
+  * every micro-batch's KPI is one observation of a TWO-SIDED CUSUM
   * whose reference freezes on the first `refBatches` warm-up batches. A
-  * feed that creeps up 5–10% per batch — too small for any single-batch
-  * z to trip — accumulates evidence here and alarms a bounded number of
-  * batches later (a32's calendar-day discipline transplanted to the
-  * batch sequence, exactly as StreamingAnomaly transplanted dq3's).
+  * feed that creeps 5–10% per batch in either direction — too small for
+  * any single-batch z to trip — accumulates evidence on the matching
+  * side and alarms a bounded number of batches later (a32's
+  * calendar-day discipline transplanted to the batch sequence, exactly
+  * as StreamingAnomaly transplanted dq3's; a32 itself stays one-sided
+  * upper because that is what its oracle pins — the two-sided form is
+  * just the upper recursion run on x and on −x with a shared slack).
   *
   * State is the LEDGER ITSELF (the StreamingAnomaly pattern): each batch
-  * appends one `(n_rows, kpi, s, smin, cusum_scaled, is_alarm)` row
+  * appends one `(n_rows, kpi, s_up, smin_up, s_dn, smin_dn)` row
   * under `batch_id=N`; batch N needs only its PREDECESSOR row (the
   * running sum/min recurrence carries all history) plus, once, the
   * ≤`refBatches`-row reference prefix — metadata-sized reads, no RocksDB
@@ -46,17 +49,24 @@ object StreamingCusum {
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
     if (!hasData)
       return spark.range(0).selectExpr("id AS batch_id", "id AS n_rows",
-        "id AS kpi", "CAST(id AS DECIMAL(38,0)) AS s",
-        "CAST(id AS DECIMAL(38,0)) AS smin")
+        "id AS kpi", "CAST(id AS DECIMAL(38,0)) AS s_up",
+        "CAST(id AS DECIMAL(38,0)) AS smin_up",
+        "CAST(id AS DECIMAL(38,0)) AS s_dn",
+        "CAST(id AS DECIMAL(38,0)) AS smin_dn")
     spark.read.parquet(ledgerDir)
       .withColumn("batch_id", col("batch_id").cast("long"))
       .filter(col("batch_id") < batchId)
   }
 
-  /** The CUSUM verdict for one batch given the ledger of earlier batches:
-    * `(batch_id, n_rows, kpi, s, smin, cusum_scaled, is_alarm)`. Warm-up
-    * batches (fewer than `refBatches` predecessors) carry s = smin = 0
-    * and a NULL cusum — they ARE the reference, so they can never alarm.
+  /** The two-sided CUSUM verdict for one batch given the ledger of
+    * earlier batches: `(batch_id, n_rows, kpi, s_up, smin_up, s_dn,
+    * smin_dn, cusum_up_scaled, cusum_dn_scaled, is_alarm)`. The UP side
+    * accumulates evidence of a sustained increase, the DOWN side of a
+    * sustained collapse (the scraper-starts-truncating shape — an
+    * upper-only monitor would sit silent through it); `is_alarm` fires
+    * when EITHER side passes the line. Warm-up batches (fewer than
+    * `refBatches` predecessors) carry zeros and NULL cusums — they ARE
+    * the reference, so they can never alarm.
     */
   def scoreBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       valueCol: String, ledgerDir: String, refBatches: Int = 8): DataFrame = {
@@ -70,26 +80,33 @@ object StreamingCusum {
     val ref = prior.orderBy(col("batch_id")).limit(refBatches)
       .agg(count(lit(1)).as("n_ref"),
         coalesce(sum(col("kpi")), lit(0L)).cast(DecimalType(38, 0)).as("tr"))
-    // the recurrence seed: the predecessor row's (s, smin) — an aggregate
-    // so "no predecessor at all" (batch 0) falls out as one zeros row
-    val seed = prior.agg(
-      coalesce(max_by(col("s"), col("batch_id")),
-        lit(0).cast(DecimalType(38, 0))).as("s_prev"),
-      coalesce(max_by(col("smin"), col("batch_id")),
-        lit(0).cast(DecimalType(38, 0))).as("smin_prev"))
+    // the recurrence seed: the predecessor row's running sums/mins — an
+    // aggregate so "no predecessor at all" (batch 0) is one zeros row
+    def mb(c: String) = coalesce(max_by(col(c), col("batch_id")),
+      lit(0).cast(DecimalType(38, 0))).as(c + "_prev")
+    val seed = prior.agg(mb("s_up"), mb("smin_up"), mb("s_dn"), mb("smin_dn"))
     val seeded = cur.crossJoin(broadcast(ref)).crossJoin(broadcast(seed))
     val warm = col("n_ref") < refBatches
     val dev = col("kpi").cast(DecimalType(38, 0)) * col("n_ref") - col("tr")
     val slack = expr("tr div 20")
-    val s = col("s_prev") + (dev - slack)
-    val smin = least(col("smin_prev"), s)
-    val cusum = s - smin
+    val sUp = col("s_up_prev") + (dev - slack)
+    val sminUp = least(col("smin_up_prev"), sUp)
+    val cusumUp = sUp - sminUp
+    val sDn = col("s_dn_prev") + (-dev - slack)
+    val sminDn = least(col("smin_dn_prev"), sDn)
+    val cusumDn = sDn - sminDn
+    val zero = lit(0).cast(DecimalType(38, 0))
     seeded.select(col("batch_id"), col("n_rows"), col("kpi"),
-      when(warm, lit(0).cast(DecimalType(38, 0))).otherwise(s).as("s"),
-      when(warm, lit(0).cast(DecimalType(38, 0))).otherwise(smin).as("smin"),
-      when(warm, lit(null).cast("long")).otherwise(cusum.cast("long"))
-        .as("cusum_scaled"),
-      coalesce(when(!warm, cusum > col("tr")), lit(false)).as("is_alarm"))
+      when(warm, zero).otherwise(sUp).as("s_up"),
+      when(warm, zero).otherwise(sminUp).as("smin_up"),
+      when(warm, zero).otherwise(sDn).as("s_dn"),
+      when(warm, zero).otherwise(sminDn).as("smin_dn"),
+      when(warm, lit(null).cast("long")).otherwise(cusumUp.cast("long"))
+        .as("cusum_up_scaled"),
+      when(warm, lit(null).cast("long")).otherwise(cusumDn.cast("long"))
+        .as("cusum_dn_scaled"),
+      coalesce(when(!warm, cusumUp > col("tr") || cusumDn > col("tr")),
+        lit(false)).as("is_alarm"))
   }
 
   /** One micro-batch: score against the ledger, land the ledger row and
@@ -99,15 +116,16 @@ object StreamingCusum {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       valueCol: String, ledgerDir: String, verdictDir: String,
       refBatches: Int = 8): Unit = {
-    // empty batches are scored: kpi = 0 is the maximally-shifted-DOWN
-    // observation; for the one-sided UPPER cusum it simply drains C
-    // toward 0 — still a legitimate observation, never a skip
+    // empty batches are scored: kpi = 0 is the maximally-collapsed
+    // observation — exactly what the DOWN side exists to accumulate;
+    // never a skip
     val verdict = scoreBatch(spark, batch, batchId, valueCol, ledgerDir,
       refBatches).localCheckpoint(true) // score BEFORE the ledger grows
-    verdict.select(col("n_rows"), col("kpi"), col("s"), col("smin"))
+    verdict.select(col("n_rows"), col("kpi"), col("s_up"), col("smin_up"),
+        col("s_dn"), col("smin_dn"))
       .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
     verdict.select(col("batch_id"), col("n_rows"), col("kpi"),
-      col("cusum_scaled"), col("is_alarm"))
+      col("cusum_up_scaled"), col("cusum_dn_scaled"), col("is_alarm"))
       .withColumn("__batch", lit(batchId))
       .write
       .option("partitionOverwriteMode", "dynamic")

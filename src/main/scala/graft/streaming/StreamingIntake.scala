@@ -322,7 +322,8 @@ object StreamingIntake {
       profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
       checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
       compactEvery: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.AvailableNow(),
+      cusumDirs: Option[(String, String)] = None): DataStreamWriter[Row] =
     monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
       releaseDir, labelDir, verdictDir,
       // frozen-reference drift scoring, with the non-null-values guard of
@@ -342,7 +343,8 @@ object StreamingIntake {
           } finally { driftBins.unpersist(); () }
         },
       kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
-      profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger)
+      profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger,
+      cusumDirs)
 
   /** [[sinkFullIvfSplitMonitored]] with the RE-FREEZING drift reference
     * ([[StreamingDrift.processBatchRefreshing]]): each batch scores
@@ -361,7 +363,8 @@ object StreamingIntake {
       profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
       checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
       compactEvery: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.AvailableNow(),
+      cusumDirs: Option[(String, String)] = None): DataStreamWriter[Row] =
     monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
       releaseDir, labelDir, verdictDir,
       scoreDrift = (lens, batchId) =>
@@ -369,7 +372,8 @@ object StreamingIntake {
           driftRefStoreDir, "n_chars", driftBinsDir, driftSummaryDir,
           driftThreshold),
       kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
-      profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger)
+      profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger,
+      cusumDirs)
 
   /** The shared monitored-intake body — drift scoring is the one policy
     * choice, injected by the two public variants above.
@@ -381,7 +385,8 @@ object StreamingIntake {
       kpiLedgerDir: String, kpiVerdictDir: String,
       profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
       checkpointDir: String, k: Int, tau: Double, nprobe: Int,
-      compactEvery: Int, trigger: Trigger): DataStreamWriter[Row] =
+      compactEvery: Int, trigger: Trigger,
+      cusumDirs: Option[(String, String)]): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -401,6 +406,13 @@ object StreamingIntake {
             .join(lens, "doc_id")
           StreamingAnomaly.processBatch(spark, admittedChars, batchId,
             "n_chars", kpiLedgerDir, kpiVerdictDir)
+          // the triad's third leg: two-sided CUSUM on the same admitted
+          // KPI — the sustained-small-shift shape (a scraper that starts
+          // truncating) that the single-batch z above cannot see
+          cusumDirs.foreach { case (cl, cv) =>
+            StreamingCusum.processBatch(spark, admittedChars, batchId,
+              "n_chars", cl, cv)
+          }
           val (stats, bitmap) = StreamingProfile.profileBatch(
             lens, Seq("n_chars"), "doc_id", profileDomain)
           Seq(stats -> profileStatsDir, bitmap -> profileBitmapDir).foreach {

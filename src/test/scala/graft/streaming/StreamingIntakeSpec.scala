@@ -481,6 +481,7 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     val driftBins = tmp("mon-dbins") + "/b"; val driftSum = tmp("mon-dsum")
     val kpiLedger = tmp("mon-kledger"); val kpiVerd = tmp("mon-kverd") + "/v"
     val profStats = tmp("mon-pstats") + "/s"; val profBm = tmp("mon-pbm") + "/b"
+    val cusumLedger = tmp("mon-cledger"); val cusumVerd = tmp("mon-cverd") + "/v"
     val srcDir = tmp("mon-src"); val ckpt = tmp("mon-ckpt")
     val quota = Seq(("en", 100L)).toDF("lang", "quota")
     // drift reference: the fixture sentences' own length family
@@ -507,7 +508,8 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
         kpiLedgerDir = kpiLedger, kpiVerdictDir = kpiVerd,
         profileStatsDir = profStats, profileBitmapDir = profBm,
         profileDomain = 1000, checkpointDir = ckpt,
-        k = 3, tau = 0.9, nprobe = 3).start()
+        k = 3, tau = 0.9, nprobe = 3,
+        cusumDirs = Some((cusumLedger, cusumVerd))).start()
       q.awaitTermination()
     }
 
@@ -531,6 +533,17 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     val admitted1 = b1.filter(r => r._1 != 1L) // doc 1 is the near-dup
     assert(spark.read.parquet(s"$kpiLedger/batch_id=0").head().getAs[Long]("kpi") ==
       admitted1.map(_._2.length.toLong).sum)
+    // cusum (the triad's third leg): one ledger row per batch, its kpi
+    // IDENTICAL to the anomaly ledger's (both measure the admitted char
+    // volume — cross-monitor consistency), and warm-up never alarms
+    (0L to 1L).foreach { b =>
+      assert(spark.read.parquet(s"$cusumLedger/batch_id=$b").head()
+        .getAs[Long]("kpi") ==
+        spark.read.parquet(s"$kpiLedger/batch_id=$b").head().getAs[Long]("kpi"),
+        s"cusum and anomaly ledgers disagree on batch $b's admitted KPI")
+    }
+    assert(spark.read.parquet(cusumVerd).filter($"is_alarm").isEmpty,
+      "warm-up batches must never alarm")
     // profile: cumulative over both batches — exact distinct doc count
     val cum = StreamingProfile.cumulative(spark, profStats, profBm).head()
     assert(cum.getAs[Long]("n_rows") == 5L &&
@@ -545,7 +558,7 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
         case x => String.valueOf(x)
       }.mkString("|")).sorted.toSeq
     }
-    val dirs = Seq(verdictDir, driftBins, kpiVerd, profStats, profBm)
+    val dirs = Seq(verdictDir, driftBins, kpiVerd, profStats, profBm, cusumVerd)
     val before = snap(dirs)
     run() // same ckpt → no new batches; idempotence of the artifacts
     assert(snap(dirs) == before)

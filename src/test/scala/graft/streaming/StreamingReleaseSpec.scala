@@ -185,4 +185,43 @@ class StreamingReleaseSpec extends AnyFunSuite with SparkTestKit {
       g.takedown(other, "seq", "del", snap, cdf, relDir, batchId = 2L)
     }
   }
+
+  test("takedown crash between tombstone merge and retraction: same-id replay completes") {
+    // the REAL crash the guard's prior-attempt admission exists for:
+    // takedown dies after the store committed (tombstones + feed) but
+    // before the release retraction. Recovery = re-running takedown with
+    // the ORIGINAL id; end state must equal a never-interrupted run.
+    val g = graft.GraftSession.attach(spark, sfDir)
+    def setup(): (String, String, String) = {
+      val snap = tmp("rel-cr") + "/s"; val cdf = tmp("rel-crcdf") + "/f"
+      val rel = tmp("rel-crrel")
+      val admitted = docs(0 until 25, "en")
+        .withColumn("seq", lit(1L)).withColumn("del", lit(false))
+      StreamingTombstone.processBatch(spark, admitted, 0L, "doc_id", "seq", "del",
+        snap, cdf)
+      StreamingRelease.appendBatch(admitted.drop("seq", "del"), rel, 0L)
+      (snap, cdf, rel)
+    }
+    val erase = Seq(
+      (4L, "en", "text of document number 4 with some words", 5L, true),
+      (9L, "en", "text of document number 9 with some words", 5L, true))
+      .toDF("doc_id", "lang", "text", "seq", "del")
+
+    // control: never interrupted
+    val (cs, cc, cr) = setup()
+    assert(g.takedown(erase, "seq", "del", cs, cc, cr, batchId = 1L) == 2L)
+
+    // crashed: step 1 (tombstone merge + feed) committed, retraction never ran
+    val (xs, xc, xr) = setup()
+    StreamingTombstone.processBatch(spark, erase, 1L, "doc_id", "seq", "del",
+      xs, xc)
+    // recovery with the SAME id passes the guard and restores the retraction
+    assert(g.takedown(erase, "seq", "del", xs, xc, xr, batchId = 1L) == 2L)
+
+    assert(sorted(StreamingTombstone.snapshot(spark, xs, "del")) ==
+      sorted(StreamingTombstone.snapshot(spark, cs, "del")))
+    assert(sorted(StreamingCdf.feed(spark, xc)) == sorted(StreamingCdf.feed(spark, cc)))
+    assert(sorted(StreamingRelease.currentRelease(spark, xr).drop("watermark")) ==
+      sorted(StreamingRelease.currentRelease(spark, cr).drop("watermark")))
+  }
 }
