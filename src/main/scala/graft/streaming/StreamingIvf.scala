@@ -496,16 +496,32 @@ object StreamingIvf {
 
   /** Streaming sink: maintain the index from a `(vec_id, embedding,
     * label)` stream, compacting every `compactEvery` batches.
+    *
+    * `splitHotAbovePpm` > 0 arms the AUTO-SPLIT policy: at every
+    * compaction boundary — a drain boundary, i.e. exactly the quiescent
+    * point [[splitCell]]'s contract asks for — cells the load audit
+    * flags above the threshold are split. Run per cadence, this is the
+    * `hotCells → splitCell` maintenance LOOP the r11 rehearsal priced
+    * (SCALE.md: one round only separates signal from stragglers; the
+    * loop halves the hot mass geometrically), now driven by the sink
+    * itself instead of an operator remembering to call it. A replayed
+    * compaction batch re-runs the policy: already-split cells are
+    * absent from the codebook and their dirs are gone, so hotCells
+    * simply won't name them again (and a crash mid-split heals via
+    * splitCell's own roll-forward).
     */
   def sink(vectors: DataFrame, indexDir: String, checkpointDir: String,
       trainOnFirstBatch: Boolean = true, k: Int = 16, compactEvery: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.AvailableNow(),
+      splitHotAbovePpm: Long = 0L): DataStreamWriter[Row] =
     vectors.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, batchId, trainOnFirstBatch, k)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
           compactIndex(batch.sparkSession, indexDir, batchId)
-          ()
+          if (splitHotAbovePpm > 0L)
+            hotCells(batch.sparkSession, indexDir, splitHotAbovePpm)
+              .foreach(c => splitCell(batch.sparkSession, indexDir, c))
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -178,6 +178,49 @@ class StreamingIvfSplitSpec extends AnyFunSuite with SparkTestKit {
     corpus.unpersist(); all.unpersist()
   }
 
+  test("auto-split: the armed sink runs the split policy on the compaction cadence") {
+    val root = tmp("ivfautosplit")
+    val src = s"$root/src"; val dir = s"$root/ix"; val ckpt = s"$root/ckpt"
+    // train-then-drift (the soak's finding: training ON the skew just
+    // re-balances it): the first wave is BALANCED over 8 clusters — the
+    // codebook trains on it — and the later waves drift 85% hot
+    val all = (0 until 800).map { i =>
+      val base = if (i < 300) i % 8 else if (i % 20 < 17) 0 else 1 + i % 7
+      val emb = Array.tabulate(16) { j =>
+        10f * (if (j == base) 1f else 0f) + 0.3f * mix(i.toLong, j.toLong + 1)
+      }.toSeq
+      (i.toLong, emb, base)
+    }.toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label").cache()
+    val schema = all.schema
+    def drain(): Unit =
+      StreamingIvf.sink(spark.readStream.schema(schema).json(src), dir, ckpt,
+        trainOnFirstBatch = true, k = 8, compactEvery = 2,
+        splitHotAbovePpm = 3000000L).start().awaitTermination()
+
+    // three drains: batch 2 hits the compaction cadence and must split
+    // the engineered hot cell WITHOUT anyone calling splitCell
+    all.filter($"vec_id" < 300).write.mode("append").json(src); drain()
+    all.filter($"vec_id" >= 300 && $"vec_id" < 600).write.mode("append").json(src); drain()
+    all.filter($"vec_id" >= 600).write.mode("append").json(src); drain()
+
+    val trainedK = 8 // k requested; empty cells may drop at train
+    val cbIds = StreamingIvf.centroids(spark, dir)
+      .select($"cell_id").as[Int].collect().toSet
+    assert(cbIds.exists(_ >= trainedK),
+      s"the cadence must have split at least one cell (ids above the trained range): $cbIds")
+    val post = postingsSet(dir)
+    assert(post.size == 800 && post.forall(t => cbIds.contains(t._2)),
+      "every posting must sit under a live codebook cell after the auto-split")
+    // losslessness survives the policy: full probe == brute force
+    val corpus = StreamingIvf.scanPostings(spark, dir).get
+      .select($"vec_id", $"embedding").cache()
+    val probes = corpus.filter($"vec_id" % 100 === 3)
+    assert(probeSetTop1(dir, probes, cbIds.size) == bruteTop1(corpus, probes))
+    corpus.unpersist(); all.unpersist()
+  }
+
   test("crash between codebook publish and dir drop: splitCell rolls forward") {
     val dir = tmp("ivfsplitrf") + "/ix"
     val all = vecs(800).cache()
