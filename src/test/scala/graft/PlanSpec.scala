@@ -303,6 +303,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // e33: the 1-row total broadcast onto the ≤k-row cell histogram
       // (t10 pattern) + the shared cached index-build subtree
       "e33_ivf_cell_balance",
+      // a32: the 1-row (tr, nr) reference broadcast onto the |days|-row
+      // daily rollup, and the 1-row recurrence seed — both constant-size
+      // scalar joins (the dq3/a31 precedent)
+      "a32_cusum_changepoint",
       // a31: the 1-row (n1, n2) totals broadcast onto the distinct-value
       // CDF grid (t10 pattern); the cumulatives are PrefixScan's bucketed
       // windows, the rest is hash aggregates
