@@ -45,13 +45,16 @@ object MonitoredIntakeSoak {
     val embCol = expr(
       """transform(sequence(0, 63),
         |  j -> cast((pmod(xxhash64(text, j), 2001) - 1000) / 1000.0 as float))""".stripMargin)
-    val augmented = s"$corpus/documents_emb.parquet"
+    // 16 files -> 16 micro-batches: the CUSUM monitor freezes its
+    // reference on the first 8, so the back half exercises the ACTIVE
+    // recurrence at scale (8 files would leave every batch in warm-up)
+    val augmented = s"$corpus/documents_emb16.parquet"
     val fs = new org.apache.hadoop.fs.Path(augmented)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$augmented/_SUCCESS")))
       spark.read.parquet(s"$corpus/documents.parquet")
         .select(col("doc_id"), col("text"), col("lang"), embCol.as("embedding"))
-        .repartition(8).write.mode("overwrite").parquet(augmented)
+        .repartition(16).write.mode("overwrite").parquet(augmented)
 
     val work = java.nio.file.Files.createTempDirectory("mon-intake-soak").toString
     val indexDir = s"$work/index"; val embIndexDir = s"$work/embindex"
@@ -60,6 +63,7 @@ object MonitoredIntakeSoak {
     val driftBins = s"$work/dbins"; val driftSum = s"$work/dsum"
     val kpiLedger = s"$work/kledger"; val kpiVerd = s"$work/kverd"
     val profStats = s"$work/pstats"; val profBm = s"$work/pbm"
+    val cusumLedger = s"$work/cledger"; val cusumVerd = s"$work/cverd"
     val ckpt = s"$work/ckpt"
 
     val docsAll = spark.read.parquet(augmented)
@@ -95,7 +99,8 @@ object MonitoredIntakeSoak {
       // plateaued 5.4k → 5.6k from 20k → 100k docs). 0.95 (7.6σ) fires
       // only on shared-text embeddings at any soak size; production
       // embeddings have cluster structure and use the calibrated default.
-      tau = 0.95)
+      tau = 0.95,
+      cusumDirs = Some((cusumLedger, cusumVerd)))
       .start().awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
 
@@ -136,6 +141,37 @@ object MonitoredIntakeSoak {
       assert(spark.read.parquet(s"$kpiLedger/batch_id=$b").count() == 1L,
         s"KPI ledger missing batch $b")
     }
+    // cusum: every batch has a ledger row whose kpi EQUALS the anomaly
+    // ledger's (cross-monitor consistency at scale); the homogeneous
+    // corpus never alarms, and the back half of the run is ACTIVE
+    // (non-null cusum), so the recurrence itself was exercised
+    (0L until nBatches).foreach { b =>
+      val ck = spark.read.parquet(s"$cusumLedger/batch_id=$b").head().getAs[Long]("kpi")
+      val ak = spark.read.parquet(s"$kpiLedger/batch_id=$b").head().getAs[Long]("kpi")
+      assert(ck == ak, s"cusum/anomaly KPI drift at batch $b: $ck != $ak")
+    }
+    // the corpus is homogeneous but the ADMITTED volume is not: quotas
+    // fill progressively, so the back half of the run admits less and
+    // less — a REAL sustained decline, and the first soak run alarmed on
+    // it (initially read as a false positive; it is the monitor doing
+    // its job: the z-detector sees each batch within noise of its
+    // trailing window while the cumulative drain is unmistakable).
+    // Assert the alarm is EVIDENCE-BACKED: down-side only, never the up
+    // side, and every alarmed batch admitted less than the warm-up mean.
+    val cv = spark.read.parquet(cusumVerd)
+    val active = cv.filter(col("cusum_up_scaled").isNotNull).count()
+    assert(active == nBatches - 8,
+      s"expected ${nBatches - 8} active cusum batches, got $active")
+    val warmMean = (0L until 8L).map(b =>
+      spark.read.parquet(s"$cusumLedger/batch_id=$b").head().getAs[Long]("kpi"))
+      .sum / 8.0
+    val alarms = cv.filter(col("is_alarm")).collect()
+    alarms.foreach { r =>
+      assert(r.getAs[Long]("kpi") < warmMean,
+        s"alarmed batch ${r.getAs[Long]("batch_id")} is not below the warm-up mean")
+      assert(r.getAs[Long]("cusum_dn_scaled") > r.getAs[Long]("cusum_up_scaled"),
+        s"an alarm on this draining feed must come from the DOWN side: $r")
+    }
     // exact cross-batch distinct through the bitmap partials
     val cum = StreamingProfile.cumulative(spark, profStats, profBm).head()
     assert(cum.getAs[Long]("n_rows") == nDocs &&
@@ -166,7 +202,8 @@ object MonitoredIntakeSoak {
     println(f"[mon-intake-soak] docs=$nDocs batches=$nBatches " +
       f"admitted=$admittedTotal wall=${secs}%.1fs " +
       f"throughput=${nDocs / secs}%.0f docs/s " +
-      f"driftAlerts=0 profileDistinct=${cum.getAs[Long]("n_distinct_keys")}")
+      f"driftAlerts=0 cusumAlarms=${alarms.length} cusumActive=$active " +
+      f"profileDistinct=${cum.getAs[Long]("n_distinct_keys")}")
     spark.stop()
   }
 }

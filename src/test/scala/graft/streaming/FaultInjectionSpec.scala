@@ -269,4 +269,52 @@ class FaultInjectionSpec extends AnyFunSuite with SparkTestKit {
     assert(v0 == Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
       s"asOf(0) over the crash-replayed delete feed drifted: $v0")
   }
+
+  // ----------------------------------------------------------------- cusum
+
+  test("StreamingCusum: crash after an ACTIVE batch's ledger+verdict, restart, state equals uninterrupted run") {
+    // the window under test: the recurrence state (s_up/smin_up/...)
+    // for batch 2 is already in the ledger, the checkpoint never
+    // committed — the replay must re-derive batch 2 from strictly-earlier
+    // rows and land byte-identical state, and batch 3 (new data after the
+    // restart) must continue the recurrence as if nothing happened
+    val schema = "v bigint"
+    def batchRows(i: Int): DataFrame = {
+      val k = 1000L + (if (i >= 2) 80L else 0L) + (i % 7)
+      Seq.tabulate(4)(j => k / 4 + (if (j == 0) k % 4 else 0L)).toDF("v")
+    }
+    def run(srcDir: String, ckpt: String, ledger: String, verd: String,
+        failAfter: Option[Long]): Option[Throwable] =
+      runPass(srcDir, schema, ckpt, failAfter) { (b, id) =>
+        StreamingCusum.processBatch(b.sparkSession, b, id, "v", ledger, verd,
+          refBatches = 2)
+      }
+
+    def driveAll(src: String, ckpt: String, led: String, verd: String,
+        crashAt: Option[Long]): Unit = {
+      (0 to 2).foreach { i =>
+        batchRows(i).write.mode("append").json(src)
+        val r = run(src, ckpt, led, verd, crashAt.filter(_ == i.toLong))
+        if (crashAt.contains(i.toLong)) {
+          assert(r.nonEmpty, "injected crash did not fire")
+          // side effects landed before the crash — the window under test
+          assert(spark.read.parquet(s"$led/batch_id=$i").count() == 1)
+          assert(run(src, ckpt, led, verd, None).isEmpty, "restart failed")
+        } else assert(r.isEmpty)
+      }
+      batchRows(3).write.mode("append").json(src)
+      assert(run(src, ckpt, led, verd, None).isEmpty)
+    }
+
+    val (cSrc, cCkpt) = (tmp("fi-cu-csrc"), tmp("fi-cu-cckpt"))
+    val (cLed, cVerd) = (tmp("fi-cu-cled"), tmp("fi-cu-cverd") + "/v")
+    driveAll(cSrc, cCkpt, cLed, cVerd, crashAt = None)
+
+    val (fSrc, fCkpt) = (tmp("fi-cu-fsrc"), tmp("fi-cu-fckpt"))
+    val (fLed, fVerd) = (tmp("fi-cu-fled"), tmp("fi-cu-fverd") + "/v")
+    driveAll(fSrc, fCkpt, fLed, fVerd, crashAt = Some(2L))
+
+    assert(rowsOf(fLed) == rowsOf(cLed), "cusum ledger diverged after crash-replay")
+    assert(rowsOf(fVerd) == rowsOf(cVerd), "cusum verdicts diverged after crash-replay")
+  }
 }
