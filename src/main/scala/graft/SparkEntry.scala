@@ -34,6 +34,7 @@ object SparkEntry {
     Ml.queries ++
     Cdc.queries ++
     Basket.queries ++
+    ScaleOps.queries ++
     Seq(
       // full commerce domain pipeline (generated bronze → silver → gold →
       // exec_daily_kpi), hash-gated: the deterministic bronze is persisted

@@ -49,4 +49,31 @@ object PrefixScan {
       .withColumn(out, sum(col("__v")).over(local) + col("__offset"))
       .drop("__bucket", "__v", "__offset")
   }
+
+  /** Append `out` = max of `value` over all STRICTLY earlier rows in the
+    * global (bucket, order…) order — null for the global first row. Same
+    * two-level decomposition as [[runningSum]] (per-bucket maxima →
+    * exclusive offsets over \|buckets\| rows → within-bucket exclusive
+    * window), same contract: `bucket` monotone in the sort, (bucket,
+    * order…) a total order. The prefix-max is what linearizes dominance
+    * scans (o3's skyline staircase) the way the prefix-sum linearizes
+    * running totals.
+    */
+  def runningMaxExclusive(df: DataFrame, bucket: Column, order: Seq[Column],
+      value: Column, out: String): DataFrame = {
+    val b = df.withColumn("__bucket", bucket).withColumn("__v", value)
+    val totals = b.groupBy(col("__bucket")).agg(max(col("__v")).as("__bmax"))
+    val exclusive = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("__offset", max(col("__bmax")).over(exclusive))
+      .select(col("__bucket"), col("__offset"))
+    val local = Window.partitionBy(col("__bucket")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() ignores nulls (first row of first bucket stays null —
+    // exactly the plain exclusive window's semantics)
+    b.join(broadcast(offsets), "__bucket")
+      .withColumn(out, greatest(max(col("__v")).over(local), col("__offset")))
+      .drop("__bucket", "__v", "__offset")
+  }
 }
