@@ -78,7 +78,16 @@ object Dedup {
        |JOIN sizes sa ON p.doc_a = sa.doc_id
        |JOIN sizes sb ON p.doc_b = sb.doc_id
        |WHERE CAST(p.inter AS DOUBLE) / (sa.sz + sb.sz - p.inter) >= 0.35""".stripMargin) {
-    (s, dir) =>
+    (s, dir) => jaccardPairs(s, dir)
+  }
+
+  /** The exact n-gram-Jaccard pair table (τ = 0.35), memoized per
+    * (session, dir) — d2 returns it and d22's blocking audit filters it
+    * to its τ = 0.5 reference truth (exact Jaccard ≥ 0.5 ⊂ ≥ 0.35, so
+    * the filter is equivalent to recomputing at the higher threshold).
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "d2_pairs") {
       import s.implicits._
       val sh = shingles(s, dir).cache()
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
@@ -99,7 +108,7 @@ object Dedup {
         .join(sizes.toDF("doc_b", "szb"), "doc_b")
         .select($"doc_a", $"doc_b", $"inter", jac.as("jaccard"))
         .filter($"jaccard" >= 0.35)
-  }
+    }
 
   val numHashes = 12
   val bandSize = 4 // 3 bands of 4 → catches pairs with jaccard ≳ 0.5
@@ -154,31 +163,51 @@ object Dedup {
     * clusters it — the expensive signature/banding work runs once per
     * session, not once per consumer.
     */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Memo.cached(s, dir, "d3_pairs") {
+  /** The per-doc MinHash signature + band-key table, memoized — shared by
+    * the candidate step, the verify step, and d22's blocking audit.
+    */
+  def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "d3_sigs") {
       import s.implicits._
       val sh = shingles(s, dir)
         .select($"doc_id",
           concat(md5($"shingle"), md5(concat(lit("x|"), $"shingle"))).as("h2"))
       val comps = (0 until numHashes).map(i =>
         min(substring($"h2", i * 5 + 1, 5)).as(s"mh$i"))
-      val sigs = sh.groupBy($"doc_id").agg(comps.head, comps.tail: _*)
+      sh.groupBy($"doc_id").agg(comps.head, comps.tail: _*)
         .select(col("*") +: (0 until numHashes / bandSize).map { b =>
           md5(concat_ws("|",
             (b * bandSize until (b + 1) * bandSize).map(i => col(s"mh$i")): _*)).as(s"band$b")
         }: _*)
-        .cache()
+    }
+
+  /** The UNVERIFIED band-bucket candidate pairs (doc_a < doc_b, distinct)
+    * — what LSH blocking alone proposes, BEFORE the signature-agreement
+    * verify. Memoized separately because it is both the verify step's
+    * input and the quantity d22's blocking-quality audit measures (the
+    * reduction-ratio side of the Fellegi–Sunter blocking literature).
+    */
+  def bandCandidates(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "d3_band_cands") {
+      import s.implicits._
+      val sigs = minhashSigs(s, dir)
       val bandRows = (0 until numHashes / bandSize).map { i =>
         sigs.select($"doc_id", lit(i).as("band_idx"), col(s"band$i").as("band_key"))
       }.reduce(_ unionByName _)
-      val cand = bandRows.toDF("doc_a", "band_idx", "band_key")
+      bandRows.toDF("doc_a", "band_idx", "band_key")
         .join(bandRows.toDF("doc_b", "band_idx", "band_key"), Seq("band_idx", "band_key"))
         .filter($"doc_a" < $"doc_b")
         .select($"doc_a", $"doc_b").distinct()
+    }
+
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "d3_pairs") {
+      import s.implicits._
+      val sigs = minhashSigs(s, dir)
       val agree = (0 until numHashes)
         .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1).otherwise(0))
         .reduce(_ + _)
-      cand
+      bandCandidates(s, dir)
         .join(sigs.as("a"), $"doc_a" === $"a.doc_id")
         .join(sigs.as("b"), $"doc_b" === $"b.doc_id")
         .select($"doc_a", $"doc_b",
@@ -1149,8 +1178,100 @@ object Dedup {
         .filter($"score_ppm" >= 1000000L)
   }
 
+  /** D22: BLOCKING-QUALITY audit (the Fellegi–Sunter blocking literature's
+    * reduction ratio / pairs completeness, over the REAL d3 blocking): how
+    * good is LSH banding as a blocking scheme, measured as one row —
+    * candidate volume vs the n(n−1)/2 all-pairs space (reduction), recall
+    * of the exact-verified near-dup pairs at τ=0.5 (completeness), and
+    * candidate precision. This is the report that tunes band count/size
+    * BEFORE a 100 TB dedup run commits to a blocking configuration — the
+    * d14 LSH-recall gate generalized from "did we catch the known dups"
+    * to the full blocking trade-off.
+    *
+    * Reference truth = the exact n-gram-Jaccard tier's verified pairs at
+    * τ=0.5 (d2's candidate generation + exact set Jaccard) — at corpus
+    * scale there is no oracle-free absolute truth; auditing the cheap
+    * tier against the exact tier is precisely what the engine's tiered
+    * dedup stack (SCALE.md) prescribes.
+    *
+    * Shape: the memoized band-candidate and signature tables (shared with
+    * d3/d8), one exact-Jaccard verify over df-capped postings (d2's
+    * shape), one full-outer pair join, one global aggregate; the only
+    * nonequi step is the final 1-row × 1-row metric join. n(n−1)
+    * accumulates in DECIMAL(38,0), surfaced BIGINT (e34 discipline; at
+    * ≳10⁹·√2 docs the possible-pairs surface itself would need the
+    * digit-string form).
+    */
+  val blockingQuality = Q("d22_blocking_quality",
+    s"""WITH $minhashCtes,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |rare AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 15),
+       |tp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh a JOIN rare r ON a.shingle = r.shingle
+       |       JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT t.doc_a, t.doc_b FROM tp t
+       |  JOIN sizes sa ON t.doc_a = sa.doc_id
+       |  JOIN sizes sb ON t.doc_b = sb.doc_id
+       |  WHERE CAST(t.inter AS DOUBLE) / (sa.sz + sb.sz - t.inter) >= 0.5),
+       |fl AS (
+       |  SELECT c.doc_a IS NOT NULL AS in_cand, t.doc_a IS NOT NULL AS in_truth
+       |  FROM cand c FULL JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+       |m AS (
+       |  SELECT CAST(count(*) FILTER (WHERE in_cand) AS BIGINT) AS n_cand,
+       |         CAST(count(*) FILTER (WHERE in_truth) AS BIGINT) AS n_truth,
+       |         CAST(count(*) FILTER (WHERE in_cand AND in_truth) AS BIGINT) AS n_caught
+       |  FROM fl),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+       |SELECT n_docs,
+       |       CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 AS BIGINT) AS n_possible_pairs,
+       |       n_cand, n_truth, n_caught,
+       |       CAST(1000000 - CAST(n_cand AS HUGEINT) * 2000000
+       |            // (CAST(n_docs AS HUGEINT) * (n_docs - 1)) AS BIGINT) AS reduction_ppm,
+       |       CASE WHEN n_truth = 0 THEN NULL
+       |            ELSE CAST(CAST(n_caught AS HUGEINT) * 1000000 // n_truth AS BIGINT)
+       |       END AS completeness_ppm,
+       |       CASE WHEN n_cand = 0 THEN NULL
+       |            ELSE CAST(CAST(n_caught AS HUGEINT) * 1000000 // n_cand AS BIGINT)
+       |       END AS precision_ppm
+       |FROM m, n""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      // τ = 0.5 truth = the memoized d2 pair table filtered (equivalent
+      // to recomputing at 0.5; shares the expensive verify with d2)
+      val truth = jaccardPairs(s, dir)
+        .filter($"jaccard" >= 0.5)
+        .select($"doc_a", $"doc_b", lit(true).as("in_truth"))
+      val cand = bandCandidates(s, dir)
+        .select($"doc_a", $"doc_b", lit(true).as("in_cand"))
+      val m = cand.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          count_if(coalesce($"in_cand", lit(false))).as("n_cand"),
+          count_if(coalesce($"in_truth", lit(false))).as("n_truth"),
+          count_if(coalesce($"in_cand", lit(false)) && coalesce($"in_truth", lit(false)))
+            .as("n_caught"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      m.crossJoin(n).select(
+        $"n_docs",
+        expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) div 2 AS BIGINT)")
+          .as("n_possible_pairs"),
+        $"n_cand", $"n_truth", $"n_caught",
+        expr("CAST(1000000 - CAST(n_cand AS DECIMAL(38,0)) * 2000000" +
+          " div (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) AS BIGINT)")
+          .as("reduction_ppm"),
+        when($"n_truth" === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000 div n_truth AS BIGINT)"))
+          .as("completeness_ppm"),
+        when($"n_cand" === 0, lit(null).cast("long"))
+          .otherwise(expr("CAST(CAST(n_caught AS DECIMAL(38,0)) * 1000000 div n_cand AS BIGINT)"))
+          .as("precision_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
     sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall,
-    clusterSizeHistogram, prefixFilterJoin, goldenRecord, fellegiSunter)
+    clusterSizeHistogram, prefixFilterJoin, goldenRecord, fellegiSunter,
+    blockingQuality)
 }

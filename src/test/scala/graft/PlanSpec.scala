@@ -195,6 +195,10 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // a20: 1-row × 1-row global-stat join; e17: k-centroid broadcast
       // inside probeCells (the e4 shape over the persisted layout)
       "e15_mmr_diversify", "e16_sq8_ann", "a20_sketch_union",
+      // d22: the final 1-row(metrics) × 1-row(n_docs) join — both sides
+      // global aggregates, constant size by construction; every pair
+      // step above it (band candidates, truth verify) is equi-join-only
+      "d22_blocking_quality",
       // e17/e18: the shared index-build subtree again (k-centroid bcast)
       "e17_ivf_persisted", "e18_triangle_count",
       // e19: the exact-baseline side is e1's probe-broadcast shape (32

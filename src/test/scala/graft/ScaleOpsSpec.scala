@@ -164,4 +164,29 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     // skew amplification ≥ 1e6 ppm by Cauchy–Schwarz (Σc² ≥ n²/k)
     assert(priced.getAs[Long]("skew_x_ppm") >= 999999L)
   }
+
+  // ---------------------------------------------------------------- d22
+
+  test("d22: blocking metrics reconcile with independent recounts") {
+    val r = graft.queries.Dedup.blockingQuality.run(spark, sfDir).head()
+    val nCand = r.getAs[Long]("n_cand")
+    val nTruth = r.getAs[Long]("n_truth")
+    val nCaught = r.getAs[Long]("n_caught")
+    assert(nCaught <= math.min(nCand, nTruth))
+    // independent recount of the candidate set
+    assert(nCand == graft.queries.Dedup.bandCandidates(spark, sfDir).count())
+    // verified pairs are a subset of candidates, so LSH-pair recall of the
+    // verify tier is total: every d3 pair is caught by its own blocking
+    val verified = graft.queries.Dedup.minhashPairs(spark, sfDir).count()
+    assert(verified <= nCand)
+    // reduction ratio consistent with n_docs
+    val nDocs = r.getAs[Long]("n_docs")
+    val possible = nDocs * (nDocs - 1) / 2
+    assert(r.getAs[Long]("n_possible_pairs") == possible)
+    assert(r.getAs[Long]("reduction_ppm") ==
+      1000000L - nCand * 2000000L / (nDocs * (nDocs - 1)))
+    // completeness/precision re-derive
+    assert(r.getAs[Long]("completeness_ppm") == nCaught * 1000000L / nTruth)
+    assert(r.getAs[Long]("precision_ppm") == nCaught * 1000000L / nCand)
+  }
 }
