@@ -316,6 +316,20 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       alertThreshold, checkpoint).start()
   }
 
+  /** Maintain a live per-source PPS sample (t38's sequential-Poisson
+    * scheme) over a `(doc_id, text, source)` doc stream — the maintained
+    * sample always EQUALS a batch rerun over the full ingested history
+    * (see [[streaming.StreamingSampler]]).
+    */
+  def sampleStream(docs: DataFrame, sampleDir: String, checkpoint: String,
+      k: Int = streaming.StreamingSampler.defaultK)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingSampler.sink(docs, sampleDir, checkpoint, k).start()
+
+  /** The current maintained PPS sample (latest snapshot partition). */
+  def currentSample(sampleDir: String): DataFrame =
+    streaming.StreamingSampler.sample(spark, sampleDir)
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with
