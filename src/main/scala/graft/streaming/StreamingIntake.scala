@@ -323,7 +323,8 @@ object StreamingIntake {
       checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
       compactEvery: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
-      cusumDirs: Option[(String, String)] = None): DataStreamWriter[Row] =
+      cusumDirs: Option[(String, String)] = None,
+      sampleDir: Option[String] = None): DataStreamWriter[Row] =
     monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
       releaseDir, labelDir, verdictDir,
       // frozen-reference drift scoring, with the non-null-values guard of
@@ -344,7 +345,7 @@ object StreamingIntake {
         },
       kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
       profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger,
-      cusumDirs)
+      cusumDirs, sampleDir)
 
   /** [[sinkFullIvfSplitMonitored]] with the RE-FREEZING drift reference
     * ([[StreamingDrift.processBatchRefreshing]]): each batch scores
@@ -364,7 +365,8 @@ object StreamingIntake {
       checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
       compactEvery: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
-      cusumDirs: Option[(String, String)] = None): DataStreamWriter[Row] =
+      cusumDirs: Option[(String, String)] = None,
+      sampleDir: Option[String] = None): DataStreamWriter[Row] =
     monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
       releaseDir, labelDir, verdictDir,
       scoreDrift = (lens, batchId) =>
@@ -373,7 +375,7 @@ object StreamingIntake {
           driftThreshold),
       kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
       profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger,
-      cusumDirs)
+      cusumDirs, sampleDir)
 
   /** The shared monitored-intake body — drift scoring is the one policy
     * choice, injected by the two public variants above.
@@ -386,7 +388,8 @@ object StreamingIntake {
       profileStatsDir: String, profileBitmapDir: String, profileDomain: Int,
       checkpointDir: String, k: Int, tau: Double, nprobe: Int,
       compactEvery: Int, trigger: Trigger,
-      cusumDirs: Option[(String, String)]): DataStreamWriter[Row] =
+      cusumDirs: Option[(String, String)],
+      sampleDir: Option[String]): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -395,6 +398,17 @@ object StreamingIntake {
             batchId, screen, quotaDf, ledgerDir, releaseDir, labelDir,
             k, tau, nprobe)
           verdictWriter(verdictDir)(verdicts, batchId)
+          // live PPS sample of what was ADMITTED (lang = the stratum): the
+          // maintained sample always equals a batch t38 rerun over the
+          // admitted history — replay-stable because the admitted set per
+          // batch is (verdict idempotence) and the scoring is per-payload
+          sampleDir.foreach { sd =>
+            val admittedDocs = verdicts.filter(col("admitted"))
+              .select(col("doc_id"), col("lang").as("source"))
+              .join(batch.select(col("doc_id"), col("text")), "doc_id")
+              .select(col("doc_id"), col("text"), col("source"))
+            StreamingSampler.processBatch(spark, admittedDocs, batchId, sd)
+          }
           // monitors see the RAW batch (admission must not bias the
           // health signals), except the KPI which measures what was
           // actually ADMITTED — the quantity downstream consumes

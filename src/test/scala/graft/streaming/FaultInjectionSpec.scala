@@ -317,4 +317,47 @@ class FaultInjectionSpec extends AnyFunSuite with SparkTestKit {
     assert(rowsOf(fLed) == rowsOf(cLed), "cusum ledger diverged after crash-replay")
     assert(rowsOf(fVerd) == rowsOf(cVerd), "cusum verdicts diverged after crash-replay")
   }
+
+  // --------------------------------------------------------------- sampler
+
+  test("StreamingSampler: crash after batch 1's snapshot landed, restart, sample equals uninterrupted run") {
+    val schema = "doc_id bigint, text string, source string"
+    def doc(id: Long, src: String) =
+      (id, (0 until (1 + (id % 7)).toInt).map(i => s"w${id}x$i").mkString(" "), src)
+    val corpus = (0L until 40L).map(id => doc(id, s"src${id % 3}"))
+      .toDF("doc_id", "text", "source")
+    val b0 = corpus.filter($"doc_id" < 20L)
+    val b1 = corpus.filter($"doc_id" >= 20L)
+
+    def run(srcDir: String, ckpt: String, sample: String,
+        failAfter: Option[Long]): Option[Throwable] =
+      runPass(srcDir, schema, ckpt, failAfter) { (b, id) =>
+        StreamingSampler.processBatch(b.sparkSession, b, id, sample, k = 4)
+      }
+
+    val (cSrc, cCkpt, cSam) = (tmp("fi-sa-csrc"), tmp("fi-sa-cckpt"), tmp("fi-sa-csam") + "/s")
+    b0.write.mode("append").json(cSrc)
+    assert(run(cSrc, cCkpt, cSam, None).isEmpty)
+    b1.write.mode("append").json(cSrc)
+    assert(run(cSrc, cCkpt, cSam, None).isEmpty)
+
+    val (fSrc, fCkpt, fSam) = (tmp("fi-sa-fsrc"), tmp("fi-sa-fckpt"), tmp("fi-sa-fsam") + "/s")
+    b0.write.mode("append").json(fSrc)
+    assert(run(fSrc, fCkpt, fSam, None).isEmpty)
+    b1.write.mode("append").json(fSrc)
+    val failure = run(fSrc, fCkpt, fSam, Some(1L))
+    assert(failure.nonEmpty, "injected crash did not fire")
+    // the snapshot DID land before the crash — the commit was lost, so the
+    // restart replays batch 1 onto its own already-written partition
+    assert(spark.read.parquet(s"$fSam/batch_id=1").count() > 0,
+      "crash fired before the snapshot write — wrong injection point")
+    assert(run(fSrc, fCkpt, fSam, None).isEmpty, "restart failed")
+
+    assert(rowsOf(s"$fSam/batch_id=1") == rowsOf(s"$cSam/batch_id=1"),
+      "snapshot diverged after crash-replay")
+    assert(
+      StreamingSampler.sample(spark, fSam).collect().map(_.toString).sorted.toSeq ==
+      StreamingSampler.sample(spark, cSam).collect().map(_.toString).sorted.toSeq,
+      "live sample diverged after crash-replay")
+  }
 }

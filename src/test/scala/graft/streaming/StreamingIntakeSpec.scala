@@ -482,6 +482,7 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     val kpiLedger = tmp("mon-kledger"); val kpiVerd = tmp("mon-kverd") + "/v"
     val profStats = tmp("mon-pstats") + "/s"; val profBm = tmp("mon-pbm") + "/b"
     val cusumLedger = tmp("mon-cledger"); val cusumVerd = tmp("mon-cverd") + "/v"
+    val sampleDir = tmp("mon-sample") + "/s"
     val srcDir = tmp("mon-src"); val ckpt = tmp("mon-ckpt")
     val quota = Seq(("en", 100L)).toDF("lang", "quota")
     // drift reference: the fixture sentences' own length family
@@ -509,7 +510,8 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
         profileStatsDir = profStats, profileBitmapDir = profBm,
         profileDomain = 1000, checkpointDir = ckpt,
         k = 3, tau = 0.9, nprobe = 3,
-        cusumDirs = Some((cusumLedger, cusumVerd))).start()
+        cusumDirs = Some((cusumLedger, cusumVerd)),
+        sampleDir = Some(sampleDir)).start()
       q.awaitTermination()
     }
 
@@ -548,6 +550,22 @@ class StreamingIntakeSpec extends AnyFunSuite with SparkTestKit {
     val cum = StreamingProfile.cumulative(spark, profStats, profBm).head()
     assert(cum.getAs[Long]("n_rows") == 5L &&
       cum.getAs[Long]("n_distinct_keys") == 5L, s"profile drifted: $cum")
+    // armed PPS sample: the maintained sample == a batch rerun over
+    // exactly the ADMITTED docs (the near-dup doc 1 never enters)
+    val admittedAll = (b1 ++ b2).filter(_._1 != 1L)
+      .map(r => (r._1, r._2, r._3)).toDF("doc_id", "text", "source")
+    val wantSample = {
+      val scored = StreamingSampler.scored(admittedAll)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"source").orderBy($"sel_key", $"doc_id")
+      scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter($"rn" <= StreamingSampler.defaultK).drop("rn")
+    }
+    assert(
+      StreamingSampler.sample(spark, sampleDir)
+        .collect().map(_.mkString("|")).sorted.toSeq ==
+      wantSample.collect().map(_.mkString("|")).sorted.toSeq,
+      "armed sample diverged from the batch rerun over admitted docs")
 
     // replay: fresh checkpoint over the same files converges everywhere
     // (binary columns stringify BY VALUE — Row.mkString would compare
