@@ -1269,9 +1269,85 @@ object Dedup {
           .as("precision_ppm"))
   }
 
+  /** D23: MINHASH CALIBRATION audit — d22's companion on the ESTIMATOR
+    * side: for every verified LSH pair, the signed and absolute error of
+    * the signature-agreement Jaccard estimate against the EXACT set
+    * Jaccard, grouped by agreement level. d22 asks "does the blocking
+    * find the pairs"; d23 asks "can the estimate's value be trusted" —
+    * the number that decides whether a pipeline can rank/threshold on
+    * est_jaccard directly or must pay the exact verify (d2's join) on
+    * every candidate. A 12-hash signature is coarse by design; this
+    * audit PRICES that coarseness in ppm instead of assuming it.
+    *
+    * Exactness: the exact Jaccard for each pair is recomputed through
+    * the shingle postings (LEFT join — a pair whose signatures agree
+    * without any shared shingle keeps inter = 0 rather than vanishing),
+    * and every error is integer ppm (floor-division); the only double
+    * touched is est_jaccard itself, converted back to its exact integer
+    * agreement count via round(est·12).
+    *
+    * Shape: the memoized d3 pair list (≤ verified pairs, tiny) joined
+    * through the postings on (doc, shingle) equi-keys, one pair-grain
+    * aggregate, one ≤7-row rollup.
+    */
+  val minhashCalibration = Q("d23_minhash_calibration",
+    s"""WITH $minhashCtes,
+       |pairs AS ($minhashSelect),
+       |px AS (SELECT doc_a, doc_b,
+       |              CAST(round(est_jaccard * 12) AS INT) AS agree
+       |       FROM pairs),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       |itx AS (
+       |  SELECT x.doc_a, x.doc_b, count(*) AS inter
+       |  FROM px x
+       |  JOIN sh a ON a.doc_id = x.doc_a
+       |  JOIN sh b ON b.doc_id = x.doc_b AND b.shingle = a.shingle
+       |  GROUP BY 1, 2),
+       |er AS (
+       |  SELECT px.agree,
+       |         CAST(px.agree AS BIGINT) * 1000000 // 12
+       |           - coalesce(i.inter, 0) * 1000000
+       |             // (sa.sz + sb.sz - coalesce(i.inter, 0)) AS err_ppm
+       |  FROM px
+       |  LEFT JOIN itx i ON px.doc_a = i.doc_a AND px.doc_b = i.doc_b
+       |  JOIN sizes sa ON px.doc_a = sa.doc_id
+       |  JOIN sizes sb ON px.doc_b = sb.doc_id)
+       |SELECT CAST(agree AS BIGINT) AS agree,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(sum(err_ppm) // count(*) AS BIGINT) AS mean_err_ppm,
+       |       CAST(sum(abs(err_ppm)) // count(*) AS BIGINT) AS mae_ppm
+       |FROM er GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val px = minhashPairs(s, dir)
+        .select($"doc_a", $"doc_b",
+          round($"est_jaccard" * 12).cast("int").as("agree"))
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val shA = sh.select($"doc_id".as("doc_a"), $"shingle")
+      val shB = sh.select($"doc_id".as("doc_b2"), $"shingle".as("shingle_b"))
+      val inter = px.select($"doc_a", $"doc_b")
+        .join(shA, "doc_a")
+        .join(shB, $"doc_b" === $"doc_b2" && $"shingle" === $"shingle_b")
+        .groupBy($"doc_a", $"doc_b")
+        .agg(count(lit(1)).as("inter"))
+      val er = px
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .join(sizes.toDF("doc_a", "sza"), "doc_a")
+        .join(sizes.toDF("doc_b", "szb"), "doc_b")
+        .select($"agree",
+          expr("CAST(agree AS BIGINT) * 1000000 div 12" +
+            " - coalesce(inter, 0) * 1000000" +
+            " div (sza + szb - coalesce(inter, 0))").as("err_ppm"))
+      er.groupBy($"agree".cast("long").as("agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("CAST(sum(err_ppm) div count(1) AS BIGINT)").as("mean_err_ppm"),
+          expr("CAST(sum(abs(err_ppm)) div count(1) AS BIGINT)").as("mae_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(exact, jaccard, minhashLsh, minhashLshFast, simhash,
     contamination, contaminationBloom, fuzzyMatch, fuzzyDecontamination,
     sourceOverlap, exactSubstr, intraDocDedup, containment, lshRecall,
     clusterSizeHistogram, prefixFilterJoin, goldenRecord, fellegiSunter,
-    blockingQuality)
+    blockingQuality, minhashCalibration)
 }

@@ -165,6 +165,42 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(priced.getAs[Long]("skew_x_ppm") >= 999999L)
   }
 
+  // ----------------------------------------------------------------- z3
+
+  test("z3: every table present, verdict consistent with the estimate, counts honest") {
+    val rows = ScaleOps.broadcastAdvisor.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSet ==
+      Set("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings"))
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("broadcastable") ==
+        (r.getAs[Long]("est_bytes") <= ScaleOps.broadcastThresholdBytes), r.toString)
+    }
+    val li = rows.find(_.getAs[String]("table_name") == "lineitem").get
+    assert(li.getAs[Long]("n_rows") == Tables.lineitem(spark, sfDir).count())
+    // the estimate is a payload lower bound: never below 8 bytes/row
+    rows.filter(_.getAs[Long]("n_rows") > 0).foreach { r =>
+      assert(r.getAs[Long]("est_bytes") >= 8 * r.getAs[Long]("n_rows"), r.toString)
+    }
+  }
+
+  // ---------------------------------------------------------------- d23
+
+  test("d23: buckets cover the verified pair list; agreement grid is the signature's") {
+    val rows = graft.queries.Dedup.minhashCalibration.run(spark, sfDir).collect()
+    // every verified pair lands in exactly one agreement bucket
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum ==
+      graft.queries.Dedup.minhashPairs(spark, sfDir).count())
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("agree")
+      // verify threshold 0.5 on a 12-hash signature → agree ∈ [6, 12]
+      assert(agree >= 6 && agree <= 12, r.toString)
+      // |mean| ≤ MAE ≤ 1e6 by construction
+      assert(math.abs(r.getAs[Long]("mean_err_ppm")) <= r.getAs[Long]("mae_ppm"))
+      assert(r.getAs[Long]("mae_ppm") <= 1000000L)
+    }
+  }
+
   // ---------------------------------------------------------------- d22
 
   test("d22: blocking metrics reconcile with independent recounts") {
