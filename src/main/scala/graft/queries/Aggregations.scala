@@ -545,8 +545,84 @@ object Aggregations {
         count(lit(1)).as("n_orders"))
   }
 
+  /** A33: SKETCH-ERROR CALIBRATION — the third leg of the calibration
+    * family (d22 prices the blocking's recall, d23 the estimator's bias,
+    * a33 the sketch's quantile error): per group, the a21 KMV sample's
+    * quantiles against a12-style exact `percentile_disc` over the FULL
+    * data, as integer ppm relative errors. This is the report that sizes
+    * k — if p90's error at k=256 is inside the pipeline's tolerance, the
+    * exact sort never needs to run at 100 TB; if not, the same number
+    * says how far to grow k (error ∝ 1/√k).
+    *
+    * Exactness: both sides are integer cents; the exact side is
+    * percentile_disc (a discrete data value — no interpolation), the
+    * sketch side replays a21's md5-rank sample rule verbatim; errors are
+    * floor-division ppm. Shape: one full-data percentile aggregate (the
+    * audit deliberately pays the exact cost ONCE to certify the sketch),
+    * one 256-row-per-group sample aggregate, one 3-row broadcast join.
+    */
+  val a33SketchCalibration = Q("a33_sketch_calibration",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS vc
+      |  FROM lineitem),
+      |ex AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |         percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS ex_p50,
+      |         percentile_disc(0.9) WITHIN GROUP (ORDER BY vc) AS ex_p90
+      |  FROM s GROUP BY 1),
+      |r AS (
+      |  SELECT l_returnflag, vc,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY md5('7:' || CAST(vc AS VARCHAR)), CAST(vc AS VARCHAR)) AS rn
+      |  FROM s),
+      |o AS (
+      |  SELECT l_returnflag, vc,
+      |         row_number() OVER (PARTITION BY l_returnflag ORDER BY vc) AS p,
+      |         count(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM r WHERE rn <= 256),
+      |sk AS (
+      |  SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_sample,
+      |    max(CASE WHEN p = CAST(floor((n-1)*0.5)  AS BIGINT)+1 THEN vc END) AS sk_p50,
+      |    max(CASE WHEN p = CAST(floor((n-1)*0.9)  AS BIGINT)+1 THEN vc END) AS sk_p90
+      |  FROM o GROUP BY 1)
+      |SELECT ex.l_returnflag, ex.n_rows, sk.n_sample,
+      |       ex.ex_p50, sk.sk_p50,
+      |       CAST(abs(sk.sk_p50 - ex.ex_p50) * 1000000 // ex.ex_p50 AS BIGINT) AS p50_err_ppm,
+      |       ex.ex_p90, sk.sk_p90,
+      |       CAST(abs(sk.sk_p90 - ex.ex_p90) * 1000000 // ex.ex_p90 AS BIGINT) AS p90_err_ppm
+      |FROM ex JOIN sk ON ex.l_returnflag = sk.l_returnflag""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      graft.functions.BottomKSample.register(s)
+      val cents = (Exact.dec2($"l_extendedprice") * 100).cast("bigint")
+      val base = Tables.lineitem(s, dir).select($"l_returnflag", cents.as("vc"))
+      val ex = base.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          // Spark's percentile_disc surfaces DOUBLE; the value is a
+          // discrete data point (an exact integer cents), so the BIGINT
+          // cast is lossless — DuckDB's returns BIGINT directly
+          expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY vc) AS BIGINT)").as("ex_p50"),
+          expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY vc) AS BIGINT)").as("ex_p90"))
+      val sk = base
+        .groupBy($"l_returnflag")
+        .agg(call_function("bottom_k_sample",
+          $"vc".cast("string"), lit(256), lit(7)).as("sample"))
+        .withColumn("vs", sort_array(expr("transform(sample, x -> CAST(x AS BIGINT))")))
+        .select($"l_returnflag".as("rf"),
+          size($"vs").cast("bigint").as("n_sample"),
+          element_at($"vs", (floor((size($"vs") - 1) * 0.5) + 1).cast("int")).as("sk_p50"),
+          element_at($"vs", (floor((size($"vs") - 1) * 0.9) + 1).cast("int")).as("sk_p90"))
+      ex.join(broadcast(sk), $"l_returnflag" === $"rf")
+        .select($"l_returnflag", $"n_rows", $"n_sample",
+          $"ex_p50", $"sk_p50",
+          expr("CAST(abs(sk_p50 - ex_p50) * 1000000 div ex_p50 AS BIGINT)").as("p50_err_ppm"),
+          $"ex_p90", $"sk_p90",
+          expr("CAST(abs(sk_p90 - ex_p90) * 1000000 div ex_p90 AS BIGINT)").as("p90_err_ppm"))
+  }
+
   val queries: Seq[Q] = Seq(q1Agg, a1Rollup, a3Max, a6Counts, a15HeavyHitters,
     a17MultiDistinct, a18WeightedMedian, a19MadOutliers, a20SketchUnion,
     a21QuantileSketch, a22JoinSkewProfile, a23RfmSegments, a24AbcPareto,
-    a25CmsHeavyHitters, a26BitmapDistinct)
+    a25CmsHeavyHitters, a26BitmapDistinct, a33SketchCalibration)
 }

@@ -201,6 +201,26 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  // ---------------------------------------------------------------- a33
+
+  test("a33: sketch errors reconcile with the raw quantiles; sample never beats exact to zero rows") {
+    val rows = graft.queries.Aggregations.a33SketchCalibration.run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_sample") <= math.min(256L, r.getAs[Long]("n_rows")))
+      // re-derive each ppm from the emitted values (the audit can't
+      // misreport its own numbers)
+      assert(r.getAs[Long]("p50_err_ppm") ==
+        math.abs(r.getAs[Long]("sk_p50") - r.getAs[Long]("ex_p50")) * 1000000L / r.getAs[Long]("ex_p50"))
+      assert(r.getAs[Long]("p90_err_ppm") ==
+        math.abs(r.getAs[Long]("sk_p90") - r.getAs[Long]("ex_p90")) * 1000000L / r.getAs[Long]("ex_p90"))
+      // k=256 KMV on a smooth price distribution: errors should sit well
+      // inside the O(1/sqrt(k)) ≈ 6% envelope — use 20% as the alarm line
+      assert(r.getAs[Long]("p50_err_ppm") < 200000L, r.toString)
+      assert(r.getAs[Long]("p90_err_ppm") < 200000L, r.toString)
+    }
+  }
+
   // ---------------------------------------------------------------- d22
 
   test("d22: blocking metrics reconcile with independent recounts") {
