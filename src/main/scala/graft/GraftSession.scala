@@ -316,6 +316,22 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
       alertThreshold, checkpoint).start()
   }
 
+  /** GDPR erasure for the VECTOR index (the document takedown's sibling):
+    * logically retract `vecIds` from a maintained streaming-IVF index —
+    * immediate for every probe/screen — then [[purgeVectors]] for
+    * physical erasure. See [[streaming.StreamingIvf.retractVectors]].
+    */
+  def retractVectors(indexDir: String, vecIds: DataFrame,
+      retractionId: Long): Long =
+    streaming.StreamingIvf.retractVectors(spark, indexDir, vecIds, retractionId)
+
+  /** Physically erase retracted vectors' bytes (quiescent-point rewrite
+    * of only the partitions that hold them). Returns (partitions
+    * rewritten, rows erased).
+    */
+  def purgeVectors(indexDir: String): (Int, Long) =
+    streaming.StreamingIvf.purgeRetracted(spark, indexDir)
+
   /** Maintain a live per-source PPS sample (t38's sequential-Poisson
     * scheme) over a `(doc_id, text, source)` doc stream — the maintained
     * sample always EQUALS a batch rerun over the full ingested history

@@ -150,9 +150,137 @@ object StreamingIvf {
       .parquet(postingsDir(indexDir))
   }
 
-  /** Pending-aware scan of the live postings (all cells). */
+  /** Pending-aware scan of the live postings (all cells). RAW: includes
+    * logically-retracted rows — maintenance callers (compaction, split,
+    * purge) need them; query paths go through [[livePostings]].
+    */
   def scanPostings(spark: SparkSession, indexDir: String): Option[DataFrame] =
     PartitionedIndex.scan(spark, postingsDir(indexDir))
+
+  private def retractedDir(indexDir: String) = s"$indexDir/retracted"
+
+  /** RETRACT vectors from the index (the GDPR-erasure path reaching the
+    * VECTOR store, completing the takedown family: documents leave
+    * through [[StreamingTombstone]]+[[StreamingRelease.retractBatch]],
+    * their embeddings leave through here). Two-phase like the document
+    * path:
+    *  1. this call — LOGICAL erasure, immediate: the retraction set lands
+    *     atomically (write-then-rename) under `retracted/r=<id>` and
+    *     every query path ([[probe]], [[screenBatch]]) anti-joins it from
+    *     that moment;
+    *  2. [[purgeRetracted]] — PHYSICAL erasure at a quiescent point: the
+    *     embedding bytes leave disk.
+    * The retraction set itself holds only vec_ids (pseudonymous keys, no
+    * payload — the same retained-tombstone practice as the document
+    * store, where the key must outlive the data to fence redeliveries: a
+    * re-ingested copy of a retracted vector stays invisible until the
+    * retraction is explicitly vacuumed).
+    *
+    * Idempotent per `retractionId` (same id + same ids → same bytes);
+    * a torn write is invisible (rename is the commit). Returns the
+    * distinct ids recorded.
+    */
+  def retractVectors(spark: SparkSession, indexDir: String,
+      vecIds: DataFrame, retractionId: Long): Long = {
+    val dir = s"${retractedDir(indexDir)}/r=$retractionId"
+    val (fs, root) = PartitionedIndex.fsFor(spark, dir)
+    val distinct = vecIds.select(col("vec_id").cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    val n = distinct.count()
+    val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString)
+    distinct.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(root, true) // idempotent replay: replace the prior attempt
+    if (!fs.rename(tmp, root)) {
+      fs.delete(tmp, true)
+      require(fs.exists(root), s"retraction publish failed: $tmp -> $root")
+    }
+    n
+  }
+
+  /** The union of all recorded retraction sets (distinct vec_ids), or
+    * None when nothing was ever retracted. Bounded by erasure-request
+    * volume — broadcast-sized by nature.
+    */
+  def retractedIds(spark: SparkSession, indexDir: String): Option[DataFrame] = {
+    val (fs, root) = PartitionedIndex.fsFor(spark, retractedDir(indexDir))
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("r="))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.getPath.toString).toIndexedSeq: _*)
+      .select(col("vec_id")).distinct())
+  }
+
+  /** The queryable postings: [[scanPostings]] minus retracted vectors
+    * (broadcast anti-join — the retraction set is erasure-request-sized).
+    */
+  def livePostings(spark: SparkSession, indexDir: String): Option[DataFrame] =
+    scanPostings(spark, indexDir).map { all =>
+      retractedIds(spark, indexDir) match {
+        case None => all
+        case Some(r) => all.join(broadcast(r), Seq("vec_id"), "left_anti")
+      }
+    }
+
+  /** PHYSICAL erasure of retracted rows: rewrite exactly the
+    * `__batch=N/cell_id=C` partitions that still hold a retracted
+    * vec_id, dropping those rows (a partition left empty is deleted,
+    * as is a batch dir left cell-less — readers never plan an empty
+    * dir). Quiescent-point operation like [[splitCell]]/[[compactIndex]].
+    * Returns (partitions rewritten, rows erased).
+    */
+  def purgeRetracted(spark: SparkSession, indexDir: String): (Int, Long) = {
+    val retracted = retractedIds(spark, indexDir).getOrElse(return (0, 0L))
+    val all = scanPostings(spark, indexDir).getOrElse(return (0, 0L))
+    // __batch/cell_id are inferred partition columns (INT when small) —
+    // cast for a stable driver-side read
+    val hit = all.join(broadcast(retracted), Seq("vec_id"), "left_semi")
+      .groupBy(col("__batch").cast("long").as("__batch"), col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    if (hit.isEmpty) return (0, 0L)
+    val ids = retracted.collect().map(_.getLong(0)).toSet
+    val (fs, _) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+    var erased = 0L
+    hit.foreach { r =>
+      val b = r.getLong(0); val c = r.getInt(1); erased += r.getLong(2)
+      val dir = s"${postingsDir(indexDir)}/__batch=$b/cell_id=$c"
+      val kept = spark.read.parquet(dir)
+        .filter(!col("vec_id").isInCollection(ids))
+        .localCheckpoint(true) // materialize BEFORE overwriting the source
+      if (kept.isEmpty) {
+        fs.delete(new Path(dir), true)
+        val bDir = new Path(s"${postingsDir(indexDir)}/__batch=$b")
+        if (fs.exists(bDir) && fs.listStatus(bDir).isEmpty) fs.delete(bDir, true)
+      } else kept.write.mode("overwrite").parquet(dir)
+    }
+    (hit.length, erased)
+  }
+
+  /** Drop retraction sets with id ≤ `horizon` — ONLY safe once their ids
+    * are physically gone AND can no longer be redelivered (the same
+    * redelivery-horizon contract as [[StreamingTombstone.vacuum]]);
+    * refuses while any posting still carries one of the ids.
+    */
+  def vacuumRetractions(spark: SparkSession, indexDir: String, horizon: Long): Int = {
+    val (fs, root) = PartitionedIndex.fsFor(spark, retractedDir(indexDir))
+    if (!fs.exists(root)) return 0
+    val victims = fs.listStatus(root).filter(s => s.isDirectory &&
+      s.getPath.getName.startsWith("r=") &&
+      s.getPath.getName.stripPrefix("r=").toLong <= horizon)
+    if (victims.isEmpty) return 0
+    val victimIds = spark.read
+      .parquet(victims.map(_.getPath.toString).toIndexedSeq: _*)
+      .select(col("vec_id")).distinct()
+    val remaining = scanPostings(spark, indexDir)
+      .map(_.join(broadcast(victimIds), Seq("vec_id"), "left_semi").count())
+      .getOrElse(0L)
+    require(remaining == 0,
+      s"$remaining postings still carry retracted ids ≤ $horizon — " +
+        "purgeRetracted before vacuuming the retraction sets")
+    victims.foreach(v => fs.delete(v.getPath, true))
+    victims.length
+  }
 
   /** Top-`topK` cosine neighbors per probe against the maintained index —
     * the e17 probe shape over the streaming layout: rank cells by exact
@@ -169,7 +297,7 @@ object StreamingIvf {
       org.apache.spark.sql.types.StructType.fromDDL(
         "query_id bigint, neighbor_id bigint, neighbor_label int, " +
           "cosine double, rank int"))
-    scanPostings(spark, indexDir) match {
+    livePostings(spark, indexDir) match {
       case None => empty
       case Some(all) =>
         val cents = centroids(spark, indexDir)
@@ -271,7 +399,7 @@ object StreamingIvf {
     // cell_id=X directories at planning time. History is STRICTLY EARLIER
     // batches — a replayed batch sees neither its own half-appended rows
     // nor later batches' (consolidated partitions carry negative ids)
-    val hist = scanPostings(spark, indexDir)
+    val hist = livePostings(spark, indexDir)
       .map(_.filter(col("__batch") < batchId && col("cell_id").isin(cellIds: _*)))
       .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL(
@@ -368,7 +496,9 @@ object StreamingIvf {
     */
   def hotCells(spark: SparkSession, indexDir: String,
       thresholdPpm: Long = 4000000L): Seq[Int] =
-    scanPostings(spark, indexDir) match {
+    // load signal over the QUERYABLE rows: retracted-but-unpurged postings
+    // must not nominate a cell for splitting (probes never read them)
+    livePostings(spark, indexDir) match {
       case None => Seq.empty
       case Some(all) =>
         val sizes = all.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
