@@ -235,26 +235,42 @@ object StreamingIvf {
     // __batch/cell_id are inferred partition columns (INT when small) —
     // cast for a stable driver-side read
     val hit = all.join(broadcast(retracted), Seq("vec_id"), "left_semi")
-      .groupBy(col("__batch").cast("long").as("__batch"), col("cell_id").cast("int").as("cell_id"))
+      .groupBy(col("__batch").cast("long").as("__batch"),
+        col("cell_id").cast("int").as("cell_id"))
       .agg(count(lit(1)).as("n"))
-      .collect()
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
     if (hit.isEmpty) return (0, 0L)
-    val ids = retracted.collect().map(_.getLong(0)).toSet
+    val erased = hit.values.sum
     val (fs, _) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
-    var erased = 0L
-    hit.foreach { r =>
-      val b = r.getLong(0); val c = r.getInt(1); erased += r.getLong(2)
-      val dir = s"${postingsDir(indexDir)}/__batch=$b/cell_id=$c"
-      val kept = spark.read.parquet(dir)
-        .filter(!col("vec_id").isInCollection(ids))
-        .localCheckpoint(true) // materialize BEFORE overwriting the source
-      if (kept.isEmpty) {
-        fs.delete(new Path(dir), true)
-        val bDir = new Path(s"${postingsDir(indexDir)}/__batch=$b")
-        if (fs.exists(bDir) && fs.listStatus(bDir).isEmpty) fs.delete(bDir, true)
-      } else kept.write.mode("overwrite").parquet(dir)
+    // ONE job rewrites every touched partition via dynamic overwrite (a
+    // per-partition loop was measured at ~0.3 s of job latency per
+    // partition — worst-case-locality purges touch hundreds); partitions
+    // the filter leaves EMPTY are not rewritten by a dynamic overwrite
+    // (no rows → no replacement), so they are deleted explicitly below.
+    val hitDirs = hit.keys.map { case (b, c) =>
+      s"${postingsDir(indexDir)}/__batch=$b/cell_id=$c"
+    }.toIndexedSeq
+    val kept = spark.read.option("basePath", postingsDir(indexDir))
+      .parquet(hitDirs: _*)
+      .join(broadcast(retracted), Seq("vec_id"), "left_anti")
+      .localCheckpoint(true) // materialize BEFORE overwriting the source
+    val survivors = kept
+      .groupBy(col("__batch").cast("long").as("__batch"),
+        col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    if (survivors.nonEmpty)
+      kept.write
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("__batch", "cell_id")
+        .parquet(postingsDir(indexDir))
+    (hit.keySet -- survivors).foreach { case (b, c) =>
+      fs.delete(new Path(s"${postingsDir(indexDir)}/__batch=$b/cell_id=$c"), true)
+      val bDir = new Path(s"${postingsDir(indexDir)}/__batch=$b")
+      if (fs.exists(bDir) && fs.listStatus(bDir).isEmpty) fs.delete(bDir, true)
     }
-    (hit.length, erased)
+    (hit.size, erased)
   }
 
   /** Drop retraction sets with id ≤ `horizon` — ONLY safe once their ids

@@ -102,4 +102,73 @@ class GdprLifecycleSpec extends AnyFunSuite with SparkTestKit {
     assert(d("corpus") == (("changed", -2L)), s"corpus diff: ${d("corpus")}")
     assert(d("release")._1 == "changed", s"release diff: ${d("release")}")
   }
+
+  test("MULTIMODAL erasure: takedown reaches the vector index and the manifest names both") {
+    val g = graft.GraftSession.attach(spark, sfDir)
+    val snap = tmp("gdprm-snap") + "/s"; val cdf = tmp("gdprm-cdf") + "/f"
+    val rel = tmp("gdprm-rel"); val vix = tmp("gdprm-vix") + "/ix"
+    val mdir = tmp("gdprm-m")
+    def oneHot(d: Int): Seq[Float] = Seq.tabulate(16)(i => if (i == d) 1f else 0f)
+
+    // two batches of (doc, embedding): docs into the tombstone store +
+    // release, embeddings into the maintained IVF index, SAME batch ids
+    val rows = (0 until 16).map(i => (i.toLong, sentence(i), "en", oneHot(i)))
+    rows.grouped(8).zipWithIndex.foreach { case (rs, i) =>
+      val docs = rs.map(r => (r._1, r._2, r._3)).toDF("doc_id", "text", "lang")
+        .withColumn("seq", lit(1L)).withColumn("del", lit(false))
+      StreamingTombstone.processBatch(spark, docs, i.toLong,
+        "doc_id", "seq", "del", snap, cdf)
+      StreamingRelease.appendBatch(
+        rs.map(r => (r._1, r._3, r._2)).toDF("doc_id", "lang", "text"), rel, i.toLong)
+      val vecs = rs.map(r => (r._1, r._4, 0)).toDF("vec_id", "embedding", "label")
+        .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+          "cast(label as int) as label")
+      StreamingIvf.ingestBatch(vecs, vix, i.toLong, trainOnFirstBatch = i == 0, k = 4)
+    }
+
+    def live(): DataFrame = StreamingTombstone.snapshot(spark, snap, "del")
+      .select($"doc_id", $"lang", $"text")
+    def comps(): Seq[CorpusManifest.Component] = Seq(
+      CorpusManifest.Component("corpus", live(),
+        Seq(col("doc_id"), col("lang"), col("text")), col("doc_id")),
+      CorpusManifest.Component("embeddings",
+        StreamingIvf.livePostings(spark, vix).get,
+        Seq(col("vec_id"), CorpusManifest.quantizedVec(col("embedding")),
+          col("label")), col("vec_id")))
+    CorpusManifest.write(CorpusManifest.build(1L, comps()), mdir)
+
+    // erase docs 3 and 12 from BOTH stores through the facade
+    val ids = Seq(3L, 12L)
+    val erase = ids.map(i => (i, sentence(i.toInt), "en")).toDF("doc_id", "text", "lang")
+      .withColumn("seq", lit(2L)).withColumn("del", lit(true))
+    assert(g.takedown(erase, "seq", "del", snap, cdf, rel, batchId = 2L) == 2L)
+    assert(g.retractVectors(vix, ids.toDF("vec_id"), retractionId = 0L) == 2L)
+
+    // probes exclude the erased vectors immediately (logical), and the
+    // purge makes the erasure physical without moving results
+    val probes = Seq((3L, oneHot(3), 0), (5L, oneHot(5), 0))
+      .toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+        "cast(label as int) as label")
+    def neighborIds(): Set[Long] =
+      StreamingIvf.probe(spark, vix, probes, nprobe = 4, topK = 16)
+        .select($"neighbor_id").collect().map(_.getLong(0)).toSet
+    val logical = neighborIds()
+    assert(ids.forall(i => !logical.contains(i)), s"erased vec probed: $logical")
+    val (_, purged) = g.purgeVectors(vix)
+    assert(purged == 2L)
+    assert(neighborIds() == logical, "purge must not move probe results")
+
+    // manifest v2: verification green, diff names BOTH erasures
+    CorpusManifest.write(CorpusManifest.build(2L, comps()), mdir)
+    val ver = CorpusManifest.verify(
+      CorpusManifest.read(spark, mdir, 2L), comps()).collect()
+    assert(ver.forall(_.getAs[Boolean]("ok")), ver.mkString(", "))
+    val d = CorpusManifest.diff(
+        CorpusManifest.read(spark, mdir, 1L), CorpusManifest.read(spark, mdir, 2L))
+      .collect().map(r => r.getAs[String]("component") ->
+        ((r.getAs[String]("status"), r.getAs[Long]("rows_delta")))).toMap
+    assert(d("corpus") == (("changed", -2L)), s"corpus diff: ${d("corpus")}")
+    assert(d("embeddings") == (("changed", -2L)), s"embeddings diff: ${d("embeddings")}")
+  }
 }
