@@ -281,6 +281,66 @@ object ScaleOps {
           ($"pairs" <= lit(selfJoinCap)).as("within_cap"))
   }
 
+  // ---------------------------------------------------------------- j14
+
+  /** J14: TWO-TABLE JOIN PRICER — j13 generalized to A ⋈ B: the exact
+    * output size Σ_k cA(k)·cB(k) of orders ⋈ lineitem on the order key,
+    * computed from the two degree profiles joined on the key (one
+    * groupBy per side + one count-table equi-join — row counts only,
+    * never a fanout), alongside the independence estimate
+    * |A|·|B|/max(ndv) the textbook optimizer would use, the matched-key
+    * counts (how much of each side even participates), and the hottest
+    * key's share of the output. The j10/d17 discipline for the general
+    * equi-join: every number a planner needs to choose broadcast vs
+    * shuffle vs salt, priced before any shuffle of the real rows.
+    *
+    * Products accumulate in DECIMAL(38,0) (a hot key's cA·cB alone can
+    * pass 2^63 at 100 TB), surfaced BIGINT per the e34 discipline.
+    */
+  val joinPrice = Q("j14_join_price",
+    s"""WITH da AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+       |           FROM orders GROUP BY 1),
+       |db AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+       |       FROM lineitem GROUP BY 1),
+       |j AS (SELECT da.k, da.ca, db.cb,
+       |             CAST(da.ca AS HUGEINT) * db.cb AS prod
+       |      FROM da JOIN db ON da.k = db.k),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS matched_keys,
+       |             sum(prod) AS out_rows,
+       |             max(prod) AS max_key_prod
+       |      FROM j),
+       |sa AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |              CAST(count(*) AS BIGINT) AS ndv_a FROM da),
+       |sb AS (SELECT CAST(sum(cb) AS BIGINT) AS n_b,
+       |              CAST(count(*) AS BIGINT) AS ndv_b FROM db)
+       |SELECT n_a, ndv_a, n_b, ndv_b, matched_keys,
+       |       CAST(out_rows AS BIGINT) AS out_rows,
+       |       CAST(CAST(n_a AS HUGEINT) * n_b
+       |            // greatest(ndv_a, ndv_b) AS BIGINT) AS independence_est_rows,
+       |       CAST(max_key_prod * 1000000 // out_rows AS BIGINT) AS top_key_ppm,
+       |       out_rows <= $selfJoinCap AS within_cap
+       |FROM m, sa, sb""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val da = Tables.orders(s, dir).groupBy($"o_orderkey".as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val db = Tables.lineitem(s, dir).groupBy($"l_orderkey".as("k"))
+      .agg(count(lit(1)).as("cb"))
+    val j = da.join(db, "k")
+      .select($"ca", $"cb", expr("CAST(ca AS DECIMAL(38,0)) * cb").as("prod"))
+    val m = j.agg(count(lit(1)).as("matched_keys"),
+      sum($"prod").as("out_rows"), max($"prod").as("max_key_prod"))
+    val sa = da.agg(sum($"ca").as("n_a"), count(lit(1)).as("ndv_a"))
+    val sb = db.agg(sum($"cb").as("n_b"), count(lit(1)).as("ndv_b"))
+    m.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select($"n_a", $"ndv_a", $"n_b", $"ndv_b", $"matched_keys",
+        $"out_rows".cast("long").as("out_rows"),
+        expr("CAST(CAST(n_a AS DECIMAL(38,0)) * n_b div greatest(ndv_a, ndv_b) AS BIGINT)")
+          .as("independence_est_rows"),
+        expr("CAST(max_key_prod * 1000000 div out_rows AS BIGINT)").as("top_key_ppm"),
+        ($"out_rows" <= lit(selfJoinCap).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("within_cap"))
+  }
+
   // ----------------------------------------------------------------- z3
 
   /** Spark's default `autoBroadcastJoinThreshold`. */
@@ -345,5 +405,5 @@ object ScaleOps {
   }
 
   val queries: Seq[Q] = Seq(ppsSample, rangePlanner, skylineFrontier,
-    selfJoinPrice, broadcastAdvisor)
+    selfJoinPrice, joinPrice, broadcastAdvisor)
 }

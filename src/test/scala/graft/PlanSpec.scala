@@ -199,6 +199,9 @@ class PlanSpec extends AnyFunSuite with SparkTestKit {
       // global aggregates, constant size by construction; every pair
       // step above it (band candidates, truth verify) is equi-join-only
       "d22_blocking_quality",
+      // j14: the final 1-row(m) × 1-row(sa) × 1-row(sb) metric join —
+      // the degree-profile join itself is a keyed equi-join
+      "j14_join_price",
       // e17/e18: the shared index-build subtree again (k-centroid bcast)
       "e17_ivf_persisted", "e18_triangle_count",
       // e19: the exact-baseline side is e1's probe-broadcast shape (32

@@ -165,6 +165,23 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     assert(priced.getAs[Long]("skew_x_ppm") >= 999999L)
   }
 
+  // ---------------------------------------------------------------- j14
+
+  test("j14: the priced join size equals the materialized join, estimates reconcile") {
+    val r = graft.queries.ScaleOps.joinPrice.run(spark, sfDir).head()
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val real = o.join(li, $"o_orderkey" === $"l_orderkey").count()
+    assert(r.getAs[Long]("out_rows") == real)
+    assert(r.getAs[Long]("n_a") == o.count() && r.getAs[Long]("n_b") == li.count())
+    assert(r.getAs[Long]("matched_keys") <=
+      math.min(r.getAs[Long]("ndv_a"), r.getAs[Long]("ndv_b")))
+    assert(r.getAs[Long]("independence_est_rows") ==
+      r.getAs[Long]("n_a") * r.getAs[Long]("n_b") /
+        math.max(r.getAs[Long]("ndv_a"), r.getAs[Long]("ndv_b")))
+    assert(r.getAs[Long]("top_key_ppm") >= 0 && r.getAs[Long]("top_key_ppm") <= 1000000L)
+  }
+
   // ----------------------------------------------------------------- z3
 
   test("z3: every table present, verdict consistent with the estimate, counts honest") {
