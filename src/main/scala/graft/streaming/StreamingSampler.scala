@@ -51,16 +51,6 @@ object StreamingSampler {
         .cast("long").as("u24"))
       .withColumn("sel_key", col("u24").cast("double") / col("n_tokens"))
 
-  private def partIds(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toIndexedSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith("batch_id="))
-      .map(_.stripPrefix("batch_id=").toLong)
-  }
-
   private def emptyState(spark: SparkSession): DataFrame =
     spark.range(0).selectExpr("CAST(id AS STRING) AS source",
       "id AS doc_id", "id AS n_tokens", "id AS u24",
@@ -71,10 +61,7 @@ object StreamingSampler {
     * later state — the StreamingAdmission fence), or the empty sample.
     */
   def stateBefore(spark: SparkSession, sampleDir: String, batchId: Long): DataFrame =
-    partIds(spark, sampleDir).filter(_ < batchId) match {
-      case Nil => emptyState(spark)
-      case ids => spark.read.parquet(s"$sampleDir/batch_id=${ids.max}")
-    }
+    SnapshotLedger.before(spark, sampleDir, batchId).getOrElse(emptyState(spark))
 
   /** The merged snapshot for one batch: predecessor state ∪ scored batch,
     * deduped on (source, doc_id), bottom-k per source by (sel_key,
@@ -99,44 +86,29 @@ object StreamingSampler {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       sampleDir: String, k: Int = defaultK): Unit =
-    mergeBatch(spark, batch, batchId, sampleDir, k)
+    SnapshotLedger.write(
       // materialize BEFORE the overwrite: the merge reads the predecessor
       // partition, and batch-id reuse across restarts may make that the
       // same path this write replaces
-      .localCheckpoint(true)
-      .write.mode("overwrite").parquet(s"$sampleDir/batch_id=$batchId")
+      mergeBatch(spark, batch, batchId, sampleDir, k).localCheckpoint(true),
+      sampleDir, batchId)
 
   /** The current sample: the latest snapshot partition (one bounded
     * read; equals a t38 rerun over the full ingested history).
     */
   def sample(spark: SparkSession, sampleDir: String): DataFrame =
-    partIds(spark, sampleDir) match {
-      case Nil => emptyState(spark)
-      case ids => spark.read.parquet(s"$sampleDir/batch_id=${ids.max}")
-    }
+    SnapshotLedger.latest(spark, sampleDir).getOrElse(emptyState(spark))
 
   /** Time travel: the sample as of batch `asOf` (largest id ≤ asOf). */
   def sampleAsOf(spark: SparkSession, sampleDir: String, asOf: Long): DataFrame =
-    partIds(spark, sampleDir).filter(_ <= asOf) match {
-      case Nil => emptyState(spark)
-      case ids => spark.read.parquet(s"$sampleDir/batch_id=${ids.max}")
-    }
+    SnapshotLedger.asOf(spark, sampleDir, asOf).getOrElse(emptyState(spark))
 
   /** Reclaim snapshots strictly below `keepFrom`, never the latest (the
     * merge chain only ever needs the newest partition; older ones exist
     * for audit/as-of reads). Returns partitions deleted.
     */
-  def vacuum(spark: SparkSession, sampleDir: String, keepFrom: Long): Int = {
-    val ids = partIds(spark, sampleDir)
-    if (ids.isEmpty) return 0
-    val latest = ids.max
-    val p = new org.apache.hadoop.fs.Path(sampleDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val victims = ids.filter(id => id < keepFrom && id != latest)
-    victims.foreach(id =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$sampleDir/batch_id=$id"), true))
-    victims.size
-  }
+  def vacuum(spark: SparkSession, sampleDir: String, keepFrom: Long): Int =
+    SnapshotLedger.vacuum(spark, sampleDir, keepFrom)
 
   /** Streaming sink over [[processBatch]]. */
   def sink(docs: DataFrame, sampleDir: String, checkpointDir: String,
