@@ -346,6 +346,20 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
   def currentSample(sampleDir: String): DataFrame =
     streaming.StreamingSampler.sample(spark, sampleDir)
 
+  /** Maintain live range-partition boundaries over a stream (z2's
+    * streaming face — see [[streaming.StreamingPlanner]]): the md5
+    * bottom-256 key sample per micro-batch; `currentBoundaries` always
+    * equals the batch planner over the full ingested history.
+    */
+  def planStream(rows: DataFrame, value: org.apache.spark.sql.Column,
+      idCols: Seq[org.apache.spark.sql.Column], planDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    streaming.StreamingPlanner.sink(rows, value, idCols, planDir, checkpoint).start()
+
+  /** The current maintained range boundaries (one bounded read). */
+  def currentBoundaries(planDir: String): Seq[Long] =
+    streaming.StreamingPlanner.boundaries(spark, planDir)
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with

@@ -100,7 +100,8 @@ object MonitoredIntakeSoak {
       // only on shared-text embeddings at any soak size; production
       // embeddings have cluster structure and use the calibrated default.
       tau = 0.95,
-      cusumDirs = Some((cusumLedger, cusumVerd)))
+      cusumDirs = Some((cusumLedger, cusumVerd)),
+      sampleDir = Some(s"$work/sample"))
       .start().awaitTermination()
     val secs = (System.nanoTime() - t0) / 1e9
 
@@ -198,12 +199,34 @@ object MonitoredIntakeSoak {
       s"$kpiLedger/batch_id=$lastBatch")) == before,
       "replayed last batch disturbed verdicts or monitor ledgers")
 
+    // armed PPS sample: the maintained sample over the ADMITTED stream
+    // equals a batch t38 selection over exactly the admitted set — the
+    // StreamingSampler decomposition equality at soak scale, composed
+    // through the full monitored intake
+    val admittedDocs = verdicts.filter(col("admitted"))
+      .select(col("doc_id"), col("lang").as("source"))
+      .join(docsAll.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("text"), col("source"))
+    val wantSample = {
+      val scored = graft.streaming.StreamingSampler.scored(admittedDocs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("sel_key"), col("doc_id"))
+      scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= graft.streaming.StreamingSampler.defaultK).drop("rn")
+        .collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val gotSample = graft.streaming.StreamingSampler.sample(spark, s"$work/sample")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(gotSample == wantSample,
+      "armed PPS sample diverged from the batch selection over admitted docs")
+
     val admittedTotal = recon.map(_.getAs[Long]("ledger_n")).sum
     println(f"[mon-intake-soak] docs=$nDocs batches=$nBatches " +
       f"admitted=$admittedTotal wall=${secs}%.1fs " +
       f"throughput=${nDocs / secs}%.0f docs/s " +
       f"driftAlerts=0 cusumAlarms=${alarms.length} cusumActive=$active " +
-      f"profileDistinct=${cum.getAs[Long]("n_distinct_keys")}")
+      f"profileDistinct=${cum.getAs[Long]("n_distinct_keys")} " +
+      f"armedSampleRows=${gotSample.size} (== batch selection over admitted)")
     spark.stop()
   }
 }
