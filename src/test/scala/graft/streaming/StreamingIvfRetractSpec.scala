@@ -150,6 +150,27 @@ class StreamingIvfRetractSpec extends AnyFunSuite with SparkTestKit {
     assert(verdicts(101L), "copy of a live vector must still match")
   }
 
+  test("maintenance composition: purge then compact erases AND folds in one pass") {
+    val (dir, vecs) = freshIndex()
+    val probes = vecs.filter(col("vec_id") < 4)
+    val victim = StreamingIvf.probe(spark, dir, probes, nprobe = 8)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getAs[Long]("neighbor_id")
+    StreamingIvf.retractVectors(spark, dir, Seq(victim).toDF("vec_id"), 0L)
+    val want = probeSet(StreamingIvf.probe(spark, dir, probes, nprobe = 8))
+
+    // the standard maintenance pass: physical erasure, then the fold
+    StreamingIvf.purgeRetracted(spark, dir)
+    StreamingIvf.compactIndex(spark, dir, liveBatchId = 2L, fullRefoldAt = 1)
+    // folded index: retracted bytes gone from every partition (incl. the
+    // consolidated one), probe results unmoved, lossless gate intact
+    assert(StreamingIvf.scanPostings(spark, dir).get
+      .filter(col("vec_id") === victim).count() == 0)
+    val after = probeSet(StreamingIvf.probe(spark, dir, probes, nprobe = 8))
+    assert(after == want, "compaction after purge moved probe results")
+    assert(after == brute(probes, vecs.filter(col("vec_id") =!= victim)))
+  }
+
   test("hot-cell load is measured over queryable rows only") {
     val dir = tmp("sivf-retract-hot")
     def vec(d: Int, j: Int): Seq[Float] =
