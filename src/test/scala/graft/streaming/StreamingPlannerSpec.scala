@@ -22,6 +22,15 @@ class StreamingPlannerSpec extends AnyFunSuite with SparkTestKit {
 
   private lazy val li = Tables.lineitem(spark, sfDir).cache()
 
+  // the shared-session CacheManager matches by logical plan, so leaving
+  // this cached would make EVERY later lineitem scan (PlanSpec's
+  // pushdown assertions included) read an InMemoryRelation — unpersist
+  // on suite exit
+  override def afterAll(): Unit = {
+    li.unpersist()
+    super.afterAll()
+  }
+
   private def scoredSlice(i: Int, of: Int): DataFrame =
     StreamingPlanner.scored(li.filter($"l_orderkey" % of === i),
       expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"),

@@ -29,6 +29,13 @@ class StreamingSamplerSpec extends AnyFunSuite with SparkTestKit {
   private lazy val docs = Tables.documents(spark, sfDir)
     .select($"doc_id", $"text", $"source").cache()
 
+  // unpersist on exit — a lingering cache over a base-table projection
+  // can shadow later suites' scan-plan assertions (shared session)
+  override def afterAll(): Unit = {
+    docs.unpersist()
+    super.afterAll()
+  }
+
   private def slice(i: Int, of: Int): DataFrame = docs.filter($"doc_id" % of === i)
 
   /** Independent statement of t38's selection over an arbitrary doc set:
