@@ -89,12 +89,21 @@ object ScaleOps {
   val plannerSampleN = 256
 
   /** The 31 sampled range boundaries (cents of l_extendedprice), memoized
-    * per (session, dir). Sample = the `plannerSampleN` rows with the
-    * smallest md5 of the (l_orderkey, l_linenumber) primary key — a
-    * deterministic uniform sample that is a global TOP-K
+    * per (session, dir). Sample = the `plannerSampleN` DISTINCT (h, cents)
+    * pairs with the smallest md5 of the (l_orderkey, l_linenumber) key —
+    * a deterministic uniform sample that is a global TOP-K
     * (TakeOrderedAndProject), never a global sort; boundary j = the
     * sample's (cents, h)-order statistic at rank 8·j, exactly how
     * Spark's RangePartitioner cuts its sampled keys.
+    *
+    * The DISTINCT is the ONE sample rule shared with
+    * [[graft.streaming.StreamingPlanner]]: the streaming face must dedup
+    * on (h, cents) anyway (an at-least-once redelivery is the same
+    * logical row), and letting the batch side count byte-identical
+    * duplicates as separate sample slots would both waste slots and break
+    * the maintained-≡-batch contract on duplicate data. Duplicate
+    * (h, cents) = same id tuple AND same value — one sample vote either
+    * way.
     */
   def plannerBounds(s: SparkSession, dir: String): Seq[Long] =
     Memo.cachedValue(s, dir, "z2_bounds") {
@@ -108,6 +117,7 @@ object ScaleOps {
         // (h, cents): the synthetic lineitem does NOT honor the TPC-H
         // (orderkey, linenumber) PK — h alone ties on duplicate keys, and
         // a tie cut differently by the two engines moves a boundary
+        .dropDuplicates("h", "cents")
         .orderBy($"h", $"cents")
         .limit(plannerSampleN)
         .as[(Long, String)].collect()
@@ -141,7 +151,7 @@ object ScaleOps {
        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
        |         md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
        |  FROM lineitem),
-       |samp AS (SELECT cents, h FROM li ORDER BY h, cents LIMIT $plannerSampleN),
+       |samp AS (SELECT DISTINCT cents, h FROM li ORDER BY h, cents LIMIT $plannerSampleN),
        |ranked AS (SELECT cents, row_number() OVER (ORDER BY cents, h) AS rn FROM samp),
        |bounds AS (SELECT cents AS bv FROM ranked
        |           WHERE rn % $step = 0 AND rn < $plannerSampleN),

@@ -65,6 +65,25 @@ object PartitionedIndex {
       case _ => Set.empty
     }
 
+  /** Force the deferred deletion to COMPLETE now: physically remove the
+    * pending partitions (their rows already live in the consolidated
+    * target) and clear the manifest; an inert manifest (target never
+    * landed — crash between manifest write and publish) is just cleared,
+    * its sources being the live data. This is [[compact]]'s preamble,
+    * exposed because PHYSICAL-ERASURE passes (e.g.
+    * [[StreamingIvf.purgeRetracted]]) must run it too: a pending-aware
+    * scan skips folded-but-undeleted partitions, so an erasure that only
+    * rewrites what it scans would leave the erased bytes sitting in the
+    * pending dirs — reported gone, still on disk. Quiescent-point
+    * operation: it spends the one-compaction-cycle grace probes get.
+    */
+  private[streaming] def settlePending(fs: FileSystem, root: Path): Unit =
+    readManifest(fs, root).foreach { m =>
+      if (fs.exists(new Path(root, m.target)))
+        m.pending.foreach(n => fs.delete(new Path(root, n), true))
+      writeManifest(fs, root, None)
+    }
+
   private[streaming] def writeManifest(fs: FileSystem, root: Path,
       m: Option[Manifest]): Unit = {
     val target = new Path(root, pendingFile)
@@ -134,14 +153,7 @@ object PartitionedIndex {
 
     // the previous fold's sources have now survived one full cycle — any
     // probe planned over them has long finished; physically delete them.
-    // A manifest whose target never landed (crash between manifest write
-    // and publish) is inert: its sources are still the live data — just
-    // clear it and let this fold redo the work.
-    readManifest(fs, root).foreach { m =>
-      if (fs.exists(new Path(root, m.target)))
-        m.pending.foreach(n => fs.delete(new Path(root, n), true))
-      writeManifest(fs, root, None)
-    }
+    settlePending(fs, root)
 
     def partDirs = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("__batch="))

@@ -187,10 +187,28 @@ object StreamingIvf {
     val distinct = vecIds.select(col("vec_id").cast("long").as("vec_id"))
       .distinct().localCheckpoint(true)
     val n = distinct.count()
+    if (fs.exists(root)) {
+      // Replay of an already-committed retraction: the prior rename WAS
+      // the commit, so the set on disk is complete — verify it matches
+      // and keep it. The former delete-then-rename republish opened a
+      // window with NO retraction set at `root`, during which a
+      // concurrent probe's anti-join briefly saw retracted vectors
+      // again. A replay carrying a DIFFERENT id set is a contract
+      // violation (retractionId is the idempotency key) — fail loud
+      // rather than silently dropping either set.
+      val prior = spark.read.parquet(root.toString)
+        .select(col("vec_id").cast("long").as("vec_id"))
+      require(prior.exceptAll(distinct).isEmpty && distinct.exceptAll(prior).isEmpty,
+        s"retractionId $retractionId replayed with a different vec_id set " +
+          s"than its committed publish at $root")
+      return n
+    }
     val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString)
     distinct.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(root, true) // idempotent replay: replace the prior attempt
     if (!fs.rename(tmp, root)) {
+      // lost a concurrent race: the winner's set is committed — verify
+      // below-the-rename equality is the caller's concern only if ids
+      // differ, which the require above would catch on its replay path
       fs.delete(tmp, true)
       require(fs.exists(root), s"retraction publish failed: $tmp -> $root")
     }
@@ -231,6 +249,22 @@ object StreamingIvf {
     */
   def purgeRetracted(spark: SparkSession, indexDir: String): (Int, Long) = {
     val retracted = retractedIds(spark, indexDir).getOrElse(return (0, 0L))
+    // Settle any deferred deletion FIRST. scanPostings skips partitions a
+    // compaction listed in the pending manifest — but those
+    // folded-but-undeleted dirs still hold every retracted vector's bytes,
+    // and a purge that rewrites only what it scans would report complete
+    // physical erasure while the embeddings sit on disk until the NEXT
+    // fold (forever, if none runs). Completing the deletion here also
+    // means no live manifest can exist below: if this purge empties and
+    // deletes the consolidated partition, it can never be a manifest's
+    // fold target (deleting THAT would turn the pending list inert and
+    // resurface the folded originals — with the retracted rows in them).
+    // Purge is a quiescent-point operation like compactIndex, so spending
+    // the deferred-deletion grace period here is within its contract.
+    locally {
+      val (fs, pRoot) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+      if (fs.exists(pRoot)) PartitionedIndex.settlePending(fs, pRoot)
+    }
     val all = scanPostings(spark, indexDir).getOrElse(return (0, 0L))
     // __batch/cell_id are inferred partition columns (INT when small) —
     // cast for a stable driver-side read
@@ -268,7 +302,11 @@ object StreamingIvf {
     (hit.keySet -- survivors).foreach { case (b, c) =>
       fs.delete(new Path(s"${postingsDir(indexDir)}/__batch=$b/cell_id=$c"), true)
       val bDir = new Path(s"${postingsDir(indexDir)}/__batch=$b")
-      if (fs.exists(bDir) && fs.listStatus(bDir).isEmpty) fs.delete(bDir, true)
+      // cell-less = empty: a consolidated partition keeps a _SUCCESS
+      // marker from its publish, which must not pin a dataless dir
+      if (fs.exists(bDir) && !fs.listStatus(bDir).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("cell_id=")))
+        fs.delete(bDir, true)
     }
     (hit.size, erased)
   }
@@ -288,9 +326,28 @@ object StreamingIvf {
     val victimIds = spark.read
       .parquet(victims.map(_.getPath.toString).toIndexedSeq: _*)
       .select(col("vec_id")).distinct()
-    val remaining = scanPostings(spark, indexDir)
-      .map(_.join(broadcast(victimIds), Seq("vec_id"), "left_semi").count())
-      .getOrElse(0L)
+    // The guard reads the RAW on-disk partitions, INCLUDING any listed in
+    // a pending-delete manifest: a pending-skipping scan would report 0
+    // remaining while the folded-but-undeleted dirs still hold the bytes,
+    // and vacuuming then makes the leak permanent (nothing records the
+    // ids any more). Over-reading can only refuse more — duplicates
+    // between pending dirs and their fold target don't matter to a
+    // nonzero test — and a refusal names purgeRetracted, whose preamble
+    // settles the pending set before erasing.
+    val (pFs, pRoot) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+    def hasParquet(p: Path): Boolean = {
+      val it = pFs.listFiles(p, true)
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+      false
+    }
+    val rawDirs = if (!pFs.exists(pRoot)) Array.empty[String]
+      else pFs.listStatus(pRoot).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("__batch=") && hasParquet(s.getPath))
+        .map(_.getPath.toString)
+    val remaining = if (rawDirs.isEmpty) 0L
+      else spark.read.option("basePath", postingsDir(indexDir))
+        .parquet(rawDirs.toIndexedSeq: _*)
+        .join(broadcast(victimIds), Seq("vec_id"), "left_semi").count()
     require(remaining == 0,
       s"$remaining postings still carry retracted ids ≤ $horizon — " +
         "purgeRetracted before vacuuming the retraction sets")

@@ -24,8 +24,15 @@ object StreamingPlanner {
   val buckets = 32
 
   /** Score a batch into the planner's `(cents, h)` shape: `value` is the
-    * BIGINT range key, `idCols` a row-unique tuple (the md5 tiebreak
-    * that makes LIMIT deterministic — z2's (h, cents) total-order rule).
+    * BIGINT range key, `idCols` the row's id tuple (the md5 tiebreak that
+    * makes LIMIT deterministic — z2's (h, cents) total-order rule).
+    * `idCols` need NOT be row-unique: both this face and the batch
+    * planner ([[graft.queries.ScaleOps.plannerBounds]]) dedup on
+    * (h, cents) before the bottom-k — the ONE shared sample rule, so a
+    * duplicate id tuple with the same value is one sample vote on both
+    * sides and the maintained-≡-batch contract survives duplicate data
+    * (the synthetic lineitem's non-unique (orderkey, linenumber) key
+    * included).
     */
   def scored(batch: DataFrame, value: Column, idCols: Seq[Column]): DataFrame =
     batch.select(value.cast("long").as("cents"),

@@ -171,6 +171,108 @@ class StreamingIvfRetractSpec extends AnyFunSuite with SparkTestKit {
     assert(after == brute(probes, vecs.filter(col("vec_id") =!= victim)))
   }
 
+  /** RAW on-disk rows under postings/, manifest-blind: lists every
+    * `__batch=` dir directly (including any a pending-delete manifest
+    * hides from scanPostings) — the view a GDPR auditor takes of the
+    * physical bytes.
+    */
+  private def rawDiskRows(dir: String, victim: Long): Long = {
+    val (fs, root) = PartitionedIndex.fsFor(spark, s"$dir/postings")
+    if (!fs.exists(root)) return 0L
+    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+      false
+    }
+    val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("__batch=") && hasParquet(s.getPath))
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) 0L
+    else spark.read.option("basePath", s"$dir/postings")
+      .parquet(dirs.toIndexedSeq: _*).filter(col("vec_id") === victim).count()
+  }
+
+  test("compact → retract → purge erases the bytes from PENDING partitions too; vacuum guard is manifest-blind") {
+    val (dir, vecs) = freshIndex()
+    val probes = vecs.filter(col("vec_id") < 4)
+    // fold batches 0 and 1 → consolidated target + pending manifest
+    // listing the originals, whose dirs stay on disk for one cycle
+    StreamingIvf.compactIndex(spark, dir, liveBatchId = 2L, fullRefoldAt = 1)
+    val (fs, pRoot) = PartitionedIndex.fsFor(spark, s"$dir/postings")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(pRoot, PartitionedIndex.pendingFile)),
+      "fixture: compaction must leave a live pending-delete manifest")
+
+    val victim = StreamingIvf.probe(spark, dir, probes, nprobe = 8)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getAs[Long]("neighbor_id")
+    StreamingIvf.retractVectors(spark, dir, Seq(victim).toDF("vec_id"), 0L)
+    val want = probeSet(StreamingIvf.probe(spark, dir, probes, nprobe = 8))
+    assert(rawDiskRows(dir, victim) >= 2L,
+      "fixture: the victim's bytes must sit in BOTH the consolidated " +
+        "partition and a pending-listed original")
+
+    // purge must settle the deferred deletion and erase EVERYWHERE — a
+    // pending-skipping rewrite would leave the folded originals' copy on
+    // disk while reporting complete physical erasure
+    StreamingIvf.purgeRetracted(spark, dir)
+    assert(rawDiskRows(dir, victim) == 0L,
+      "retracted bytes survive in a folded-but-undeleted partition")
+    assert(probeSet(StreamingIvf.probe(spark, dir, probes, nprobe = 8)) == want,
+      "purge across a pending fold moved probe results")
+    // and the vacuum guard would have seen them: it reads raw dirs, so
+    // with the purge done it may now lift the fence
+    assert(StreamingIvf.vacuumRetractions(spark, dir, horizon = 0L) == 1)
+  }
+
+  test("purging an all-retracted fold target cannot resurrect the folded originals") {
+    // tiny index: every vector retracted, so after the fold the purge
+    // EMPTIES (and deletes) the consolidated partition — which must not
+    // happen while a manifest still names it as the fold target (the
+    // pending list would go inert and the originals would resurface,
+    // permanently blocking vacuum)
+    val dir = tmp("sivf-retract-all")
+    def oneHot(d: Int): Seq[Float] = Seq.tabulate(8)(i => if (i == d) 1f else 0f)
+    def df(rows: Seq[(Long, Seq[Float], Int)]) =
+      rows.toDF("vec_id", "embedding", "label")
+        .selectExpr("vec_id", "cast(embedding as array<float>) as embedding",
+          "cast(label as int) as label")
+    StreamingIvf.screenBatch(df((0 until 4).map(i => (i.toLong, oneHot(i), i))),
+      dir, 0L, nprobe = 4, tau = 0.9, k = 4)
+    StreamingIvf.ingestBatch(df((4 until 8).map(i => (i.toLong, oneHot(i % 4), i))), dir, 1L)
+    StreamingIvf.compactIndex(spark, dir, liveBatchId = 2L, fullRefoldAt = 1)
+
+    StreamingIvf.retractVectors(spark, dir, (0L until 8L).toDF("vec_id"), 0L)
+    StreamingIvf.purgeRetracted(spark, dir)
+
+    val (fs, pRoot) = PartitionedIndex.fsFor(spark, s"$dir/postings")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pRoot, PartitionedIndex.pendingFile)),
+      "a manifest outlived the purge of its own fold target")
+    (0L until 8L).foreach(v => assert(rawDiskRows(dir, v) == 0L,
+      s"vec $v resurfaced from a folded original after the target was emptied"))
+    assert(StreamingIvf.vacuumRetractions(spark, dir, horizon = 0L) == 1,
+      "vacuum must lift once nothing on disk carries the ids")
+  }
+
+  test("retraction replay never opens a no-set window; a divergent replay fails loud") {
+    val (dir, vecs) = freshIndex()
+    StreamingIvf.retractVectors(spark, dir, Seq(5L).toDF("vec_id"), 7L)
+    val (fs, root) = PartitionedIndex.fsFor(spark, s"$dir/retracted/r=7")
+    assert(fs.exists(root))
+    // same-set replay keeps the committed publish in place (no
+    // delete-then-rename republish — the dir never disappears)
+    assert(StreamingIvf.retractVectors(spark, dir, Seq(5L).toDF("vec_id"), 7L) == 1L)
+    assert(fs.exists(root))
+    assert(StreamingIvf.retractedIds(spark, dir).get.count() == 1)
+    // a replay carrying a DIFFERENT set under the same id is a contract
+    // violation — fail loud, never silently drop either set
+    val err = intercept[IllegalArgumentException] {
+      StreamingIvf.retractVectors(spark, dir, Seq(6L).toDF("vec_id"), 7L)
+    }
+    assert(err.getMessage.contains("different vec_id set"))
+    assert(StreamingIvf.retractedIds(spark, dir).get
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+  }
+
   test("hot-cell load is measured over queryable rows only") {
     val dir = tmp("sivf-retract-hot")
     def vec(d: Int, j: Int): Seq[Float] =

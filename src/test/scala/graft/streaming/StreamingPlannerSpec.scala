@@ -72,6 +72,21 @@ class StreamingPlannerSpec extends AnyFunSuite with SparkTestKit {
     assert(StreamingPlanner.boundaries(spark, dir) == live)
   }
 
+  test("duplicate rows are one sample vote: a double-fed stream plans the batch boundaries") {
+    // the synthetic lineitem does not honor the (orderkey, linenumber) PK,
+    // and at-least-once delivery can repeat whole rows — both faces share
+    // ONE sample rule (distinct (h, cents) before the bottom-k), so
+    // feeding every row twice must not move a boundary, and the
+    // maintained result still equals the batch planner over the history
+    val want = graft.queries.ScaleOps.plannerBounds(spark, sfDir)
+    val dir = tmp("planner-dup")
+    (0 until 3).foreach { i =>
+      val s = scoredSlice(i, 3)
+      StreamingPlanner.processBatch(spark, s.unionAll(s), i.toLong, dir)
+    }
+    assert(StreamingPlanner.boundaries(spark, dir) == want)
+  }
+
   test("real sink: file-source stream plans the same boundaries") {
     val src = tmp("planner-src"); val dir = tmp("planner-sink"); val ck = tmp("planner-ck")
     li.write.mode("overwrite").parquet(src)
