@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -38,40 +37,89 @@ import graft.Tables
   */
 object IvfPq {
 
+  private val postingsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, String), DataFrame]()
+
+  /** The composed IVFPQ POSTINGS `(cell_id, vec_id, codes)` — FAISS's
+    * inverted-list layout, materialized: the cell assignment and the PQ
+    * codes are joined ONCE per (session, dir, kIvf) index build and
+    * persisted, so every query reads the at-rest index instead of
+    * re-running a corpus-wide assigned⋈encoded shuffle join per
+    * evaluation (the r11 e9 watch-list finding: the per-run SortMergeJoin
+    * was most of e9's repeated cost; at 100 TB it would be a full
+    * re-shuffle of the codes table per query batch). Same
+    * fingerprint-retirement lifecycle as [[PqIndex.indexFor]].
+    */
+  def postingsFor(spark: SparkSession, dir: String, kIvf: Int = 16): DataFrame = {
+    val fp = graft.queries.Memo.fingerprint(spark, dir)
+    val it = postingsMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val (es, ed, ek, efp) = e.getKey
+      if ((es eq spark) && ed == dir && ek == kIvf && efp != fp) {
+        e.getValue.unpersist()
+        it.remove()
+      }
+    }
+    postingsMemo.computeIfAbsent((spark, dir, kIvf, fp), { _ =>
+      val ivf = IvfIndex.indexQFor(spark, dir, kIvf)
+      val pq = PqIndex.indexFor(spark, dir)
+      ivf.assigned.select(col("cell_id"), col("vec_id"))
+        .join(pq.encoded.select(col("vec_id"), col("codes")), Seq("vec_id"))
+        .persist()
+    })
+  }
+
+  def clearPostings(spark: SparkSession): Unit = {
+    val it = postingsMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 eq spark) { e.getValue.unpersist(); it.remove() }
+    }
+  }
+
   /** Top-1 per probe: IVF cells (nprobe) → integer ADC over codes within
     * those cells → shortlist → exact fold-dot re-rank.
+    *
+    * Per-query plan shape (the r11 e9 adjudication): the corpus side is
+    * ONE in-memory scan of the materialized [[postingsFor]] inverted
+    * lists; both probe-derived sides (≤ nProbes·nprobe cell rows, ≤
+    * nProbes ADC tables) broadcast; both top-k cuts run on the native
+    * bounded-heap [[graft.plans.TopKPerGroup]] instead of window sorts —
+    * so the only exchanges left move ≤ k rows per probe, and nothing
+    * corpus-sized shuffles at any scale.
     */
   def query(spark: SparkSession, dir: String, nProbes: Int = 16,
       nprobe: Int = 4, shortlist: Int = 32, kIvf: Int = 16): DataFrame = {
     graft.functions.FloatVecDot.register(spark)
     val ivf = IvfIndex.indexQFor(spark, dir, kIvf) // cells (shared with e4/e8)
     val pq = PqIndex.indexFor(spark, dir)      // codes (shared with e7)
+    val postings = postingsFor(spark, dir, kIvf)
     val probes = Tables.embeddings(spark, dir).filter(col("vec_id") < nProbes)
 
     // probe → nprobe nearest cells by exact integer centroid distance
     val probeCells = IvfIndex.probeCells(probes, ivf, nprobe)
-
-    // candidates = the probe's cells, read as CODES (vec_id, codes) —
-    // the raw-vector column never enters this join
-    val members = ivf.assigned.select(col("vec_id"), col("cell_id"))
-      .join(pq.encoded.select(col("vec_id"), col("codes")), Seq("vec_id"))
 
     val probeT = probes
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         PqIndex.quantizeCol(col("embedding")).as("pq"))
       .select(col("query_id"), col("q_emb"),
         PqIndex.adcTable(probes.sparkSession, pq, col("pq")).as("dt"))
-    val shortlisted = probeCells
-      .join(members, Seq("cell_id"))
+    // candidates = the probe's cells read from the inverted lists — the
+    // raw-vector column never enters; probe sides broadcast (post-window
+    // stats would otherwise read "unknown" and plan a shuffle join)
+    val adcCand = postings
+      .join(broadcast(probeCells), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .join(broadcast(probeT), Seq("query_id"))
       .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
         PqIndex.adcDistance(col("dt"), col("codes")).as("approx_d2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("neighbor_id"))))
-      .filter(col("rnk") <= shortlist)
+    val shortlisted = graft.plans.TopKPerGroup.topK(adcCand,
+      groupCols = Seq("query_id"),
+      orderBy = Seq(("approx_d2", true), ("neighbor_id", true)), k = shortlist)
 
-    // exact re-rank: only the shortlist fetches raw vectors
+    // exact re-rank: only the shortlist fetches raw vectors (the corpus
+    // scan streams against the broadcast ≤ nProbes·shortlist-row side)
     val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("label").as("neighbor_label"))
@@ -79,15 +127,16 @@ object IvfPq {
       call_function("vec_dot", col("q_emb"), col("q_emb")) -
         lit(2.0) * call_function("vec_dot", col("q_emb"), col("embedding")) +
         call_function("vec_dot", col("embedding"), col("embedding"))
-    shortlisted
-      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
-      .join(raw, Seq("neighbor_id"))
+    val reranked = raw
+      .join(broadcast(shortlisted.select(col("query_id"), col("q_emb"),
+        col("neighbor_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
         exactD2.as("exact_d2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("exact_d2"), col("neighbor_id"))))
-      .filter(col("rnk") === 1)
-      .drop("rnk")
+    graft.plans.TopKPerGroup.topK(reranked,
+      groupCols = Seq("query_id"),
+      orderBy = Seq(("exact_d2", true), ("neighbor_id", true)), k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("exact_d2"))
   }
 
   /** The whole composition replayed in DuckDB: the shared IVF Lloyd CTEs
