@@ -360,6 +360,20 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
   def currentBoundaries(planDir: String): Seq[Long] =
     streaming.StreamingPlanner.boundaries(spark, planDir)
 
+  /** PRICED equi-join (the j13/j14/z3 pricers armed): price `a ⋈ b` on
+    * `keys` from the exact degree profiles and payload estimates, pick
+    * broadcast / plain shuffle / salted — or fail loud with the levers
+    * named when the exact output size exceeds the cap — then execute.
+    * Returns the joined frame (multiset-identical to the plain join under
+    * every strategy) and the verdict. See [[operators.PlannedJoin]];
+    * strategy choice spec-pinned, result oracle-gated via
+    * `j15_planned_join`.
+    */
+  def plannedJoin(a: DataFrame, b: DataFrame, keys: Seq[String],
+      joinType: String = "inner")
+      : (DataFrame, operators.PlannedJoin.Strategy, operators.PlannedJoin.Price) =
+    operators.PlannedJoin.join(a, b, keys, joinType)
+
   /** Cut a versioned, reproducible corpus manifest of this data dir's
     * `documents` + `embeddings` under `manifestDir/version=N` and return
     * it — see [[operators.CorpusManifest]] (verify with

@@ -351,6 +351,39 @@ object ScaleOps {
           .as("within_cap"))
   }
 
+  // ---------------------------------------------------------------- j15
+
+  /** J15: the PRICERS ARMED — j14's degree-profile arithmetic driving an
+    * actual join through [[graft.operators.PlannedJoin]]: price the
+    * customer⋈orders equi-join (exact output size, hottest-key share,
+    * payload bytes), let the advisor pick broadcast / shuffle / salted /
+    * fail-loud, execute the chosen plan, roll up. The oracle states the
+    * JOIN SEMANTICS (plain SQL join + rollup) — every strategy returns
+    * the identical multiset, which is exactly what makes the strategy
+    * choice safe to automate; the choice itself is pinned on
+    * skewed/uniform/tiny fixtures in PlannedJoinSpec. At gate SFs the
+    * pruned customer side prices under the broadcast threshold, so this
+    * gate exercises the advisor→broadcast path end to end.
+    */
+  val plannedJoinRollup = Q("j15_planned_join",
+    """SELECT c.c_mktsegment, o.o_orderpriority,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |            AS BIGINT) AS total_cents
+      |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    val ord = Tables.orders(s, dir)
+      .select($"o_custkey".as("custkey"), $"o_orderpriority",
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val (joined, _, _) = graft.operators.PlannedJoin.join(cust, ord, Seq("custkey"))
+    joined.groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(cents AS DECIMAL(38,0))) AS BIGINT)").as("total_cents"))
+  }
+
   // ----------------------------------------------------------------- z3
 
   /** Spark's default `autoBroadcastJoinThreshold`. */
@@ -415,5 +448,5 @@ object ScaleOps {
   }
 
   val queries: Seq[Q] = Seq(ppsSample, rangePlanner, skylineFrontier,
-    selfJoinPrice, joinPrice, broadcastAdvisor)
+    selfJoinPrice, joinPrice, plannedJoinRollup, broadcastAdvisor)
 }
