@@ -52,6 +52,21 @@ private[streaming] object SnapshotLedger {
   def write(snapshot: DataFrame, dir: String, batchId: Long): Unit =
     snapshot.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
 
+  /** Batch `batchId`'s OWN snapshot, honored only if its write COMMITTED
+    * (`_SUCCESS` marker present) — a torn write reads as absent, so a
+    * replayer rewrites instead of trusting partial state. This is the
+    * per-batch PIN shape ([[StreamingDrift]]'s reference version):
+    * resolution must see exactly its own batch's commit, never fall back
+    * to a neighbor's the way [[before]]/[[asOf]] deliberately do.
+    */
+  def committed(spark: SparkSession, dir: String, batchId: Long): Option[DataFrame] = {
+    val part = new org.apache.hadoop.fs.Path(s"$dir/batch_id=$batchId")
+    val fs = part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(part, "_SUCCESS")))
+      Some(spark.read.parquet(part.toString))
+    else None
+  }
+
   /** Delete snapshots strictly below `keepFrom`, never the latest. */
   def vacuum(spark: SparkSession, dir: String, keepFrom: Long): Int = {
     val ids = partIds(spark, dir)

@@ -30,18 +30,18 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
   *     dropped no matter how good — that is the intake contract; the
   *     batch curation pack re-balances at training time);
   *  4. admitted docs land in `admitted/batch_id=N`, the per-language
-  *     admission counts in `ledger/batch_id=N` — both `overwrite` into
-  *     the batch-scoped directory, so an at-least-once replay rewrites
-  *     the same files (idempotent), and replaying batch k only needs the
-  *     ledgers of batches < k, which a replay never touches.
+  *     state in `ledger/batch_id=N` — a [[SnapshotLedger]] partition
+  *     carrying both this batch's increments and the running totals —
+  *     both `overwrite` into the batch-scoped directory, so an
+  *     at-least-once replay rewrites the same files (idempotent), and
+  *     replaying batch k derives only from the snapshot strictly before
+  *     k, which a replay never touches.
   *
   * Scale: the per-batch work is one window over the batch (shuffled by
   * lang — bounded by batch size, not corpus size) plus a ≤|langs|-row
-  * broadcast of quotas and prior counts. The ledger read is
-  * partition-pruned to batch_id < N and aggregates |langs| rows per
-  * batch — at 1000 batches × 50 languages it is still a 50 k-row scan;
-  * past that, fold the ledger into a running-total file per K batches.
-  * Nothing here holds state proportional to the corpus.
+  * broadcast of quotas and prior counts. The prior read is ONE bounded
+  * snapshot partition (≤ |langs| rows) regardless of how many batches
+  * have run. Nothing here holds state proportional to the corpus.
   */
 object StreamingAdmission {
 
@@ -134,20 +134,53 @@ object StreamingAdmission {
         coalesce(col("prior_tokens"), lit(0L)) + col("cum_tokens") <= col("token_quota"))
   }
 
+  // ---------------------------------------------------------------------
+  // LEDGER = SNAPSHOT LEDGER (r11 verdict #4): each `batch_id=N`
+  // partition carries the FULL per-language state — this batch's
+  // increments (`n_admitted`, 0 for languages carried but untouched)
+  // PLUS the running totals (`n_total` / `n_tokens_total`) merged from
+  // the predecessor snapshot. Consequences:
+  //  - the prior-counts read is ONE bounded partition
+  //    ([[SnapshotLedger.before]]) instead of a scan-and-sum over every
+  //    historical partition — the "fold the ledger past 1000 batches"
+  //    lever the old layout deferred, now structural;
+  //  - the increments FEED view is preserved: summing `n_admitted`
+  //    across partitions still totals exactly as before (carried rows
+  //    contribute 0), so audit consumers (CorpusManifest, the intake
+  //    specs) read the same numbers;
+  //  - replay/crash contract inherited from the substrate: the merge
+  //    reads strictly-earlier state only, so a replayed batch rewrites
+  //    byte-identical content, and there is no pin-ordering window.
+  // ---------------------------------------------------------------------
+
   private[streaming] def tokenLedgerBefore(spark: SparkSession, ledgerDir: String,
       batchId: Long): DataFrame = {
     import spark.implicits._
-    val root = new Path(ledgerDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasLedger = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
-    if (hasLedger)
-      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
-        .filter(col("batch_id") < batchId)
-        .groupBy(col("lang").as("prior_lang"))
-        .agg(sum(col("n_tokens_admitted")).as("prior_tokens"))
-    else
-      Seq.empty[(String, Long)].toDF("prior_lang", "prior_tokens")
+    SnapshotLedger.before(spark, ledgerDir, batchId)
+      .map(_.select(col("lang").as("prior_lang"),
+        col("n_tokens_total").as("prior_tokens")))
+      .getOrElse(Seq.empty[(String, Long)].toDF("prior_lang", "prior_tokens"))
+  }
+
+  /** Merge this batch's per-language token increments with the
+    * predecessor snapshot and land `batch_id=N`.
+    */
+  private[streaming] def writeTokenLedger(spark: SparkSession,
+      increments: DataFrame, ledgerDir: String, batchId: Long): Unit = {
+    import spark.implicits._
+    val prev = SnapshotLedger.before(spark, ledgerDir, batchId)
+      .map(_.select(col("lang"), col("n_total").as("prev_n"),
+        col("n_tokens_total").as("prev_tok")))
+      .getOrElse(Seq.empty[(String, Long, Long)].toDF("lang", "prev_n", "prev_tok"))
+    val snap = prev.join(increments, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("n_tokens_admitted"), lit(0L)).as("n_tokens_admitted"),
+        (coalesce(col("prev_n"), lit(0L)) + coalesce(col("n_admitted"), lit(0L)))
+          .as("n_total"),
+        (coalesce(col("prev_tok"), lit(0L)) +
+          coalesce(col("n_tokens_admitted"), lit(0L))).as("n_tokens_total"))
+    SnapshotLedger.write(snap, ledgerDir, batchId)
   }
 
   /** One micro-batch of token-budget admission (replay entry point). */
@@ -159,10 +192,10 @@ object StreamingAdmission {
       .select(col("doc_id"), col("lang"), col("quality"), col("n_tokens"),
         col("cum_tokens"))
     admitted.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
-    admitted
+    writeTokenLedger(spark, admitted
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_admitted"), sum(col("n_tokens")).as("n_tokens_admitted"))
-      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+      .agg(count(lit(1)).as("n_admitted"), sum(col("n_tokens")).as("n_tokens_admitted")),
+      ledgerDir, batchId)
   }
 
   /** The streaming sink for token-budget admission. */
@@ -181,19 +214,27 @@ object StreamingAdmission {
   private[streaming] def ledgerBefore(spark: SparkSession, ledgerDir: String,
       batchId: Long): DataFrame = {
     import spark.implicits._
-    val root = new Path(ledgerDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // "exists" is not enough: the dir may pre-exist empty (first batch),
-    // and parquet schema inference fails on an empty directory
-    val hasLedger = fs.exists(root) &&
-      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch_id="))
-    if (hasLedger)
-      spark.read.option("basePath", ledgerDir).parquet(ledgerDir)
-        .filter(col("batch_id") < batchId)
-        .groupBy(col("lang").as("prior_lang"))
-        .agg(sum(col("n_admitted")).as("prior"))
-    else
-      Seq.empty[(String, Long)].toDF("prior_lang", "prior")
+    SnapshotLedger.before(spark, ledgerDir, batchId)
+      .map(_.select(col("lang").as("prior_lang"), col("n_total").as("prior")))
+      .getOrElse(Seq.empty[(String, Long)].toDF("prior_lang", "prior"))
+  }
+
+  /** Merge this batch's per-language increments `(lang, n_admitted)` with
+    * the predecessor snapshot and land `batch_id=N`. Shared with the
+    * composed intake's quota stage, so there is exactly ONE ledger format.
+    */
+  private[streaming] def writeLedger(spark: SparkSession, increments: DataFrame,
+      ledgerDir: String, batchId: Long): Unit = {
+    import spark.implicits._
+    val prev = SnapshotLedger.before(spark, ledgerDir, batchId)
+      .map(_.select(col("lang"), col("n_total").as("prev_n")))
+      .getOrElse(Seq.empty[(String, Long)].toDF("lang", "prev_n"))
+    val snap = prev.join(increments, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        (coalesce(col("prev_n"), lit(0L)) + coalesce(col("n_admitted"), lit(0L)))
+          .as("n_total"))
+    SnapshotLedger.write(snap, ledgerDir, batchId)
   }
 
   /** One micro-batch of admission (also the replay entry point the spec
@@ -207,10 +248,9 @@ object StreamingAdmission {
       .select(col("doc_id"), col("lang"), col("source"), col("quality"),
         col("batch_rank"))
     admitted.write.mode("overwrite").parquet(s"$admittedDir/batch_id=$batchId")
-    admitted
+    writeLedger(spark, admitted
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_admitted"))
-      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+      .agg(count(lit(1)).as("n_admitted")), ledgerDir, batchId)
   }
 
   /** The streaming sink: document stream → quota-admitted store. */

@@ -149,28 +149,26 @@ object StreamingDrift {
     * — a crash between the two let the replay resolve a newer published
     * reference and rescore the same batch differently, failing the
     * byte-identical-replay guarantee in exactly the window it exists
-    * for. The pin lives at `summaryDir/_pins/batch_id=N` (write-then-
-    * rename, so never torn); resolution order is pin file → readable
-    * ledger row (stores written before the pin file existed) → newest
-    * published version. A partially-written ledger dir reads as no-pin
-    * instead of throwing.
+    * for. The pin is a one-row [[SnapshotLedger]] partition at
+    * `summaryDir/_pins/batch_id=N` (r11 verdict #4 — the shared
+    * snapshot-ledger substrate instead of a bespoke pin-file format):
+    * the `_SUCCESS` marker is the commit, so a torn pin write reads as
+    * absent and the replay re-resolves — safe, because the pin lands
+    * BEFORE any scoring output exists. Resolution order is pin
+    * partition → readable ledger row (stores written before pins
+    * existed) → newest published version. A partially-written ledger
+    * dir reads as no-pin instead of throwing.
     */
   def processBatchRefreshing(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, batchId: Long, refStoreDir: String, valueCol: String,
       binsDir: String, summaryDir: String, alertThreshold: Long): Unit = {
     if (batch.filter(col(valueCol).isNotNull).isEmpty) return
     val ledgerPath = s"$summaryDir/batch_id=$batchId"
-    val pinPath = new org.apache.hadoop.fs.Path(s"$summaryDir/_pins/batch_id=$batchId")
+    val pinsDir = s"$summaryDir/_pins"
     val fs = new org.apache.hadoop.fs.Path(ledgerPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val filePin: Option[Long] =
-      if (!fs.exists(pinPath)) None
-      else {
-        val in = fs.open(pinPath)
-        try Some(new String(
-          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
-        finally in.close()
-      }
+    val filePin: Option[Long] = SnapshotLedger.committed(spark, pinsDir, batchId)
+      .flatMap(_.select(col("ref_version")).collect().headOption.map(_.getLong(0)))
     val ledgerPin: Option[Long] =
       try {
         if (fs.exists(new org.apache.hadoop.fs.Path(ledgerPath)))
@@ -183,15 +181,10 @@ object StreamingDrift {
       require(vs.nonEmpty, s"no drift reference published under $refStoreDir")
       vs.max
     }
-    if (filePin.isEmpty) {
-      val tmp = new org.apache.hadoop.fs.Path(
-        s"$summaryDir/_pins/.tmp-batch_id=$batchId")
-      val out = fs.create(tmp, true)
-      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      fs.delete(pinPath, false)
-      if (!fs.rename(tmp, pinPath))
-        throw new IllegalStateException(s"drift pin publish failed: $pinPath")
-    }
+    if (filePin.isEmpty)
+      SnapshotLedger.write(
+        spark.range(1).select(lit(version).as("ref_version")),
+        pinsDir, batchId)
     val ref = loadReference(spark, refStoreDir, version)
     try {
       val bins = screenBatch(batch, ref, valueCol)

@@ -162,11 +162,13 @@ object StreamingIntake {
     // Caller contract: unpersist after the verdict write (the sinks do;
     // direct spec callers leak at worst one small cached batch).
     verdicts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // ledger: quota consumption this batch (admitted docs only)
-    verdicts.filter(col("admitted"))
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_admitted"))
-      .write.mode("overwrite").parquet(s"$ledgerDir/batch_id=$batchId")
+    // ledger: quota consumption this batch (admitted docs only), merged
+    // into the shared snapshot-ledger format (increments + running totals)
+    StreamingAdmission.writeLedger(spark,
+      verdicts.filter(col("admitted"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_admitted")),
+      ledgerDir, batchId)
     verdicts
   }
 
