@@ -332,6 +332,17 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
   def purgeVectors(indexDir: String): (Int, Long) =
     streaming.StreamingIvf.purgeRetracted(spark, indexDir)
 
+  /** ONE maintenance pass over a streaming-IVF index: consolidate the
+    * per-batch partitions AND physically erase retracted vectors in the
+    * same rewrite (the fold drops them in flight; a near-empty sweep
+    * covers what the fold didn't touch). End state identical to
+    * purge-then-compact at roughly half the rewrite cost — see
+    * [[streaming.StreamingIvf.compactAndPurge]].
+    */
+  def maintainVectorIndex(indexDir: String, liveBatchId: Long)
+      : ((Int, Int, Int), (Int, Long)) =
+    streaming.StreamingIvf.compactAndPurge(spark, indexDir, liveBatchId)
+
   /** Maintain a live per-source PPS sample (t38's sequential-Poisson
     * scheme) over a `(doc_id, text, source)` doc stream — the maintained
     * sample always EQUALS a batch rerun over the full ingested history

@@ -112,8 +112,17 @@ object PartitionedIndex {
     val (fs, root) = fsFor(spark, indexDir)
     if (!fs.exists(root)) return None
     val pending = livePending(fs, root)
+    // dataless dirs (a consolidated partition whose fold input was
+    // entirely filtered away keeps only its _SUCCESS marker) would break
+    // schema inference — and carry no rows to read anyway
+    def hasParquet(p: Path): Boolean = {
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) return true
+      false
+    }
     val dirs = fs.listStatus(root).filter(s => s.isDirectory &&
-      s.getPath.getName.startsWith("__batch=") && !pending(s.getPath.getName))
+      s.getPath.getName.startsWith("__batch=") && !pending(s.getPath.getName) &&
+      hasParquet(s.getPath))
     if (dirs.isEmpty) None
     else Some(spark.read.option("basePath", indexDir)
       .parquet(dirs.map(_.getPath.toString).toIndexedSeq: _*))
@@ -138,6 +147,13 @@ object PartitionedIndex {
     * vector from pruned probes). The caller must make the ordering total
     * over its duplicate shapes or the keep is still arbitrary within ties.
     *
+    * `foldFilter` (default identity) transforms the fold's INPUT before
+    * dedup — the hook retraction-aware maintenance uses to drop
+    * logically-erased rows during the consolidation rewrite itself
+    * instead of paying a second rewrite of the same partitions
+    * ([[StreamingIvf.compactAndPurge]]). The filter must be stable for
+    * the duration of the fold (quiescent-point contract).
+    *
     * Returns (partitions folded, files before, files after).
     */
   def compact(spark: SparkSession, indexDir: String, liveBatchId: Long,
@@ -145,7 +161,8 @@ object PartitionedIndex {
       targetFileBytes: Long = 128L * 1024 * 1024,
       fullRefoldAt: Int = 16,
       partitionCols: Seq[String] = Nil,
-      dedupOrder: Seq[org.apache.spark.sql.Column] = Nil): (Int, Int, Int) = {
+      dedupOrder: Seq[org.apache.spark.sql.Column] = Nil,
+      foldFilter: DataFrame => DataFrame = identity): (Int, Int, Int) = {
     val (fs, root) = fsFor(spark, indexDir)
     if (!fs.exists(root)) return (0, 0, 0)
     val tmp = new Path(indexDir + ".consolidate.tmp")
@@ -186,11 +203,11 @@ object PartitionedIndex {
     // partition gets its batch id from its own dir name); the repartition
     // keys on the partition cols so each value's rows land in few files,
     // and partitionBy preserves the directory layout probes prune on
-    val raw = if (partitionCols.isEmpty)
+    val raw = foldFilter(if (partitionCols.isEmpty)
         spark.read.parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
       else spark.read.option("basePath", root.toString)
         .parquet(folds.map(_.getPath.toString).toIndexedSeq: _*)
-        .drop("__batch")
+        .drop("__batch"))
     val deduped =
       if (dedupOrder.isEmpty) raw.dropDuplicates(dedupKeys)
       else {

@@ -38,8 +38,16 @@ object StreamingAnomaly {
       count(lit(1)).as("n_rows"),
       coalesce(sum(col(valueCol)), lit(0L)).cast("long").as("kpi"))
       .withColumn("batch_id", lit(batchId))
-    val prior = ledgerBefore(spark, ledgerDir, batchId)
-      .orderBy(col("batch_id").desc).limit(window)
+    // BOUNDED read: exactly the trailing `window` partitions by id —
+    // never a list-and-read of the whole feed (r11 verdict #4; the feed
+    // FORMAT stays, its per-batch rows being the audit product)
+    val priorIds = SnapshotLedger.partIds(spark, ledgerDir)
+      .filter(_ < batchId).sorted.takeRight(window)
+    val prior =
+      if (priorIds.isEmpty) emptyLedger(spark)
+      else spark.read.option("basePath", ledgerDir)
+        .parquet(priorIds.map(i => s"$ledgerDir/batch_id=$i"): _*)
+        .withColumn("batch_id", col("batch_id").cast("long"))
     val stats = prior.agg(
       count(lit(1)).as("n_prev"),
       sum(col("kpi")).cast("long").as("s1"),
@@ -57,22 +65,21 @@ object StreamingAnomaly {
         abs(z) > zThreshold), lit(false)).as("is_alert"))
   }
 
+  private def emptyLedger(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("batch_id"),
+      col("id").as("n_rows"), col("id").as("kpi"))
+
   /** Ledger rows for batches strictly before `batchId` (replays never see
     * their own or later batches — the StreamingAdmission fence).
+    * Full-history read — audit/debug surface; the per-batch scoring path
+    * reads only the trailing `window` partitions.
     */
   def ledgerBefore(spark: SparkSession, ledgerDir: String, batchId: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // an existing-but-empty dir (pre-created temp path) must not route
-    // into schemaless parquet inference — the StreamingCdf guard
-    val hasData = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-    if (!hasData)
-      return spark.range(0).select(col("id").as("batch_id"),
-        col("id").as("n_rows"), col("id").as("kpi"))
-    spark.read.parquet(ledgerDir)
+    val ids = SnapshotLedger.partIds(spark, ledgerDir).filter(_ < batchId)
+    if (ids.isEmpty) emptyLedger(spark)
+    else spark.read.option("basePath", ledgerDir)
+      .parquet(ids.map(i => s"$ledgerDir/batch_id=$i"): _*)
       .withColumn("batch_id", col("batch_id").cast("long"))
-      .filter(col("batch_id") < batchId)
   }
 
   /** One micro-batch: score against the trailing ledger, then land the

@@ -39,24 +39,34 @@ import org.apache.spark.sql.types.DecimalType
   */
 object StreamingCusum {
 
-  /** Ledger rows strictly before `batchId` (replays never see their own
-    * or later rows — the StreamingAdmission fence).
+  private def emptyLedger(spark: SparkSession): DataFrame =
+    spark.range(0).selectExpr("id AS batch_id", "id AS n_rows",
+      "id AS kpi", "CAST(id AS DECIMAL(38,0)) AS s_up",
+      "CAST(id AS DECIMAL(38,0)) AS smin_up",
+      "CAST(id AS DECIMAL(38,0)) AS s_dn",
+      "CAST(id AS DECIMAL(38,0)) AS smin_dn")
+
+  /** Exactly the named ledger partitions (batch_id recovered from the
+    * layout) — the bounded read [[scoreBatch]] plans: the recurrence
+    * needs only the PREDECESSOR row and, once, the ≤`refBatches`-row
+    * reference prefix, so nothing ever lists-and-reads the whole feed
+    * (r11 verdict #4 — same partition-targeted discipline as
+    * [[SnapshotLedger.before]], on the observation-feed format this
+    * monitor keeps because its per-batch rows ARE the audit product).
     */
-  def ledgerBefore(spark: SparkSession, ledgerDir: String, batchId: Long): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(ledgerDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) &&
-      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
-    if (!hasData)
-      return spark.range(0).selectExpr("id AS batch_id", "id AS n_rows",
-        "id AS kpi", "CAST(id AS DECIMAL(38,0)) AS s_up",
-        "CAST(id AS DECIMAL(38,0)) AS smin_up",
-        "CAST(id AS DECIMAL(38,0)) AS s_dn",
-        "CAST(id AS DECIMAL(38,0)) AS smin_dn")
-    spark.read.parquet(ledgerDir)
+  private def parts(spark: SparkSession, ledgerDir: String, ids: Seq[Long]): DataFrame =
+    if (ids.isEmpty) emptyLedger(spark)
+    else spark.read.option("basePath", ledgerDir)
+      .parquet(ids.map(i => s"$ledgerDir/batch_id=$i"): _*)
       .withColumn("batch_id", col("batch_id").cast("long"))
-      .filter(col("batch_id") < batchId)
-  }
+
+  /** Ledger rows strictly before `batchId` (replays never see their own
+    * or later rows — the StreamingAdmission fence). Full-history read —
+    * audit/debug surface; the per-batch path reads bounded slices.
+    */
+  def ledgerBefore(spark: SparkSession, ledgerDir: String, batchId: Long): DataFrame =
+    parts(spark, ledgerDir,
+      SnapshotLedger.partIds(spark, ledgerDir).filter(_ < batchId))
 
   /** The two-sided CUSUM verdict for one batch given the ledger of
     * earlier batches: `(batch_id, n_rows, kpi, s_up, smin_up, s_dn,
@@ -74,17 +84,21 @@ object StreamingCusum {
       count(lit(1)).as("n_rows"),
       coalesce(sum(col(valueCol)), lit(0L)).cast("long").as("kpi"))
       .withColumn("batch_id", lit(batchId))
-    val prior = ledgerBefore(spark, ledgerDir, batchId)
+    val priorIds = SnapshotLedger.partIds(spark, ledgerDir)
+      .filter(_ < batchId).sorted
     // the reference prefix: the first refBatches ledger rows by batch id
-    // (immutable once written — replays rewrite identical content)
-    val ref = prior.orderBy(col("batch_id")).limit(refBatches)
+    // (immutable once written — replays rewrite identical content).
+    // BOUNDED read: exactly those partitions, never the whole feed
+    val ref = parts(spark, ledgerDir, priorIds.take(refBatches))
       .agg(count(lit(1)).as("n_ref"),
         coalesce(sum(col("kpi")), lit(0L)).cast(DecimalType(38, 0)).as("tr"))
     // the recurrence seed: the predecessor row's running sums/mins — an
-    // aggregate so "no predecessor at all" (batch 0) is one zeros row
+    // aggregate so "no predecessor at all" (batch 0) is one zeros row.
+    // BOUNDED read: the single predecessor partition
     def mb(c: String) = coalesce(max_by(col(c), col("batch_id")),
       lit(0).cast(DecimalType(38, 0))).as(c + "_prev")
-    val seed = prior.agg(mb("s_up"), mb("smin_up"), mb("s_dn"), mb("smin_dn"))
+    val seed = parts(spark, ledgerDir, priorIds.takeRight(1))
+      .agg(mb("s_up"), mb("smin_up"), mb("s_dn"), mb("smin_dn"))
     val seeded = cur.crossJoin(broadcast(ref)).crossJoin(broadcast(seed))
     val warm = col("n_ref") < refBatches
     val dev = col("kpi").cast(DecimalType(38, 0)) * col("n_ref") - col("tr")

@@ -537,7 +537,8 @@ object StreamingIvf {
     */
   def compactIndex(spark: SparkSession, indexDir: String, liveBatchId: Long,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      fullRefoldAt: Int = 16): (Int, Int, Int) = {
+      fullRefoldAt: Int = 16,
+      foldFilter: DataFrame => DataFrame = identity): (Int, Int, Int) = {
     // Codebook-aware duplicate resolution: a crash inside [[splitCell]]
     // (between the additive sub-cell write and the codebook publish, or a
     // replayed pre-split batch) leaves a vec_id under BOTH the retired
@@ -558,7 +559,45 @@ object StreamingIvf {
     PartitionedIndex.compact(spark, postingsDir(indexDir), liveBatchId,
       dedupKeys = Seq("vec_id"),
       targetFileBytes = targetFileBytes, fullRefoldAt = fullRefoldAt,
-      partitionCols = Seq("cell_id"), dedupOrder = order)
+      partitionCols = Seq("cell_id"), dedupOrder = order,
+      foldFilter = foldFilter)
+  }
+
+  /** RETRACTION-AWARE MAINTENANCE: erase and consolidate in ONE pass.
+    * [[compactIndex]]'s fold drops logically-retracted rows while it
+    * rewrites (the [[PartitionedIndex.compact]] foldFilter hook), so the
+    * folded mass never pays a second purge rewrite; [[purgeRetracted]]
+    * then sweeps only what the fold did not touch — typically just the
+    * live batch and any consolidated partition below the refold
+    * threshold. Compared to the purge-then-compact sequence (which
+    * rewrites every touched partition twice), the common maintenance
+    * pass is one rewrite of the folded mass plus a near-empty sweep.
+    *
+    * End state is IDENTICAL to purge-then-compact (spec-pinned): same
+    * probe results, zero retracted bytes on raw disk, vacuum-ready.
+    * Quiescent-point operation like both parts.
+    */
+  def compactAndPurge(spark: SparkSession, indexDir: String, liveBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fullRefoldAt: Int = 16): ((Int, Int, Int), (Int, Long)) = {
+    val filter: DataFrame => DataFrame = retractedIds(spark, indexDir) match {
+      case None => identity
+      case Some(r) => df => df.join(broadcast(r), Seq("vec_id"), "left_anti")
+    }
+    val folded = compactIndex(spark, indexDir, liveBatchId,
+      targetFileBytes, fullRefoldAt, foldFilter = filter)
+    val purged = purgeRetracted(spark, indexDir)
+    // a fold whose input was entirely retracted leaves a cell-less
+    // consolidated dir (only the publish's _SUCCESS) — sweep it so
+    // readers never plan a dataless partition
+    val (fs, pRoot) = PartitionedIndex.fsFor(spark, postingsDir(indexDir))
+    if (fs.exists(pRoot))
+      fs.listStatus(pRoot).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("__batch=") &&
+          !fs.listStatus(s.getPath).exists(st =>
+            st.isDirectory && st.getPath.getName.startsWith("cell_id=")))
+        .foreach(s => fs.delete(s.getPath, true))
+    (folded, purged)
   }
 
   /** Cells whose postings exceed `thresholdPpm` of the perfectly-balanced

@@ -116,6 +116,47 @@ object VectorErasureSoak {
       .collect().map(_.mkString("|")).toSet
     require(pruned == brute, "post-erasure lossless gate failed")
     println(s"[vec-erasure] post-erasure lossless gate (full nprobe == brute force): true")
+
+    // ------------------------------------------------------------------
+    // ONE-PASS MAINTENANCE vs the two-step sequence (r12): same index
+    // shape, same worst-case-locality retraction, then (A) purge-then-
+    // compact on one copy vs (B) compactAndPurge on another. End states
+    // must be probe-identical and raw-byte clean; the wall ratio is the
+    // measured value of folding erasure into the consolidation rewrite.
+    // ------------------------------------------------------------------
+    def freshIx(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"vec-maint-$tag").toString + "/ix"
+      (0 until 8).foreach { b =>
+        StreamingIvf.ingestBatch(
+          vecs(b * per, math.min((b + 1) * per, nVecs)), d, b.toLong,
+          trainOnFirstBatch = b == 0, k = 16)
+      }
+      StreamingIvf.retractVectors(spark, d,
+        spark.range(0, nRetract).select((col("id") * stride + 5).as("vec_id"))
+          .filter(col("vec_id") < nVecs), 0L)
+      d
+    }
+    val dirA = freshIx("twostep"); val dirB = freshIx("onepass")
+    val (_, twoStepWall) = time {
+      StreamingIvf.purgeRetracted(spark, dirA)
+      StreamingIvf.compactIndex(spark, dirA, liveBatchId = 8L, fullRefoldAt = 1)
+    }
+    val (_, onePassWall) = time(
+      StreamingIvf.compactAndPurge(spark, dirB, liveBatchId = 8L, fullRefoldAt = 1))
+    val pa = StreamingIvf.probe(spark, dirA, probes, nprobe = 16, topK = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(_.mkString("|")).toSet
+    val pb = StreamingIvf.probe(spark, dirB, probes, nprobe = 16, topK = 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .collect().map(_.mkString("|")).toSet
+    require(pa == pb && pa == brute, "one-pass maintenance end state diverged")
+    Seq(dirA, dirB).foreach { d =>
+      require(StreamingIvf.vacuumRetractions(spark, d, 0L) == 1,
+        s"vacuum blocked after maintenance on $d")
+    }
+    println(f"[vec-erasure] maintenance wall: purge-then-compact $twoStepWall%.1f s " +
+      f"vs compactAndPurge $onePassWall%.1f s " +
+      f"(${twoStepWall / onePassWall}%.2fx; end states probe-identical, vacuum lifts on both)")
     spark.stop()
   }
 }

@@ -253,6 +253,45 @@ class StreamingIvfRetractSpec extends AnyFunSuite with SparkTestKit {
       "vacuum must lift once nothing on disk carries the ids")
   }
 
+  test("compactAndPurge: one pass erases AND folds; end state equals purge-then-compact") {
+    // reference end state: the two-step sequence on index A
+    val (dirA, vecsA) = freshIndex()
+    val probesA = vecsA.filter(col("vec_id") < 4)
+    val victim = StreamingIvf.probe(spark, dirA, probesA, nprobe = 8)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getAs[Long]("neighbor_id")
+    StreamingIvf.retractVectors(spark, dirA, Seq(victim).toDF("vec_id"), 0L)
+    StreamingIvf.purgeRetracted(spark, dirA)
+    StreamingIvf.compactIndex(spark, dirA, liveBatchId = 2L, fullRefoldAt = 1)
+    val want = probeSet(StreamingIvf.probe(spark, dirA, probesA, nprobe = 8))
+
+    // one-pass maintenance on an identical index B
+    val (dirB, _) = freshIndex()
+    StreamingIvf.retractVectors(spark, dirB, Seq(victim).toDF("vec_id"), 0L)
+    val (folded, _) = StreamingIvf.compactAndPurge(spark, dirB,
+      liveBatchId = 2L, fullRefoldAt = 1)
+    assert(folded._1 == 2, s"fixture: both historical batches should fold, got $folded")
+
+    assert(probeSet(StreamingIvf.probe(spark, dirB, probesA, nprobe = 8)) == want,
+      "one-pass maintenance diverged from purge-then-compact")
+    assert(rawDiskRows(dirB, victim) == 0L,
+      "fold-filtered compaction left retracted bytes on raw disk")
+    // the folded mass was erased IN the fold: the consolidated partition
+    // never contained the victim, so the post-fold sweep had nothing to
+    // rewrite there — and vacuum lifts immediately
+    assert(StreamingIvf.vacuumRetractions(spark, dirB, horizon = 0L) == 1)
+
+    // composition with an ALL-retracted index: the emptied fold target is
+    // swept, nothing resurfaces, vacuum lifts
+    val (dirC, vecsC) = freshIndex()
+    val allIds = vecsC.select(col("vec_id"))
+    StreamingIvf.retractVectors(spark, dirC, allIds, 0L)
+    StreamingIvf.compactAndPurge(spark, dirC, liveBatchId = 2L, fullRefoldAt = 1)
+    vecsC.select(col("vec_id")).collect().map(_.getLong(0)).take(8).foreach(v =>
+      assert(rawDiskRows(dirC, v) == 0L, s"vec $v survived an all-retracted one-pass"))
+    assert(StreamingIvf.vacuumRetractions(spark, dirC, horizon = 0L) == 1)
+  }
+
   test("retraction replay never opens a no-set window; a divergent replay fails loud") {
     val (dir, vecs) = freshIndex()
     StreamingIvf.retractVectors(spark, dir, Seq(5L).toDF("vec_id"), 7L)
