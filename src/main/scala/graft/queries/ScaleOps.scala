@@ -406,47 +406,109 @@ object ScaleOps {
     * each column-pruned to what the estimate needs), one 8-row union —
     * no join anywhere.
     */
+  /** The shared per-table payload-byte model (z3/z4): 8 B per
+    * fixed-width cell, string lengths, 4·len per float array — the same
+    * expression rendered for both engines.
+    */
+  private val payloadModel: Seq[(String, String)] = Seq(
+    "region" -> "8 + length(r_name)",
+    "nation" -> "16 + length(n_name)",
+    "customer" -> "24 + length(c_name) + length(c_mktsegment)",
+    "supplier" -> "24 + length(s_name)",
+    "part" -> "24 + length(p_name) + length(p_brand) + length(p_type)",
+    "orders" -> "32 + length(o_orderstatus) + length(o_orderpriority)",
+    "lineitem" -> "56 + length(l_returnflag) + length(l_linestatus)",
+    "events" -> "32 + length(event_type) + length(props)",
+    "documents" -> "16 + length(text) + length(lang) + length(source)",
+    "embeddings" -> "12 + 4 * len(embedding)")
+
+  private def payloadSpark(s: SparkSession, dir: String)
+      : Seq[(String, DataFrame, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.Column
+    def L(c: String): Column = length(col(c)).cast("long")
+    Seq(
+      ("region", Tables.region(s, dir), lit(8L) + L("r_name")),
+      ("nation", Tables.nation(s, dir), lit(16L) + L("n_name")),
+      ("customer", Tables.customer(s, dir), lit(24L) + L("c_name") + L("c_mktsegment")),
+      ("supplier", Tables.supplier(s, dir), lit(24L) + L("s_name")),
+      ("part", Tables.part(s, dir), lit(24L) + L("p_name") + L("p_brand") + L("p_type")),
+      ("orders", Tables.orders(s, dir), lit(32L) + L("o_orderstatus") + L("o_orderpriority")),
+      ("lineitem", Tables.lineitem(s, dir), lit(56L) + L("l_returnflag") + L("l_linestatus")),
+      ("events", Tables.events(s, dir), lit(32L) + L("event_type") + L("props")),
+      ("documents", Tables.documents(s, dir), lit(16L) + L("text") + L("lang") + L("source")),
+      ("embeddings", Tables.embeddings(s, dir),
+        lit(12L) + size(col("embedding")).cast("long") * 4L))
+  }
+
   val broadcastAdvisor = Q("z3_broadcast_advisor", {
     def t(name: String, bytesExpr: String) =
       s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(coalesce(sum($bytesExpr), 0) AS BIGINT) AS est_bytes,
          |       coalesce(sum($bytesExpr), 0) <= $broadcastThresholdBytes AS broadcastable
          |FROM $name""".stripMargin
-    Seq(
-      t("region", "8 + length(r_name)"),
-      t("nation", "16 + length(n_name)"),
-      t("customer", "24 + length(c_name) + length(c_mktsegment)"),
-      t("supplier", "24 + length(s_name)"),
-      t("part", "24 + length(p_name) + length(p_brand) + length(p_type)"),
-      t("orders", "32 + length(o_orderstatus) + length(o_orderpriority)"),
-      t("lineitem", "56 + length(l_returnflag) + length(l_linestatus)"),
-      t("events", "32 + length(event_type) + length(props)"),
-      t("documents", "16 + length(text) + length(lang) + length(source)"),
-      t("embeddings", "12 + 4 * len(embedding)"))
+    payloadModel.map { case (n, e) => t(n, e) }
       .mkString("\n", "\nUNION ALL\n", "")
   }) { (s, dir) =>
-    def t(df: DataFrame, name: String, bytes: org.apache.spark.sql.Column) =
+    payloadSpark(s, dir).map { case (name, df, bytes) =>
       df.agg(count(lit(1)).as("n_rows"),
         coalesce(sum(bytes), lit(0L)).as("est_bytes"))
         .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
           (col("est_bytes") <= broadcastThresholdBytes).as("broadcastable"))
-    import org.apache.spark.sql.Column
-    def L(c: String): Column = length(col(c)).cast("long")
-    Seq(
-      t(Tables.region(s, dir), "region", lit(8L) + L("r_name")),
-      t(Tables.nation(s, dir), "nation", lit(16L) + L("n_name")),
-      t(Tables.customer(s, dir), "customer", lit(24L) + L("c_name") + L("c_mktsegment")),
-      t(Tables.supplier(s, dir), "supplier", lit(24L) + L("s_name")),
-      t(Tables.part(s, dir), "part", lit(24L) + L("p_name") + L("p_brand") + L("p_type")),
-      t(Tables.orders(s, dir), "orders", lit(32L) + L("o_orderstatus") + L("o_orderpriority")),
-      t(Tables.lineitem(s, dir), "lineitem", lit(56L) + L("l_returnflag") + L("l_linestatus")),
-      t(Tables.events(s, dir), "events", lit(32L) + L("event_type") + L("props")),
-      t(Tables.documents(s, dir), "documents", lit(16L) + L("text") + L("lang") + L("source")),
-      t(Tables.embeddings(s, dir), "embeddings",
-        lit(12L) + size(col("embedding")).cast("long") * 4L))
-      .reduce(_ unionByName _)
+    }.reduce(_ unionByName _)
+  }
+
+  // ----------------------------------------------------------------- z4
+
+  /** Spark's default `spark.sql.files.maxPartitionBytes`. */
+  val maxPartitionBytes = 128L * 1024 * 1024
+  /** Target post-shuffle partition payload — the classic 64 MiB
+    * operating point (small enough to fit comfortably in executor
+    * memory with room for hash tables, large enough to amortize task
+    * overhead); AQE's `advisoryPartitionSizeInBytes` default.
+    */
+  val targetShuffleBytes = 64L * 1024 * 1024
+
+  /** Z4: PARTITION-COUNT ADVISOR — the sizing pass next to z3's
+    * broadcast verdict: from the same payload-byte model, how many scan
+    * splits does each table's data justify (`est_bytes /
+    * maxPartitionBytes`, the split math Spark's FilePartition planner
+    * runs on FILE bytes — this is the decompressed-payload view, the
+    * honest input to "will a partition fit in memory"), and how many
+    * post-shuffle partitions should a full-table shuffle use at the
+    * 64 MiB operating point. The report is how a pipeline decides
+    * `spark.sql.shuffle.partitions` / AQE advisory size BEFORE a job
+    * ships — the prompt's "size your partitions so they fit in executor
+    * memory", made a first-class priced query instead of folklore.
+    * Ceilings are exact integer arithmetic (`(a + b − 1) div b`, never
+    * a float), `greatest(1, …)` so an empty or tiny table still plans
+    * one partition.
+    */
+  val partitionAdvisor = Q("z4_partition_advisor", {
+    def t(name: String, bytesExpr: String) =
+      s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(coalesce(sum($bytesExpr), 0) AS BIGINT) AS est_bytes,
+         |       CAST(greatest(1, (coalesce(sum($bytesExpr), 0) + $maxPartitionBytes - 1)
+         |            // $maxPartitionBytes) AS BIGINT) AS scan_partitions,
+         |       CAST(greatest(1, (coalesce(sum($bytesExpr), 0) + $targetShuffleBytes - 1)
+         |            // $targetShuffleBytes) AS BIGINT) AS shuffle_partitions
+         |FROM $name""".stripMargin
+    payloadModel.map { case (n, e) => t(n, e) }
+      .mkString("\n", "\nUNION ALL\n", "")
+  }) { (s, dir) =>
+    payloadSpark(s, dir).map { case (name, df, bytes) =>
+      df.agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(bytes), lit(0L)).as("est_bytes"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("est_bytes"),
+          greatest(lit(1L), expr(
+            s"(est_bytes + $maxPartitionBytes - 1) div $maxPartitionBytes"))
+            .as("scan_partitions"),
+          greatest(lit(1L), expr(
+            s"(est_bytes + $targetShuffleBytes - 1) div $targetShuffleBytes"))
+            .as("shuffle_partitions"))
+    }.reduce(_ unionByName _)
   }
 
   val queries: Seq[Q] = Seq(ppsSample, rangePlanner, skylineFrontier,
-    selfJoinPrice, joinPrice, plannedJoinRollup, broadcastAdvisor)
+    selfJoinPrice, joinPrice, plannedJoinRollup, broadcastAdvisor,
+    partitionAdvisor)
 }

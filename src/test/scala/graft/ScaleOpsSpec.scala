@@ -201,6 +201,28 @@ class ScaleOpsSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  // ----------------------------------------------------------------- z4
+
+  test("z4: exact ceilings off z3's byte model, floor of one partition, monotone in bytes") {
+    val z3 = ScaleOps.broadcastAdvisor.run(spark, sfDir).collect()
+      .map(r => r.getAs[String]("table_name") -> r.getAs[Long]("est_bytes")).toMap
+    val rows = ScaleOps.partitionAdvisor.run(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("table_name")).toSet == z3.keySet)
+    def ceilDiv(a: Long, b: Long) = math.max(1L, (a + b - 1) / b)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("est_bytes")
+      assert(b == z3(r.getAs[String]("table_name")),
+        s"z4 must share z3's byte model exactly: $r")
+      assert(r.getAs[Long]("scan_partitions") ==
+        ceilDiv(b, ScaleOps.maxPartitionBytes), r.toString)
+      assert(r.getAs[Long]("shuffle_partitions") ==
+        ceilDiv(b, ScaleOps.targetShuffleBytes), r.toString)
+      // the 64 MiB shuffle point never plans FEWER partitions than the
+      // 128 MiB scan split (ceil is monotone in 1/denominator)
+      assert(r.getAs[Long]("shuffle_partitions") >= r.getAs[Long]("scan_partitions"))
+    }
+  }
+
   // ---------------------------------------------------------------- d23
 
   test("d23: buckets cover the verified pair list; agreement grid is the signature's") {
