@@ -55,8 +55,13 @@ object IvfPq {
     val it = postingsMemo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val (es, ed, ek, efp) = e.getKey
-      if ((es eq spark) && ed == dir && ek == kIvf && efp != fp) {
+      // retire EVERY stale-fingerprint entry for this (session, dir) —
+      // not just the current kIvf's: a data-dir rewrite invalidates the
+      // postings built at any kIvf, and entries matched only on their own
+      // kIvf would otherwise stay persisted until clearPostings (r12
+      // ADVICE executor-storage leak)
+      val (es, ed, _, efp) = e.getKey
+      if ((es eq spark) && ed == dir && efp != fp) {
         e.getValue.unpersist()
         it.remove()
       }

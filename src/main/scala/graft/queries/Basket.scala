@@ -7,9 +7,9 @@ import graft.Tables
 /** MARKET-BASKET analysis — pairwise association rules (support /
   * confidence / lift) over order baskets, the classic cross-sell query a
   * commerce warehouse answers from the same lineitem fact the reference's
-  * marts aggregate (provenance: the reference's order-item grain,
-  * `models/silver/stg_joor_order_items.sql`-family, whose marts only ever
-  * roll up — co-occurrence is the completion).
+  * marts aggregate (provenance: the reference's order-item rollup grain,
+  * `silver_to_gold.py:504-509`, whose marts only ever roll up —
+  * co-occurrence is the completion).
   *
   * Shape and scale:
   *  - baskets = DISTINCT (order, part): one hash aggregate.

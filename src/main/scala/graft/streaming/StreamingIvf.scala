@@ -206,11 +206,20 @@ object StreamingIvf {
     val tmp = new Path(dir + ".tmp-" + java.util.UUID.randomUUID().toString)
     distinct.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(tmp, root)) {
-      // lost a concurrent race: the winner's set is committed — verify
-      // below-the-rename equality is the caller's concern only if ids
-      // differ, which the require above would catch on its replay path
+      // lost a concurrent race: the winner's set is committed. Verify it
+      // NOW with the same set-equality contract the replay path enforces
+      // — two concurrent calls carrying the same retractionId but
+      // DIFFERENT vec_id sets would otherwise silently drop the loser's
+      // set, caught only if that caller happened to replay later (r12
+      // ADVICE: the fail-loud contract must hold on both paths).
       fs.delete(tmp, true)
       require(fs.exists(root), s"retraction publish failed: $tmp -> $root")
+      val winner = spark.read.parquet(root.toString)
+        .select(col("vec_id").cast("long").as("vec_id"))
+      require(winner.exceptAll(distinct).isEmpty && distinct.exceptAll(winner).isEmpty,
+        s"retractionId $retractionId raced with a concurrent call carrying " +
+          s"a different vec_id set — the committed publish at $root does " +
+          "not cover this call's ids")
     }
     n
   }
