@@ -64,9 +64,20 @@ object Cm2 {
         dec2(sum(col("unit_cost"))).as("pc_d2"),
         dec2(sum(col("prod_com"))).as("pcm_d2"))
 
-    val joined = rolled.join(
-      broadcast(freightSide(freight, cfg)),
-      rolled("order_no") === col("order_reference"), "left")
+    // WIRED advisor site (flag `spark.graft.advisor.arm`): the hand plan
+    // keeps the explicit broadcast hint; armed, PlannedJoin prices the
+    // left join and executes its own verdict (at reference scale it
+    // agrees — broadcast_b; at a freight side past the threshold it
+    // would shuffle/salt instead of over-broadcasting, the "revisit the
+    // bound per actual dim size" note above made mechanical)
+    val fSide = freightSide(freight, cfg)
+    val joined = graft.operators.Advisor.join("cm2_joor_freight",
+      "broadcast_b", rolled,
+      fSide.withColumnRenamed("order_reference", "order_no"),
+      Seq("order_no"), "left") {
+      rolled.join(broadcast(fSide),
+        rolled("order_no") === col("order_reference"), "left")
+    }
 
     val trxD2 = when(isHilldun(cfg), dec2(lit(0.0)))
       .otherwise(dec2(col("net_d2") * dec4(lit(0.029))))
@@ -153,9 +164,15 @@ object Cm2 {
         dec2(sum(col("prod_com"))).as("pcm_d2"))
       .withColumn("currency", lit("SGD"))
 
-    val joined = rolled.join(
-      broadcast(freightSide(freight, cfg)),
-      rolled("order_no") === col("order_reference"), "left")
+    // same WIRED advisor site shape as the joor mart above
+    val fSide = freightSide(freight, cfg)
+    val joined = graft.operators.Advisor.join("cm2_tiktok_freight",
+      "broadcast_b", rolled,
+      fSide.withColumnRenamed("order_reference", "order_no"),
+      Seq("order_no"), "left") {
+      rolled.join(broadcast(fSide),
+        rolled("order_no") === col("order_reference"), "left")
+    }
 
     val fiD2 = dec2(col("qty") * lit(3.0))
     val foD2 = dec2(coalesce(col("cost"), lit(10.0)))

@@ -94,7 +94,13 @@ object Pipeline {
       "livestreaming_cm2" -> monthly(gold.tiktokCm2),
       "fact_freight" -> monthly(gold.factFreight)
     ).foreach { case (name, df) =>
-      df.write.mode("overwrite").partitionBy("month_key").parquet(s"$dir/$name")
+      // WIRED z4 site (flag `spark.graft.advisor.arm`): armed, each mart
+      // repartitions to the 64 MiB operating point on month_key before
+      // the write — the gold files are sized by the priced byte model
+      // instead of by whatever partitioning upstream shuffles left
+      graft.operators.Advisor.sizedForWrite(s"gold_write_$name", df,
+        Seq("month_key"))
+        .write.mode("overwrite").partitionBy("month_key").parquet(s"$dir/$name")
     }
     gold.dimDate.write.mode("overwrite").parquet(s"$dir/dim_date")
     gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")
@@ -137,7 +143,10 @@ object Pipeline {
       "livestreaming_cm2" -> monthly(gold.tiktokCm2),
       "fact_freight" -> monthly(gold.factFreight)
     ).foreach { case (name, df) =>
-      df.write
+      // same WIRED z4 sizing as writeWarehouse
+      graft.operators.Advisor.sizedForWrite(s"gold_write_$name", df,
+        Seq("month_key"))
+        .write
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .partitionBy("month_key")

@@ -105,6 +105,13 @@ object PlannedJoin {
       .reduceOption(_ + _).getOrElse(lit(0L))
   }
 
+  /** The z3 payload estimate of one frame, collected — the byte input to
+    * z4-style partition sizing ([[Advisor.sizedForWrite]]) and to the
+    * broadcast verdicts here.
+    */
+  def estimateBytes(df: DataFrame): Long =
+    df.agg(coalesce(sum(rowBytes(df)), lit(0L)).as("bytes")).head().getLong(0)
+
   /** Run the pricer: j14's degree-profile arithmetic plus the z3 payload
     * estimate, exact and collected. DECIMAL(38,0) accumulation (a hot
     * key's cA·cB alone can pass 2^63 at 100 TB). Empty sides price to

@@ -359,11 +359,20 @@ object Warehouse2 {
       Exact.dec2($"p_retailprice")
         .multiply(lit(BigDecimal("0.6")).cast(org.apache.spark.sql.types.DecimalType(2, 1)))
         .multiply($"l_quantity".cast(org.apache.spark.sql.types.DecimalType(4, 0)))
-    Tables.lineitem(s, dir)
+    val factP = Tables.lineitem(s, dir)
       .select($"l_orderkey", $"l_suppkey", $"l_partkey",
         $"l_extendedprice", $"l_discount", $"l_quantity")
       .join(broadcast(p), $"l_partkey" === $"p_partkey")
-      .join(o, $"l_orderkey" === $"o_orderkey")
+    // the heavy fact⋈orders join is a WIRED advisor site: disarmed
+    // (default) the hand plan defers to Spark's own stats; armed
+    // (spark.graft.advisor.arm) PlannedJoin prices and executes its
+    // verdict — agreement spec-pinned on the real tables (AdvisorSpec)
+    val factO = graft.operators.Advisor.join("q9_lineitem_orders", "auto",
+      factP, o.withColumnRenamed("o_orderkey", "l_orderkey"),
+      Seq("l_orderkey")) {
+      factP.join(o, $"l_orderkey" === $"o_orderkey")
+    }
+    factO
       .join(broadcast(supNation), $"l_suppkey" === $"s_suppkey")
       .groupBy($"n_name".as("nation"), $"o_year")
       .agg(Exact.cents(sum(profit)).as("profit"))

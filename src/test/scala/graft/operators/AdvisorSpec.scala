@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestKit
+import graft.domain.{DataGen, DomainConfig, GenSpec, Pipeline}
+
+/** The WIRED advisor sites (VERDICT r12 next #1). Contracts:
+  *  - disarmed (the default) is a true no-op: hand plans run unchanged
+  *    and the ledger stays empty — bench and the gated registry never
+  *    pay the pricing toll;
+  *  - armed, each wired site executes the advisor's verdict and the
+  *    RESULT is identical to the hand plan's (the property that makes
+  *    arming safe);
+  *  - on the REAL tables the advisor AGREES with the hand-picked
+  *    strategy (q9's fact⋈orders: Spark's own stats broadcast the
+  *    orders side, and so does the advisor; cm2's freight join: the
+  *    hand plan hints broadcast, the advisor prices broadcast_b) — any
+  *    future disagreement fails here and becomes a NOTES finding;
+  *  - the wired gold write sizes partitions by z4's arithmetic.
+  */
+class AdvisorSpec extends AnyFunSuite with SparkTestKit {
+
+  private def armed[T](body: => T): T = {
+    spark.conf.set(Advisor.armFlag, "true")
+    try body finally {
+      spark.conf.set(Advisor.armFlag, "false")
+      Advisor.clear(spark)
+    }
+  }
+
+  private def multiset(df: DataFrame): Map[String, Int] =
+    df.collect().map(_.mkString("|")).groupBy(identity).view.mapValues(_.length).toMap
+
+  test("disarmed is the default and records nothing") {
+    Advisor.clear(spark)
+    val disarmedQ9 = graft.queries.Warehouse2.q9Profit.run(spark, sfDir)
+    disarmedQ9.collect()
+    assert(Advisor.decisions(spark).isEmpty)
+  }
+
+  test("q9 armed: advisor broadcasts the orders side, agreeing with Spark's own plan; result identical") {
+    Advisor.clear(spark)
+    val hand = graft.queries.Warehouse2.q9Profit.run(spark, sfDir)
+    val handRows = multiset(hand)
+    // the hand plan defers to Spark's stats — which broadcast EVERY join
+    // side at this scale, the orders side included (no shuffle join
+    // anywhere in the executed plan): the strategy the advisor must agree
+    // with
+    val plan = hand.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+    val (armedRows, decisions) = armed {
+      val df = graft.queries.Warehouse2.q9Profit.run(spark, sfDir)
+      (multiset(df), Advisor.decisions(spark))
+    }
+    assert(armedRows == handRows)
+    val d = decisions.find(_.site == "q9_lineitem_orders").get
+    assert(d.chosen == "broadcast_b" && d.agreed, s"advisor disagreed: $d")
+  }
+
+  test("cm2 freight joins armed: advisor prices broadcast_b, agreeing with the hand hint; marts identical") {
+    Advisor.clear(spark)
+    val cfg = DomainConfig(dedupeFreight = true)
+    val spec = GenSpec(joor = 60, shopify = 80, tiktok = 70, freight = 60)
+    def marts(): (Map[String, Int], Map[String, Int]) = {
+      val (_, gold, _) = Pipeline.runInMemory(spark, spec, cfg)
+      (multiset(gold.joorCm2), multiset(gold.tiktokCm2))
+    }
+    val (handJoor, handTiktok) = marts()
+    val ((armedJoor, armedTiktok), decisions) = armed {
+      (marts(), Advisor.decisions(spark))
+    }
+    assert(armedJoor == handJoor && armedTiktok == handTiktok)
+    for (site <- Seq("cm2_joor_freight", "cm2_tiktok_freight")) {
+      val d = decisions.find(_.site == site).get
+      assert(d.chosen == "broadcast_b" && d.agreed,
+        s"advisor disagreed with the hand broadcast hint at $site: $d")
+    }
+  }
+
+  test("gold write armed: z4 sizing applied, contents unchanged") {
+    Advisor.clear(spark)
+    val cfg = DomainConfig()
+    val spec = GenSpec(joor = 40, shopify = 60, tiktok = 50, freight = 40)
+    val (_, gold, _) = Pipeline.runInMemory(spark, spec, cfg)
+    val base = java.nio.file.Files.createTempDirectory("advisor_gold").toString
+    Pipeline.writeWarehouse(gold, s"$base/hand")
+    val decisions = armed {
+      Pipeline.writeWarehouse(gold, s"$base/armed")
+      Advisor.decisions(spark)
+    }
+    // every mart write recorded a z4 verdict with the exact arithmetic
+    val writes = decisions.filter(_.site.startsWith("gold_write_"))
+    assert(writes.size == 7, s"got ${writes.map(_.site)}")
+    writes.foreach { d =>
+      val t = graft.queries.ScaleOps.targetShuffleBytes
+      val expected = math.max(1L, (d.bytesA + t - 1) / t)
+      assert(d.chosen == s"write_partitions_$expected", s"$d")
+    }
+    // contents byte-identical per table
+    for (t <- Seq("wholesale_cm2", "shopify_cm2", "livestreaming_cm2",
+        "fact_freight", "wholesale_cm1")) {
+      val a = multiset(spark.read.parquet(s"$base/hand/$t"))
+      val b = multiset(spark.read.parquet(s"$base/armed/$t"))
+      assert(a == b, s"table $t diverged under armed write sizing")
+    }
+  }
+
+  test("an armed wired site surfaces the advisor's refusal (cap) instead of running blind") {
+    import spark.implicits._
+    Advisor.clear(spark)
+    // 20k² = 4×10⁸ priced output rows — past the 3×10⁸ DecadeSoak cap
+    val hot = (0 until 20000).map(_ => (1, "x")).toDF("k", "v")
+    val err = intercept[IllegalStateException] {
+      armed {
+        Advisor.join("spec_hot_site", "auto", hot,
+          hot.toDF("k", "w"), Seq("k")) { fail("hand plan must not run when armed") }
+          .count()
+      }
+    }
+    assert(err.getMessage.contains("refusing to run"))
+  }
+}
