@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -32,7 +31,7 @@ object IvfPqResidual {
 
   final case class RPq(
       codebook: IndexedSeq[IndexedSeq[IndexedSeq[Long]]],
-      encoded: DataFrame) // vec_id, codes[m]
+      postings: DataFrame) // cell_id, vec_id, codes[m] — the inverted lists
 
   /** Shifted integer residual of a quantized vector vs its cell centroid. */
   private def residual(q: Column, cq: Column): Column =
@@ -59,10 +58,15 @@ object IvfPqResidual {
     val codebook = IndexedSeq.tabulate(PqIndex.m) { j =>
       PqIndex.lloyd(sample.map(v => v.slice(j * dsub, (j + 1) * dsub)))
     }
-    // native fused-loop encode — see PqIndex.build / functions.PqEncode
+    // native fused-loop encode — see PqIndex.build / functions.PqEncode.
+    // cell_id rides along from the residual corpus, so the persisted
+    // frame IS the FAISS inverted-list layout (cell_id, vec_id, codes):
+    // unlike the global-codebook variant there is no assigned⋈encoded
+    // join to materialize — the residual encode is per-cell by
+    // construction (the r12 e10 ask, same class as e9's postingsFor).
     graft.functions.PqEncode.register(spark)
     val codes = call_function("pq_encode", col("q"), typedlit(codebook))
-    RPq(codebook, rv.select(col("vec_id"), codes.as("codes")))
+    RPq(codebook, rv.select(col("cell_id"), col("vec_id"), codes.as("codes")))
   }
 
   private val memo =
@@ -76,13 +80,13 @@ object IvfPqResidual {
       val e = it.next()
       val (es, ed, efp, _) = e.getKey
       if ((es eq spark) && ed == dir && efp != fp) {
-        e.getValue.encoded.unpersist()
+        e.getValue.postings.unpersist()
         it.remove()
       }
     }
     memo.computeIfAbsent((spark, dir, fp, kIvf), { _ =>
       val r = buildResidual(spark, IvfIndex.indexQFor(spark, dir, kIvf))
-      r.copy(encoded = r.encoded.persist())
+      r.copy(postings = r.postings.persist())
     })
   }
 
@@ -90,7 +94,7 @@ object IvfPqResidual {
     val it = memo.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      if (e.getKey._1 eq spark) { e.getValue.encoded.unpersist(); it.remove() }
+      if (e.getKey._1 eq spark) { e.getValue.postings.unpersist(); it.remove() }
     }
   }
 
@@ -120,16 +124,21 @@ object IvfPqResidual {
       .select(col("query_id"), col("cell_id"), col("q_emb"),
         call_function("pq_adc_table", col("rq"), cb).as("dt"))
 
-    val members = ivf.assigned.select(col("vec_id"), col("cell_id"))
-      .join(rpq.encoded, Seq("vec_id"))
-    val shortlisted = pdt
-      .join(members, Seq("cell_id"))
+    // candidates = the probe's cells read straight from the persisted
+    // inverted lists (cell_id, vec_id, codes) — e9's plan shape: the
+    // corpus side is ONE in-memory scan, the per-(probe,cell) ADC tables
+    // broadcast against it, and both top-k cuts run on the bounded-heap
+    // TopKPerGroup instead of window sorts, so the only exchanges left
+    // move ≤ k rows per probe (the r12 #4 ask — the former
+    // assigned⋈encoded SortMergeJoin per evaluation is gone)
+    val adcCand = rpq.postings
+      .join(broadcast(pdt), Seq("cell_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("q_emb"), col("vec_id").as("neighbor_id"),
         PqIndex.adcDistance(col("dt"), col("codes")).as("approx_d2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("neighbor_id"))))
-      .filter(col("rnk") <= shortlist)
+    val shortlisted = graft.plans.TopKPerGroup.topK(adcCand,
+      groupCols = Seq("query_id"),
+      orderBy = Seq(("approx_d2", true), ("neighbor_id", true)), k = shortlist)
 
     val raw = Tables.embeddings(spark, dir)
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
@@ -138,15 +147,16 @@ object IvfPqResidual {
       call_function("vec_dot", col("q_emb"), col("q_emb")) -
         lit(2.0) * call_function("vec_dot", col("q_emb"), col("embedding")) +
         call_function("vec_dot", col("embedding"), col("embedding"))
-    shortlisted
-      .select(col("query_id"), col("q_emb"), col("neighbor_id"))
-      .join(raw, Seq("neighbor_id"))
+    val reranked = raw
+      .join(broadcast(shortlisted.select(col("query_id"), col("q_emb"),
+        col("neighbor_id"))), Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
         exactD2.as("exact_d2"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("exact_d2"), col("neighbor_id"))))
-      .filter(col("rnk") === 1)
-      .drop("rnk")
+    graft.plans.TopKPerGroup.topK(reranked,
+      groupCols = Seq("query_id"),
+      orderBy = Seq(("exact_d2", true), ("neighbor_id", true)), k = 1)
+      .select(col("query_id"), col("neighbor_id"), col("neighbor_label"),
+        col("exact_d2"))
   }
 
   /** The full residual pipeline in DuckDB: shared IVF Lloyd CTEs → shifted
