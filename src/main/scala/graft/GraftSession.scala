@@ -335,13 +335,17 @@ final class GraftSession private (val spark: SparkSession, val dataDir: String) 
   /** ONE maintenance pass over a streaming-IVF index: consolidate the
     * per-batch partitions AND physically erase retracted vectors in the
     * same rewrite (the fold drops them in flight; a near-empty sweep
-    * covers what the fold didn't touch). End state identical to
-    * purge-then-compact at roughly half the rewrite cost — see
-    * [[streaming.StreamingIvf.compactAndPurge]].
+    * covers what the fold didn't touch — end state identical to
+    * purge-then-compact at roughly half the rewrite cost), then, when
+    * `splitHotAbovePpm` > 0, split any cell the load audit flags — the
+    * full cadence the streaming sinks run at their drain boundaries.
+    * See [[streaming.StreamingIvf.maintenanceTick]].
     */
-  def maintainVectorIndex(indexDir: String, liveBatchId: Long)
-      : ((Int, Int, Int), (Int, Long)) =
-    streaming.StreamingIvf.compactAndPurge(spark, indexDir, liveBatchId)
+  def maintainVectorIndex(indexDir: String, liveBatchId: Long,
+      splitHotAbovePpm: Long = 0L)
+      : ((Int, Int, Int), (Int, Long), Seq[Int]) =
+    streaming.StreamingIvf.maintenanceTick(spark, indexDir, liveBatchId,
+      splitHotAbovePpm = splitHotAbovePpm)
 
   /** Maintain a live per-source PPS sample (t38's sequential-Poisson
     * scheme) over a `(doc_id, text, source)` doc stream — the maintained

@@ -276,15 +276,27 @@ object StreamingIntake {
 
   /** Streaming sink for the split-labeled full intake: three screens +
     * quota + release + split labels, one foreachBatch, one verdict table
-    * (per-`__batch` dynamic-overwrite partitions), compacting the
-    * embedding index every `compactEvery` batches.
+    * (per-`__batch` dynamic-overwrite partitions), running the composed
+    * embedding-index maintenance tick ([[StreamingIvf.maintenanceTick]]:
+    * consolidation + physical erasure of landed retractions + the
+    * optional auto-split policy) every `compactEvery` batches.
+    *
+    * Maintenance-vs-verdict contract: at `nprobe = k` (the lossless
+    * probe setting) arming the tick is verdict-invisible — purge only
+    * removes rows every screen already anti-joined away, and a split
+    * only refines WHICH cells candidates sit in, which full probing
+    * ignores. At smaller `nprobe` a split is a recall-shaping event
+    * (candidates follow the refined cells), never a precision one
+    * (every flagged cosine stays exact) — the same trade the index's
+    * ad-hoc probes make.
     */
   def sinkFullIvfSplit(docs: DataFrame, indexDir: String, embIndexDir: String,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
       releaseDir: String, labelDir: String, verdictDir: String,
       checkpointDir: String, k: Int = 16, tau: Double = 0.40, nprobe: Int = 2,
       compactEvery: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.AvailableNow(),
+      splitHotAbovePpm: Long = 0L): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -293,7 +305,8 @@ object StreamingIntake {
             k, tau, nprobe)
           verdictWriter(verdictDir)(verdicts, batchId)
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            StreamingIvf.compactIndex(batch.sparkSession, embIndexDir, batchId)
+            StreamingIvf.maintenanceTick(batch.sparkSession, embIndexDir,
+              batchId, splitHotAbovePpm = splitHotAbovePpm)
             ()
           }
         }
@@ -326,7 +339,8 @@ object StreamingIntake {
       compactEvery: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
       cusumDirs: Option[(String, String)] = None,
-      sampleDir: Option[String] = None): DataStreamWriter[Row] =
+      sampleDir: Option[String] = None,
+      splitHotAbovePpm: Long = 0L): DataStreamWriter[Row] =
     monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
       releaseDir, labelDir, verdictDir,
       // frozen-reference drift scoring, with the non-null-values guard of
@@ -347,7 +361,7 @@ object StreamingIntake {
         },
       kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
       profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger,
-      cusumDirs, sampleDir)
+      cusumDirs, sampleDir, splitHotAbovePpm)
 
   /** [[sinkFullIvfSplitMonitored]] with the RE-FREEZING drift reference
     * ([[StreamingDrift.processBatchRefreshing]]): each batch scores
@@ -368,7 +382,8 @@ object StreamingIntake {
       compactEvery: Int = 8,
       trigger: Trigger = Trigger.AvailableNow(),
       cusumDirs: Option[(String, String)] = None,
-      sampleDir: Option[String] = None): DataStreamWriter[Row] =
+      sampleDir: Option[String] = None,
+      splitHotAbovePpm: Long = 0L): DataStreamWriter[Row] =
     monitoredSink(docs, indexDir, embIndexDir, screen, quotaDf, ledgerDir,
       releaseDir, labelDir, verdictDir,
       scoreDrift = (lens, batchId) =>
@@ -377,7 +392,7 @@ object StreamingIntake {
           driftThreshold),
       kpiLedgerDir, kpiVerdictDir, profileStatsDir, profileBitmapDir,
       profileDomain, checkpointDir, k, tau, nprobe, compactEvery, trigger,
-      cusumDirs, sampleDir)
+      cusumDirs, sampleDir, splitHotAbovePpm)
 
   /** The shared monitored-intake body — drift scoring is the one policy
     * choice, injected by the two public variants above.
@@ -391,7 +406,8 @@ object StreamingIntake {
       checkpointDir: String, k: Int, tau: Double, nprobe: Int,
       compactEvery: Int, trigger: Trigger,
       cusumDirs: Option[(String, String)],
-      sampleDir: Option[String]): DataStreamWriter[Row] =
+      sampleDir: Option[String],
+      splitHotAbovePpm: Long): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -438,7 +454,12 @@ object StreamingIntake {
                 .mode("overwrite").partitionBy("__batch").parquet(dir)
           }
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            StreamingIvf.compactIndex(spark, embIndexDir, batchId)
+            // the COMPOSED tick: consolidation + physical erasure of any
+            // retractions landed since the last cadence + (when armed)
+            // the hot-cell auto-split — admission and index maintenance
+            // are the SAME job, like admission and observability above
+            StreamingIvf.maintenanceTick(spark, embIndexDir, batchId,
+              splitHotAbovePpm = splitHotAbovePpm)
             ()
           }
         }
@@ -466,15 +487,18 @@ object StreamingIntake {
       .trigger(trigger)
       .outputMode("append")
 
-  /** Streaming sink for the IVF-indexed full intake, compacting the
-    * embedding index every `compactEvery` batches (the [[StreamingIvf]]
-    * maintenance fold — safe concurrently with probes).
+  /** Streaming sink for the IVF-indexed full intake, running the composed
+    * embedding-index maintenance tick every `compactEvery` batches
+    * ([[StreamingIvf.maintenanceTick]] — consolidation + physical erasure
+    * of landed retractions + optional auto-split; safe concurrently with
+    * probes).
     */
   def sinkFullIvf(docs: DataFrame, indexDir: String, embIndexDir: String,
       screen: StreamingDecontam.Screen, quotaDf: DataFrame, ledgerDir: String,
       releaseDir: String, verdictDir: String, checkpointDir: String,
       k: Int = 16, tau: Double = 0.40, nprobe: Int = 2, compactEvery: Int = 8,
-      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+      trigger: Trigger = Trigger.AvailableNow(),
+      splitHotAbovePpm: Long = 0L): DataStreamWriter[Row] =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -483,7 +507,8 @@ object StreamingIntake {
           try verdictWriter(verdictDir)(verdicts, batchId)
           finally verdicts.unpersist()
           if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-            StreamingIvf.compactIndex(batch.sparkSession, embIndexDir, batchId)
+            StreamingIvf.maintenanceTick(batch.sparkSession, embIndexDir,
+              batchId, splitHotAbovePpm = splitHotAbovePpm)
             ()
           }
         }

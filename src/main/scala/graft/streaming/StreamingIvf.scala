@@ -609,6 +609,43 @@ object StreamingIvf {
     (folded, purged)
   }
 
+  /** THE COMPOSED MAINTENANCE TICK — everything a long-running index
+    * owes its operators, in the one order that is safe and cheap:
+    *
+    *  1. [[compactAndPurge]] — consolidate historical batch partitions
+    *     AND physically erase retracted vectors in the same rewrite
+    *     (one fold instead of purge-then-compact's two);
+    *  2. auto-split (`splitHotAbovePpm` > 0) — [[hotCells]] over the
+    *     now-purged postings nominates cells past the load threshold and
+    *     [[splitCell]] refines each. Splitting AFTER the purge is
+    *     deliberate: the load signal never counts retracted mass, and
+    *     the split never rewrites bytes the purge was about to drop.
+    *
+    * Crash-safe at every boundary: a replayed tick re-runs
+    * compactAndPurge (fold of already-folded partitions is a no-op;
+    * purge of already-purged ids finds no hits), and a tick replayed
+    * over a crashed split heals through splitCell's own roll-forward —
+    * with the mid-split-orphan case swept first by the fold's
+    * codebook-aware dedup, so hotCells never re-nominates a retired id.
+    * Quiescent-point operation like its parts; the streaming sinks run
+    * it exactly at their drain boundaries.
+    *
+    * Returns (fold stats, purge stats, new cell ids from splits).
+    */
+  def maintenanceTick(spark: SparkSession, indexDir: String, liveBatchId: Long,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      fullRefoldAt: Int = 16,
+      splitHotAbovePpm: Long = 0L): ((Int, Int, Int), (Int, Long), Seq[Int]) = {
+    val (folded, purged) = compactAndPurge(spark, indexDir, liveBatchId,
+      targetFileBytes, fullRefoldAt)
+    val newCells =
+      if (splitHotAbovePpm > 0L)
+        hotCells(spark, indexDir, splitHotAbovePpm)
+          .flatMap(c => splitCell(spark, indexDir, c))
+      else Seq.empty
+    (folded, purged, newCells)
+  }
+
   /** Cells whose postings exceed `thresholdPpm` of the perfectly-balanced
     * share (10⁶ = exactly N/k — the e33 `load_ppm` arithmetic): the
     * split-policy input. Probe latency at nprobe cells follows the
@@ -746,17 +783,20 @@ object StreamingIvf {
   }
 
   /** Streaming sink: maintain the index from a `(vec_id, embedding,
-    * label)` stream, compacting every `compactEvery` batches.
+    * label)` stream, running the composed [[maintenanceTick]] every
+    * `compactEvery` batches — consolidation AND physical erasure of any
+    * retractions landed since the last tick in one fold (when no
+    * retraction exists the tick degrades to the plain compaction).
     *
     * `splitHotAbovePpm` > 0 arms the AUTO-SPLIT policy: at every
-    * compaction boundary — a drain boundary, i.e. exactly the quiescent
+    * cadence boundary — a drain boundary, i.e. exactly the quiescent
     * point [[splitCell]]'s contract asks for — cells the load audit
     * flags above the threshold are split. Run per cadence, this is the
     * `hotCells → splitCell` maintenance LOOP the r11 rehearsal priced
     * (SCALE.md: one round only separates signal from stragglers; the
     * loop halves the hot mass geometrically), now driven by the sink
     * itself instead of an operator remembering to call it. A replayed
-    * compaction batch re-runs the policy: already-split cells are
+    * cadence batch re-runs the policy: already-split cells are
     * absent from the codebook and their dirs are gone, so hotCells
     * simply won't name them again (and a crash mid-split heals via
     * splitCell's own roll-forward).
@@ -769,10 +809,9 @@ object StreamingIvf {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, indexDir, batchId, trainOnFirstBatch, k)
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
-          compactIndex(batch.sparkSession, indexDir, batchId)
-          if (splitHotAbovePpm > 0L)
-            hotCells(batch.sparkSession, indexDir, splitHotAbovePpm)
-              .foreach(c => splitCell(batch.sparkSession, indexDir, c))
+          maintenanceTick(batch.sparkSession, indexDir, batchId,
+            splitHotAbovePpm = splitHotAbovePpm)
+          ()
         }
       }
       .option("checkpointLocation", checkpointDir)
