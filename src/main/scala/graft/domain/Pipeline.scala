@@ -97,10 +97,13 @@ object Pipeline {
       // WIRED z4 site (flag `spark.graft.advisor.arm`): armed, each mart
       // repartitions to the 64 MiB operating point on month_key before
       // the write — the gold files are sized by the priced byte model
-      // instead of by whatever partitioning upstream shuffles left
-      graft.operators.Advisor.sizedForWrite(s"gold_write_$name", df,
-        Seq("month_key"))
-        .write.mode("overwrite").partitionBy("month_key").parquet(s"$dir/$name")
+      // instead of by whatever partitioning upstream shuffles left.
+      // writeSized persists the mart across the estimate AND the write
+      // (the mart lineage must not be derived twice per armed write)
+      graft.operators.Advisor.writeSized(s"gold_write_$name", df,
+        Seq("month_key")) {
+        _.write.mode("overwrite").partitionBy("month_key").parquet(s"$dir/$name")
+      }
     }
     gold.dimDate.write.mode("overwrite").parquet(s"$dir/dim_date")
     gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")
@@ -143,14 +146,15 @@ object Pipeline {
       "livestreaming_cm2" -> monthly(gold.tiktokCm2),
       "fact_freight" -> monthly(gold.factFreight)
     ).foreach { case (name, df) =>
-      // same WIRED z4 sizing as writeWarehouse
-      graft.operators.Advisor.sizedForWrite(s"gold_write_$name", df,
-        Seq("month_key"))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .partitionBy("month_key")
-        .parquet(s"$dir/$name")
+      // same WIRED z4 sizing as writeWarehouse (shared persist discipline)
+      graft.operators.Advisor.writeSized(s"gold_write_$name", df,
+        Seq("month_key")) {
+        _.write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("month_key")
+          .parquet(s"$dir/$name")
+      }
     }
     gold.dimDate.write.mode("overwrite").parquet(s"$dir/dim_date")
     gold.dimChannels.write.mode("overwrite").parquet(s"$dir/dim_channels")

@@ -115,6 +115,10 @@ object Advisor {
     * when given (so a `partitionBy` write emits ≤ advised files per
     * table partition instead of one file per task per partition — the
     * small-files guard), else a plain round-robin repartition.
+    *
+    * NOTE: the armed estimate pass evaluates `df` once before the write
+    * evaluates it again — callers whose frame carries real lineage
+    * should use [[writeSized]], which persists across both.
     */
   def sizedForWrite(site: String, df: DataFrame,
       partitionCols: Seq[String] = Nil): DataFrame = {
@@ -128,6 +132,25 @@ object Advisor {
         bytesA = bytes, bytesB = 0L))
       if (partitionCols.nonEmpty) df.repartition(n, partitionCols.map(col): _*)
       else df.repartition(n)
+    }
+  }
+
+  /** [[sizedForWrite]] with the persist discipline a LINEAGE-CARRYING
+    * frame needs: armed, the frame is persisted so the z4 estimate pass
+    * and the write share one evaluation (the first wiring re-derived
+    * each gold mart TWICE per armed write — AdvisorProbe read the armed
+    * pipeline at 4× disarmed at sf0.1, almost all of it recomputation,
+    * not pricing); disarmed, the write runs on the raw frame untouched.
+    * The persist is scoped to the call — unpersisted before return.
+    */
+  def writeSized(site: String, df: DataFrame,
+      partitionCols: Seq[String] = Nil)(write: DataFrame => Unit): Unit = {
+    val spark = df.sparkSession
+    if (!armed(spark)) write(df)
+    else {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try write(sizedForWrite(site, cached, partitionCols))
+      finally { cached.unpersist(); () }
     }
   }
 }
