@@ -1001,6 +1001,31 @@ object Dedup {
     * clustered-roster join broadcasts because matched entities ≪ corpus
     * (e12's argument).
     */
+  /** Priced-before-run guard for the BLOCKED LINKAGE self-joins (d18/
+    * d19's shape) — the j10/d17 discipline applied where the r13 decade
+    * extension measured the exposure: blocking-key populations densify
+    * superlinearly on replayed/duplicated corpora (61,687 → 2.7 M
+    * candidate pairs under the 10× replicating generator, ~44× for 10×
+    * rows — SCALE.md). The guard is j13's arithmetic over the blocking
+    * key: exact Σ c·(c−1)/2 from the degree profile alone (one groupBy,
+    * DECIMAL(38,0) accumulation, no pair ever materialized), refusing
+    * past the shared DecadeSoak cap and naming the levers.
+    */
+  private[graft] def requireBlockedPairsUnderCap(blocked: DataFrame,
+      blkCol: String, site: String, cap: Long = ScaleOps.selfJoinCap): Unit = {
+    val pairs = blocked.groupBy(col(blkCol)).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1) div 2")),
+        lit(0).cast("decimal(38,0)")).as("p"))
+      .head().getDecimal(0)
+    require(pairs.compareTo(java.math.BigDecimal.valueOf(cap)) <= 0,
+      s"$site blocked self-join: projected candidate pairs $pairs exceed " +
+        s"the cap $cap — block populations densify superlinearly on " +
+        "replayed/duplicated corpora (SCALE.md r13 decade extension). " +
+        "Tighten the blocking key, cap block sizes (the d2 rare-shingle " +
+        "rule), or salt the block join (j7); price with " +
+        "j13_self_join_price over the blocking key first.")
+  }
+
   val goldenRecord = Q("d18_golden_record",
     s"""WITH RECURSIVE cblk AS (
        |  SELECT c_custkey, c_name,
@@ -1036,6 +1061,7 @@ object Dedup {
         $"c_custkey", $"c_name", $"c_mktsegment",
         (Exact.dec2($"c_acctbal") * 100).cast("long").as("cents"),
         expr("substr(c_name, 1, length(c_name) - 1)").as("blk"))
+      requireBlockedPairsUnderCap(cust, "blk", "d18_golden_record")
       val a = cust.select($"blk", $"c_custkey".as("doc_a"), $"c_name".as("name_a"))
       val b = cust.select($"blk".as("blk_b"), $"c_custkey".as("doc_b"), $"c_name".as("name_b"))
       val pairs = a.join(b, $"blk" === $"blk_b" && $"doc_a" < $"doc_b")
@@ -1137,6 +1163,7 @@ object Dedup {
         expr("substr(c_name, 1, length(c_name) - 1)").as("blk"),
         $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
         floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"))
+      requireBlockedPairsUnderCap(c, "blk", "d19_fellegi_sunter")
       val a = c.select($"blk", $"c_custkey".as("cust_a"), $"c_name".as("name_a"),
         $"nat".as("nat_a"), $"seg".as("seg_a"), $"band".as("band_a"))
       val b = c.select($"blk".as("blk_b"), $"c_custkey".as("cust_b"), $"c_name".as("name_b"),

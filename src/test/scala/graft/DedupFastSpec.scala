@@ -69,4 +69,22 @@ class DedupFastSpec extends AnyFunSuite with SparkTestKit {
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("blocked-linkage pricing guard: over-cap block populations refuse naming the levers") {
+    import spark.implicits._
+    // one degenerate block of 1,200 rows → 719,400 projected pairs
+    val dense = (0 until 1200).map(i => (i.toLong, "B0")).toDF("id", "blk")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireBlockedPairsUnderCap(dense, "blk", "spec_fixture", cap = 500000L)
+    }
+    assert(e.getMessage.contains("719400") &&
+      e.getMessage.contains("j13_self_join_price") &&
+      e.getMessage.contains("rare-shingle"),
+      s"refusal must carry the projection and name the levers: ${e.getMessage}")
+    // under the cap: no-op (and d18/d19 themselves stay green at gate SF
+    // with the guard wired — their runs below prove the pass-through)
+    Dedup.requireBlockedPairsUnderCap(dense, "blk", "spec_fixture", cap = 800000L)
+    assert(Dedup.goldenRecord.run(spark, sfDir).count() > 0)
+    assert(Dedup.fellegiSunter.run(spark, sfDir).count() > 0)
+  }
 }
