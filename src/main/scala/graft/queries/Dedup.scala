@@ -578,6 +578,8 @@ object Dedup {
       val c = Tables.customer(s, dir)
         .select($"c_custkey", $"c_name",
           expr("substr(c_name, 1, length(c_name) - 1)").as("blk"))
+      requireBlockedPairsUnderCap(c, "blk", "d7_fuzzy_match",
+        memo = Some((s, dir, "customer_blk_pairs")))
       val a = c.select($"blk", $"c_custkey".as("cust_a"), $"c_name".as("name_a"))
       val b = c.select($"blk".as("blk_b"), $"c_custkey".as("cust_b"), $"c_name".as("name_b"))
       a.join(b, $"blk" === $"blk_b" && $"cust_a" < $"cust_b")
@@ -1012,11 +1014,20 @@ object Dedup {
     * past the shared DecadeSoak cap and naming the levers.
     */
   private[graft] def requireBlockedPairsUnderCap(blocked: DataFrame,
-      blkCol: String, site: String, cap: Long = ScaleOps.selfJoinCap): Unit = {
-    val pairs = blocked.groupBy(col(blkCol)).agg(count(lit(1)).as("cnt"))
-      .agg(coalesce(sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1) div 2")),
-        lit(0).cast("decimal(38,0)")).as("p"))
-      .head().getDecimal(0)
+      blkCol: String, site: String, cap: Long = ScaleOps.selfJoinCap,
+      memo: Option[(org.apache.spark.sql.SparkSession, String, String)] = None): Unit = {
+    def compute: java.math.BigDecimal =
+      blocked.groupBy(col(blkCol)).agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1) div 2")),
+          lit(0).cast("decimal(38,0)")).as("p"))
+        .head().getDecimal(0)
+    // d7/d18/d19 price the SAME customer.blk profile — memoized per
+    // (session, dir) like every other shared intermediate, so the guard
+    // is one aggregate per session, not one per query per bench run
+    val pairs = memo match {
+      case Some((s, dir, key)) => Memo.cachedValue(s, dir, key)(compute)
+      case None => compute
+    }
     require(pairs.compareTo(java.math.BigDecimal.valueOf(cap)) <= 0,
       s"$site blocked self-join: projected candidate pairs $pairs exceed " +
         s"the cap $cap — block populations densify superlinearly on " +
@@ -1061,7 +1072,8 @@ object Dedup {
         $"c_custkey", $"c_name", $"c_mktsegment",
         (Exact.dec2($"c_acctbal") * 100).cast("long").as("cents"),
         expr("substr(c_name, 1, length(c_name) - 1)").as("blk"))
-      requireBlockedPairsUnderCap(cust, "blk", "d18_golden_record")
+      requireBlockedPairsUnderCap(cust, "blk", "d18_golden_record",
+        memo = Some((s, dir, "customer_blk_pairs")))
       val a = cust.select($"blk", $"c_custkey".as("doc_a"), $"c_name".as("name_a"))
       val b = cust.select($"blk".as("blk_b"), $"c_custkey".as("doc_b"), $"c_name".as("name_b"))
       val pairs = a.join(b, $"blk" === $"blk_b" && $"doc_a" < $"doc_b")
@@ -1163,7 +1175,8 @@ object Dedup {
         expr("substr(c_name, 1, length(c_name) - 1)").as("blk"),
         $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
         floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"))
-      requireBlockedPairsUnderCap(c, "blk", "d19_fellegi_sunter")
+      requireBlockedPairsUnderCap(c, "blk", "d19_fellegi_sunter",
+        memo = Some((s, dir, "customer_blk_pairs")))
       val a = c.select($"blk", $"c_custkey".as("cust_a"), $"c_name".as("name_a"),
         $"nat".as("nat_a"), $"seg".as("seg_a"), $"band".as("band_a"))
       val b = c.select($"blk".as("blk_b"), $"c_custkey".as("cust_b"), $"c_name".as("name_b"),

@@ -107,6 +107,40 @@ class AdvisorSpec extends AnyFunSuite with SparkTestKit {
     }
   }
 
+  test("a STALE broadcast hint at scale: the advisor out-picks it and records the disagreement") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Advisor.clear(spark)
+    // the dimension that outgrew its hint: ~15 MB payload (> the 10 MiB
+    // threshold), joined by a fact that is itself too big to broadcast
+    // (~24 MB) — the hand plan still hints broadcast_b from the days the
+    // dim was small; the advisor prices both sides and picks shuffle
+    val dim = spark.range(0, 30000).select($"id".as("k"),
+      concat(lit("x" * 496), $"id".cast("string")).as("payload"))
+    val fact = spark.range(0, 1500000).select(
+      pmod($"id", lit(30000L)).as("k"), $"id".as("v"))
+    def digest(df: DataFrame): (Long, java.math.BigDecimal) = {
+      // DECIMAL(38,0) accumulation: 1.5M int64 hashes summed overflow
+      // long under ANSI (the engine's own e34 discipline)
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64($"k", $"v", $"payload").cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    val hand = digest(fact.join(broadcast(dim), Seq("k")))
+    val (armedDigest, ds) = armed {
+      val df = Advisor.join("spec_stale_hint", "broadcast_b", fact, dim,
+        Seq("k"))(fail("hand plan must not run when armed"))
+      (digest(df), Advisor.decisions(spark))
+    }
+    assert(armedDigest == hand, "the out-picked plan must return the same multiset")
+    val d = ds.find(_.site == "spec_stale_hint").get
+    assert(d.chosen == "shuffle" && !d.agreed,
+      s"the advisor must override the stale hint and record the disagreement: $d")
+    assert(d.bytesB > PlannedJoin.broadcastThresholdBytes &&
+      d.bytesA > PlannedJoin.broadcastThresholdBytes,
+      s"fixture must be over-threshold on both sides: $d")
+  }
+
   test("an armed wired site surfaces the advisor's refusal (cap) instead of running blind") {
     import spark.implicits._
     Advisor.clear(spark)
