@@ -47,21 +47,37 @@ object Advisor {
       agreed: Boolean,
       outRows: BigInt, topKeyPpm: Long, bytesA: Long, bytesB: Long)
 
-  private val ledger =
-    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, Decision)]()
+  /** Most recent decisions kept per session — a long-lived armed
+    * pipeline records forever; the ledger is a diagnostic, not an audit
+    * log, so it keeps a bounded tail.
+    */
+  val ledgerCap = 4096
 
-  /** Verdicts recorded by this session's armed calls, in call order. */
-  def decisions(spark: SparkSession): Seq[Decision] = {
-    val out = Seq.newBuilder[Decision]
-    ledger.forEach { case (s, d) => if (s eq spark) out += d }
-    out.result()
+  // Weak keys: a stopped/abandoned SparkSession must not be pinned by
+  // its recorded verdicts (test suites and notebooks cycle sessions in
+  // one JVM). All access synchronized on the map.
+  private val ledger =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.ArrayBuffer[Decision]]()
+
+  /** Verdicts recorded by this session's armed calls, in call order
+    * (the most recent [[ledgerCap]] of them).
+    */
+  def decisions(spark: SparkSession): Seq[Decision] = ledger.synchronized {
+    Option(ledger.get(spark)).map(_.toSeq).getOrElse(Seq.empty)
   }
 
-  def clear(spark: SparkSession): Unit =
-    ledger.removeIf { case (s, _) => s eq spark }
+  def clear(spark: SparkSession): Unit = ledger.synchronized {
+    ledger.remove(spark); ()
+  }
 
   private def record(spark: SparkSession, d: Decision): Unit =
-    ledger.add((spark, d))
+    ledger.synchronized {
+      val buf = ledger.computeIfAbsent(spark,
+        _ => scala.collection.mutable.ArrayBuffer.empty[Decision])
+      buf += d
+      if (buf.size > ledgerCap) buf.remove(0, buf.size - ledgerCap)
+    }
 
   /** Strategy-family agreement: `broadcast_b` vs `broadcast_b` agree;
     * a hand plan that defers to Spark ("auto") agrees with broadcast and
@@ -91,10 +107,21 @@ object Advisor {
     val spark = a.sparkSession
     if (!armed(spark)) handPlan
     else {
-      val (joined, s, p) = PlannedJoin.join(a, b, keys, joinType)
-      record(spark, Decision(site, s.label, handPicked,
-        agrees(s, handPicked), p.outRows, p.topKeyPpm, p.bytesA, p.bytesB))
-      joined
+      // Persist both inputs for the PRICING phase: price() runs five
+      // separate scalar actions, and a lineage-carrying input would
+      // re-derive per action (the writeSized lesson on the join path).
+      // Unpersisted before return — the executed join re-derives its
+      // inputs ONCE, which is the disarmed cost; net armed toll is one
+      // extra evaluation (the cache fill) plus the pricing aggregates.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ca = a.persist(lvl)
+      val cb = b.persist(lvl)
+      try {
+        val (joined, s, p) = PlannedJoin.join(ca, cb, keys, joinType)
+        record(spark, Decision(site, s.label, handPicked,
+          agrees(s, handPicked), p.outRows, p.topKeyPpm, p.bytesA, p.bytesB))
+        joined
+      } finally { ca.unpersist(); cb.unpersist(); () }
     }
   }
 
@@ -102,36 +129,82 @@ object Advisor {
     * ⌈est_bytes / 64 MiB⌉ (≥ 1) over the same payload model z4 reports.
     */
   def advisedWritePartitions(df: DataFrame): Int =
-    partitionsForBytes(PlannedJoin.estimateBytes(df))
+    partitionsForBytes(PlannedJoin.estimateBytes(df),
+      graft.queries.ScaleOps.targetShuffleBytes)
 
-  private def partitionsForBytes(bytes: Long): Int = {
-    val t = graft.queries.ScaleOps.targetShuffleBytes
-    math.max(1L, (bytes + t - 1) / t).toInt
-  }
+  private def partitionsForBytes(bytes: Long, target: Long): Int =
+    math.max(1L, (bytes + target - 1) / target).toInt
 
   /** A wired write site: disarmed, the frame passes through (the
-    * writer's implicit sizing — whatever upstream shuffles left);
-    * armed, repartition to z4's advised count ON the partition columns
-    * when given (so a `partitionBy` write emits ≤ advised files per
-    * table partition instead of one file per task per partition — the
-    * small-files guard), else a plain round-robin repartition.
+    * writer's implicit sizing — whatever upstream shuffles left).
+    * Armed with `partitionCols`, each table partition gets its OWN
+    * bucket count ⌈partition_bytes / targetBytes⌉ and rows are salted
+    * into those buckets — hash-repartitioning on the partition columns
+    * alone would send every table partition to exactly ONE task (one
+    * file per partition no matter the advised count; a 10 GB month
+    * would write one 10 GB file), so the salt is what makes the 64 MiB
+    * operating point real. Armed without partitionCols: a plain
+    * repartition to the global advised count.
+    *
+    * The per-partition byte profile is ONE aggregate pass (grouped over
+    * the same z3 byte model as every other verdict) collected to the
+    * driver — bounded by the table-partition count (months), the same
+    * collect class as the pricers.
     *
     * NOTE: the armed estimate pass evaluates `df` once before the write
     * evaluates it again — callers whose frame carries real lineage
     * should use [[writeSized]], which persists across both.
     */
   def sizedForWrite(site: String, df: DataFrame,
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = graft.queries.ScaleOps.targetShuffleBytes): DataFrame = {
     val spark = df.sparkSession
     if (!armed(spark)) df
-    else {
+    else if (partitionCols.isEmpty) {
       val bytes = PlannedJoin.estimateBytes(df)
-      val n = partitionsForBytes(bytes)
+      val n = partitionsForBytes(bytes, targetBytes)
       record(spark, Decision(site, s"write_partitions_$n", "implicit",
         agreed = true, outRows = BigInt(0), topKeyPpm = 0L,
         bytesA = bytes, bytesB = 0L))
-      if (partitionCols.nonEmpty) df.repartition(n, partitionCols.map(col): _*)
-      else df.repartition(n)
+      df.repartition(n)
+    } else {
+      val pc = partitionCols.map(col)
+      val perPart = df.groupBy(pc: _*)
+        .agg(coalesce(sum(PlannedJoin.rowBytesCol(df)), lit(0L)).as("__gbytes"))
+        .withColumn("__gbuckets",
+          greatest(lit(1), expr(s"CAST((__gbytes + ${targetBytes - 1}) " +
+            s"div $targetBytes AS INT)")))
+      // bounded collect: one row per table partition (months)
+      val parts = perPart.collect()
+      val totalBytes = parts.map(_.getAs[Long]("__gbytes")).sum
+      val total = parts.map(_.getAs[Int]("__gbuckets").toLong).sum
+        .min(Int.MaxValue.toLong).toInt.max(1)
+      record(spark, Decision(site, s"write_partitions_$total", "implicit",
+        agreed = true, outRows = BigInt(0), topKeyPpm = 0L,
+        bytesA = totalBytes, bytesB = 0L))
+      // bucket map rebuilt from the COLLECTED rows (no second scan of
+      // df for unpersisted callers), broadcast back. Left join keeps
+      // rows whose partition value is null (they write to the default
+      // partition; bucket 1); salt spreads each table partition across
+      // its advised bucket count. Final select restores df's column
+      // order (a using-join moves the join columns first).
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val mapSchema = StructType(
+        partitionCols.map(n => df.schema(n)) :+
+          StructField("__gbuckets", IntegerType, nullable = false))
+      val mapRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(parts.map { r =>
+          org.apache.spark.sql.Row.fromSeq(
+            partitionCols.map(n => r.getAs[Any](n)) :+
+              r.getAs[Int]("__gbuckets"))
+        }: _*)
+      val bucketMap = broadcast(spark.createDataFrame(mapRows, mapSchema))
+      val allCols = df.columns.map(col)
+      df.join(bucketMap, partitionCols, "left")
+        .withColumn("__gsalt",
+          pmod(hash(allCols: _*), coalesce(col("__gbuckets"), lit(1))))
+        .repartition(total, (pc :+ col("__gsalt")): _*)
+        .select(allCols: _*)
     }
   }
 
@@ -144,12 +217,14 @@ object Advisor {
     * The persist is scoped to the call — unpersisted before return.
     */
   def writeSized(site: String, df: DataFrame,
-      partitionCols: Seq[String] = Nil)(write: DataFrame => Unit): Unit = {
+      partitionCols: Seq[String] = Nil,
+      targetBytes: Long = graft.queries.ScaleOps.targetShuffleBytes)(
+      write: DataFrame => Unit): Unit = {
     val spark = df.sparkSession
     if (!armed(spark)) write(df)
     else {
       val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try write(sizedForWrite(site, cached, partitionCols))
+      try write(sizedForWrite(site, cached, partitionCols, targetBytes))
       finally { cached.unpersist(); () }
     }
   }

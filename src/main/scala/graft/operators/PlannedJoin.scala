@@ -105,6 +105,13 @@ object PlannedJoin {
       .reduceOption(_ + _).getOrElse(lit(0L))
   }
 
+  /** The byte-model column for one row of `df` — exposed so callers
+    * that need GROUPED byte estimates (per-table-partition write sizing
+    * in [[Advisor.sizedForWrite]]) aggregate the same model this
+    * object's verdicts use.
+    */
+  private[graft] def rowBytesCol(df: DataFrame): Column = rowBytes(df)
+
   /** The z3 payload estimate of one frame, collected — the byte input to
     * z4-style partition sizing ([[Advisor.sizedForWrite]]) and to the
     * broadcast verdicts here.
@@ -134,8 +141,8 @@ object PlannedJoin {
       count(lit(1)).as("ndv")).head()
     val sb = db.agg(coalesce(sum(col("cb")), lit(0L)).as("n"),
       count(lit(1)).as("ndv")).head()
-    val ba = a.agg(coalesce(sum(rowBytes(a)), lit(0L)).as("bytes")).head().getLong(0)
-    val bb = b.agg(coalesce(sum(rowBytes(b)), lit(0L)).as("bytes")).head().getLong(0)
+    val ba = estimateBytes(a)
+    val bb = estimateBytes(b)
     val inner = if (m.isNullAt(1)) BigInt(0) else BigInt(m.getDecimal(1).toBigInteger)
     val mx = if (m.isNullAt(2)) BigInt(0) else BigInt(m.getDecimal(2).toBigInteger)
     val matchedA = if (m.isNullAt(3)) BigInt(0) else BigInt(m.getDecimal(3).toBigInteger)

@@ -1016,11 +1016,17 @@ object Dedup {
   private[graft] def requireBlockedPairsUnderCap(blocked: DataFrame,
       blkCol: String, site: String, cap: Long = ScaleOps.selfJoinCap,
       memo: Option[(org.apache.spark.sql.SparkSession, String, String)] = None): Unit = {
+    // Sum the DECIMAL products and halve DRIVER-side: `div` is Spark's
+    // IntegralDivide, which returns LONG — putting it inside the sum
+    // would collapse the accumulation to int64, exactly the overflow
+    // this guard exists to refuse on (each cnt·(cnt−1) is even, so the
+    // halving of the sum is exact).
     def compute: java.math.BigDecimal =
       blocked.groupBy(col(blkCol)).agg(count(lit(1)).as("cnt"))
-        .agg(coalesce(sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1) div 2")),
+        .agg(coalesce(sum(expr("CAST(cnt AS DECIMAL(38,0)) * (cnt - 1)")),
           lit(0).cast("decimal(38,0)")).as("p"))
         .head().getDecimal(0)
+        .divide(java.math.BigDecimal.valueOf(2))
     // d7/d18/d19 price the SAME customer.blk profile — memoized per
     // (session, dir) like every other shared intermediate, so the guard
     // is one aggregate per session, not one per query per bench run

@@ -144,7 +144,6 @@ object MaintenanceCadenceSoak {
       .filter(col("vec_id") % (nBatches.toLong * perBatch / 24) === 3)
     require(top1(armed, probes) == top1(twin, probes),
       "full-probe answers diverged between the armed cadence and batch maintenance")
-    (1 to nRetr).foreach { _ => () }
     require(StreamingIvf.vacuumRetractions(spark, armed, nRetr.toLong) == nRetr,
       "armed retraction horizon must vacuum after the cadence")
     require(StreamingIvf.vacuumRetractions(spark, twin, nRetr.toLong) == nRetr,

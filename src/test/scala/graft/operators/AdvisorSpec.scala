@@ -90,13 +90,32 @@ class AdvisorSpec extends AnyFunSuite with SparkTestKit {
       Pipeline.writeWarehouse(gold, s"$base/armed")
       Advisor.decisions(spark)
     }
-    // every mart write recorded a z4 verdict with the exact arithmetic
+    // every mart write recorded a z4 verdict with the exact PER-MONTH
+    // arithmetic: Σ over month_key of ⌈month_bytes / 64 MiB⌉ (a global
+    // ⌈total/64 MiB⌉ would undercount — partitioned writes size each
+    // table partition separately)
     val writes = decisions.filter(_.site.startsWith("gold_write_"))
     assert(writes.size == 7, s"got ${writes.map(_.site)}")
+    import org.apache.spark.sql.functions.{col, substring, sum}
+    def monthly(df: DataFrame) =
+      df.withColumn("month_key", substring(col("date_key"), 1, 6))
+    val frames = Map(
+      "wholesale_cm1" -> monthly(gold.joorCm1),
+      "wholesale_cm2" -> monthly(gold.joorCm2),
+      "shopify_cm1" -> monthly(gold.shopifyCm1),
+      "shopify_cm2" -> monthly(gold.shopifyCm2),
+      "livestreaming_cm1" -> monthly(gold.tiktokCm1),
+      "livestreaming_cm2" -> monthly(gold.tiktokCm2),
+      "fact_freight" -> monthly(gold.factFreight))
+    val t = graft.queries.ScaleOps.targetShuffleBytes
     writes.foreach { d =>
-      val t = graft.queries.ScaleOps.targetShuffleBytes
-      val expected = math.max(1L, (d.bytesA + t - 1) / t)
+      val f = frames(d.site.stripPrefix("gold_write_"))
+      val perMonth = f.groupBy(col("month_key"))
+        .agg(sum(PlannedJoin.rowBytesCol(f)).as("b"))
+        .collect().map(_.getAs[Long]("b"))
+      val expected = perMonth.map(b => math.max(1L, (b + t - 1) / t)).sum
       assert(d.chosen == s"write_partitions_$expected", s"$d")
+      assert(d.bytesA == perMonth.sum, s"$d")
     }
     // contents byte-identical per table
     for (t <- Seq("wholesale_cm2", "shopify_cm2", "livestreaming_cm2",
@@ -105,6 +124,51 @@ class AdvisorSpec extends AnyFunSuite with SparkTestKit {
       val b = multiset(spark.read.parquet(s"$base/armed/$t"))
       assert(a == b, s"table $t diverged under armed write sizing")
     }
+  }
+
+  test("armed partitioned write salts each table partition to its advised bucket count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Advisor.clear(spark)
+    // two months, each well past a 64 KB operating point at the byte
+    // model — the defect this pins: hash-repartitioning on month_key
+    // alone sent every month to ONE task (one file per month regardless
+    // of the advised count); the salt is what makes the operating point
+    // real
+    val target = 64L * 1024
+    val df = spark.range(0, 20000).select(
+      concat(lit("2024"), lpad((($"id" % 2) + 1).cast("string"), 2, "0"))
+        .as("month_key"),
+      $"id".as("k"),
+      concat(lit("p" * 20), $"id".cast("string")).as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("advisor_salt").toString
+    df.write.mode("overwrite").partitionBy("month_key").parquet(s"$base/hand")
+    armed {
+      Advisor.writeSized("spec_salted_write", df, Seq("month_key"), target) {
+        _.write.mode("overwrite").partitionBy("month_key").parquet(s"$base/armed")
+      }
+      val d = Advisor.decisions(spark).find(_.site == "spec_salted_write").get
+      val perMonth = df.groupBy($"month_key")
+        .agg(sum(PlannedJoin.rowBytesCol(df)).as("b"))
+        .collect().map(r => r.getString(0) ->
+          math.max(1L, (r.getAs[Long]("b") + target - 1) / target)).toMap
+      assert(perMonth.values.forall(_ >= 2),
+        s"fixture must advise multiple buckets per month: $perMonth")
+      assert(d.chosen == s"write_partitions_${perMonth.values.sum}", s"$d")
+      // each month directory holds MULTIPLE files, bounded by its
+      // advised bucket count (salt collisions can merge buckets into a
+      // shared task, never split them)
+      perMonth.foreach { case (m, buckets) =>
+        val files = new java.io.File(s"$base/armed/month_key=$m")
+          .listFiles().count(_.getName.endsWith(".parquet"))
+        assert(files > 1 && files <= buckets,
+          s"month $m wrote $files files for $buckets advised buckets")
+      }
+    }
+    // contents identical to the hand write
+    assert(multiset(spark.read.parquet(s"$base/armed")) ==
+      multiset(spark.read.parquet(s"$base/hand")),
+      "salted write changed the multiset")
   }
 
   test("a STALE broadcast hint at scale: the advisor out-picks it and records the disagreement") {
