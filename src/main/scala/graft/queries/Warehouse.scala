@@ -447,8 +447,19 @@ object Warehouse {
         .groupBy($"l_orderkey")
         .agg(sum(Exact.dec2($"l_quantity")).as("total_qty"))
         .filter($"total_qty" > lit(90).cast("decimal(18,2)"))
-      Tables.orders(s, dir)
-        .join(big, $"o_orderkey" === $"l_orderkey")
+      // the orders⋈rollup join is a WIRED advisor site (the second
+      // TPC-H one, beside q9's fact⋈orders): disarmed the hand plan
+      // defers to Spark's stats; armed PlannedJoin prices both sides —
+      // the rollup side is order-grained, so its payload tracks order
+      // count, and the broadcast verdict flips with scale exactly like
+      // q9's (AdvisorSpec pins agreement on the real tables)
+      val ordersBig = graft.operators.Advisor.join("q18_orders_bigrollup",
+        "auto", Tables.orders(s, dir),
+        big.withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey")) {
+        Tables.orders(s, dir).join(big, $"o_orderkey" === $"l_orderkey")
+      }
+      ordersBig
         .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
         .select($"c_name".as("cust_name"), $"o_orderkey".as("order_no"),
           unix_micros($"o_orderdate").as("orderdate_us"),

@@ -59,6 +59,18 @@ class AdvisorSpec extends AnyFunSuite with SparkTestKit {
     assert(d.chosen == "broadcast_b" && d.agreed, s"advisor disagreed: $d")
   }
 
+  test("q18 armed: the orders-rollup site prices within 'auto'; result identical") {
+    Advisor.clear(spark)
+    val hand = multiset(graft.queries.Warehouse.q18BigOrders.run(spark, sfDir))
+    val (armedRows, decisions) = armed {
+      val df = graft.queries.Warehouse.q18BigOrders.run(spark, sfDir)
+      (multiset(df), Advisor.decisions(spark))
+    }
+    assert(armedRows == hand)
+    val d = decisions.find(_.site == "q18_orders_bigrollup").get
+    assert(d.agreed, s"advisor disagreed with Spark's own plan at q18: $d")
+  }
+
   test("cm2 freight joins armed: advisor prices broadcast_b, agreeing with the hand hint; marts identical") {
     Advisor.clear(spark)
     val cfg = DomainConfig(dedupeFreight = true)
