@@ -178,4 +178,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Fan a narrow scan out to the session's parallelism before CPU-heavy
+    * per-row work (explodes, hashing, per-row vector math). The driver
+    * testdata writes each table as ONE parquet row group, so every scan
+    * is a single task regardless of core count and the whole map-side
+    * stage serializes on one core (r13 measured: d12's explode ran 3
+    * tasks end-to-end on local[32]). Guide §2.5 names the fix for
+    * unsplittable inputs: repartition immediately after the read. Sized
+    * from `defaultParallelism` — scale-adaptive, never a constant; on a
+    * production layout with many input splits the same call is a cheap
+    * rebalance of an already-parallel scan.
+    */
+  def spread(df: DataFrame): DataFrame =
+    // streaming micro-batches are already shuffled by their stateful ops;
+    // a per-batch repartition would only add latency there
+    if (df.isStreaming) df
+    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -76,6 +76,10 @@ object CorpusManifest {
     val h = rowHash(canonical(c.canonicalCols))
     // max over the TYPED watermark, cast to string after — a string max
     // over numeric keys would be lexicographic ("9" > "10")
+    // (r13: a spread() before the hash was tried here and REVERTED —
+    // measured mf1 0.10→0.36, mf2 0.80→1.24: at manifest-component sizes
+    // the repartition of full rows costs more than the single-task md5
+    // saves; the guide §1 re-measure loop caught it)
     c.df.select(h.as("h"), c.watermark.as("wm"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -48,8 +48,22 @@ object Basket {
       |       CAST(floor(pair_n * 1000000 / n_b) AS BIGINT) AS conf_ba_ppm,
       |       CAST(floor(pair_n * (SELECT n_baskets FROM tot) * 1000000 / (n_a * n_b)) AS BIGINT) AS lift_ppm
       |FROM pairs WHERE pair_n >= 2""".stripMargin) { (s, dir) =>
-    pairRules(baskets(s, dir), minSupport = 2)
+    sharedPairRules(s, dir)
   }
+
+  /** The mb1 rule table, session-memoized: mb2 consumes the SAME pair
+    * mill (its union reads it twice more), so the co-occurrence list is a
+    * shared derived table exactly like the d3 pair list — before the memo
+    * the mb2 plan re-derived the whole mill per union branch (r13 plan
+    * audit: 18 Exchanges, 10 lineitem scans across mb1+mb2; guide §2.4).
+    * The basket table is cached for the build's own four consumers
+    * (n_baskets, item counts, both self-join sides) — one lineitem scan
+    * and one distinct instead of four.
+    */
+  private[graft] def sharedPairRules(s: SparkSession, dir: String): DataFrame =
+    Memo.cached(s, dir, "mb_pair_rules") {
+      pairRules(baskets(s, dir).cache(), minSupport = 2)
+    }
 
   /** DISTINCT (order, part) baskets from the lineitem fact. */
   private[graft] def baskets(s: SparkSession, dir: String): DataFrame = {
@@ -125,7 +139,7 @@ object Basket {
       |SELECT part, rec_part, pair_n, cosine, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 3""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val pairs = pairRules(baskets(s, dir), minSupport = 2)
+    val pairs = sharedPairRules(s, dir)
       .select($"part_a", $"part_b", $"pair_n", $"n_a", $"n_b")
     val sym = pairs
       .select($"part_a".as("part"), $"part_b".as("rec_part"), $"pair_n", $"n_a", $"n_b")

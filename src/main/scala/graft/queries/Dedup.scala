@@ -440,7 +440,7 @@ object Dedup {
   }) {
     (s, dir) =>
       import s.implicits._
-      val wordRows = Tables.documents(s, dir)
+      val wordRows = Tables.spread(Tables.documents(s, dir).select($"doc_id", $"text"))
         .select($"doc_id", explode(split($"text", " ")).as("w"))
         .select(col("doc_id") +: (0 until 32).map { j =>
           val v = conv(substring(md5($"w"), j / 4 + 1, 1), 16, 10).cast("int")
@@ -461,18 +461,28 @@ object Dedup {
       // and the hamming verify runs only inside buckets. The DuckDB oracle
       // keeps the all-pairs formulation (exact by construction); blocking
       // changes the plan, not the result set.
-      val banded = fp
+      // fp cached (r13): it feeds BOTH sides of the banded self-join —
+      // without the cache the whole explode + 32-column bit-vote
+      // aggregate (the query's dominant compute) ran twice (guide §2.4)
+      val fpC = fp.cache()
+      val banded = fpC
         .select($"doc_id", $"fingerprint",
           posexplode(array(
             $"fingerprint".bitwiseAND(lit(65535L)),
             shiftright($"fingerprint", 16).bitwiseAND(lit(65535L)))))
         .toDF("doc_id", "fingerprint", "band_idx", "band_key")
+      // dedup-at-generation (r13): a pair agreeing on BOTH bands used to
+      // surface twice and be deduped by a full `distinct()` shuffle;
+      // emitting it only in the FIRST agreeing band (band 1 requires
+      // band-0 disagreement) makes each candidate unique by construction
+      // and drops the exchange (the j10 first-bucket idiom, guide §2.4)
       val cand = banded.toDF("doc_a", "fp_a", "band_idx", "band_key")
         .join(banded.toDF("doc_b", "fp_b", "band_idx", "band_key"),
           Seq("band_idx", "band_key"))
-        .filter($"doc_a" < $"doc_b")
+        .filter($"doc_a" < $"doc_b"
+          && ($"band_idx" === 0
+            || $"fp_a".bitwiseAND(lit(65535L)) =!= $"fp_b".bitwiseAND(lit(65535L))))
         .select($"doc_a", $"doc_b", $"fp_a", $"fp_b")
-        .distinct()
       cand
         .select($"doc_a", $"doc_b",
           bit_count($"fp_a".bitwiseXOR($"fp_b")).cast("long").as("hamming"))
@@ -758,15 +768,17 @@ object Dedup {
     val segs = transform(
       sequence(lit(0), ceil(size(words) / lit(spanW.toDouble)).cast("int") - 1),
       i => concat_ws(" ", slice(words, i * spanW + 1, lit(spanW))))
-    val byDocSpan = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id", $"span").orderBy($"i")
-    Tables.documents(s, dir)
-      .select($"doc_id", posexplode(segs).as(Seq("i", "span")))
-      .withColumn("rn", row_number().over(byDocSpan))
+    // occurrences-after-the-first per doc ≡ n_spans − n_distinct_spans:
+    // the r13 rewrite drops the per-(doc, span) row_number window (a
+    // shuffle + per-doc sort over every span occurrence) for a plain
+    // count(distinct) hash aggregate — same integers, no sort, and the
+    // explode no longer needs positions at all (guide §2.4)
+    Tables.spread(Tables.documents(s, dir).select($"doc_id", $"text"))
+      .select($"doc_id", explode(segs).as("span"))
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_spans"),
-        sum(when($"rn" > 1, 1).otherwise(0)).as("n_dup_spans"))
+        (count(lit(1)) - countDistinct($"span")).as("n_dup_spans"))
   }
 
   /** D14: LSH RECALL/PRECISION EVALUATION AS A QUERY — e19's
@@ -939,23 +951,36 @@ object Dedup {
     (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val prefix = d17PrefixPostings(s, dir)
+      // materialize the prefix postings ONCE: both sides of the candidate
+      // self-join consume the same (df-join + sz-join + per-doc window)
+      // pipeline, and without the cache the plan ran that pipeline — the
+      // most expensive window in the dedup stack — TWICE (r13 plan audit:
+      // 2 Window nodes, 6 shingle-cache reads; guide §2.4)
+      val prefix = d17PrefixPostings(s, dir).cache()
       val cand = prefix.select($"shingle", $"doc_id".as("doc_a"), $"n".as("n_a"))
         .join(prefix.select($"shingle", $"doc_id".as("doc_b"), $"n".as("n_b")), Seq("shingle"))
         .filter($"doc_a" < $"doc_b"
           && lit(2) * least($"n_a", $"n_b") >= greatest($"n_a", $"n_b"))
-        .select($"doc_a", $"doc_b").distinct()
+        .select($"doc_a", $"doc_b").distinct().cache()
+      // verification only touches docs that SURVIVED candidate generation,
+      // so build the 3-gram arrays for THOSE docs alone (broadcast
+      // semi-join prune) instead of materializing the full-corpus array
+      // table twice — the garr transform over every doc ×2 was d17's top
+      // CPU bucket (guide §2.3: cut the work before it fans out)
+      val needed = cand.select($"doc_a".as("doc_id"))
+        .unionByName(cand.select($"doc_b".as("doc_id"))).distinct()
       val garr = expr(
         """array_distinct(CASE WHEN size(w) >= 3
           |  THEN transform(sequence(1, size(w) - 2),
           |         i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
           |  ELSE cast(array() AS array<string>) END)""".stripMargin)
-      val arr = docs.select($"doc_id", split($"text", " ").as("w"))
-        .select($"doc_id", garr.as("g"))
+      val arr = docs.join(broadcast(needed), Seq("doc_id"), "left_semi")
+        .select($"doc_id", split($"text", " ").as("w"))
+        .select($"doc_id", garr.as("g")).cache()
       val inter = size(array_intersect($"ga", $"gb"))
       cand
-        .join(arr.toDF("doc_a", "ga"), "doc_a")
-        .join(arr.toDF("doc_b", "gb"), "doc_b")
+        .join(broadcast(arr.toDF("doc_a", "ga")), "doc_a")
+        .join(broadcast(arr.toDF("doc_b", "gb")), "doc_b")
         .filter(lit(3) * inter >= size($"ga") + size($"gb"))
         .select($"doc_a", $"doc_b",
           inter.cast("long").as("inter"),
@@ -1074,10 +1099,13 @@ object Dedup {
        |           JOIN c g ON a.golden_id = g.c_custkey""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // cached: the projected roster feeds FIVE consumers (the pricing
+      // guard, both self-join sides, the cluster-label attach, and the
+      // golden-name lookup) — one scan + projection instead of five
       val cust = Tables.customer(s, dir).select(
         $"c_custkey", $"c_name", $"c_mktsegment",
         (Exact.dec2($"c_acctbal") * 100).cast("long").as("cents"),
-        expr("substr(c_name, 1, length(c_name) - 1)").as("blk"))
+        expr("substr(c_name, 1, length(c_name) - 1)").as("blk")).cache()
       requireBlockedPairsUnderCap(cust, "blk", "d18_golden_record",
         memo = Some((s, dir, "customer_blk_pairs")))
       val a = cust.select($"blk", $"c_custkey".as("doc_a"), $"c_name".as("name_a"))
@@ -1176,11 +1204,14 @@ object Dedup {
       |WHERE CAST(num AS HUGEINT) * 1000000 // CAST(den AS HUGEINT) >= 1000000""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // cached: the projected roster feeds the pricing guard, both
+      // self-join sides, the three u-probability value-frequency
+      // aggregates, and the row count (d18's five-consumer shape)
       val c = Tables.customer(s, dir).select(
         $"c_custkey", $"c_name",
         expr("substr(c_name, 1, length(c_name) - 1)").as("blk"),
         $"c_nationkey".as("nat"), $"c_mktsegment".as("seg"),
-        floor($"c_acctbal" / lit(1000.0)).cast("long").as("band"))
+        floor($"c_acctbal" / lit(1000.0)).cast("long").as("band")).cache()
       requireBlockedPairsUnderCap(c, "blk", "d19_fellegi_sunter",
         memo = Some((s, dir, "customer_blk_pairs")))
       val a = c.select($"blk", $"c_custkey".as("cust_a"), $"c_name".as("name_a"),

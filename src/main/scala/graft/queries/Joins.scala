@@ -345,12 +345,21 @@ object Joins {
         explode(expr(s"sequence(s_us div $W, e_us div $W)")))
       val bB = bursts.withColumn("bucket",
         explode(expr(s"sequence(b_s_us div $W, b_e_us div $W)")))
+      // emit each overlapping pair ONLY in the first bucket both intervals
+      // share — the overlap region's start bucket, which any overlapping
+      // pair covers on both sides by construction. A pair that met in k
+      // shared buckets used to surface k times and be deduped by a full
+      // `distinct()` shuffle of every candidate; the bucket-identity
+      // filter makes each pair unique at generation, so the exchange
+      // disappears (guide §2.4 — remove shuffles outright). r13 measured:
+      // the distinct was the plan's ONLY exchange (72 MB shuffled for a
+      // 60k-row result at sf0.1).
       sB.join(bB, "bucket")
-        .filter($"s_us" <= $"b_e_us" && $"b_s_us" <= $"e_us")
+        .filter($"s_us" <= $"b_e_us" && $"b_s_us" <= $"e_us"
+          && $"bucket" === expr(s"greatest(s_us, b_s_us) div $W"))
         .select($"user_id", $"session_id".cast("long").as("session_id"),
           $"b_user", $"burst_id".cast("long").as("burst_id"),
           (least($"e_us", $"b_e_us") - greatest($"s_us", $"b_s_us")).as("overlap_us"))
-        .distinct()
   }
 
   /** j10's plan PRICED BEFORE RUN (d17's discipline, promoted here per

@@ -27,7 +27,13 @@ object Ngrams {
     val terms = (0 until n).map(j => s"w[i-1+$j]").mkString(", ")
     val core = s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $terms))"
     val arr = if (distinct) s"array_distinct($core)" else core
-    df.select($"doc_id", split($"text", " ").as("w"))
+    // spread before the explode: the split+transform+explode is the
+    // CPU-heaviest map work in the text stack, and the single-row-group
+    // testdata scans feed it exactly ONE task (guide §2.5; r13). Project
+    // to (doc_id, text) FIRST so the exchange carries raw strings, not
+    // the split word arrays (guide §2.3: project before the exchange).
+    graft.Tables.spread(df.select($"doc_id", $"text"))
+      .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
         s"CASE WHEN size(w) >= $n THEN $arr ELSE cast(array() AS array<string>) END")).as(outCol))
   }
@@ -45,7 +51,9 @@ object Ngrams {
     import s.implicits._
     val terms = (0 until n).map(j => s"w[i-1+$j]").mkString(", ")
     val core = s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $terms))"
-    df.select($"doc_id", split($"text", " ").as("w"))
+    // same single-row-group spread as postings() (guide §2.5; r13)
+    graft.Tables.spread(df.select($"doc_id", $"text"))
+      .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", posexplode(expr(
         s"CASE WHEN size(w) >= $n THEN $core ELSE cast(array() AS array<string>) END")))
       .select($"doc_id", (col("pos") + 1).cast("long").as("pos"), col("col").as(outCol))

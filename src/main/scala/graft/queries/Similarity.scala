@@ -585,7 +585,13 @@ object Similarity {
     * the two queries cannot drift). Returns `(vec_id, cur)`.
     */
   private[queries] def propagateLabels(s: SparkSession, dir: String,
-      rounds: Int): DataFrame = {
+      rounds: Int): DataFrame =
+    // session-memoized (r13): the 2-round propagation is shared by e14
+    // AND e29, and e29 alone consumes it through THREE join branches
+    // (both internal-edge endpoint joins + the degree rollup) — without
+    // the memo each branch re-derived the full BSP chain (guide §2.4/§5;
+    // the d3-pairs shared-derived-table precedent)
+    Memo.cached(s, dir, s"label_prop_$rounds") {
     import s.implicits._
     val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
     var lab = Tables.embeddings(s, dir).select($"vec_id", $"label".as("cur"))
@@ -1474,17 +1480,21 @@ object Similarity {
       val und = e.unionAll(e.select($"dst", $"src"))
         .toDF("node", "nbr").distinct().cache()
       val deg = und.groupBy($"node").agg(count(lit(1)).as("d"))
-      val cand = und.toDF("a_node", "nbr")
-        .join(und.toDF("b_node", "nbr"), Seq("nbr"))
+      // degrees RIDE INTO the wedge join as carried columns (folded with
+      // max() in the pair aggregate — constant per node, so max is the
+      // value) instead of two keyed joins back onto the scored pairs:
+      // r13 dropped the two post-aggregation degree joins and their
+      // exchanges at every scale (the mb1 carried-item-counts idiom;
+      // guide §2.4)
+      val undD = und.join(deg, Seq("node")).cache()
+      val cand = undD.toDF("a_node", "nbr", "da")
+        .join(undD.toDF("b_node", "nbr", "db"), Seq("nbr"))
         .filter($"a_node" < $"b_node")
         .groupBy($"a_node".as("vec_a"), $"b_node".as("vec_b"))
-        .agg(count(lit(1)).as("cn"))
-      val nonadj = cand.filter($"cn" >= 2)
+        .agg(count(lit(1)).as("cn"), max($"da").as("da"), max($"db").as("db"))
+      cand.filter($"cn" >= 2)
         .join(und, cand("vec_a") === und("node") && cand("vec_b") === und("nbr"),
           "left_anti")
-      nonadj
-        .join(deg.select($"node".as("vec_a"), $"d".as("da")), Seq("vec_a"))
-        .join(deg.select($"node".as("vec_b"), $"d".as("db")), Seq("vec_b"))
         .select($"vec_a", $"vec_b", $"cn".as("common_neighbors"),
           expr("CAST(cn * 1000000 div (da + db - cn) AS BIGINT)").as("jaccard_ppm"))
   }
@@ -1546,7 +1556,11 @@ object Similarity {
       val h0 = vtx.select($"vec_id", lit(q).as("h"))
       val a1 = halfRound(h0, "h", "src", "dst", "a")
       val h1 = halfRound(a1, "a", "dst", "src", "h")
-      val a2 = halfRound(h1, "h", "src", "dst", "a")
+      // a2 feeds BOTH h2's half-round and the final join: without the
+      // cache the three-half-round a2 pipeline executed twice end to end
+      // (no exchange boundary at its top, so nothing was reused — the r13
+      // plan audit's duplicated-subtree class, guide §2.4/§5)
+      val a2 = halfRound(h1, "h", "src", "dst", "a").cache()
       val h2 = halfRound(a2, "a", "dst", "src", "h")
       h2.join(a2, Seq("vec_id"))
         .select($"vec_id", $"h".cast("long").as("hub_q"), $"a".cast("long").as("auth_q"))
@@ -1797,25 +1811,30 @@ object Similarity {
       // itself joins degrees twice) — e18's precedent
       val bi = und.select($"u".as("node"), $"v".as("nbr"))
         .unionAll(und.select($"v".as("node"), $"u".as("nbr"))).cache()
-      val deg = bi.groupBy($"node").agg(count(lit(1)).cast("long").as("d"))
-      val pairs = bi
-        .join(deg.select($"node", $"d".as("dx")), Seq("node"))
-        .join(deg.select($"node".as("nbr"), $"d".as("dy")), Seq("nbr"))
-        .select($"dx".cast(DecimalType(10, 0)).as("x"),
-          $"dy".cast(DecimalType(10, 0)).as("y"))
-      val st = pairs.agg(
-        count(lit(1)).cast(DecimalType(12, 0)).as("n"),
-        sum($"x").cast(DecimalType(16, 0)).as("sx"),
-        sum($"y").cast(DecimalType(16, 0)).as("sy"),
-        sum($"x".cast(DecimalType(19, 0)) * $"y").cast(DecimalType(24, 0)).as("sxy"),
-        sum($"x".cast(DecimalType(19, 0)) * $"x").cast(DecimalType(24, 0)).as("sxx"),
-        sum($"y".cast(DecimalType(19, 0)) * $"y").cast(DecimalType(24, 0)).as("syy"))
+      val deg = bi.groupBy($"node").agg(count(lit(1)).cast("long").as("d")).cache()
+      // r13 rewrite: the symmetrized edge-end list makes five of the six
+      // sufficient statistics DEGREE-LOCAL — each node appears as an edge
+      // end exactly d times, so n = Σd, sx = sy = Σd², sxx = syy = Σd³,
+      // all from the N-row degree table with NO join; only the cross term
+      // sxy = Σ_u d(u)·(Σ_{v∈N(u)} d(v)) needs the edge list, via ONE
+      // 3N-grain join instead of the old two (guide §2.4). Integer-exact
+      // identical values → the double chain and the hash are unchanged.
+      val st = deg.agg(
+        coalesce(sum($"d"), lit(0L)).cast(DecimalType(12, 0)).as("n"),
+        sum($"d".cast(DecimalType(19, 0)) * $"d").cast(DecimalType(16, 0)).as("sx"),
+        sum($"d".cast(DecimalType(19, 0)) * $"d" * $"d")
+          .cast(DecimalType(24, 0)).as("sxx"))
+      val td = bi.join(deg.select($"node".as("nbr"), $"d".as("dy")), Seq("nbr"))
+        .groupBy($"node").agg(sum($"dy").as("td"))
+      val sxyDf = deg.join(td, Seq("node"))
+        .agg(sum($"d".cast(DecimalType(19, 0)) * $"td")
+          .cast(DecimalType(24, 0)).as("sxy"))
       def w19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
-      val num = (w19($"n") * $"sxy" - w19($"sx") * $"sy").cast("double")
+      val num = (w19($"n") * $"sxy" - w19($"sx") * $"sx").cast("double")
       val vx = (w19($"n") * $"sxx" - w19($"sx") * $"sx").cast("double")
-      val vy = (w19($"n") * $"syy" - w19($"sy") * $"sy").cast("double")
-      st.select($"n".cast("long").as("n_edge_ends"),
-        (num / (sqrt(vx) * sqrt(vy))).as("assortativity"))
+      st.crossJoin(broadcast(sxyDf))
+        .select($"n".cast("long").as("n_edge_ends"),
+          (num / (sqrt(vx) * sqrt(vx))).as("assortativity"))
   }
 
   /** E32: RADIUS (range) similarity search — ALL neighbors with cosine

@@ -422,19 +422,39 @@ object TrainingPrep {
   }) { (s, dir) =>
     import s.implicits._
     val docs = Tables.documents(s, dir)
-    def buckets(side: DataFrame) =
-      Ngrams.postings(side, n = 2, distinct = false, outCol = "g")
-        .select($"doc_id", substring(md5($"g"), 1, 2).as("b"))
-    val tc = buckets(docs.filter($"source" === "src0"))
-      .groupBy($"b").agg(count(lit(1)).as("tcnt"))
-    val cg = buckets(docs.filter($"source" =!= "src0"))
-    val rc = cg.groupBy($"b").agg(count(lit(1)).as("rcnt"))
-    cg.join(broadcast(tc), Seq("b"), "left")
+    // ONE bigram explode over the corpus, immediately collapsed to the
+    // (doc, bucket, is-target) grain — the r13 rewrite of a plan that
+    // exploded the corpus THREE times (target counts, raw counts, raw
+    // per-doc attach) and shipped occurrence-grain rows through both
+    // broadcast joins (guide §2.3: aggregate before you shuffle, §2.4:
+    // one subtree instead of three). Σ cnt_b·tcnt_b ≡ Σ_occurrences tcnt
+    // exactly, so the integer evidence (and the oracle hash) is unchanged.
+    val pb = Tables.spread(docs.select($"doc_id", $"source", $"text"))
+      .select($"doc_id", ($"source" === "src0").as("tgt"), split($"text", " ").as("w"))
+      .select($"doc_id", $"tgt", explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1),
+          |         i -> concat_ws(' ', w[i-1], w[i]))
+          |  ELSE cast(array() AS array<string>) END""".stripMargin)).as("g"))
+      .select($"doc_id", $"tgt", substring(md5($"g"), 1, 2).as("b"))
+      .groupBy($"doc_id", $"tgt", $"b").agg(count(lit(1)).as("cnt"))
+      // eager localCheckpoint, NOT cache(): the three consumers (both
+      // 256-row count maps race as broadcast-subquery futures + the
+      // per-doc attach) scan it concurrently, and r13 measured that a
+      // .cache() here never materializes its buffers under that race —
+      // every consumer of every run re-ran the explode (~30 executor-s).
+      // The checkpoint materializes ONCE, before the consumers exist
+      // (guide §5: localCheckpoint as the cheap lineage cut).
+      .localCheckpoint(true)
+    val tc = pb.filter($"tgt").groupBy($"b").agg(sum($"cnt").as("tcnt"))
+    val rc = pb.filter(!$"tgt").groupBy($"b").agg(sum($"cnt").as("rcnt"))
+    pb.filter(!$"tgt")
+      .join(broadcast(tc), Seq("b"), "left")
       .join(broadcast(rc), Seq("b"))
       .groupBy($"doc_id")
       .agg(
-        sum(coalesce($"tcnt", lit(0L))).as("target_hits"),
-        sum($"rcnt").as("raw_hits"))
+        sum($"cnt" * coalesce($"tcnt", lit(0L))).as("target_hits"),
+        sum($"cnt" * $"rcnt").as("raw_hits"))
       .select($"doc_id", $"target_hits", $"raw_hits",
         (($"target_hits" + lit(1)).cast("double") /
           ($"raw_hits" + lit(1)).cast("double")).as("weight"))
