@@ -48,10 +48,21 @@ object Dedup {
   /** Distinct word-3-gram shingles per doc, as `(doc_id, shingle)`
     * postings.
     */
+  /** Test/tool access to the shared postings (MemoRaceCheck). */
+  private[graft] def shinglesForCheck(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+
   private def shingles(s: SparkSession, dir: String): DataFrame =
     // distinct WITHIN the doc (set semantics, no shuffle); short-doc guard
-    // lives in Ngrams.postings — the one shared generator
-    Ngrams.postings(Tables.documents(s, dir), n = 3, distinct = true, outCol = "shingle")
+    // lives in Ngrams.postings — the one shared generator.
+    // NOT memoized/cached at this grain — r13 measured it both ways: an
+    // InMemoryTableScan over the 1M-row postings costs MORE per consumer
+    // than re-running the (spread-parallelized) explode (d23 0.41 s
+    // uncached vs 1.8 s through a materialized memo; MemoRaceCheck), so
+    // consumers either recompute in parallel or cache a PRUNED subset
+    // (d14's probe prefix, d23's pair-doc semi-join).
+    Ngrams.postings(Tables.documents(s, dir), n = 3, distinct = true,
+      outCol = "shingle")
 
   private val shinglesSql =
     """SELECT doc_id, shingle
@@ -831,6 +842,9 @@ object Dedup {
     (s, dir) =>
       import s.implicits._
       val P = 256
+      // filter the probe prefix out of the memoized postings ONCE and
+      // cache the small subset: its three consumers (sizes + both exact
+      // intersection sides) would otherwise each re-scan the full memo
       val psh = shingles(s, dir).filter($"doc_id" < P).cache()
       val sizes = psh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val ip = psh.select($"shingle", $"doc_id".as("doc_a"))
@@ -1399,6 +1413,11 @@ object Dedup {
       val px = minhashPairs(s, dir)
         .select($"doc_a", $"doc_b",
           round($"est_jaccard" * 12).cast("int").as("agree"))
+      // (r13: a broadcast-semi-join prune of the postings to pair docs,
+      // cached, was tried here and REVERTED — under this fixture the
+      // cached prune read SLOWER than the three independent re-derivations
+      // of the explode, the same cached-postings-scan cost MemoRaceCheck
+      // measured; the original uncached shape stays.)
       val sh = shingles(s, dir)
       val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
       val shA = sh.select($"doc_id".as("doc_a"), $"shingle")

@@ -219,6 +219,9 @@ object Joins {
         $"o_custkey".as("custkey"), $"o_orderpriority".as("priority"),
         unix_micros($"o_orderdate").as("valid_from_us"),
         lead(unix_micros($"o_orderdate"), 1).over(w).as("valid_to_us"))
+      // (r13: a spread() of the fact side was tried and REVERTED — the
+      // probe is two broadcast joins inside the scan stage, and the 11 MB
+      // exchange cost ~2× what the parallel probe saved: 0.9 → 1.8 s)
       val fact = Tables.lineitem(s, dir)
         .select($"l_orderkey", unix_micros($"l_shipdate").as("ship_us"),
           dec2($"l_extendedprice").as("price"))

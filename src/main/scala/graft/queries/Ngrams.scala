@@ -20,7 +20,8 @@ object Ngrams {
     * @param distinct dedupe WITHIN the doc before exploding
     *                 (array_distinct — set semantics without a shuffle)
     */
-  def postings(df: DataFrame, n: Int, distinct: Boolean, outCol: String): DataFrame = {
+  def postings(df: DataFrame, n: Int, distinct: Boolean, outCol: String,
+      spread: Boolean = true): DataFrame = {
     require(n >= 1)
     val s = df.sparkSession
     import s.implicits._
@@ -32,7 +33,12 @@ object Ngrams {
     // testdata scans feed it exactly ONE task (guide §2.5; r13). Project
     // to (doc_id, text) FIRST so the exchange carries raw strings, not
     // the split word arrays (guide §2.3: project before the exchange).
-    graft.Tables.spread(df.select($"doc_id", $"text"))
+    // `spread = false` for LIGHT explodes feeding an immediate aggregate
+    // (bigram callers) — r13 measured the exchange costing more than the
+    // single-task explode there (t5 0.30→0.84, t7 0.37→0.82 regressions,
+    // reverted via this flag), while the heavy 3/8-gram sites keep the win.
+    val base = df.select($"doc_id", $"text")
+    (if (spread) graft.Tables.spread(base) else base)
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", explode(expr(
         s"CASE WHEN size(w) >= $n THEN $arr ELSE cast(array() AS array<string>) END")).as(outCol))

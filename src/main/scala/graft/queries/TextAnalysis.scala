@@ -135,7 +135,7 @@ object TextAnalysis {
       |ORDER BY freq DESC, bigram LIMIT 25""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      Ngrams.postings(graft.Tables.documents(s, dir), n = 2, distinct = false,
+      Ngrams.postings(graft.Tables.documents(s, dir), n = 2, distinct = false, spread = false,
         outCol = "bigram")
         .groupBy($"bigram")
         .agg(count(lit(1)).as("freq"), countDistinct($"doc_id").as("doc_freq"))
@@ -352,7 +352,7 @@ object TextAnalysis {
       |FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = graft.Tables.documents(s, dir)
-    val tf = Ngrams.postings(docs, n = 2, distinct = false, outCol = "phrase")
+    val tf = Ngrams.postings(docs, n = 2, distinct = false, outCol = "phrase", spread = false)
       .groupBy($"doc_id", $"phrase").agg(count(lit(1)).as("tf"))
     // document frequency as a phrase-partitioned window over the SINGLE
     // tf relation: the dft-join-back shape re-derived the explode + tf

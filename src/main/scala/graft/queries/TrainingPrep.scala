@@ -43,7 +43,7 @@ object TrainingPrep {
     (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val bgc = Ngrams.postings(docs, n = 2, distinct = false, outCol = "bigram")
+      val bgc = Ngrams.postings(docs, n = 2, distinct = false, outCol = "bigram", spread = false)
         .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("freq"))
       // argmax via min(struct(-freq, bigram)) — max freq with lexicographic-
       // min tiebreak, matching the oracle's window — as one partial-agg
@@ -296,8 +296,15 @@ object TrainingPrep {
       |GROUP BY b.doc_id""".stripMargin) {
     (s, dir) =>
       import s.implicits._
+      // r13 note: two rewrites were tried here and REVERTED after
+      // measurement — (a) spreading the bigram explode (the exchange cost
+      // more than the single-task explode), and (b) a (doc,bigram)-grain
+      // localCheckpoint (re-materialized every run, ~0.8 s steady vs the
+      // 0.25 s this original cached form reads on a quiet box). The
+      // occurrence-grain cache materializes fine WITHOUT a repartition in
+      // its plan; see NOTES r13 lesson 3 for the class that breaks it.
       val bg = Ngrams.postings(Tables.documents(s, dir), n = 2, distinct = false,
-        outCol = "bigram")
+        outCol = "bigram", spread = false)
         .cache()
       val cf = bg.groupBy($"bigram").agg(count(lit(1)).as("cfreq"))
       bg.join(cf, "bigram")

@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object QProfile {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(",").toSeq // comma-separated for batch runs
     val runs = args.lift(1).map(_.toInt).getOrElse(5)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,28 +61,31 @@ object QProfile {
     }
     spark.sparkContext.addSparkListener(listener)
 
-    val q = graft.SparkEntry.registry.find(_.name == name)
-      .getOrElse(sys.error(s"unknown query '$name'"))
-    spark.sparkContext.setJobDescription(s"qprof warm-up: $name")
-    q.run(spark, dir).count() // warm-up (codegen, memos, caches, page cache)
+    names.foreach { name =>
+      val q = graft.SparkEntry.registry.find(_.name == name)
+        .getOrElse(sys.error(s"unknown query '$name'"))
+      spark.sparkContext.setJobDescription(s"qprof warm-up: $name")
+      q.run(spark, dir).count() // warm-up (codegen, memos, caches, page cache)
 
-    println("[qprof] run wall_s nstages ntasks execRun_s execCpu_s gc_s " +
-      "shufWrite_s fetchWait_s resultSer_s input_MB shufW_MB shufR_MB")
-    (1 to runs).foreach { i =>
-      stages.clear()
-      spark.sparkContext.setJobDescription(s"qprof $name run $i")
-      val t0 = System.nanoTime()
-      q.run(spark, dir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(400) // drain the listener bus
-      import scala.jdk.CollectionConverters._
-      val ss = stages.asScala.toVector
-      def s(f: StageRow => Long): Double = ss.map(f).sum / 1000.0
-      def mb(f: StageRow => Long): Double = ss.map(f).sum / 1048576.0
-      println(f"[qprof] $i%3d $wall%7.3f ${ss.size}%7d ${ss.map(_.tasks).sum}%6d " +
-        f"${s(_.executorRunMs)}%9.3f ${s(_.executorCpuMs)}%9.3f ${s(_.gcMs)}%5.3f " +
-        f"${s(_.shuffleWriteMs)}%10.3f ${s(_.fetchWaitMs)}%10.3f ${s(_.resultSerMs)}%11.3f " +
-        f"${mb(_.inputBytes)}%8.1f ${mb(_.shuffleWriteBytes)}%8.1f ${mb(_.shuffleReadBytes)}%8.1f")
+      println(s"[qprof] == $name")
+      println("[qprof] run wall_s nstages ntasks execRun_s execCpu_s gc_s " +
+        "shufWrite_s fetchWait_s resultSer_s input_MB shufW_MB shufR_MB")
+      (1 to runs).foreach { i =>
+        stages.clear()
+        spark.sparkContext.setJobDescription(s"qprof $name run $i")
+        val t0 = System.nanoTime()
+        q.run(spark, dir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400) // drain the listener bus
+        import scala.jdk.CollectionConverters._
+        val ss = stages.asScala.toVector
+        def s(f: StageRow => Long): Double = ss.map(f).sum / 1000.0
+        def mb(f: StageRow => Long): Double = ss.map(f).sum / 1048576.0
+        println(f"[qprof] $i%3d $wall%7.3f ${ss.size}%7d ${ss.map(_.tasks).sum}%6d " +
+          f"${s(_.executorRunMs)}%9.3f ${s(_.executorCpuMs)}%9.3f ${s(_.gcMs)}%5.3f " +
+          f"${s(_.shuffleWriteMs)}%10.3f ${s(_.fetchWaitMs)}%10.3f ${s(_.resultSerMs)}%11.3f " +
+          f"${mb(_.inputBytes)}%8.1f ${mb(_.shuffleWriteBytes)}%8.1f ${mb(_.shuffleReadBytes)}%8.1f")
+      }
     }
     spark.stop()
   }
