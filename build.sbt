@@ -26,6 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dspark.shuffle.sort.bypassMergeThreshold=0",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 // regenerate COVERAGE.md's generated gate map (pinned by RegistrySpec)

@@ -190,9 +190,18 @@ object Tables {
     * production layout with many input splits the same call is a cheap
     * rebalance of an already-parallel scan.
     */
-  def spread(df: DataFrame): DataFrame =
+  def spread(df: DataFrame): DataFrame = {
     // streaming micro-batches are already shuffled by their stateful ops;
     // a per-batch repartition would only add latency there
     if (df.isStreaming) df
-    else df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      // a many-split production scan is already parallel — repartitioning
+      // it would be a full exchange of every scanned row (and could even
+      // REDUCE parallelism); only fan out when the scan genuinely has
+      // fewer partitions than the session (r14 ADVICE; guide §2.5 targets
+      // unsplittable/single-split inputs specifically)
+      if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+    }
+  }
 }

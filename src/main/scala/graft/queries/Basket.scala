@@ -62,7 +62,12 @@ object Basket {
     */
   private[graft] def sharedPairRules(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "mb_pair_rules") {
-      pairRules(baskets(s, dir).cache(), minSupport = 2)
+      // the basket table is memoized (not bare-.cache()d) so Memo's
+      // fingerprint-turnover eviction unpersists it alongside the rules
+      // when the data dir is rewritten — a bare cache inside the build
+      // block stayed pinned for the session lifetime (r14 ADVICE)
+      pairRules(Memo.cached(s, dir, "mb_baskets") { baskets(s, dir) },
+        minSupport = 2)
     }
 
   /** DISTINCT (order, part) baskets from the lineitem fact. */

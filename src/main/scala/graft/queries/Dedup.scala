@@ -64,6 +64,17 @@ object Dedup {
     Ngrams.postings(Tables.documents(s, dir), n = 3, distinct = true,
       outCol = "shingle")
 
+  /** Shingle postings with the per-doc distinct-shingle count CARRIED as
+    * a column (`sz` ≡ the per-doc row count of [[shingles]], computed
+    * from the pre-explode array at zero cost). The d2/d13/d14 consumers
+    * fold it with max() inside their pair aggregates instead of
+    * re-aggregating the exploded postings into a `sizes` table and
+    * joining it back twice — one less full-postings shuffle, two fewer
+    * joins per query (r14; the mb1/e26 carried-stats idiom, guide §2.4).
+    */
+  private def shinglesWithSize(s: SparkSession, dir: String): DataFrame =
+    Ngrams.postingsWithSize(Tables.documents(s, dir), n = 3, outCol = "shingle")
+
   private val shinglesSql =
     """SELECT doc_id, shingle
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -100,23 +111,25 @@ object Dedup {
   def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     Memo.cached(s, dir, "d2_pairs") {
       import s.implicits._
-      val sh = shingles(s, dir).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      val sh = shinglesWithSize(s, dir).cache()
       val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" <= 15).select($"shingle")
       // pair generation as a postings self-join keyed on the shingle —
       // measured FASTER than the collect_list + combinations-explode
       // alternative (3.1 s vs 2.2 s at sf0.1: the codegen'd hash join
       // beats per-group array allocation); the frequency cap bounds the
-      // join expansion at Σ df² over rare shingles at any scale
-      val a = sh.join(rare, "shingle").select($"shingle", $"doc_id".as("doc_a"))
-      val b = sh.select($"shingle".as("shingle_b"), $"doc_id".as("doc_b"))
+      // join expansion at Σ df² over rare shingles at any scale.
+      // Per-doc sizes RIDE the postings into the join (max() folds the
+      // per-group constant) — no sizes aggregate, no joins back (r14)
+      val a = sh.join(rare, "shingle")
+        .select($"shingle", $"doc_id".as("doc_a"), $"sz".as("sza"))
+      val b = sh.select($"shingle".as("shingle_b"), $"doc_id".as("doc_b"),
+        $"sz".as("szb"))
       val pairs = a.join(b, $"shingle" === $"shingle_b" && $"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"),
+          max($"sza").as("sza"), max($"szb").as("szb"))
       val jac = $"inter".cast("double") / ($"sza" + $"szb" - $"inter")
       pairs
-        .join(sizes.toDF("doc_a", "sza"), "doc_a")
-        .join(sizes.toDF("doc_b", "szb"), "doc_b")
         .select($"doc_a", $"doc_b", $"inter", jac.as("jaccard"))
         .filter($"jaccard" >= 0.35)
     }
@@ -451,11 +464,22 @@ object Dedup {
   }) {
     (s, dir) =>
       import s.implicits._
+      // r14: votes are computed per DISTINCT (doc, word), weighted by the
+      // occurrence count — Σ_occurrences vote ≡ Σ_distinct vote·cnt, exact
+      // integer arithmetic. Text repeats words (Zipf at scale; the 31-word
+      // synthetic vocab here), so the md5 + 32-bit-vote projection (the
+      // query's dominant compute and allocation churn — the driver's
+      // 32-core GC blowup, VERDICT r13 item 1) runs once per distinct
+      // word per doc instead of once per token, and the (doc, w)
+      // aggregate is map-side combinable where the fat projection wasn't.
       val wordRows = Tables.spread(Tables.documents(s, dir).select($"doc_id", $"text"))
         .select($"doc_id", explode(split($"text", " ")).as("w"))
+        .groupBy($"doc_id", $"w").agg(count(lit(1)).as("cnt"))
+        .select($"doc_id", $"cnt", md5($"w").as("h"))
         .select(col("doc_id") +: (0 until 32).map { j =>
-          val v = conv(substring(md5($"w"), j / 4 + 1, 1), 16, 10).cast("int")
-          when(shiftright(v, 3 - (j % 4)).bitwiseAND(1) === 1, 1).otherwise(-1).as(s"v$j")
+          val v = conv(substring($"h", j / 4 + 1, 1), 16, 10).cast("int")
+          (when(shiftright(v, 3 - (j % 4)).bitwiseAND(1) === 1, 1L).otherwise(-1L)
+            * $"cnt").as(s"v$j")
         }: _*)
       val fp = wordRows.groupBy($"doc_id")
         .agg((0 until 32).map(j => sum(col(s"v$j")).as(s"s$j")).head,
@@ -728,19 +752,23 @@ object Dedup {
        |WHERE CAST(p.inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8""".stripMargin) {
     (s, dir) =>
       import s.implicits._
-      val sh = shingles(s, dir).cache()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+      // per-doc sizes ride the postings into the self-join and fold with
+      // max() in the pair aggregate — drops the sizes aggregate (a full
+      // extra pass over the postings) and both joins back (r14, guide
+      // §2.4; the d2/mb1/e26 carried-stats idiom)
+      val sh = shinglesWithSize(s, dir).cache()
       val rare = sh.groupBy($"shingle").agg(count(lit(1)).as("df"))
         .filter($"df" <= 15).select($"shingle")
-      val a = sh.join(rare, "shingle").select($"shingle", $"doc_id".as("doc_a"))
-      val b = sh.select($"shingle".as("shingle_b"), $"doc_id".as("doc_b"))
+      val a = sh.join(rare, "shingle")
+        .select($"shingle", $"doc_id".as("doc_a"), $"sz".as("sz_a"))
+      val b = sh.select($"shingle".as("shingle_b"), $"doc_id".as("doc_b"),
+        $"sz".as("sz_b"))
       val pairs = a.join(b, $"shingle" === $"shingle_b" && $"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"),
+          max($"sz_a").as("sz_a"), max($"sz_b").as("sz_b"))
       val cont = $"inter".cast("double") / least($"sz_a", $"sz_b")
       val jac = $"inter".cast("double") / ($"sz_a" + $"sz_b" - $"inter")
       pairs
-        .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
-        .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
         .select($"doc_a", $"doc_b", $"inter", $"sz_a", $"sz_b",
           cont.as("containment_lb"), jac.as("jaccard_lb"),
           when($"sz_a" <= $"sz_b", $"doc_a").otherwise($"doc_b").as("contained_doc"))
@@ -781,15 +809,24 @@ object Dedup {
       i => concat_ws(" ", slice(words, i * spanW + 1, lit(spanW))))
     // occurrences-after-the-first per doc ≡ n_spans − n_distinct_spans:
     // the r13 rewrite drops the per-(doc, span) row_number window (a
-    // shuffle + per-doc sort over every span occurrence) for a plain
-    // count(distinct) hash aggregate — same integers, no sort, and the
-    // explode no longer needs positions at all (guide §2.4)
+    // shuffle + per-doc sort over every span occurrence) for a hash
+    // aggregate — same integers, no sort, and the explode no longer
+    // needs positions at all (guide §2.4). r14: the mixed
+    // count + count(distinct) plan ran through an Expand that DOUBLED
+    // every exploded row before the first aggregate (one copy per
+    // grouping id) — the driver's 32-core run measured 5.5 s of memory
+    // churn there (VERDICT r13 item 1). Staging the same integers as two
+    // plain aggregates — occurrence counts at (doc, span) grain, then
+    // Σcnt / row-count at doc grain — keeps every aggregate map-side
+    // combinable with NO row expansion: n_spans = Σ cnt,
+    // n_dup_spans = Σ cnt − #distinct spans = Σ (cnt − 1).
     Tables.spread(Tables.documents(s, dir).select($"doc_id", $"text"))
       .select($"doc_id", explode(segs).as("span"))
+      .groupBy($"doc_id", $"span").agg(count(lit(1)).as("cnt"))
       .groupBy($"doc_id")
       .agg(
-        count(lit(1)).as("n_spans"),
-        (count(lit(1)) - countDistinct($"span")).as("n_dup_spans"))
+        sum($"cnt").as("n_spans"),
+        (sum($"cnt") - count(lit(1))).as("n_dup_spans"))
   }
 
   /** D14: LSH RECALL/PRECISION EVALUATION AS A QUERY — e19's
@@ -842,19 +879,18 @@ object Dedup {
     (s, dir) =>
       import s.implicits._
       val P = 256
-      // filter the probe prefix out of the memoized postings ONCE and
-      // cache the small subset: its three consumers (sizes + both exact
-      // intersection sides) would otherwise each re-scan the full memo
-      val psh = shingles(s, dir).filter($"doc_id" < P).cache()
-      val sizes = psh.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val ip = psh.select($"shingle", $"doc_id".as("doc_a"))
-        .join(psh.select($"shingle", $"doc_id".as("doc_b")),
+      // filter the probe prefix out of the postings ONCE and cache the
+      // small subset: both exact-intersection sides would otherwise each
+      // re-run the explode. Sizes ride the postings (the d2/d13 carried-
+      // stats idiom, r14) — no sizes aggregate, no joins back
+      val psh = shinglesWithSize(s, dir).filter($"doc_id" < P).cache()
+      val ip = psh.select($"shingle", $"doc_id".as("doc_a"), $"sz".as("sza"))
+        .join(psh.select($"shingle", $"doc_id".as("doc_b"), $"sz".as("szb")),
           Seq("shingle"))
         .filter($"doc_a" < $"doc_b")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"))
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("inter"),
+          max($"sza").as("sza"), max($"szb").as("szb"))
       val exactPairs = ip
-        .join(sizes.toDF("doc_a", "sza"), "doc_a")
-        .join(sizes.toDF("doc_b", "szb"), "doc_b")
         .filter($"inter".cast("double") / ($"sza" + $"szb" - $"inter") >= 0.5)
         .select($"doc_a", $"doc_b", lit(true).as("in_exact"))
       val lsh = minhashPairs(s, dir)
@@ -991,10 +1027,26 @@ object Dedup {
       val arr = docs.join(broadcast(needed), Seq("doc_id"), "left_semi")
         .select($"doc_id", split($"text", " ").as("w"))
         .select($"doc_id", garr.as("g")).cache()
+      // materialize the cache EAGERLY: its two verify-join consumers are
+      // racing broadcast futures, and a lazy cache never materializes
+      // under that race (the t18/e31 lesson) — without this the whole
+      // prefix pipeline re-ran per consumer (measured 5.4 s vs 0.7 s when
+      // the bare unhinted variant lost the cache). The count also makes
+      // the broadcast gate below read the REAL materialized size.
+      arr.count()
+      // data-driven broadcast gate (r14 ADVICE): the array table is
+      // O(candidate docs × doc text) and a FORCED broadcast can exceed
+      // the 8 GB relation cap / OOM the driver at corpus scale where a
+      // shuffle join scales fine. Hint the broadcast only when the
+      // materialized cache fits the session's own threshold. The
+      // ids-only `needed` broadcast above stays: ids, not payloads.
+      val arrFits = arr.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        s.sessionState.conf.autoBroadcastJoinThreshold
+      def gated(d: DataFrame): DataFrame = if (arrFits) broadcast(d) else d
       val inter = size(array_intersect($"ga", $"gb"))
       cand
-        .join(broadcast(arr.toDF("doc_a", "ga")), "doc_a")
-        .join(broadcast(arr.toDF("doc_b", "gb")), "doc_b")
+        .join(gated(arr.toDF("doc_a", "ga")), "doc_a")
+        .join(gated(arr.toDF("doc_b", "gb")), "doc_b")
         .filter(lit(3) * inter >= size($"ga") + size($"gb"))
         .select($"doc_a", $"doc_b",
           inter.cast("long").as("inter"),

@@ -44,6 +44,30 @@ object Ngrams {
         s"CASE WHEN size(w) >= $n THEN $arr ELSE cast(array() AS array<string>) END")).as(outCol))
   }
 
+  /** `(doc_id, sz, <outCol>)` distinct postings that CARRY the doc's
+    * distinct-n-gram count as a column computed from the pre-explode
+    * array. `sz` equals the per-doc row count of [[postings]] with
+    * `distinct = true` (array_distinct before the explode — the guard
+    * drops short docs from both views identically), so consumers that
+    * used to re-aggregate the exploded postings back to per-doc sizes
+    * and join them onto pair aggregates (d2/d13/d14) can instead fold
+    * the carried column with max() inside the pair aggregate — the
+    * mb1/e26 carried-stats idiom (guide §2.4: one less shuffle over the
+    * full postings, two fewer joins).
+    */
+  def postingsWithSize(df: DataFrame, n: Int, outCol: String): DataFrame = {
+    require(n >= 1)
+    val s = df.sparkSession
+    import s.implicits._
+    val terms = (0 until n).map(j => s"w[i-1+$j]").mkString(", ")
+    val core = s"transform(sequence(1, size(w) - ${n - 1}), i -> concat_ws(' ', $terms))"
+    graft.Tables.spread(df.select($"doc_id", $"text"))
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", expr(
+        s"CASE WHEN size(w) >= $n THEN array_distinct($core) ELSE cast(array() AS array<string>) END").as("arr"))
+      .select($"doc_id", size($"arr").cast("long").as("sz"), explode($"arr").as(outCol))
+  }
+
   /** `(doc_id, pos, <outCol>)` postings with the n-gram's 1-based word
     * position — the occurrence-level view span operators need (d11 exact
     * substring dedup). `pos` matches DuckDB's `generate_series(1, …)`

@@ -1559,8 +1559,16 @@ object Similarity {
       // a2 feeds BOTH h2's half-round and the final join: without the
       // cache the three-half-round a2 pipeline executed twice end to end
       // (no exchange boundary at its top, so nothing was reused — the r13
-      // plan audit's duplicated-subtree class, guide §2.4/§5)
+      // plan audit's duplicated-subtree class, guide §2.4/§5). r14: the
+      // cache is materialized EAGERLY (count) so the racing broadcast-
+      // future consumer (h2's normalizer `m`) can never catch it lazy —
+      // the t18/e31 race, closed deterministically while keeping the
+      // cross-run cache reuse the bench's steady state measures.
+      // localCheckpoint variants were measured and REVERTED: per-round
+      // checkpoints 1.57 s, a2-only 2.3-2.4 s vs 1.20 s with the cache
+      // (each run re-materializes a checkpoint; the cache persists).
       val a2 = halfRound(h1, "h", "src", "dst", "a").cache()
+      a2.count()
       val h2 = halfRound(a2, "a", "dst", "src", "h")
       h2.join(a2, Seq("vec_id"))
         .select($"vec_id", $"h".cast("long").as("hub_q"), $"a".cast("long").as("auth_q"))
@@ -1807,11 +1815,20 @@ object Similarity {
       val e = knnGraphDf(s, dir).select($"vec_id".as("src"), $"neighbor_id".as("dst"))
       val und = e.select(least($"src", $"dst").as("u"), greatest($"src", $"dst").as("v"))
         .distinct()
-      // cache: bi feeds the degree build AND the stats pair join (which
-      // itself joins degrees twice) — e18's precedent
+      // bi feeds the degree build AND the stats pair join (which itself
+      // joins degrees twice) — e18's precedent. EAGER localCheckpoint
+      // rather than .cache(): deg is consumed as a broadcast BUILD side
+      // (a racing broadcast-future job) and a lazy cache never
+      // materializes under that race (the r13 t18 lesson — QProfile r14
+      // measured 12–18 executor-s of subtree recompute per steady-state
+      // run through the caches; guide §5). An eager-cache variant was
+      // A/B'd and lost (0.68-0.70 s vs 0.49-0.53 s under matched load):
+      // the truncated lineage also shrinks every downstream stats plan.
       val bi = und.select($"u".as("node"), $"v".as("nbr"))
-        .unionAll(und.select($"v".as("node"), $"u".as("nbr"))).cache()
-      val deg = bi.groupBy($"node").agg(count(lit(1)).cast("long").as("d")).cache()
+        .unionAll(und.select($"v".as("node"), $"u".as("nbr")))
+        .localCheckpoint(true)
+      val deg = bi.groupBy($"node").agg(count(lit(1)).cast("long").as("d"))
+        .localCheckpoint(true)
       // r13 rewrite: the symmetrized edge-end list makes five of the six
       // sufficient statistics DEGREE-LOCAL — each node appears as an edge
       // end exactly d times, so n = Σd, sx = sy = Σd², sxx = syy = Σd³,
