@@ -257,7 +257,16 @@ object BloomIndex {
     * candidate when ANY of its blooms — main or side — might contain the
     * key, so appends are visible before any fold.
     */
-  def candidateParts(spark: SparkSession, indexDir: String, key: Long): Seq[String] = {
+  def candidateParts(spark: SparkSession, indexDir: String, key: Long): Seq[String] =
+    candidatePartsMulti(spark, indexDir, Seq(key))(key)
+
+  /** Candidate partitions for SEVERAL keys from ONE index read+collect —
+    * a probe batch (s10 runs 3 point lookups) paid one Spark job per key
+    * for the same tiny index frame before this (r14; the same
+    * one-read-for-all-sides reasoning as below, applied across keys).
+    */
+  def candidatePartsMulti(spark: SparkSession, indexDir: String,
+      keys: Seq[Long]): Map[Long, Seq[String]] = {
     val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sides = sideDirs(fs, indexDir)
     // ONE multi-path read for every side (identical schemas): a read per
@@ -266,18 +275,17 @@ object BloomIndex {
     val frames = read(spark, indexDir) +:
       (if (sides.isEmpty) Seq.empty
        else Seq(spark.read.parquet(sides.map(_.toString): _*)))
-    val hashed = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-      key, org.apache.spark.sql.types.LongType, 42L)
-    frames.flatMap {
-      _.select(col("part"), col("bloom")).collect()
-        .filter { r =>
-          val bf = BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
-          // probe space = the build's: xxhash64 of the key
-          bf.mightContainLong(hashed)
-        }
-        .map(_.getAs[String]("part"))
-    }.distinct
+    val rows = frames.flatMap(_.select(col("part"), col("bloom")).collect())
+    val blooms = rows.map { r =>
+      r.getAs[String]("part") -> BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+    }
+    keys.map { key =>
+      val hashed = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        key, org.apache.spark.sql.types.LongType, 42L)
+      // probe space = the build's: xxhash64 of the key
+      key -> blooms.filter(_._2.mightContainLong(hashed)).map(_._1).distinct
+    }.toMap
   }
 
   /** The driver-gated s10 artifact: `documents` rewritten Hive-partitioned
@@ -301,9 +309,24 @@ object BloomIndex {
     */
   def lookupQuery(spark: SparkSession, dir: String, keys: Seq[Long]): DataFrame = {
     val out = documentsIndexedLayout(spark, dir)
-    keys.map(k => lookup(spark, s"$out/data", s"$out/index", "lang", "doc_id", k))
-      .reduce(_ unionByName _)
-      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    // r14: the per-key lookup union ran 3 index read+collect jobs and 3
+    // schema-inferred data scans for one 3-key probe (11 stages for 0.14
+    // executor-s — pure driver latency, VERDICT r13 item 3). One index
+    // probe batch + ONE pruned scan with `key IN (...)` returns the same
+    // rows: the bloom has no false negatives, so every row matching key k
+    // lives in a key-k candidate partition ⊆ the union of candidates; the
+    // pinned schema skips per-run footer inference (guide §6).
+    val partsByKey = candidatePartsMulti(spark, s"$out/index", keys)
+    val parts = partsByKey.values.flatten.toSeq.distinct.sorted
+    val schema = graft.Tables.documents
+    val pruned =
+      if (parts.isEmpty)
+        spark.read.schema(schema).parquet(s"$out/data").filter(lit(false))
+      else
+        spark.read.option("basePath", s"$out/data").schema(schema)
+          .parquet(parts.map(p => s"$out/data/lang=$p"): _*)
+          .filter(col("doc_id").isin(keys: _*))
+    pruned.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
   }
 
   /** Index-pruned point lookup: read ONLY the candidate partitions'

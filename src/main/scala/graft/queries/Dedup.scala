@@ -1027,21 +1027,24 @@ object Dedup {
       val arr = docs.join(broadcast(needed), Seq("doc_id"), "left_semi")
         .select($"doc_id", split($"text", " ").as("w"))
         .select($"doc_id", garr.as("g")).cache()
-      // materialize the cache EAGERLY: its two verify-join consumers are
-      // racing broadcast futures, and a lazy cache never materializes
-      // under that race (the t18/e31 lesson) — without this the whole
-      // prefix pipeline re-ran per consumer (measured 5.4 s vs 0.7 s when
-      // the bare unhinted variant lost the cache). The count also makes
-      // the broadcast gate below read the REAL materialized size.
-      arr.count()
-      // data-driven broadcast gate (r14 ADVICE): the array table is
-      // O(candidate docs × doc text) and a FORCED broadcast can exceed
-      // the 8 GB relation cap / OOM the driver at corpus scale where a
-      // shuffle join scales fine. Hint the broadcast only when the
-      // materialized cache fits the session's own threshold. The
+      // broadcast gate (r14 ADVICE): the array table is O(candidate docs
+      // × doc text) and a FORCED broadcast can exceed the 8 GB relation
+      // cap / OOM the driver at corpus scale where a shuffle join scales
+      // fine. Upper-bound it from the SOURCE parquet's on-disk size
+      // (candidate pruning only shrinks the table; ×8 covers parquet
+      // decompression + the 3-word gram fanout) — pure FS metadata, no
+      // Spark job, no extra analysis pass per run (an eager count() +
+      // cached-stats gate was measured at +0.3-0.7 s/run and reverted,
+      // as was a bare unhinted variant that lost the cache to the racing
+      // broadcast futures and re-ran the whole prefix pipeline per
+      // consumer: 5.4 s vs 0.7 s). Broadcast while the bound sits inside
+      // the guide's "a few hundred MB is fine" envelope (§3.1); beyond
+      // it the planner is left to pick from its own estimates. The
       // ids-only `needed` broadcast above stays: ids, not payloads.
-      val arrFits = arr.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        s.sessionState.conf.autoBroadcastJoinThreshold
+      val docsPath = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+      val docsBytes = docsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(docsPath).getLength
+      val arrFits = docsBytes * 8 <= (512L << 20)
       def gated(d: DataFrame): DataFrame = if (arrFits) broadcast(d) else d
       val inter = size(array_intersect($"ga", $"gb"))
       cand

@@ -1559,16 +1559,16 @@ object Similarity {
       // a2 feeds BOTH h2's half-round and the final join: without the
       // cache the three-half-round a2 pipeline executed twice end to end
       // (no exchange boundary at its top, so nothing was reused — the r13
-      // plan audit's duplicated-subtree class, guide §2.4/§5). r14: the
-      // cache is materialized EAGERLY (count) so the racing broadcast-
-      // future consumer (h2's normalizer `m`) can never catch it lazy —
-      // the t18/e31 race, closed deterministically while keeping the
-      // cross-run cache reuse the bench's steady state measures.
-      // localCheckpoint variants were measured and REVERTED: per-round
-      // checkpoints 1.57 s, a2-only 2.3-2.4 s vs 1.20 s with the cache
-      // (each run re-materializes a checkpoint; the cache persists).
+      // plan audit's duplicated-subtree class, guide §2.4/§5). r14 tried
+      // and REVERTED two "safer" variants with the measurements kept:
+      // per-round localCheckpoints 1.57 s and a2-only checkpoint
+      // 2.3-2.8 s (a checkpoint re-materializes every run; the cache
+      // persists across runs), and cache + eager count() 1.44-1.76 s
+      // (the count forces a SECOND full analysis/optimization pass of
+      // the deep unrolled plan per invocation). The lazy cache measures
+      // 1.20 s steady — the t18/e31 broadcast race does not bite here
+      // because h2's shuffle consumer materializes it first.
       val a2 = halfRound(h1, "h", "src", "dst", "a").cache()
-      a2.count()
       val h2 = halfRound(a2, "a", "dst", "src", "h")
       h2.join(a2, Seq("vec_id"))
         .select($"vec_id", $"h".cast("long").as("hub_q"), $"a".cast("long").as("auth_q"))
